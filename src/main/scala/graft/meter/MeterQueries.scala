@@ -1,0 +1,138 @@
+package graft.meter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+
+/** Verifiable queries over the reference's meter data model (SURVEY §2a).
+  * The generator is deterministic (sawtooth, core.clj:37-41), so the DuckDB
+  * oracle recomputes the same pipeline from `generate_series` — including the
+  * per-transmission energy reduction, evaluated from scratch rather than
+  * hardcoding the golden 59 J/s.
+  *
+  * Oracle-side building block: per-transmission joules
+  *   int(sum(float(i mod 120) for i < 15000) / 15000)
+  * (core.clj:43-46). All partial sums are integers < 2^24, so float32 vs
+  * float64 accumulation order cannot diverge.
+  */
+object MeterQueries {
+
+  // FLOOR because the reference truncates toward zero (core.clj:46) and
+  // Spark's cast-to-int truncates, while DuckDB's rounds half-to-even.
+  private val JoulesSub =
+    "(SELECT CAST(FLOOR(SUM(CAST(j % 120 AS FLOAT)) / 15000) AS INT) FROM generate_series(0, 14999) s(j))"
+
+  private def base(cfg: GenConfig) =
+    s"""FROM generate_series(0, ${cfg.numMeters - 1}) m(said)
+       |CROSS JOIN generate_series(0, ${cfg.ticks - 1}) t(i)""".stripMargin
+
+  private def ts(cfg: GenConfig) =
+    s"(TIMESTAMP '2024-01-01 00:00:00' + t.i * INTERVAL 1 SECOND)"
+
+  // -- m1: raw transmission scan (Q1 read pattern, setup_and_notes.txt:46) --
+  private val m1Cfg = GenConfig(numMeters = 2, ticks = 10)
+  private def m1(s: SparkSession, dir: String): DataFrame =
+    MeterGen.transmissions(s, m1Cfg)
+      .select(
+        col("said"), col("datetime"),
+        size(col("watts")).as("n_samples"),
+        element_at(col("watts"), 1).as("w_first"),
+        element_at(col("watts"), m1Cfg.sampleRate).as("w_last"),
+        MeterGen.joulesExpr(col("watts"), m1Cfg).as("joules"))
+      .orderBy("said", "datetime")
+
+  private val m1Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said, ${ts(m1Cfg)} AS datetime,
+       |  CAST(15000 AS INT) AS n_samples,
+       |  CAST(0 AS FLOAT) AS w_first,
+       |  CAST((15000 - 1) % 120 AS FLOAT) AS w_last,
+       |  $JoulesSub AS joules
+       |${base(m1Cfg)}
+       |ORDER BY said, datetime""".stripMargin
+
+  // -- m2: per-second energy (meter_samples_second, core.clj:111-120) --
+  private val m2Cfg = GenConfig(numMeters = 2, ticks = 600)
+  private def m2(s: SparkSession, dir: String): DataFrame =
+    MeterGen.secondTable(s, m2Cfg).orderBy("said", "datetime")
+
+  private val m2Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said, ${ts(m2Cfg)} AS datetime,
+       |  $JoulesSub AS joules
+       |${base(m2Cfg)}
+       |ORDER BY said, datetime""".stripMargin
+
+  // -- m3/m4/m5: counter rollups as re-aggregation (core.clj:121-153) --
+  private val m3Cfg = GenConfig(numMeters = 2, ticks = 600) // 10 minutes
+  private def m3(s: SparkSession, dir: String): DataFrame =
+    Rollups.minute(MeterGen.secondTable(s, m3Cfg)).orderBy("said", "datetime")
+
+  private val m3Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said,
+       |  date_trunc('minute', ${ts(m3Cfg)}) AS datetime,
+       |  CAST(SUM($JoulesSub) AS BIGINT) AS joules
+       |${base(m3Cfg)}
+       |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
+
+  private val m4Cfg = GenConfig(numMeters = 2, ticks = 7200) // 2 hours
+  private def m4(s: SparkSession, dir: String): DataFrame = {
+    val sec = MeterGen.secondTable(s, m4Cfg)
+    Rollups.hour(Rollups.minute(sec)).orderBy("said", "datetime")
+  }
+
+  private val m4Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said,
+       |  date_trunc('hour', ${ts(m4Cfg)}) AS datetime,
+       |  CAST(SUM($JoulesSub) AS BIGINT) AS joules
+       |${base(m4Cfg)}
+       |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
+
+  // day rollup over a range spanning a day boundary: start 2023-12-31 23:00.
+  private val m5Cfg = GenConfig(numMeters = 2, ticks = 7200,
+    startEpochSec = 1704063600L) // 2023-12-31T23:00:00Z
+  private def m5(s: SparkSession, dir: String): DataFrame = {
+    val sec = MeterGen.secondTable(s, m5Cfg)
+    Rollups.day(Rollups.hour(Rollups.minute(sec))).orderBy("said", "datetime")
+  }
+
+  private val m5Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said,
+       |  CAST(date_trunc('day', TIMESTAMP '2023-12-31 23:00:00' + t.i * INTERVAL 1 SECOND) AS TIMESTAMP) AS datetime,
+       |  CAST(SUM($JoulesSub) AS BIGINT) AS joules
+       |${base(m5Cfg)}
+       |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
+
+  // -- m6: deterministic id seeding (core.clj:27-35). DuckDB 1.0 has no
+  // sha1(), so this is a rows-only check; exact golden values are pinned in
+  // SaidSeedSpec. --
+  private def m6(s: SparkSession, dir: String): DataFrame = {
+    val hosts = s.range(0, 10)
+      .select(concat(lit("host-"), col("id")).as("host"))
+    hosts.select(col("host"), SaidSeed.said_seed(col("host")).as("said"))
+      .orderBy("host")
+  }
+
+  // -- m7: upsert/LWW dedup before rollup (setup_and_notes.txt:20, SURVEY
+  // §7.3): duplicate per-second rows must collapse on (said, datetime). --
+  private val m7Cfg = GenConfig(numMeters = 2, ticks = 120)
+  private def m7(s: SparkSession, dir: String): DataFrame = {
+    val sec = MeterGen.secondTable(s, m7Cfg)
+    Rollups.minute(Rollups.dedupe(sec.union(sec))).orderBy("said", "datetime")
+  }
+
+  private val m7Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said,
+       |  date_trunc('minute', ${ts(m7Cfg)}) AS datetime,
+       |  CAST(SUM($JoulesSub) AS BIGINT) AS joules
+       |${base(m7Cfg)}
+       |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("m1_gen_raw", m1, Some(m1Oracle)),
+    QueryDef("m2_gen_second", m2, Some(m2Oracle)),
+    QueryDef("m3_rollup_minute", m3, Some(m3Oracle)),
+    QueryDef("m4_rollup_hour", m4, Some(m4Oracle)),
+    QueryDef("m5_rollup_day", m5, Some(m5Oracle)),
+    QueryDef("m6_said_seed", m6, None),
+    QueryDef("m7_dedup_rollup", m7, Some(m7Oracle)))
+}
