@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the content hash — at scale
+  * the hash is 32 bytes/row regardless of document size, so the shuffle is
+  * cheap relative to the data). Near-dup comes in two flavors:
+  *
+  *   - [[jaccardPairs]]: exact n-gram Jaccard via a shingle-inverted-index
+  *     self-join. Precise but quadratic in the worst case — bounded here by
+  *     a document-frequency cap on shingles (a shingle shared by >maxDf docs
+  *     is too common to be discriminative and would otherwise create df²
+  *     candidate pairs; standard practice in MinHash/LSH systems).
+  *   - [[MinHashLSH]]: the scale path — constant-size signatures, banded
+  *     bucketing, candidates only within buckets.
+  */
+object Dedup {
+
+  /** Content hash for exact dedup: sha2-256 of the raw text. */
+  def contentHash(c: Column): Column = sha2(c, 256)
+
+  /** Exact dedup: one surviving row (min of `idCol`) per distinct content. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_sha"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-shingle inverted index: (id, shingle). */
+  def shingleIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(
+          TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
+          .as("shingles"))
+      .select(col("id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+
+  /** Exact n-gram Jaccard similar pairs: J(a,b) >= threshold, a < b.
+    *
+    * Plan shape: explode → df-cap filter (one agg over shingle) → self-join
+    * on shingle (shuffle co-partitioned on the shingle key) → pair count →
+    * join back shingle-set sizes. No driver-side loops; every stage is a
+    * hash agg or hash join.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    val idx = shingleIndex(df, textCol, idCol, k)
+    val dfOk = idx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("shingle")
+    val filtered = idx.join(dfOk, "shingle")
+    val sizes = idx.select("id", "n_shingles").distinct()
+    val a = filtered.select(col("shingle"), col("id").as("id_a"))
+    val b = filtered.select(col("shingle"), col("id").as("id_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("jaccard"))
+  }
+}

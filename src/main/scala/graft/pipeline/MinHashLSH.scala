@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the 100 TB-scale dedup
+  * path (SURVEY §2b). Pure DataFrame ops:
+  *
+  *   1. signature: for each of `numHashes` seeds, min over the document's
+  *      shingles of xxhash64(seed, shingle). Constant size per document
+  *      (numHashes × 8 bytes) regardless of document length, so the shuffle
+  *      volume is bounded.
+  *   2. banding: the signature splits into `bands` rows of `rowsPerBand`
+  *      values; two documents land in the same bucket when one band matches
+  *      exactly. P(candidate) = 1-(1-J^r)^b — with 16 bands × 8 rows the
+  *      curve knees near J≈0.7.
+  *   3. candidates: groupBy (band, bandHash) — only intra-bucket pairs are
+  *      generated, never the full cross product.
+  *   4. estimate: signature agreement fraction; final exact verification can
+  *      reuse Dedup.jaccardPairs on the candidate set.
+  */
+object MinHashLSH {
+
+  /** (id, sig ARRAY<BIGINT>) MinHash signatures from word k-shingles. */
+  def signatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 128): DataFrame = {
+    val shingles = array_distinct(
+      TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
+    df.select(
+      col(idCol).as("id"),
+      when(size(shingles) > 0,
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => array_min(transform(shingles, sh => xxhash64(seed, sh)))))
+        .otherwise(transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => lit(null).cast("long")))
+        .as("sig"))
+  }
+
+  /** (id, band, band_hash): one row per band, hash of that signature slice. */
+  def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand)).cast("string")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+  /** Candidate near-dup pairs with estimated Jaccard (signature agreement).
+    * maxBucket caps pathological buckets (all-identical spam) the same way
+    * maxDf caps Dedup.jaccardPairs. */
+  def candidatePairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      estThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = signatures(df, textCol, idCol, k, numHashes).cache()
+    val bd = banded(sigs, bands, rowsPerBand)
+    val smallBuckets = bd.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .select("band", "band_hash")
+    val inBucket = bd.join(smallBuckets, Seq("band", "band_hash"))
+    val pairs = inBucket.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(inBucket.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
+  }
+}

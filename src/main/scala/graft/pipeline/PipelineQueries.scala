@@ -1,0 +1,249 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** LLM-data-pipeline operator surface (SURVEY §2b north star): dedup (exact,
+  * Jaccard, MinHash-LSH, SimHash), text analysis, similarity search, and
+  * multimodal plumbing — each as a verifiable query over the driver
+  * fixtures. Where the algorithm is SQL-expressible the DuckDB oracle
+  * recomputes it from scratch; hash-function-dependent ops (xxhash64) get
+  * rows-only checks here and exact ScalaTest coverage.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- d1: exact dedup via content hash (sha2-256 ≡ DuckDB sha256). ----
+  private def d1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "text", "doc_id").orderBy("keep_id")
+
+  private val d1Oracle =
+    """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  // ---- d2: token / punctuation / stopword counting. ----
+  private def d2(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      TextAnalysis.nTokens(col("text")).as("n_tokens"),
+      TextAnalysis.nPunct(col("text")).as("n_punct"),
+      TextAnalysis.nStopwords(col("text")).as("n_stop"),
+      round(TextAnalysis.nStopwords(col("text")).cast("double") /
+        greatest(TextAnalysis.nTokens(col("text")).cast("double"), lit(1.0)), 6)
+        .as("stop_ratio"))
+      .orderBy("doc_id")
+
+  private val d2Oracle =
+    """SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_calc,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS INT) AS n_stop,
+      |  ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+      |    / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- d3: language-ID marker heuristic. ----
+  private def d3(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langScore(col("text"), "en").as("s_en"),
+      TextAnalysis.langScore(col("text"), "fr").as("s_fr"),
+      TextAnalysis.langScore(col("text"), "es").as("s_es"),
+      TextAnalysis.langScore(col("text"), "de").as("s_de"),
+      TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private val d3Oracle = {
+    def sc(pat: String) =
+      s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INT)"
+    val en = sc("\\b(the|and|of|is|was|with)\\b")
+    val fr = sc("\\b(le|la|les|et|des|une)\\b")
+    val es = sc("\\b(el|los|las|que|una|por)\\b")
+    val de = sc("\\b(der|die|das|und|ist|ein)\\b")
+    s"""SELECT doc_id, lang, $en AS s_en, $fr AS s_fr, $es AS s_es, $de AS s_de,
+       |  CASE WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+       |       WHEN $fr >= $es AND $fr >= $de THEN 'fr'
+       |       WHEN $es >= $de THEN 'es'
+       |       ELSE 'de' END AS lang_guess
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d4: quality scoring. ----
+  private def d4(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.7).as("keep"))
+      .orderBy("doc_id")
+
+  private val d4Oracle = {
+    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    val nStop = "CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)"
+    val nPunct = "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
+    val nChars = "CAST(LENGTH(text) AS DOUBLE)"
+    // x::DOUBLE on every literal: DuckDB otherwise sums these as DECIMALs
+    // (exact 1.0) while Spark sums doubles (0.9999999999999999).
+    val q =
+      s"""(CASE WHEN $nChars >= 50 AND $nChars <= 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         | + CASE WHEN $nChars / GREATEST($nTok, 1.0) >= 2.0 AND $nChars / GREATEST($nTok, 1.0) <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         | + CASE WHEN $nStop / GREATEST($nTok, 1.0) >= 0.01 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+         | + CASE WHEN $nPunct / GREATEST($nChars, 1.0) <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)""".stripMargin
+    s"""SELECT doc_id, $q AS quality, $q >= 0.7::DOUBLE AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d5: rolling-hash document fingerprint (h = (h*31+code) mod 2^31-1;
+  // DuckDB list_reduce seeds with the first element ≡ our fold from 0). ----
+  private def d5(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val d5Oracle =
+    """SELECT doc_id,
+      |  CASE WHEN LENGTH(text) > 0 THEN
+      |    list_reduce(
+      |      list_transform(generate_series(1, LENGTH(text)),
+      |                     i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 31 + c) % 2147483647)
+      |  ELSE 0 END AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- d6: exact n-gram Jaccard near-dup pairs. ----
+  private def d6(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+      .orderBy("doc_a", "doc_b")
+
+  private val d6Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |  FROM w),
+      |idx AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |df_ok AS (
+      |  SELECT shingle FROM idx GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+      |f AS (SELECT idx.* FROM idx JOIN df_ok USING (shingle)),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+      |SELECT p.id_a AS doc_a, p.id_b AS doc_b, p.inter AS inter,
+      |  ROUND(p.inter / (sa.n + sb.n - p.inter), 6) AS jaccard
+      |FROM p
+      |JOIN sizes sa ON p.id_a = sa.doc_id
+      |JOIN sizes sb ON p.id_b = sb.doc_id
+      |WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d7/d8: hash-based near-dup (xxhash64 not reproducible in DuckDB —
+  // rows-only here, exact coverage in MinHashLSHSpec/SimHashSpec). ----
+  private def d7(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.candidatePairs(docs(s, dir), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
+  private def d8(s: SparkSession, dir: String): DataFrame =
+    SimHash.pairs(docs(s, dir), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
+  // ---- e1: brute-force cosine top-k (the ANN baseline). ----
+  private def e1(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+      _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  private val e1Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---- e2: k-NN majority-vote classification on top of e1. ----
+  private def e2(s: SparkSession, dir: String): DataFrame = {
+    val topk = Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+      _ < 20, k = 10)
+    Similarity.knnClassify(topk, emb(s, dir), "vec_id", "label")
+      .orderBy("q_id")
+  }
+
+  private val e2Oracle =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS nn_id, e.label AS nn_label,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, nn_label, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s),
+      |votes AS (
+      |  SELECT q_id, nn_label, COUNT(*) AS votes FROM r WHERE rank <= 10
+      |  GROUP BY q_id, nn_label),
+      |best AS (
+      |  SELECT q_id, nn_label, votes,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, nn_label) AS rn
+      |  FROM votes)
+      |SELECT q_id, nn_label AS predicted_label, votes
+      |FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin
+
+  // ---- e3: LSH-bucketed ANN (recall<1 by design — rows-only; recall
+  // vs. brute force asserted in SimilaritySpec). ----
+  private def e3(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  // ---- mm1: multimodal decode plumbing (stub codec; Spark-side schema,
+  // mapPartitions batching, metadata derivation are the real test). ----
+  private def mm1(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureTable(s, docs(s, dir))
+      .select("doc_id", "media_type", "n_bytes", "width", "height")
+      .orderBy("doc_id")
+
+  private val mm1Oracle =
+    """SELECT doc_id, 'image/fake' AS media_type,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
+      |  CAST(16 + (octet_length(encode(text)) // 7) % 464 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),
+    QueryDef("d2_token_stats", d2, Some(d2Oracle)),
+    QueryDef("d3_lang_id", d3, Some(d3Oracle)),
+    QueryDef("d4_quality_score", d4, Some(d4Oracle)),
+    QueryDef("d5_fingerprint", d5, Some(d5Oracle)),
+    QueryDef("d6_jaccard_pairs", d6, Some(d6Oracle)),
+    QueryDef("d7_minhash_pairs", d7, None),
+    QueryDef("d8_simhash_pairs", d8, None),
+    QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
+    QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
+    QueryDef("e3_lsh_ann", e3, None),
+    QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)))
+}

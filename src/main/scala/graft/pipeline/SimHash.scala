@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting: one 63-bit fingerprint per
+  * document whose Hamming distance approximates the angular distance
+  * between token multisets. Everything is a pure Catalyst expression over
+  * the token array — zero shuffles to fingerprint a corpus.
+  *
+  * Scale path for pairing: split the fingerprint into 4 chunks of 16 bits —
+  * any pair within Hamming distance 3 agrees on ≥1 chunk (pigeonhole), so
+  * candidate generation is 4 equi-joins on small keys, never a cross
+  * product.
+  */
+object SimHash {
+
+  /** Bits 0..62 of a 64-bit hash, folded into a non-negative long (63 bits
+    * keeps the fingerprint inside LongType without sign issues). Bit b is 1
+    * iff sum over tokens of ±1 (per bit b of xxhash64(token)) is > 0. */
+  def simhash(textCol: Column): Column = {
+    val hs = transform(TextAnalysis.words(textCol), t => xxhash64(t))
+    val bitCols = (0 until 63).map { b =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftrightunsigned(h, b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** 16-bit chunk c (0..3) of a fingerprint — the LSH band key. */
+  def chunk(fp: Column, c: Int): Column =
+    shiftrightunsigned(fp, c * 16).bitwiseAND(0xFFFFL)
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup candidate pairs within `maxHamming`, via the 4×16-bit chunk
+    * join (exact for maxHamming <= 3 by pigeonhole). */
+  def pairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val chunked = fps.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(c => chunk(col("fp"), c)): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val ok = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("chunk", "chunk_val")
+    val inB = chunked.join(ok, Seq("chunk", "chunk_val"))
+    inB.select(col("chunk"), col("chunk_val"),
+        col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(inB.select(col("chunk"), col("chunk_val"),
+        col("id").as("id_b"), col("fp").as("fp_b")), Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the full corpus, embarrassingly parallel, no slow path. Scale
+  * path: [[lshTopK]] buckets vectors by random-hyperplane signs so each
+  * query only scans its bucket neighborhood (probing all 1-bit flips), a
+  * standard recall/cost trade.
+  *
+  * All arithmetic is double (cast up from float32 first) and index-ordered,
+  * so results are bit-reproducible and match an oracle computing
+  * dot/(‖a‖·‖b‖) the same way.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (filtered by
+    * `queryPred` on the id column), the k nearest other vectors.
+    * The query side is broadcast — the corpus is scanned exactly once with
+    * no shuffle before the per-query top-k window. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec"))
+    val queries = emb.filter(queryPred(col(idCol)))
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    broadcast(queries).join(corpus, col("q_id") =!= col("nn_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** k-NN majority-vote label prediction from a top-k result (ties → smaller
+    * label wins, deterministically). */
+  def knnClassify(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame =
+    topk.join(labels.select(col(idCol).as("nn_id"), col(labelCol).as("nn_label")),
+        Seq("nn_id"))
+      .groupBy(col("q_id"), col("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("nn_label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("nn_label").as("predicted_label"), col("votes"))
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * deterministic pseudo-random hyperplanes. Hyperplane component j of
+    * plane p is derived from xxhash64(p, j) scaled to [-1, 1] — fully
+    * deterministic, no stored model, identical on every executor. */
+  def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val planeDots = (0 until bits).map { p =>
+      val comps = transform(sequence(lit(0), lit(dim - 1)),
+        j => (xxhash64(lit(p), j).cast("double") / lit(Long.MaxValue.toDouble)))
+      aggregate(zip_with(vec, comps, (x, c) => x * c), lit(0.0), (a, v) => a + v)
+    }
+    planeDots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN top-k: scan only vectors whose signature matches the
+    * query's bucket or any 1-bit flip of it (multi-probe). Returns the same
+    * schema as bruteForceTopK; recall < 1 by construction. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, bits: Int = 12): DataFrame = {
+    val dim = 64
+    val sigged = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"),
+      lshSignature(asDouble(col(vecCol)), dim, bits).as("sig"))
+    val queries = sigged.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+        col("sig").as("q_sig"))
+    // probe set: exact bucket + all 1-bit flips
+    val probes = queries.select(col("q_id"), col("q_vec"), col("q_sig"),
+      explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*))
+        .as("flip"))
+      .withColumn("sig", col("q_sig").bitwiseXOR(col("flip")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    broadcast(probes.select(col("q_id"), col("q_vec"), col("sig")))
+      .join(sigged, Seq("sig"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .select(col("q_id"), col("nn_id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a training-data pipeline: tokenization,
+  * quality scoring, language-ID (marker-word heuristic), and document
+  * fingerprinting (polynomial rolling hash). All pure Catalyst expressions —
+  * no UDFs — so they stay inside whole-stage codegen and scale linearly with
+  * input splits (no shuffle until an aggregation is asked for).
+  */
+object TextAnalysis {
+
+  /** Non-whitespace token array. */
+  def words(c: Column): Column =
+    regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Word k-shingles joined with single spaces; empty array when fewer than
+    * k tokens. (Guarded because Spark's sequence(1, 0) yields a DESCENDING
+    * [1,0], not an empty array.) */
+  def wordShingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  def nTokens(c: Column): Column = size(words(c))
+
+  /** Punctuation-character count. */
+  def nPunct(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0)))
+
+  /** Whitespace-token count of stopwords (language-agnostic English list). */
+  def nStopwords(c: Column): Column =
+    size(regexp_extract_all(lower(c),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, words not
+    * too long, some stopwords, low punctuation density. Single IEEE-double
+    * expression — deterministic across engines. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = nTokens(text).cast("double")
+    val meanWordLen = nChars / greatest(nTok, lit(1.0))
+    val stopRatio = nStopwords(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = nPunct(text).cast("double") / greatest(nChars, lit(1.0))
+    val lenOk = when(nChars >= 50 && nChars <= 10000, lit(0.4)).otherwise(lit(0.0))
+    val wordOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(0.3))
+      .otherwise(lit(0.0))
+    val stopOk = when(stopRatio >= 0.01, lit(0.2)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.1, lit(0.1)).otherwise(lit(0.0))
+    lenOk + wordOk + stopOk + punctOk
+  }
+
+  /** Marker-word counts per language — the n-gram-heuristic language ID.
+    * Deterministic CASE-chain argmax (ties resolve in list order). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was|with)\\b",
+    "fr" -> "\\b(le|la|les|et|des|une)\\b",
+    "es" -> "\\b(el|los|las|que|una|por)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein)\\b")
+
+  def langScore(text: Column, lang: String): Column = {
+    val pat = langMarkers.toMap.apply(lang)
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  /** Argmax with first-wins ties: en >= all → en; else fr >= rest → fr; … */
+  def langGuess(text: Column): Column = {
+    val Seq(en, fr, es, de) = langMarkers.map { case (l, _) => langScore(text, l) }
+    when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Polynomial rolling-hash fingerprint over character codepoints:
+    * h = fold(c => (h * 31 + code(c)) mod (2^31 - 1)). Accumulator stays
+    * below 2^36 so long arithmetic never overflows; expressible identically
+    * in DuckDB via list_reduce + unicode(). */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(
+      sequence(lit(1), greatest(length(text), lit(1))),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+    when(length(text) > 0,
+      aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L))))
+      .otherwise(lit(0L))
+  }
+}
