@@ -75,10 +75,12 @@ object Similarity {
   }
 
   /** Bucketed ANN top-k: scan only vectors whose signature matches the
-    * query's bucket or any 1-bit flip of it (multi-probe). Returns the same
-    * schema as bruteForceTopK; recall < 1 by construction. */
+    * query's bucket or any ≤2-bit flip of it (multi-probe). Returns the same
+    * schema as bruteForceTopK; recall < 1 by construction — the number of
+    * `bits` trades recall against scan fraction (probing covers
+    * 1+b+b(b-1)/2 of the 2^b buckets). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, k: Int, bits: Int = 12): DataFrame = {
+      queryPred: Column => Column, k: Int, bits: Int = 6): DataFrame = {
     val dim = 64
     val sigged = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"),
@@ -86,10 +88,13 @@ object Similarity {
     val queries = sigged.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         col("sig").as("q_sig"))
-    // probe set: exact bucket + all 1-bit flips
+    // probe set: exact bucket + all 1-bit and 2-bit flips
+    val flips = lit(0L) +:
+      ((0 until bits).map(b => lit(1L << b)) ++
+        (for { a <- 0 until bits; b <- a + 1 until bits }
+          yield lit((1L << a) | (1L << b))))
     val probes = queries.select(col("q_id"), col("q_vec"), col("q_sig"),
-      explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*))
-        .as("flip"))
+      explode(array(flips: _*)).as("flip"))
       .withColumn("sig", col("q_sig").bitwiseXOR(col("flip")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id"))

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators over the `events` fixture shape: tumbling /
+  * sliding / session windows and arbitrary-state gap detection. Batch and
+  * streaming share the same expressions, so batch runs serve as the oracle
+  * for the streaming path (asserted in StreamingSpec).
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate (works on batch or stream;
+    * stream callers add a watermark first). */
+  def tumbling(events: DataFrame, dur: String): DataFrame =
+    events.groupBy(window(col("ts"), dur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding window: each event lands in dur/slide windows. */
+  def sliding(events: DataFrame, dur: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), dur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with a fixed inactivity gap. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"),
+        col("first_ts"), col("last_ts"))
+
+  case class Ping(user_id: Long, ts: Timestamp)
+  case class Gap(user_id: Long, last_seen: Timestamp, silent_ms: Long)
+
+  /** Arbitrary-state example (SURVEY §2b): emit a Gap row whenever a user's
+    * consecutive events are more than `gapMs` apart — flatMapGroupsWithState
+    * keeping only (last timestamp) per key, so state is O(#users). */
+  def detectGaps(pings: Dataset[Ping], gapMs: Long): Dataset[Gap] = {
+    import pings.sparkSession.implicits._
+    pings.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Timestamp, Gap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ping], state: GroupState[Timestamp]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption
+          val gaps = Seq.newBuilder[Gap]
+          sorted.foreach { p =>
+            last.foreach { prev =>
+              val silent = p.ts.getTime - prev.getTime
+              if (silent > gapMs) gaps += Gap(uid, prev, silent)
+            }
+            last = Some(p.ts)
+          }
+          last.foreach(state.update)
+          gaps.result().iterator
+      }
+  }
+}

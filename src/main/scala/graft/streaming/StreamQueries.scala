@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Batch-verifiable forms of the streaming operator surface. The same
+  * expressions run in the streaming path (MeterStream / EventStreams);
+  * batch-vs-stream equivalence is asserted in StreamingSpec, and these
+  * batch runs are hash-checked against DuckDB.
+  */
+object StreamQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---- s1: per-user event deltas (lag + epoch arithmetic + session-break
+  // flag — the per-key ordered-state shape every sessionizer builds on). ----
+  private def s1(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("delta_us",
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .withColumn("new_session",
+        col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val s1Oracle =
+    """SELECT user_id, event_id, ts,
+      |  LAG(ts) OVER w AS prev_ts,
+      |  epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us,
+      |  (LAG(ts) OVER w IS NULL OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE) AS new_session
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // ---- s2: tumbling windows (window() ≡ date_trunc for aligned durations). ----
+  private def s2(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumbling(events(s, dir), "1 hour")
+      .orderBy("w_start", "event_type")
+
+  private val s2Oracle =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+      |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // ---- s3: sliding windows (2 h duration, 1 h slide → every event in
+  // exactly two windows). ----
+  private def s3(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sliding(events(s, dir), "2 hours", "1 hour")
+      .orderBy("w_start", "event_type")
+
+  private val s3Oracle =
+    """SELECT w_start, event_type, COUNT(*) AS n FROM (
+      |  SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+      |                 CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS w_start,
+      |         event_type
+      |  FROM events)
+      |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
+
+  // ---- s4: session windows (30 min gap). Oracle recomputes sessionization
+  // via lag + running session-id — the classic SQL equivalent. ----
+  private def s4(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessions(events(s, dir), "30 minutes")
+      .orderBy("user_id", "s_start")
+
+  private val s4Oracle =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flags AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("s1_event_deltas", s1, Some(s1Oracle)),
+    QueryDef("s2_tumbling_hour", s2, Some(s2Oracle)),
+    QueryDef("s3_sliding_2h1h", s3, Some(s3Oracle)),
+    QueryDef("s4_session_window", s4, Some(s4Oracle)))
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Behavioral tests for the hash-based pipeline operators that have no SQL
+  * oracle (xxhash64-dependent), plus the multimodal decode plumbing. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf(), "documents")
+
+  test("minhash: identical texts get identical signatures; estimate tracks exact jaccard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different document about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sigs = MinHashLSH.signatures(df, "text", "doc_id", k = 3, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val pairs = MinHashLSH.candidatePairs(df, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 8)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getDouble(2) === 1.0)
+  }
+
+  test("minhash on fixtures recovers the exact-jaccard pair set") {
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", k = 5,
+      threshold = 0.6, maxDf = 100)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.candidatePairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-threshold exact pairs must all be found by LSH (recall), and LSH
+    // shouldn't wildly over-generate (precision sanity)
+    assert(exact.subsetOf(lsh) || (exact -- lsh).isEmpty)
+    assert(lsh.size <= exact.size * 3 + 10)
+  }
+
+  test("simhash: hamming 0 for identical, small for near-dup, large for unrelated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark streaming engine with watermark support for late data"),
+      (2L, "spark streaming engine with watermark support for late events"),
+      (3L, "unrelated text entirely about cooking pasta recipes tonight yes"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) >= 0L)
+    assert(ham(fp(1L), fp(1L)) === 0)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("simhash pairs finds planted near-dups on fixtures") {
+    val pairs = SimHash.pairs(docs, "text", "doc_id", maxHamming = 3)
+    val exact = Dedup.exact(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1)
+    // every exact dup pair is hamming 0 → must be found
+    assert(pairs.filter(col("hamming") === 0).count() >=
+      exact.count())
+  }
+
+  test("lsh ann achieves decent recall@5 vs brute force") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall@5 was $recall") // multi-probe 1-bit, 12 bits
+  }
+
+  test("multimodal decode: deterministic stub, feature shape, byte counts") {
+    val feats = Multimodal.featureTable(spark, docs)
+    val r = feats.orderBy("doc_id").limit(1).collect()(0)
+    val txt = docs.orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
+    assert(r.getAs[Int]("n_bytes") === txt.getBytes("UTF-8").length)
+    assert(r.getAs[Seq[Float]]("features").length === 8)
+    // run twice → identical (stub is deterministic)
+    val again = Multimodal.featureTable(spark, docs)
+    assert(feats.exceptAll(again).count() === 0)
+  }
+
+  test("quality score is bounded and keep-flag consistent") {
+    val q = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val rows = q.agg(min("q"), max("q")).collect()(0)
+    assert(rows.getDouble(0) >= 0.0 && rows.getDouble(1) <= 1.0000001)
+  }
+}

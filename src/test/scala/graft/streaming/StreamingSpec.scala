@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.meter.{GenConfig, MeterGen, Rollups}
+
+/** Streaming correctness: the streamed rollup pipeline must produce exactly
+  * the batch rollup on the same input (SURVEY §5.2 point 5), and the
+  * arbitrary-state gap detector must fire on the planted gaps. */
+class StreamingSpec extends SparkSpec {
+
+  test("stream minute rollup == batch minute rollup on same ticks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = GenConfig(numMeters = 2, ticks = 300)
+
+    val input = MemoryStream[Long]
+    input.addData(0L until (cfg.ticks * cfg.numMeters): _*)
+    val secStream = input.toDF()
+      .select(
+        (col("value") % cfg.numMeters).cast("int").as("said"),
+        timestamp_seconds(expr(s"value DIV ${cfg.numMeters}") +
+          cfg.startEpochSec).as("datetime"))
+      .withColumn("joules", MeterGen.joulesExpr(MeterGen.wattsExpr(cfg), cfg))
+
+    val rolled = MeterStream.rollupStream(secStream, "minute")
+    val q = rolled.writeStream
+      .format("memory").queryName("mins")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only below-watermark windows; advance the
+      // watermark with one late-but-future tick batch
+      input.addData((cfg.ticks * cfg.numMeters) until
+        (cfg.ticks * cfg.numMeters + 2 * 600): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("mins")
+      .filter(col("datetime") < timestamp_seconds(lit(cfg.startEpochSec + 300)))
+    val batch = Rollups.minute(MeterGen.secondTable(spark, cfg))
+    assert(streamed.count() === 10) // 5 full minutes × 2 meters
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("flatMapGroupsWithState gap detection fires on planted gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ping]
+    def ping(u: Long, sec: Long) =
+      EventStreams.Ping(u, new Timestamp(1704067200000L + sec * 1000))
+    input.addData(ping(1, 0), ping(1, 10), ping(1, 400), // gap 390 s
+      ping(2, 0), ping(2, 5)) // no gap
+    val gaps = EventStreams.detectGaps(input.toDS(), gapMs = 300000)
+    val q = gaps.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // state persists across batches: next ping after silence also fires
+      input.addData(ping(2, 1000)) // 995 s after last
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gaps").as[EventStreams.Gap].collect()
+      .sortBy(g => (g.user_id, g.last_seen.getTime))
+    assert(got.length === 2)
+    assert(got(0).user_id === 1 && got(0).silent_ms === 390000)
+    assert(got(1).user_id === 2 && got(1).silent_ms === 995000)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = GenConfig(numMeters = 1, ticks = 60)
+    val input = MemoryStream[Long]
+    val ids = 0L until 60L
+    input.addData(ids ++ ids: _*) // every second twice
+    val sec = input.toDF()
+      .select(lit(0).as("said"),
+        timestamp_seconds(col("value") + cfg.startEpochSec).as("datetime"),
+        lit(59).as("joules"))
+    val deduped = MeterStream.dedupWithinWatermark(sec)
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup").count() === 60)
+  }
+}
