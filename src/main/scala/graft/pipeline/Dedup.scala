@@ -41,26 +41,35 @@ object Dedup {
 
   /** Exact n-gram Jaccard similar pairs: J(a,b) >= threshold, a < b.
     *
-    * Plan shape: explode → df-cap filter (one agg over shingle) → self-join
-    * on shingle (shuffle co-partitioned on the shingle key) → pair count →
-    * join back shingle-set sizes. No driver-side loops; every stage is a
-    * hash agg or hash join.
+    * Plan shape: shingle arrays computed ONCE and cached (one small row per
+    * doc — the expensive regex tokenization never re-runs) → explode →
+    * df-cap filter (one agg over shingle) → self-join on shingle (shuffle
+    * co-partitioned on the shingle key) → pair count → join back sizes.
+    * No driver-side loops; every stage is a hash agg or hash join.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val idx = shingleIndex(df, textCol, idCol, k)
+    val perDoc = df.select(col(idCol).as("id"),
+        array_distinct(
+          TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
+          .as("shingles"))
+      .cache()
+    val idx = perDoc.select(col("id"), explode(col("shingles")).as("shingle"))
     val dfOk = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("shingle")
     val filtered = idx.join(dfOk, "shingle")
-    val sizes = idx.select("id", "n_shingles").distinct()
+    val sizes = perDoc.select(col("id"), size(col("shingles")).as("n_shingles"))
     val a = filtered.select(col("shingle"), col("id").as("id_a"))
     val b = filtered.select(col("shingle"), col("id").as("id_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      // plain joins (not broadcast): sizes is one row per document, which
+      // at the 100 TB design point is far too large to broadcast; AQE will
+      // still broadcast it when it happens to be small.
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")

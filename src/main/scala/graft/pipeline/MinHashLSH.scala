@@ -21,18 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (id, sig ARRAY<BIGINT>) MinHash signatures from word k-shingles. */
+  /** Prime just above 2^32 for the permutation family. */
+  private val P = 4294967311L
+
+  /** Deterministic permutation constants: a_i odd < 2^30, b_i < 2^30, so
+    * a_i · h (h < 2^32) stays under 2^62 — no int64 overflow under ANSI. */
+  private def perms(n: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(n)(((rnd.nextInt(1 << 29).toLong << 1) | 1L,
+      rnd.nextInt(1 << 30).toLong))
+  }
+
+  /** (id, sig ARRAY<BIGINT>) MinHash signatures from word k-shingles.
+    *
+    * Each shingle is string-hashed ONCE (xxhash64 → low 32 bits); the
+    * numHashes permutations are then cheap integer maps h → (a·h + b) mod P
+    * over the 32-bit value (products stay < 2^63, no overflow). This is
+    * ~2 orders of magnitude cheaper than re-hashing every shingle string
+    * per seed and is the standard construction (universal hash family).
+    */
   def signatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 128): DataFrame = {
     val shingles = array_distinct(
       TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
-    df.select(
-      col(idCol).as("id"),
-      when(size(shingles) > 0,
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => array_min(transform(shingles, sh => xxhash64(seed, sh)))))
-        .otherwise(transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => lit(null).cast("long")))
+    // materialize the base hashes as a real column so the tokenize+hash
+    // pass runs once, not once per permutation
+    val based = df.select(col(idCol).as("id"),
+      transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0xffffffffL)))
+        .as("bh"))
+    val sigCols = perms(numHashes).map { case (a, b) =>
+      array_min(transform(col("bh"), h => pmod(h * a + b, lit(P))))
+    }
+    based.select(
+      col("id"),
+      when(size(col("bh")) > 0, array(sigCols: _*))
+        .otherwise(array_repeat(lit(null).cast("long"), numHashes))
         .as("sig"))
   }
 

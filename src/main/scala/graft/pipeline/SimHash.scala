@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Bits 0..62 of a 64-bit hash, folded into a non-negative long (63 bits
-    * keeps the fingerprint inside LongType without sign issues). Bit b is 1
-    * iff sum over tokens of ±1 (per bit b of xxhash64(token)) is > 0. */
-  def simhash(textCol: Column): Column = {
-    val hs = transform(TextAnalysis.words(textCol), t => xxhash64(t))
+  /** Token-hash array — compute this ONCE per row (materialize as a column)
+    * before fanning out to the 63 per-bit sums. */
+  def tokenHashes(textCol: Column): Column =
+    transform(TextAnalysis.words(textCol), t => xxhash64(t))
+
+  /** Fingerprint from a precomputed token-hash array column. */
+  def simhashFromHashes(hs: Column): Column = {
     val bitCols = (0 until 63).map { b =>
       val bitSum = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftrightunsigned(h, b).bitwiseAND(1L) === 1L, 1L)
@@ -28,6 +30,14 @@ object SimHash {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Bits 0..62 of a 64-bit hash, folded into a non-negative long (63 bits
+    * keeps the fingerprint inside LongType without sign issues). Bit b is 1
+    * iff sum over tokens of ±1 (per bit b of xxhash64(token)) is > 0.
+    * Note: tokenizes once per bit when used as a single Column — prefer the
+    * two-step tokenHashes/simhashFromHashes on large data (see pairs). */
+  def simhash(textCol: Column): Column =
+    simhashFromHashes(tokenHashes(textCol))
 
   /** 16-bit chunk c (0..3) of a fingerprint — the LSH band key. */
   def chunk(fp: Column, c: Int): Column =
@@ -40,7 +50,9 @@ object SimHash {
     * join (exact for maxHamming <= 3 by pigeonhole). */
   def pairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fps = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(c => chunk(col("fp"), c)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

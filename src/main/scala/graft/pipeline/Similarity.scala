@@ -60,13 +60,14 @@ object Similarity {
       .select(col("q_id"), col("nn_label").as("predicted_label"), col("votes"))
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes. Hyperplane component j of
-    * plane p is derived from xxhash64(p, j) scaled to [-1, 1] — fully
-    * deterministic, no stored model, identical on every executor. */
+    * deterministic pseudo-random hyperplanes (seeded RNG, embedded in the
+    * plan as literal arrays — no stored model, no per-row derivation,
+    * identical on every executor). */
   def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val rnd = new scala.util.Random(20240101L)
     val planeDots = (0 until bits).map { p =>
-      val comps = transform(sequence(lit(0), lit(dim - 1)),
-        j => (xxhash64(lit(p), j).cast("double") / lit(Long.MaxValue.toDouble)))
+      val comps = array((0 until dim).map(_ =>
+        lit(rnd.nextDouble() * 2.0 - 1.0)): _*)
       aggregate(zip_with(vec, comps, (x, c) => x * c), lit(0.0), (a, v) => a + v)
     }
     planeDots.zipWithIndex.map { case (d, p) =>

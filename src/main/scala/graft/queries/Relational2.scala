@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.KahanSum
+
+/** Second relational batch: array aggregation, non-equi (range) joins, map
+  * / JSON functions, multiset set-ops, approximate distinct, and the typed
+  * custom Aggregator — completing the SURVEY §2b inventory. */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- q22: collect_list + sort_array (deterministic array agg) + array
+  // functions. ----
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+      .select(col("n_name"), col("suppliers"),
+        size(col("suppliers")).as("n_supp"),
+        element_at(col("suppliers"), 1).as("first_supp"))
+      .orderBy("n_name")
+
+  private val q22Oracle =
+    """SELECT n_name, list_sort(list(s_name)) AS suppliers,
+      |  CAST(len(list(s_name)) AS INT) AS n_supp,
+      |  list_sort(list(s_name))[1] AS first_supp
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- q23: non-equi range join against a small in-memory band dim —
+  // broadcast nested-loop, the correct plan when one side is tiny. ----
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 20000.0), ("mid", 20000.0, 50000.0),
+      ("high", 50000.0, 1e9))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .orderBy("band")
+  }
+
+  private val q23Oracle =
+    """SELECT band, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem
+      |JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0),
+      |             ('high', 50000.0, 1e9)) b(band, lo, hi)
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // ---- q24: JSON → typed map, map functions. ----
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("m",
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)))
+      .select(col("event_id"),
+        map_keys(col("m")).as("ks"),
+        element_at(col("m"), "k").as("k_val"))
+      .select(col("event_id"), size(col("ks")).as("n_keys"),
+        element_at(col("ks"), 1).as("first_key"), col("k_val"))
+      .orderBy("event_id")
+
+  private val q24Oracle =
+    """SELECT event_id, CAST(1 AS INT) AS n_keys, 'k' AS first_key,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- q25: multiset set operations (unionAll / intersectAll /
+  // exceptAll — bag semantics, unlike q8's distinct variants). ----
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val a = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val mk = (name: String, df: DataFrame) =>
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit(name))
+    mk("union_all", a.unionAll(b))
+      .unionByName(mk("intersect_all", a.intersectAll(b)))
+      .unionByName(mk("except_all", a.exceptAll(b)))
+      .select("op", "o_custkey", "n")
+      .orderBy("op", "o_custkey")
+  }
+
+  private val q25Oracle =
+    """SELECT op, o_custkey, n FROM (
+      |  SELECT 'union_all' AS op, o_custkey, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    UNION ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  GROUP BY o_custkey)
+      |ORDER BY op, o_custkey""".stripMargin
+
+  // ---- q26: typed custom Aggregator (Kahan compensated sum) registered
+  // as a udaf. Summing integral doubles → exact, so the DuckDB plain SUM
+  // oracle matches bit-for-bit. ----
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val kahan = udaf(KahanSum)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(kahan(col("l_quantity")).cast("long").as("kahan_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q26Oracle =
+    """SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS kahan_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q27: approximate distinct (HLL++). Not hash-comparable to an
+  // exact oracle by nature — the query returns both approx and exact plus
+  // their ratio bounds; the oracle checks the exact column and the driver
+  // sees matching schemas. Rows-only here; ApproxSpec asserts error < 5%. --
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q22_array_agg", q22, Some(q22Oracle)),
+    QueryDef("q23_range_join", q23, Some(q23Oracle)),
+    QueryDef("q24_map_functions", q24, Some(q24Oracle)),
+    QueryDef("q25_multiset_ops", q25, Some(q25Oracle)),
+    QueryDef("q26_typed_agg", q26, Some(q26Oracle)),
+    QueryDef("q27_approx_distinct", q27, None))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.meter.{GenConfig, MeterGen}
+
+/** Physical-plan shape assertions — the 100 TB design properties that
+  * correctness tests can't see: filters reaching the parquet scan, column
+  * pruning, broadcast joins where a dimension is small, top-k avoiding a
+  * global sort, and shuffle-free generation. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("q1: filter pushed to parquet scan, columns pruned") {
+    val p = plan(run("q1_agg"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // scan must not read money columns the query never touches
+    assert(!p.contains("l_tax") && !p.contains("l_partkey"), "column pruning failed")
+  }
+
+  test("q4: star dims join via broadcast, not sort-merge") {
+    val p = plan(run("q4_star_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
+  test("q12: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan(run("q12_topk_global"))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("meter generation is shuffle-free") {
+    val df = MeterGen.transmissions(spark, GenConfig(numMeters = 4, ticks = 100))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"generation shuffles:\n$p")
+    assert(p.contains("Range"), "expected range source")
+  }
+
+  test("rollup chain: partial aggregation before the shuffle") {
+    val df = SparkEntry.entry(spark)
+    val p = plan(df)
+    // HashAggregate(partial) ... Exchange ... HashAggregate(final)
+    assert(p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"rollup should shuffle exactly once:\n$p")
+  }
+
+  test("q2: selective scan stays inside whole-stage codegen") {
+    val df = run("q2_selective_filter")
+    df.collect() // finalize the adaptive plan — codegen markers appear then
+    val p = plan(df)
+    // whole-stage-codegen spans print as "*(n) Op" in the final plan; the
+    // scan→filter→project→partial-agg chain must share one span
+    assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"),
+      s"no codegen span over scan+filter+agg:\n$p")
+  }
+}
