@@ -44,19 +44,27 @@ object MinHashLSH {
       k: Int = 5, numHashes: Int = 128): DataFrame = {
     val shingles = array_distinct(
       TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
-    // materialize the base hashes as a real column so the tokenize+hash
-    // pass runs once, not once per permutation
-    val based = df.select(col(idCol).as("id"),
-      transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0xffffffffL)))
-        .as("bh"))
-    val sigCols = perms(numHashes).map { case (a, b) =>
-      array_min(transform(col("bh"), h => pmod(h * a + b, lit(P))))
+    // explode + hash-aggregate rather than array lambdas: Spark evaluates
+    // higher-order-function lambdas interpreted per element, while
+    // min()-aggregates over exploded rows stay in whole-stage codegen and
+    // partial-aggregate map-side — the shuffle carries one row per doc.
+    val hashed = df
+      .select(col(idCol).as("id"), explode(shingles).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
+    val minCols = perms(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    based.select(
-      col("id"),
-      when(size(col("bh")) > 0, array(sigCols: _*))
-        .otherwise(array_repeat(lit(null).cast("long"), numHashes))
-        .as("sig"))
+    val sigs = hashed.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // docs with < k tokens produce no shingles — restore them with an
+    // all-null signature so downstream joins see every id
+    df.select(col(idCol).as("id")).distinct()
+      .join(sigs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("sig"),
+          array_repeat(lit(null).cast("long"), numHashes)).as("sig"))
   }
 
   /** (id, band, band_hash): one row per band, hash of that signature slice. */

@@ -48,11 +48,32 @@ object SimHash {
 
   /** Near-dup candidate pairs within `maxHamming`, via the 4×16-bit chunk
     * join (exact for maxHamming <= 3 by pigeonhole). */
+  /** Fingerprints via explode + codegen'd hash aggregate (the array-lambda
+    * form evaluates interpreted per element; this form partial-aggregates
+    * map-side and shuffles one row per doc). Docs with zero tokens get
+    * fingerprint 0, matching the Column form's empty-fold. */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sumCols = (0 until 63).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b")
+    }
+    val folded = tok.groupBy(col("id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("id"),
+        (0 until 63).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(folded, Seq("id"), "left")
+      .select(col("id"), coalesce(col("fp"), lit(0L)).as("fp"))
+  }
+
   def pairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val fps = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("fp"))
+    val fps = fingerprints(df, textCol, idCol)
     val chunked = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(c => chunk(col("fp"), c)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

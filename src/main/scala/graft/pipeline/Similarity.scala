@@ -23,7 +23,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composed-builtin cosine — readable reference form; evaluates its
+    * lambdas interpreted per element. The hot paths below use the fused
+    * codegen kernel, which is bit-identical (index-ordered accumulation). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused codegen cosine kernel (graft.functions.CosineSimExpr). */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -39,7 +46,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id"))
     broadcast(queries).join(corpus, col("q_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
@@ -102,7 +109,7 @@ object Similarity {
     broadcast(probes.select(col("q_id"), col("q_vec"), col("sig")))
       .join(sigged, Seq("sig"))
       .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
       .select(col("q_id"), col("nn_id"), col("sim")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
