@@ -33,6 +33,8 @@ object MinHashLSH {
   }
 
   /** (id, sig ARRAY<BIGINT>) MinHash signatures from word k-shingles.
+    * Default 64 hashes as 16 bands × 4 rows: P(candidate) knees near
+    * J≈(1/16)^(1/4)=0.5, and a J=0.85 pair is missed with p<1e-5.
     *
     * Each shingle is string-hashed ONCE (xxhash64 → low 32 bits); the
     * numHashes permutations are then cheap integer maps h → (a·h + b) mod P
@@ -79,7 +81,7 @@ object MinHashLSH {
     * maxBucket caps pathological buckets (all-identical spam) the same way
     * maxDf caps Dedup.jaccardPairs. */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = signatures(df, textCol, idCol, k, numHashes).cache()

@@ -307,7 +307,10 @@ object Relational {
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
           .otherwise(0)).as("low_line_count"),
         sum(when(col("o_totalprice") > 100000.0, dec2(col("o_totalprice")))
-          .otherwise(dec2(lit(0)))).as("big_total"))
+          .otherwise(dec2(lit(0)))).as("big_total"),
+        count(nullif(col("o_orderpriority"), lit("3-MEDIUM"))).as("non_medium"),
+        coalesce(min(when(col("o_totalprice") > 1e9, col("o_orderkey"))),
+          lit(-1L)).as("first_huge"))
       .orderBy("o_orderstatus")
 
   private val q13Oracle =
@@ -315,7 +318,9 @@ object Relational {
       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
       |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
       |  SUM(CASE WHEN o_totalprice > 100000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
-      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS big_total
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS big_total,
+      |  COUNT(NULLIF(o_orderpriority, '3-MEDIUM')) AS non_medium,
+      |  COALESCE(MIN(CASE WHEN o_totalprice > 1e9 THEN o_orderkey END), -1) AS first_huge
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---- q14: string functions (concat/substr/lower/upper/trim/regexp/like). ----

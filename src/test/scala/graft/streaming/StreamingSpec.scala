@@ -72,6 +72,45 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).user_id === 2 && got(1).silent_ms === 995000)
   }
 
+  test("foreachBatch rollup sink: idempotent multi-grain write, golden totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val cfg = GenConfig(numMeters = 2, ticks = 120)
+    val input = MemoryStream[Long]
+    val sec = input.toDF()
+      .select((col("value") % cfg.numMeters).cast("int").as("said"),
+        timestamp_seconds(expr(s"value DIV ${cfg.numMeters}") +
+          cfg.startEpochSec).as("datetime"),
+        lit(59).as("joules"))
+    val q = MeterStream.writeRollups(sec, out, s"$out/_cp").start()
+    try {
+      input.addData(0L until (cfg.ticks * cfg.numMeters): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val minute = spark.read.parquet(s"$out/minute")
+    assert(minute.count() === 4) // 2 meters × 2 minutes
+    assert(minute.collect().forall(_.getAs[Long]("joules") === 3540L))
+    val day = spark.read.parquet(s"$out/day")
+    assert(day.agg(sum("joules")).collect()(0).getLong(0) === 2L * 120 * 59)
+  }
+
+  test("file stream source: parquet directory drives the same rollup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val cfg = GenConfig(numMeters = 2, ticks = 60)
+    val batchSec = MeterGen.secondTable(spark, cfg)
+    batchSec.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchSec.schema).parquet(dir)
+    val rolled = MeterStream.rollupStream(stream, "minute")
+    val q = rolled.writeStream.format("memory").queryName("fsmins")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fsmins")
+    assert(got.count() === 2) // 1 minute × 2 meters
+    assert(got.collect().forall(_.getAs[Long]("joules") === 3540L))
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
