@@ -219,6 +219,32 @@ object PipelineQueries {
     Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
 
+  // ---- e4: embedding-cosine near-dup pairs (the "semantic dedup" flavor:
+  // exact all-pairs over a bounded subset; the unbounded path is e3's LSH
+  // buckets with the same threshold filter). ----
+  private def e4(s: SparkSession, dir: String): DataFrame = {
+    val sub = emb(s, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = sub.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = sub.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val e4Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 500)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- mm1: multimodal decode plumbing (stub codec; Spark-side schema,
   // mapPartitions batching, metadata derivation are the real test). ----
   private def mm1(s: SparkSession, dir: String): DataFrame =
@@ -245,5 +271,6 @@ object PipelineQueries {
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),
+    QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)))
 }
