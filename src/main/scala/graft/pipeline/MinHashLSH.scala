@@ -44,8 +44,10 @@ object MinHashLSH {
     */
   def signatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 128): DataFrame = {
-    val shingles = array_distinct(
-      TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
+    // no array_distinct: min() over a multiset equals min() over its set,
+    // and array_distinct on ~450-string arrays is an O(n²) interpreted loop
+    val shingles =
+      TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k)
     // explode + hash-aggregate rather than array lambdas: Spark evaluates
     // higher-order-function lambdas interpreted per element, while
     // min()-aggregates over exploded rows stay in whole-stage codegen and
@@ -69,13 +71,18 @@ object MinHashLSH {
           array_repeat(lit(null).cast("long"), numHashes)).as("sig"))
   }
 
-  /** (id, band, band_hash): one row per band, hash of that signature slice. */
-  def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * lit(rowsPerBand) + 1,
-            lit(rowsPerBand)).cast("string")))))
+  /** (id, band, band_hash): one row per band, hash of that signature slice.
+    * Band hashes are direct multi-argument xxhash64 over element_at
+    * extracts — array slice + cast-to-string + lambda was measured ~100×
+    * slower (interpreted + string building). */
+  def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    sigs.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
 
   /** Candidate near-dup pairs with estimated Jaccard (signature agreement).
     * maxBucket caps pathological buckets (all-identical spam) the same way

@@ -145,7 +145,22 @@ object Relational2 {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  // ---- q28: table-generating surface (explode ≡ UNNEST) — one row per
+  // word of every part name, aggregated back. ----
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  private val q28Oracle =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY word""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q28_explode_words", q28, Some(q28Oracle)),
     QueryDef("q22_array_agg", q22, Some(q22Oracle)),
     QueryDef("q23_range_join", q23, Some(q23Oracle)),
     QueryDef("q24_map_functions", q24, Some(q24Oracle)),
