@@ -25,6 +25,7 @@ object Graft {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")

@@ -27,6 +27,7 @@ object Main {
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .withExtensions(new plans.GraftExtensions)
       .appName("graft-meter-gen")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -127,6 +127,31 @@ object MeterQueries {
        |${base(m7Cfg)}
        |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
 
+  // -- m8: Catalyst rollup routing (graft.plans.RouteToRollup). A month-grain
+  // report written against the raw SECOND table; the rule re-routes it to the
+  // registered day rollup (month boundaries are day-aligned), so the driver's
+  // oracle compare certifies the rewritten plan's results. Range spans a
+  // month boundary (2024-01-31 23:00 → 2024-02-01 01:00). --
+  private val m8Cfg = GenConfig(numMeters = 2, ticks = 7200,
+    startEpochSec = 1706742000L) // 2024-01-31T23:00:00Z
+  private def m8(s: SparkSession, dir: String): DataFrame = {
+    val sec = MeterGen.secondTable(s, m8Cfg)
+    graft.plans.RollupRouting.install(s, Rollups.all(sec))
+    try
+      sec.groupBy(col("said"),
+          date_trunc("month", col("datetime")).as("datetime"))
+        .agg(sum(col("joules")).as("joules"))
+        .orderBy("said", "datetime")
+    finally graft.plans.RollupRouting.uninstall(s)
+  }
+
+  private val m8Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said,
+       |  CAST(date_trunc('month', TIMESTAMP '2024-01-31 23:00:00' + t.i * INTERVAL 1 SECOND) AS TIMESTAMP) AS datetime,
+       |  CAST(SUM($JoulesSub) AS BIGINT) AS joules
+       |${base(m8Cfg)}
+       |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("m1_gen_raw", m1, Some(m1Oracle)),
     QueryDef("m2_gen_second", m2, Some(m2Oracle)),
@@ -134,5 +159,6 @@ object MeterQueries {
     QueryDef("m4_rollup_hour", m4, Some(m4Oracle)),
     QueryDef("m5_rollup_day", m5, Some(m5Oracle)),
     QueryDef("m6_said_seed", m6, None),
-    QueryDef("m7_dedup_rollup", m7, Some(m7Oracle)))
+    QueryDef("m7_dedup_rollup", m7, Some(m7Oracle)),
+    QueryDef("m8_routed_report", m8, Some(m8Oracle)))
 }
