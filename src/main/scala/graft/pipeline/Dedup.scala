@@ -41,26 +41,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard similar pairs: J(a,b) >= threshold, a < b.
     *
-    * Plan shape: shingle arrays computed ONCE and cached (one small row per
-    * doc — the expensive regex tokenization never re-runs) → explode →
-    * df-cap filter (one agg over shingle) → self-join on shingle (shuffle
-    * co-partitioned on the shingle key) → pair count → join back sizes.
+    * Plan shape: shingles are HASHED at the tokenizer (xxhash64 over the k
+    * word columns — see TextAnalysis.hashedShingleRows), so every
+    * downstream shuffle/join keys on 8-byte longs instead of ~40-byte
+    * shingle strings; set semantics come from one dropDuplicates hash
+    * aggregate (map-side partial dedup), which also yields sizes and the
+    * df-cap with no re-tokenization. Jaccard over hashed shingles equals
+    * Jaccard over string shingles up to xxhash64 collisions (~n²/2⁶⁴).
     * No driver-side loops; every stage is a hash agg or hash join.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val perDoc = df.select(col(idCol).as("id"),
-        array_distinct(
-          TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k))
-          .as("shingles"))
+    val idx = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
+      .dropDuplicates("id", "shingle")
       .cache()
-    val idx = perDoc.select(col("id"), explode(col("shingles")).as("shingle"))
     val dfOk = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("shingle")
     val filtered = idx.join(dfOk, "shingle")
-    val sizes = perDoc.select(col("id"), size(col("shingles")).as("n_shingles"))
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val a = filtered.select(col("shingle"), col("id").as("id_a"))
     val b = filtered.select(col("shingle"), col("id").as("id_b"))
     a.join(b, Seq("shingle"))

@@ -44,17 +44,13 @@ object MinHashLSH {
     */
   def signatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 128): DataFrame = {
-    // no array_distinct: min() over a multiset equals min() over its set,
-    // and array_distinct on ~450-string arrays is an O(n²) interpreted loop
-    val shingles =
-      TextAnalysis.wordShingles(TextAnalysis.words(col(textCol)), k)
-    // explode + hash-aggregate rather than array lambdas: Spark evaluates
-    // higher-order-function lambdas interpreted per element, while
-    // min()-aggregates over exploded rows stay in whole-stage codegen and
-    // partial-aggregate map-side — the shuffle carries one row per doc.
-    val hashed = df
-      .select(col(idCol).as("id"), explode(shingles).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
+    // Shingles are hashed straight off the word columns (no shingle string,
+    // no array_distinct — min() over a multiset equals min() over its set,
+    // and TextAnalysis.hashedShingleRows keeps tokenize→generate→hash in
+    // one codegen span). min()-aggregates over the exploded rows partial-
+    // aggregate map-side, so the shuffle carries one row per doc.
+    val hashed = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
+      .select(col("id"), col("shingle").bitwiseAND(lit(0xffffffffL)).as("h"))
     val minCols = perms(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
