@@ -72,6 +72,41 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).user_id === 2 && got(1).silent_ms === 995000)
   }
 
+  test("transformWithState gap detection matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState supports only the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Ping]
+      def ping(u: Long, sec: Long) =
+        EventStreams.Ping(u, new Timestamp(1704067200000L + sec * 1000))
+      input.addData(ping(1, 0), ping(1, 10), ping(1, 400), // gap 390 s
+        ping(2, 0), ping(2, 5)) // no gap
+      val gaps = EventStreams.detectGapsTws(input.toDS(), gapMs = 300000)
+      val q = gaps.writeStream.format("memory").queryName("gaps_tws")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        input.addData(ping(2, 1000)) // state survives across batches
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("gaps_tws").as[EventStreams.Gap].collect()
+        .sortBy(g => (g.user_id, g.last_seen.getTime))
+      assert(got.length === 2)
+      assert(got(0).user_id === 1 && got(0).silent_ms === 390000)
+      assert(got(1).user_id === 2 && got(1).silent_ms === 995000)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("foreachBatch rollup sink: idempotent multi-grain write, golden totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
