@@ -51,20 +51,19 @@ object MinHashLSH {
     // aggregate map-side, so the shuffle carries one row per doc.
     val hashed = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
       .select(col("id"), col("shingle").bitwiseAND(lit(0xffffffffL)).as("h"))
+      // One null-hash sentinel row per doc: min() ignores nulls, so docs
+      // with shingles are unaffected while docs with < k tokens (which
+      // produce no shingle rows at all) still surface — with an all-null
+      // signature. A union feeding the same hash aggregate is two whole
+      // stages cheaper than the distinct + left-join restore it replaces.
+      .unionAll(df.select(col(idCol).as("id"), lit(null).cast("long").as("h")))
     val minCols = perms(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    val sigs = hashed.groupBy(col("id"))
+    hashed.groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // docs with < k tokens produce no shingles — restore them with an
-    // all-null signature so downstream joins see every id
-    df.select(col(idCol).as("id")).distinct()
-      .join(sigs, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("sig"),
-          array_repeat(lit(null).cast("long"), numHashes)).as("sig"))
   }
 
   /** (id, band, band_hash): one row per band, hash of that signature slice.
