@@ -58,9 +58,22 @@ object MeterGen {
       .withColumn("watts", wattsExpr(cfg))
   }
 
+  /** The per-transmission joules value, computed once driver-side — the
+    * same memoization the reference applies to its shared per-tick sample
+    * buffer (core.clj:37-46,158): the generator is deterministic, so the
+    * float sum of one second's sawtooth (exact — all partials < 2^24) is a
+    * config constant (59 for defaults), not a per-row computation. At
+    * generation scale this removes a 15k-element interpreted fold per row. */
+  def joulesConst(cfg: GenConfig): Int = {
+    var acc = 0.0f
+    var i = 0
+    while (i < cfg.sampleRate) { acc += (i % cfg.sawtoothPeriod).toFloat; i += 1 }
+    (acc / cfg.sampleRate).toInt
+  }
+
   /** Per-second energy table (said, datetime, joules INT) — the
-    * meter_samples_second derivation (core.clj:111-120). Computed without
-    * materializing the 15k-element array per row when `fromRaw` is false. */
+    * meter_samples_second derivation (core.clj:111-120). joules is the
+    * folded [[joulesConst]]; no per-row array work at all. */
   def secondTable(spark: SparkSession, cfg: GenConfig): DataFrame = {
     val rows = cfg.ticks * cfg.numMeters
     val slices = math.max(spark.sparkContext.defaultParallelism,
@@ -70,7 +83,7 @@ object MeterGen {
         (col("id") % cfg.numMeters + cfg.startSaid).cast("int").as("said"),
         timestamp_seconds(
           expr(s"id DIV ${cfg.numMeters}") + cfg.startEpochSec).as("datetime"))
-      .withColumn("joules", joulesExpr(wattsExpr(cfg), cfg))
+      .withColumn("joules", lit(joulesConst(cfg)))
   }
 
   /** Reduce a raw transmissions frame to the per-second table (the write-time

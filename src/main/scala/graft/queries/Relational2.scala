@@ -159,8 +159,48 @@ object Relational2 {
       |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
       |GROUP BY word ORDER BY word""".stripMargin
 
+  // ---- q29: PIVOT (conditional cross-tab aggregation). Explicit value list
+  // so the plan is a single pass — no extra distinct-values job; quantities
+  // as decimal so both engines sum exactly. ----
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      .orderBy("l_linestatus")
+
+  private val q29Oracle =
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "A",
+      |  SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "N",
+      |  SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---- q30: correlated LATERAL subquery with per-row LIMIT (top-2
+  // suppliers per nation) — the lateral-join surface; Catalyst decorrelates
+  // it to a ranked window rather than re-running the inner query per row. ----
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier")
+    s.sql("""
+      SELECT n_name, s_name, s_acctbal FROM nation,
+      LATERAL (SELECT s_name, s_acctbal FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 2)
+      ORDER BY n_name, s_acctbal DESC, s_name""")
+  }
+
+  private val q30Oracle =
+    """SELECT n_name, s_name, s_acctbal FROM nation,
+      |LATERAL (SELECT s_name, s_acctbal FROM supplier
+      |         WHERE s_nationkey = n_nationkey
+      |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
+    QueryDef("q29_pivot", q29, Some(q29Oracle)),
+    QueryDef("q30_lateral_topn", q30, Some(q30Oracle)),
     QueryDef("q22_array_agg", q22, Some(q22Oracle)),
     QueryDef("q23_range_join", q23, Some(q23Oracle)),
     QueryDef("q24_map_functions", q24, Some(q24Oracle)),
