@@ -15,15 +15,10 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     time("warm scan")(docs.count())
-    val shingles = pipeline.TextAnalysis.wordShingles(
-      pipeline.TextAnalysis.words(col("text")), 5)
-    val exploded = docs.select(col("doc_id").as("id"),
-      explode(shingles).as("sh"))
-    time("explode shingles")(exploded.count())
-    val hashed = exploded.select(col("id"),
-      xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
-    time("explode+hash agg")(
-      hashed.groupBy("id").agg(max("h")).count())
+    val hashed = pipeline.TextAnalysis.hashedShingleRows(docs, "text", "doc_id", 5)
+    time("hashed shingle rows")(hashed.count())
+    time("shingle rows+agg")(
+      hashed.groupBy("id").agg(max("shingle")).count())
     time("groupBy 64 mins")(
       pipeline.MinHashLSH.signatures(docs, "text", "doc_id", 5, 64)
         .agg(max(element_at(col("sig"), 1))).count())

@@ -219,6 +219,12 @@ object PipelineQueries {
     Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
 
+  // ---- e5: IVF-cell ANN (recall<1 by design — rows-only; recall vs.
+  // brute force asserted in PipelineSpec). ----
+  private def e5(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
   // ---- e4: embedding-cosine near-dup pairs (the "semantic dedup" flavor:
   // exact all-pairs over a bounded subset; the unbounded path is e3's LSH
   // buckets with the same threshold filter). ----
@@ -271,6 +277,7 @@ object PipelineQueries {
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),
+    QueryDef("e5_ivf_ann", e5, None),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)))
 }

@@ -82,6 +82,51 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into cells (inverted lists); each query scores
+    * only the lists of its `nprobe` nearest centroids — scan fraction
+    * ≈ nprobe/nlist instead of 1.
+    *
+    * The quantizer here is a deterministic hash-ordered sample of corpus
+    * vectors (one cheap pass; k-means refinement would reuse exactly this
+    * assignment plumbing with updated centroid literals). Centroids embed in
+    * the plan as literals — executors carry no model state, and cell
+    * assignment is a codegen'd cosine per centroid. At 100 TB: nlist scales
+    * to ~√n so the broadcastable probe side stays tiny while each inverted
+    * list stays executor-sized; the corpus-side assignment is a single
+    * shuffle-free projection.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    // index build: deterministic sample — order by id hash, first nlist
+    val cents = corpus.orderBy(xxhash64(col("nn_id")), col("nn_id"))
+      .limit(nlist).collect().map(_.getSeq[Double](1))
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"), lit(i).as("c"))): _*)
+    val listed = corpus.withColumn("cell",
+      greatest((0 until nlist).map(i =>
+        struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
+          lit(i).as("c"))): _*).getField("c"))
+    val probes = listed.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    broadcast(probes)
+      .join(listed, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
   /** Bucketed ANN top-k: scan only vectors whose signature matches the
     * query's bucket or any ≤2-bit flip of it (multi-probe). Returns the same
     * schema as bruteForceTopK; recall < 1 by construction — the number of

@@ -79,6 +79,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.2, s"recall@5 was $recall") // multi-probe 1-bit, 12 bits
   }
 
+  test("ivf ann achieves decent recall@5 vs brute force, scans a fraction") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      nlist = 16, nprobe = 4)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"recall@5 was $recall") // 4/16 cells probed
+    // every query must still return a full top-5
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("multimodal decode: deterministic stub, feature shape, byte counts") {
     val feats = Multimodal.featureTable(spark, docs)
     val r = feats.orderBy("doc_id").limit(1).collect()(0)
