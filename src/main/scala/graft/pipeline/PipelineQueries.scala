@@ -50,6 +50,26 @@ object PipelineQueries {
       |    / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS stop_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- d9: BPE-ish subword token counting (whitespace count already in
+  // d2) — tokens-per-word ratio is the budgeting metric. ----
+  private def d9(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.nTokens(col("text")).as("n_ws_tokens"),
+      TextAnalysis.nBpeTokens(col("text")).as("n_bpe_tokens"),
+      round(TextAnalysis.nBpeTokens(col("text")).cast("double") /
+        greatest(TextAnalysis.nTokens(col("text")).cast("double"), lit(1.0)), 6)
+        .as("bpe_per_word"))
+      .orderBy("doc_id")
+
+  private val d9Oracle =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS INT) AS n_bpe_tokens,
+      |  ROUND(CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS DOUBLE)
+      |    / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- d3: language-ID marker heuristic. ----
   private def d3(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -274,6 +294,7 @@ object PipelineQueries {
     QueryDef("d6_jaccard_pairs", d6, Some(d6Oracle)),
     QueryDef("d7_minhash_pairs", d7, None),
     QueryDef("d8_simhash_pairs", d8, None),
+    QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),

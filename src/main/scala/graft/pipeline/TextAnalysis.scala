@@ -44,6 +44,18 @@ object TextAnalysis {
 
   def nTokens(c: Column): Column = size(words(c))
 
+  /** BPE-style pre-tokenizer pattern (the public GPT-2 shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs, residual
+    * whitespace lumps). Counting its matches is a cheap, library-free
+    * estimate of subword token counts — the number a training-data budget
+    * is denominated in. Pure RE2-compatible regex: identical semantics in
+    * Spark (Java regex) and DuckDB (RE2), no model file needed. */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  def nBpeTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpePattern), lit(0)))
+
   /** Punctuation-character count. */
   def nPunct(c: Column): Column =
     size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0)))
