@@ -53,6 +53,32 @@ class PlanSpec extends SparkSpec {
       s"rollup should shuffle exactly once:\n$p")
   }
 
+  test("shingle hashing: tokenize→explode→hash is one codegen span, no shuffle") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val df = graft.pipeline.TextAnalysis
+      .hashedShingleRows(docs, "text", "doc_id", 5)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"shingle derivation shuffles:\n$p")
+    assert(p.contains("Generate"), s"no generator (explode) in:\n$p")
+    assert(p.contains("xxhash64"), s"hash not in plan:\n$p")
+    // the generate and the hash projection share a codegen span
+    assert("\\*\\(\\d+\\) Generate".r.findFirstIn(p).isDefined,
+      s"explode fell out of whole-stage codegen:\n$p")
+  }
+
+  test("q29 pivot: one scan, pruned columns, no distinct-values job") {
+    val df = run("q29_pivot")
+    val p = plan(df)
+    // explicit value list ⇒ no eager distinct() collect before planning;
+    // data passes once: scan → (status,flag) sum → pivotfirst by status.
+    // Both shuffles carry pre-aggregated rows (≤ |status×flag| ≈ 6).
+    assert("FileScan".r.findAllIn(p).size === 1, s"pivot scanned twice:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string,l_linestatus:string>"),
+      s"column pruning failed:\n$p")
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then
