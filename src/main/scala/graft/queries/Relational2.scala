@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -197,8 +198,33 @@ object Relational2 {
       |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
       |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
 
+  // ---- q31: time-RANGE window frame — trailing-hour sum/count per user
+  // (the "moving average over a time window" surface; rowsBetween is q7).
+  // Frame bounds in exact integer MICROSECONDS on both engines: a float
+  // epoch would round differently at frame boundaries. ----
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      sum(col("value").cast("decimal(18,2)")).over(w).as("hr_sum"),
+      count(lit(1)).over(w).cast("int").as("hr_n"))
+      .orderBy("event_id")
+  }
+
+  private val q31Oracle =
+    """SELECT event_id, user_id, ts,
+      |  SUM(CAST(value AS DECIMAL(18,2))) OVER w AS hr_sum,
+      |  CAST(COUNT(*) OVER w AS INT) AS hr_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
+    QueryDef("q31_range_frame", q31, Some(q31Oracle)),
     QueryDef("q29_pivot", q29, Some(q29Oracle)),
     QueryDef("q30_lateral_topn", q30, Some(q30Oracle)),
     QueryDef("q22_array_agg", q22, Some(q22Oracle)),
