@@ -70,6 +70,15 @@ object PipelineQueries {
       |    / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- d10: deterministic train/val/test split (xxhash64-bucketed —
+  // rows-only in the driver; the determinism/stability properties are
+  // asserted in SamplingSpec). ----
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitByHash(docs(s, dir), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .orderBy("split")
+
   // ---- d3: language-ID marker heuristic. ----
   private def d3(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -295,6 +304,7 @@ object PipelineQueries {
     QueryDef("d7_minhash_pairs", d7, None),
     QueryDef("d8_simhash_pairs", d8, None),
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
+    QueryDef("d10_hash_split", d10, None),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),

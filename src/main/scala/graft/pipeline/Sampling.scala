@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * `randomSplit` draws per-row randoms at execution time: re-running the
+  * job, changing partitioning, or appending data reshuffles rows across
+  * splits — poison for train/test hygiene at 100 TB where the corpus is
+  * rebuilt incrementally. Everything here is a pure function of row KEYS
+  * (xxhash64-bucketed), so membership is reproducible across runs,
+  * cluster layouts, and corpus growth: a document keeps its split for
+  * life, and adding documents never moves existing ones.
+  */
+object Sampling {
+
+  private val Buckets = 10000
+
+  /** Key bucket in [0, 10000): stable for a given (seed, key). */
+  def hashBucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), key), lit(Buckets.toLong))
+
+  /** Adds a `split` column assigning each row to the first named range of
+    * the cumulative fractions (fractions must sum to ≤ 1; any remainder
+    * bucket is labeled "rest"). Shuffle-free — a pure projection. */
+  def splitByHash(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum <= 1")
+    val bucket = hashBucket(col(keyCol), seed)
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    val cases = fractions.zip(bounds.sliding(2).toSeq).foldLeft(
+      lit(null).cast("string")) { case (acc, ((name, _), Seq(lo, hi))) =>
+      when(bucket >= math.round(lo * Buckets) &&
+        bucket < math.round(hi * Buckets), name).otherwise(acc)
+    }
+    df.withColumn("split", coalesce(cases, lit("rest")))
+  }
+
+  /** Deterministic DOWN-sample: keep ~`fraction` of rows, chosen by key
+    * hash — same rows every run. Shuffle-free filter. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashBucket(col(keyCol), seed) <
+      math.round(fraction * Buckets))
+
+  /** Stratified exact sample: per stratum, keep ceil(fraction × |stratum|)
+    * rows, selected in hash order (deterministic). One shuffle on the
+    * stratum key; rank via WindowGroupLimit-eligible row_number. */
+  def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+      fraction: Double, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(keyCol), seed), col(keyCol))
+    val counted = df.withColumn("_n",
+      count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    counted.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= ceil(col("_n") * fraction))
+      .drop("_n", "_rk")
+  }
+}

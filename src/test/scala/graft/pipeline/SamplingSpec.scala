@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The properties that make hash-based sampling trustworthy: disjoint and
+  * exhaustive splits, stability under repartitioning and corpus growth,
+  * and exact per-stratum counts. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf(), "documents")
+
+  test("splitByHash: disjoint, exhaustive, roughly proportional") {
+    val split = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > total * 0.75 && counts("train") < total * 0.85)
+    assert(counts("val") > total * 0.07 && counts("val") < total * 0.13)
+  }
+
+  test("split membership is stable under repartition and corpus growth") {
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitByHash(df, "doc_id", Seq("train" -> 0.5, "test" -> 0.5))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(docs)
+    val repart = assign(docs.repartition(17))
+    assert(base == repart, "repartition changed split membership")
+    // growth: assigning over half the corpus agrees with the full corpus
+    val half = assign(docs.filter(col("doc_id") % 2 === 0))
+    assert(half.forall { case (id, s) => base(id) == s },
+      "corpus growth moved existing rows across splits")
+  }
+
+  test("sampleByHash returns the same rows every run") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(docs.repartition(7), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > docs.count() * 0.15 && a.size < docs.count() * 0.25)
+  }
+
+  test("stratified keeps exactly ceil(frac * n) per stratum") {
+    val labeled = docs.withColumn("lang",
+      TextAnalysis.langGuess(col("text")))
+    val perStratum = labeled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratified(labeled, "lang", "doc_id", 0.1)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.ceil(n * 0.1).toLong,
+        s"stratum $lang: ${sampled(lang)} of $n")
+    }
+  }
+}
