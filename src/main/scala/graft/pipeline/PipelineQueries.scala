@@ -254,6 +254,17 @@ object PipelineQueries {
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
 
+  // ---- e6: top-k over int8-quantized storage (4× smaller vectors;
+  // rows-only — overlap vs full precision asserted in PipelineSpec). ----
+  private def e6(s: SparkSession, dir: String): DataFrame = {
+    val deq = emb(s, dir).select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantizeInt8(col("embedding").cast("array<double>")))
+        .as("embedding"))
+    Similarity.bruteForceTopK(deq, "vec_id", "embedding", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   // ---- e4: embedding-cosine near-dup pairs (the "semantic dedup" flavor:
   // exact all-pairs over a bounded subset; the unbounded path is e3's LSH
   // buckets with the same threshold filter). ----
@@ -309,6 +320,7 @@ object PipelineQueries {
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),
     QueryDef("e5_ivf_ann", e5, None),
+    QueryDef("e6_quantized_topk", e6, None),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)))
 }

@@ -66,6 +66,24 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("q_id"), col("nn_label").as("predicted_label"), col("votes"))
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale =
+    * max|x|/127, values rounded into [-127, 127] TINYINT. 4× smaller than
+    * float32 at rest AND in every shuffle/broadcast — at 100 TB of
+    * embeddings that is the difference between a broadcastable query set
+    * and not. Recall cost is bounded (~0.4% per-component error for
+    * unit-norm vectors); verified against brute force in PipelineSpec. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(vec, x =>
+        round(x / greatest(scale, lit(1e-30))).cast("byte")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: back to array<double>. */
+  def dequantize(qv: Column): Column =
+    transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes (seeded RNG, embedded in the
     * plan as literal arrays — no stored model, no per-row derivation,

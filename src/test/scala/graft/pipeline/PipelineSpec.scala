@@ -94,6 +94,29 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("int8 quantization: small cosine error, top-5 mostly preserved") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantizeInt8(col("embedding").cast("array<double>")))
+        .as("embedding"))
+    // pointwise cosine between original and its dequantized self ≈ 1
+    val selfCos = emb.join(deq.withColumnRenamed("embedding", "deq"), "vec_id")
+      .select(Similarity.cosineFast(col("embedding").cast("array<double>"),
+        col("deq")).as("c"))
+      .agg(min("c")).head.getDouble(0)
+    assert(selfCos > 0.999, s"quantization distorted vectors: min cos $selfCos")
+    // end-to-end: top-5 neighbors from quantized storage overlap >= 80%
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qq = Similarity.bruteForceTopK(deq, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (bf intersect qq).size.toDouble / bf.size
+    assert(overlap >= 0.8, s"top-5 overlap after quantization: $overlap")
+  }
+
   test("multimodal decode: deterministic stub, feature shape, byte counts") {
     val feats = Multimodal.featureTable(spark, docs)
     val r = feats.orderBy("doc_id").limit(1).collect()(0)
