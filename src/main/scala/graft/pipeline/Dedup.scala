@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a 100 TB training-data pipeline.
   *
@@ -38,6 +39,58 @@ object Dedup {
           .as("shingles"))
       .select(col("id"), size(col("shingles")).as("n_shingles"),
         explode(col("shingles")).as("shingle"))
+
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into dedup GROUPS. Iterative min-label
+    * propagation: every node adopts the smallest label among itself and its
+    * neighbors until fixpoint. Each round is one co-partitioned join + one
+    * hash aggregate; rounds needed = component diameter (near-dup clusters
+    * are shallow — copies of one document form diameter ≤ 2), so this
+    * converges in a handful of rounds even at 100 TB. The driver loop is
+    * coordination only (one `count()` per round); all data work is
+    * distributed. Returns (id, component) with component = min id reachable.
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next.select("id", "component")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup dedup: every document keeps its component's
+    * minimum id as `keep_id` (documents in no pair keep themselves). */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("keep_id"))
+  }
 
   /** Exact n-gram Jaccard similar pairs: J(a,b) >= threshold, a < b.
     *

@@ -153,8 +153,10 @@ object PipelineQueries {
       k = 5, threshold = 0.6, maxDf = 100)
       .orderBy("doc_a", "doc_b")
 
-  private val d6Oracle =
-    """WITH w AS (
+  /** Shared CTE chain computing exact word-5-shingle Jaccard pairs — used
+    * by both the d6 oracle and (under WITH RECURSIVE) the d11 oracle. */
+  private val jaccardCtes =
+    """w AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(
@@ -172,7 +174,10 @@ object PipelineQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  private val d6Oracle =
+    s"""WITH $jaccardCtes
       |SELECT p.id_a AS doc_a, p.id_b AS doc_b, p.inter AS inter,
       |  ROUND(p.inter / (sa.n + sb.n - p.inter), 6) AS jaccard
       |FROM p
@@ -180,6 +185,35 @@ object PipelineQueries {
       |JOIN sizes sb ON p.id_b = sb.doc_id
       |WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d11: near-dup GROUPS — connected components over the d6 pairs,
+  // every document mapped to its cluster's surviving (minimum) id. The
+  // oracle replays the pair derivation and closes it transitively with a
+  // recursive CTE, so the driver hash-verifies the distributed label
+  // propagation end to end. ----
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    Dedup.survivors(d, pairs, "doc_id").orderBy("doc_id")
+  }
+
+  private val d11Oracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |jp AS (
+      |  SELECT p.id_a, p.id_b FROM p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+      |SELECT id AS doc_id, MIN(comp) AS keep_id FROM cc
+      |GROUP BY id ORDER BY doc_id""".stripMargin
 
   // ---- d7/d8: hash-based near-dup (xxhash64 not reproducible in DuckDB —
   // rows-only here, exact coverage in MinHashLSHSpec/SimHashSpec). ----
@@ -316,6 +350,7 @@ object PipelineQueries {
     QueryDef("d8_simhash_pairs", d8, None),
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
     QueryDef("d10_hash_split", d10, None),
+    QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),

@@ -94,6 +94,25 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("connected components: chains, cliques, singletons resolve to min id") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    // survivors: docs 1..4,10..12,20,21 plus unpaired 99 keeps itself
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L))
+      .toDF("doc_id")
+    val surv = Dedup.survivors(docs, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv(99L) == 99L && surv(4L) == 1L && surv(12L) == 10L)
+    assert(surv.values.toSet == Set(1L, 10L, 20L, 99L))
+  }
+
   test("int8 quantization: small cosine error, top-5 mostly preserved") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val deq = emb.select(col("vec_id"),
