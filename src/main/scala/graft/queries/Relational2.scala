@@ -222,8 +222,34 @@ object Relational2 {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- q32: explicit GROUPING SETS with grouping_id — the general form
+  // of q9's ROLLUP / q10's CUBE (custom grain combinations in one pass). ----
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus, o_orderpriority""")
+  }
+
+  private val q32Oracle =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
+    QueryDef("q32_grouping_sets", q32, Some(q32Oracle)),
     QueryDef("q31_range_frame", q31, Some(q31Oracle)),
     QueryDef("q29_pivot", q29, Some(q29Oracle)),
     QueryDef("q30_lateral_topn", q30, Some(q30Oracle)),
