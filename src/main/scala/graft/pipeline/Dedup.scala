@@ -57,8 +57,13 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Init folds the first propagation round in: label = min(self, direct
+    // neighbors) from one aggregate over edges (also yields the node set,
+    // no separate distinct). Duplicate-clique components — the common case
+    // in near-dup graphs — are final immediately.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
