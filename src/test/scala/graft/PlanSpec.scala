@@ -79,6 +79,16 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed:\n$p")
   }
 
+  test("e1: query side broadcast — corpus never shuffles before top-k") {
+    val df = run("e1_cosine_topk")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    // the only exchange allowed before the window is the broadcast itself
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then
