@@ -35,15 +35,17 @@ final case class MeterStore(baseDir: String) {
         col("datetime") >= lit(from) && col("datetime") < lit(to))
 
   /** Q2: consumption report at `grain`, routed to the coarsest stored
-    * rollup that can answer it exactly. */
+    * rollup that can answer it exactly, then re-aggregated on the grain
+    * key. The re-aggregation is idempotent on batch-written tables (keys
+    * already unique) and REQUIRED on stream-written ones, where
+    * MeterStream.writeRollups stores per-micro-batch partials — summing
+    * them here is exactly the composition the reference delegated to
+    * Cassandra counter adds (core.clj:121-153). */
   def energyReport(spark: SparkSession, grain: String): DataFrame = {
     val stored = if (grains.contains(grain)) grain else "day"
     val base = table(spark, stored)
-    if (stored == grain) base
-    else // coarser than day: re-aggregate the day table (exact by
-         // sum-associativity)
-      base.groupBy(col("said"),
-          date_trunc(grain, col("datetime")).as("datetime"))
-        .agg(sum(col("joules")).as("joules"))
+    base.groupBy(col("said"),
+        date_trunc(grain, col("datetime")).as("datetime"))
+      .agg(sum(col("joules")).cast("long").as("joules"))
   }
 }

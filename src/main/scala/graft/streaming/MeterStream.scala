@@ -65,9 +65,14 @@ object MeterStream {
       .dropDuplicatesWithinWatermark("said", "datetime")
 
   /** foreachBatch sink: per micro-batch, re-derive all grains from the
-    * batch's second-grain rows and upsert-by-overwrite into partitioned
-    * parquet — idempotent, so retried batches cannot double-count (the
-    * counter-increment hazard of core.clj:121-153). */
+    * batch's second-grain rows and write partial rollups into the DDL-named
+    * table layout `meter_samples_<grain>/batch=<id>` — the same roots
+    * MeterStore reads. Each batch OVERWRITES its own deterministic
+    * `batch=<id>` partition, so a replayed micro-batch rewrites identical
+    * files instead of double-appending — the idempotence the reference's
+    * counter adds lack (core.clj:121-153). The partials compose because
+    * sums are associative; readers re-aggregate on (said, datetime)
+    * (MeterStore.energyReport does). */
   def writeRollups(second: DataFrame, outDir: String,
       checkpoint: String): DataStreamWriter[Row] =
     second.writeStream
@@ -77,10 +82,12 @@ object MeterStream {
         val deduped = Rollups.dedupe(batch)
         deduped.persist()
         try {
-          deduped.write.mode("append").parquet(s"$outDir/second")
+          deduped.write.mode("overwrite")
+            .parquet(s"$outDir/meter_samples_second/batch=$batchId")
           Rollups.all(deduped).foreach { case (grain, df) =>
             if (grain != "second")
-              df.coalesce(1).write.mode("append").parquet(s"$outDir/$grain")
+              df.coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/meter_samples_$grain/batch=$batchId")
           }
         } finally { deduped.unpersist(); () }
       }

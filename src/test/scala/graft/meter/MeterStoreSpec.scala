@@ -51,7 +51,7 @@ class MeterStoreSpec extends SparkSpec {
       s"expected 1 surviving hive partition, got $files")
   }
 
-  test("energyReport at a stored grain scans that grain's table verbatim") {
+  test("energyReport at a stored grain reads that grain's table (idempotent re-agg)") {
     val hour = store.energyReport(spark, "hour")
     assert(hour.count() == cfg.numMeters * 48)
     assert(hour.agg(sum("joules")).head.getLong(0) ==

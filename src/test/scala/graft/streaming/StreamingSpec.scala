@@ -120,14 +120,23 @@ class StreamingSpec extends SparkSpec {
         lit(59).as("joules"))
     val q = MeterStream.writeRollups(sec, out, s"$out/_cp").start()
     try {
-      input.addData(0L until (cfg.ticks * cfg.numMeters): _*)
+      // two micro-batches so grain buckets span batch boundaries — the
+      // stored partials must re-compose exactly on read
+      input.addData(0L until 150L: _*)
+      q.processAllAvailable()
+      input.addData(150L until (cfg.ticks * cfg.numMeters): _*)
       q.processAllAvailable()
     } finally q.stop()
-    val minute = spark.read.parquet(s"$out/minute")
+    // round trip through the read API: partials re-aggregate to goldens
+    val store = graft.meter.MeterStore(out)
+    val minute = store.energyReport(spark, "minute")
     assert(minute.count() === 4) // 2 meters × 2 minutes
     assert(minute.collect().forall(_.getAs[Long]("joules") === 3540L))
-    val day = spark.read.parquet(s"$out/day")
+    val day = store.energyReport(spark, "day")
     assert(day.agg(sum("joules")).collect()(0).getLong(0) === 2L * 120 * 59)
+    // raw per-second layout is batch-partitioned but complete
+    assert(spark.read.parquet(s"$out/meter_samples_second").count() ===
+      cfg.ticks * cfg.numMeters)
   }
 
   test("file stream source: parquet directory drives the same rollup") {
