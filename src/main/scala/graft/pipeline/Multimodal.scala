@@ -67,4 +67,47 @@ object Multimodal {
       .as[MediaRow]
     decode(media).toDF()
   }
+
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, pixels: Array[Float])
+
+  /** STUB resize — real codec would interpolate pixels; the stub emits a
+    * deterministic out_w×out_h grid from the fake decode. The Spark
+    * contract it exercises is the real one: fat rows in, bounded-size rows
+    * out, map-side only (payloads never shuffle). */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, feats) = decodeStub(r.payload)
+        val px = Array.tabulate(outW * outH) { i =>
+          feats(i % feats.length) * ((i / feats.length + 1).toFloat /
+            (outW * outH / feats.length + 1))
+        }
+        ResizedRow(r.doc_id, w, h, outW, outH, px)
+      }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      features: Array[Float])
+
+  /** STUB video frame-sampling: every `everyMs` (fake) milliseconds up to a
+    * payload-derived duration, one frame row with per-frame features — a
+    * 1→N generator per video, which is the shape that matters: output rows
+    * are independent downstream units (dedup/embed per frame), and the
+    * explode happens map-side off the scan with no payload shuffle. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val durationMs = 1000L + (r.payload.length % 9000) // fake duration
+        val (_, _, feats) = decodeStub(r.payload)
+        (0L to durationMs by everyMs).zipWithIndex.map { case (ts, i) =>
+          FrameRow(r.doc_id, i, ts,
+            feats.map(f => f + i * 0.001f)) // fake per-frame drift
+        }
+      }
+    }
+  }
 }

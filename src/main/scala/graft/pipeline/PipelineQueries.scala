@@ -339,6 +339,27 @@ object PipelineQueries {
       |  CAST(16 + (octet_length(encode(text)) // 7) % 464 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm2: video frame-sampling plumbing — per-doc frame counts/last
+  // timestamp are a pure function of payload size, so DuckDB replays the
+  // stub arithmetic and hash-verifies the 1→N generator. ----
+  private def mm2(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, everyMs = 500).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), max("frame_ts_ms").as("last_ts"))
+      .orderBy("doc_id")
+  }
+
+  private val mm2Oracle =
+    """SELECT doc_id,
+      |  CAST((1000 + octet_length(encode(text)) % 9000) // 500 + 1 AS BIGINT) AS n_frames,
+      |  CAST(((1000 + octet_length(encode(text)) % 9000) // 500) * 500 AS BIGINT) AS last_ts
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),
     QueryDef("d2_token_stats", d2, Some(d2Oracle)),
@@ -357,5 +378,6 @@ object PipelineQueries {
     QueryDef("e5_ivf_ann", e5, None),
     QueryDef("e6_quantized_topk", e6, None),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
-    QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)))
+    QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
+    QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)))
 }

@@ -147,6 +147,25 @@ class PipelineSpec extends SparkSpec {
     assert(feats.exceptAll(again).count() === 0)
   }
 
+  test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val resized = Multimodal.resize(media, 4, 3).collect()
+    assert(resized.length == docs.count())
+    assert(resized.forall(r => r.pixels.length == 12 &&
+      r.out_w == 4 && r.out_h == 3))
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc yields at least ceil(1000/500)+1 = 3 frames; counts are a
+    // pure function of payload size (deterministic across runs)
+    assert(perDoc.values.forall(_ >= 3))
+    val again = Multimodal.sampleFrames(media, everyMs = 500)
+    assert(frames.toDF().exceptAll(again.toDF()).count() == 0)
+  }
+
   test("quality score is bounded and keep-flag consistent") {
     val q = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
     val rows = q.agg(min("q"), max("q")).collect()(0)
