@@ -247,8 +247,33 @@ object Relational2 {
       |                        (o_orderstatus), ())
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---- q33: UNPIVOT (wide → long) via stack(): the inverse of q29's
+  // pivot, one generator pass, no shuffle before the final sort. ----
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3,
+          'extended', CAST(l_extendedprice AS DECIMAL(18,2)),
+          'discount', CAST(l_discount AS DECIMAL(18,2)),
+          'tax',      CAST(l_tax AS DECIMAL(18,2))) AS (measure, amount)"""))
+      .filter(col("l_orderkey") < 100)
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  private val q33Oracle =
+    """SELECT l_orderkey, l_linenumber, measure, amount FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'extended' AS measure, CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
+    QueryDef("q33_unpivot", q33, Some(q33Oracle)),
     QueryDef("q32_grouping_sets", q32, Some(q32Oracle)),
     QueryDef("q31_range_frame", q31, Some(q31Oracle)),
     QueryDef("q29_pivot", q29, Some(q29Oracle)),
