@@ -271,8 +271,30 @@ object Relational2 {
       |WHERE l_orderkey < 100
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  // ---- q34: schema-parsed JSON (from_json → struct AND map) — the typed
+  // complement of q16's path extraction; json_tuple for the multi-field
+  // string form. ----
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k_struct"),
+        element_at(
+          from_json(col("props"), "map<string,int>", Map.empty[String, String]),
+          "k").as("k_map"),
+        json_tuple(col("props"), "k").as("k_str"))
+      .orderBy("event_id")
+
+  private val q34Oracle =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
+      |  json_extract_string(props, '$.k') AS k_str
+      |FROM events ORDER BY event_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
+    QueryDef("q34_from_json", q34, Some(q34Oracle)),
     QueryDef("q33_unpivot", q33, Some(q33Oracle)),
     QueryDef("q32_grouping_sets", q32, Some(q32Oracle)),
     QueryDef("q31_range_frame", q31, Some(q31Oracle)),
