@@ -288,16 +288,40 @@ object PipelineQueries {
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
 
-  // ---- e6: top-k over int8-quantized storage (4× smaller vectors;
-  // rows-only — overlap vs full precision asserted in PipelineSpec). ----
+  // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
+  // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
+  // the interpreted HOF composition was re-evaluated inside the join's
+  // codegen inner loop (r1 bench: 37.7 s). The oracle replays the exact
+  // quantization arithmetic with DuckDB list ops, like e1 does for full
+  // precision; overlap vs full precision is asserted in PipelineSpec. ----
   private def e6(s: SparkSession, dir: String): DataFrame = {
     val deq = emb(s, dir).select(col("vec_id"),
-      Similarity.dequantize(
-        Similarity.quantizeInt8(col("embedding").cast("array<double>")))
-        .as("embedding"))
+      graft.functions.QuantizeRoundtrip.quantize_roundtrip(
+        col("embedding").cast("array<double>")).as("embedding"))
     Similarity.bruteForceTopK(deq, "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
   }
+
+  private val e6Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e),
+      |d AS (SELECT vec_id,
+      |        list_transform(v, x -> round(x / greatest(scale, 1e-30)) * scale) AS v
+      |      FROM p),
+      |q AS (SELECT * FROM d WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, d.vec_id AS nn_id,
+      |    ROUND(list_dot_product(q.v, d.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v))), 6) AS sim
+      |  FROM q JOIN d ON q.vec_id <> d.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---- e4: embedding-cosine near-dup pairs (the "semantic dedup" flavor:
   // exact all-pairs over a bounded subset; the unbounded path is e3's LSH
@@ -376,7 +400,7 @@ object PipelineQueries {
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, None),
     QueryDef("e5_ivf_ann", e5, None),
-    QueryDef("e6_quantized_topk", e6, None),
+    QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)))

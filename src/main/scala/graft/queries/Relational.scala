@@ -25,6 +25,15 @@ object Relational {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Exact decimal sums must NOT appear in final output: the driver gate
+    * stringifies cells after pandas (Decimal('1.40')) vs duckdb .df()
+    * (float 1.4) reads, so numerically-equal decimals hash-mismatch.
+    * Emit the exact value as a scaled BIGINT instead (x100 = cents for
+    * scale-2, x10000 for scale-4) — integral, identical repr on both
+    * read paths, and order-preserving for sorts/top-k. */
+  private def cents(c: Column): Column = (c * 100).cast("long")
+  private def e4(c: Column): Column = (c * 10000).cast("long")
+
   // ---- q1: grouped aggregation (TPC-H Q1 shape). Partial+final hash agg;
   // one shuffle on the 6-value group key. ----
   private def q1(s: SparkSession, dir: String): DataFrame =
@@ -33,17 +42,17 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("sum_disc_price"),
+        cents(sum(dec2(col("l_extendedprice")))).as("sum_base_price_cents"),
+        e4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("sum_disc_price_e4"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q1Oracle =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_e4,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,11 +69,12 @@ object Relational {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(
-        sum(dec4(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        e4(sum(dec4(col("l_extendedprice") * col("l_discount"))))
+          .as("revenue_e4"),
         count(lit(1)).as("n_rows"))
 
   private val q2Oracle =
-    """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -85,22 +95,22 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(e4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
       .limit(10)
   }
 
   private val q3Oracle =
     """SELECT l_orderkey, o_orderdate,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+      |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin
 
   // ---- q4: star join through broadcast dims (TPC-H Q5 shape): fact
   // lineitem joins supplier→nation→region, all broadcast — a single
@@ -114,15 +124,15 @@ object Relational {
       .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue"),
+        e4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("revenue_e4"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   private val q4Oracle =
     """SELECT r_name, n_name,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -184,18 +194,18 @@ object Relational {
       .filter(col("o_custkey") < 50)
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        sum(dec2(col("o_totalprice")))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running_total"),
-        lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"),
+        cents(sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total_cents"),
+        cents(lag(dec2(col("o_totalprice")), 1).over(w)).as("prev_price_cents"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   private val q7Oracle =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_total,
-      |  LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS running_total_cents,
+      |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w * 100 AS BIGINT) AS prev_price_cents,
       |  LEAD(o_orderkey, 1) OVER w AS next_order
       |FROM orders WHERE o_custkey < 50
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -239,17 +249,19 @@ object Relational {
   private def q9(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        cents(sum(dec2(col("o_totalprice")))).as("total_cents"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
-        col("n"), col("total"))
+        col("n"), col("total_cents"))
       .orderBy("o_orderpriority", "o_orderstatus")
 
   private val q9Oracle =
     """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
       |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
-      |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
@@ -306,8 +318,8 @@ object Relational {
           .otherwise(0)).as("high_line_count"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
           .otherwise(0)).as("low_line_count"),
-        sum(when(col("o_totalprice") > 100000.0, dec2(col("o_totalprice")))
-          .otherwise(dec2(lit(0)))).as("big_total"),
+        cents(sum(when(col("o_totalprice") > 100000.0, dec2(col("o_totalprice")))
+          .otherwise(dec2(lit(0))))).as("big_total_cents"),
         count(nullif(col("o_orderpriority"), lit("3-MEDIUM"))).as("non_medium"),
         coalesce(min(when(col("o_totalprice") > 1e9, col("o_orderkey"))),
           lit(-1L)).as("first_huge"))
@@ -315,10 +327,10 @@ object Relational {
 
   private val q13Oracle =
     """SELECT o_orderstatus,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
-      |  SUM(CASE WHEN o_totalprice > 100000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
-      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS big_total,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+      |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS big_total_cents,
       |  COUNT(NULLIF(o_orderpriority, '3-MEDIUM')) AS non_medium,
       |  COALESCE(MIN(CASE WHEN o_totalprice > 1e9 THEN o_orderkey END), -1) AS first_huge
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -354,14 +366,16 @@ object Relational {
         date_trunc("month", col("o_orderdate")).as("month"),
         year(col("o_orderdate")).as("yr"),
         quarter(col("o_orderdate")).as("qtr"))
-      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        cents(sum(dec2(col("o_totalprice")))).as("total_cents"))
       .orderBy("month")
 
   private val q15Oracle =
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
       |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
-      |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
       |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin
 
   // ---- q16: JSON extraction over events.props (get_json_object). ----
@@ -492,7 +506,7 @@ object Relational {
   // registered temp views (SURVEY §3.4 path 2). ----
   private val q21Sql =
     """SELECT n_name, COUNT(*) AS n_cust,
-      |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_bal_cents
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 

@@ -16,20 +16,23 @@ object Relational2 {
     Tables.load(s, dir, n)
 
   // ---- q22: collect_list + sort_array (deterministic array agg) + array
-  // functions. ----
+  // functions. The verified output projects the list through array_join —
+  // a raw ARRAY column crashes the gate's pandas row-sort (unhashable
+  // numpy.ndarray); the array ops themselves stay in the query body. ----
   private def q22(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
-      .select(col("n_name"), col("suppliers"),
+      .select(col("n_name"),
+        array_join(col("suppliers"), ",").as("suppliers"),
         size(col("suppliers")).as("n_supp"),
         element_at(col("suppliers"), 1).as("first_supp"))
       .orderBy("n_name")
 
   private val q22Oracle =
-    """SELECT n_name, list_sort(list(s_name)) AS suppliers,
+    """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers,
       |  CAST(len(list(s_name)) AS INT) AS n_supp,
       |  list_sort(list(s_name))[1] AS first_supp
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -134,17 +137,28 @@ object Relational2 {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  // ---- q27: approximate distinct (HLL++). Not hash-comparable to an
-  // exact oracle by nature — the query returns both approx and exact plus
-  // their ratio bounds; the oracle checks the exact column and the driver
-  // sees matching schemas. Rows-only here; ApproxSpec asserts error < 5%. --
+  // ---- q27: approximate distinct (HLL++). The sketch value itself is not
+  // oracle-comparable, so the verified contract is: the exact count plus a
+  // Spark-computed boolean asserting the sketch landed within HLL++'s
+  // documented 5% envelope; the oracle emits the exact count and literal
+  // TRUE. A sketch drifting out of tolerance turns the gate red. ----
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        // rsd=0.01 → the 5% tolerance is a 5-sigma envelope (the default
+        // 0.05 rsd lands outside 5% for ~1/3 of groups); ~10 KB/sketch.
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
+
+  private val q27Oracle =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS approx_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- q28: table-generating surface (explode ≡ UNNEST) — one row per
   // word of every part name, aggregated back. ----
@@ -168,13 +182,17 @@ object Relational2 {
       .groupBy(col("l_linestatus"))
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      .select(col("l_linestatus"),
+        (col("A") * 100).cast("long").as("a_centi"),
+        (col("N") * 100).cast("long").as("n_centi"),
+        (col("R") * 100).cast("long").as("r_centi"))
       .orderBy("l_linestatus")
 
   private val q29Oracle =
     """SELECT l_linestatus,
-      |  SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "A",
-      |  SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "N",
-      |  SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "R"
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS a_centi,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS n_centi,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS r_centi
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   // ---- q30: correlated LATERAL subquery with per-row LIMIT (top-2
@@ -208,14 +226,15 @@ object Relational2 {
       .rangeBetween(-3600L * 1000000, 0)
     t(s, dir, "events").select(
       col("event_id"), col("user_id"), col("ts"),
-      sum(col("value").cast("decimal(18,2)")).over(w).as("hr_sum"),
+      (sum(col("value").cast("decimal(18,2)")).over(w) * 100).cast("long")
+        .as("hr_sum_cents"),
       count(lit(1)).over(w).cast("int").as("hr_n"))
       .orderBy("event_id")
   }
 
   private val q31Oracle =
     """SELECT event_id, user_id, ts,
-      |  SUM(CAST(value AS DECIMAL(18,2))) OVER w AS hr_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS hr_sum_cents,
       |  CAST(COUNT(*) OVER w AS INT) AS hr_n
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -230,7 +249,7 @@ object Relational2 {
       SELECT o_orderstatus, o_orderpriority,
         CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
         COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), ())
@@ -241,7 +260,7 @@ object Relational2 {
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |                        (o_orderstatus), ())
@@ -253,21 +272,24 @@ object Relational2 {
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""stack(3,
-          'extended', CAST(l_extendedprice AS DECIMAL(18,2)),
-          'discount', CAST(l_discount AS DECIMAL(18,2)),
-          'tax',      CAST(l_tax AS DECIMAL(18,2))) AS (measure, amount)"""))
+          'extended', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+          'discount', CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+          'tax',      CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)) AS (measure, amount_cents)"""))
       .filter(col("l_orderkey") < 100)
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
   private val q33Oracle =
-    """SELECT l_orderkey, l_linenumber, measure, amount FROM (
+    """SELECT l_orderkey, l_linenumber, measure, amount_cents FROM (
       |  SELECT l_orderkey, l_linenumber,
-      |    'extended' AS measure, CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+      |    'extended' AS measure,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents
       |  FROM lineitem
       |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  SELECT l_orderkey, l_linenumber, 'discount',
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem
       |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |  SELECT l_orderkey, l_linenumber, 'tax',
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem)
       |WHERE l_orderkey < 100
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
@@ -305,5 +327,5 @@ object Relational2 {
     QueryDef("q24_map_functions", q24, Some(q24Oracle)),
     QueryDef("q25_multiset_ops", q25, Some(q25Oracle)),
     QueryDef("q26_typed_agg", q26, Some(q26Oracle)),
-    QueryDef("q27_approx_distinct", q27, None))
+    QueryDef("q27_approx_distinct", q27, Some(q27Oracle)))
 }

@@ -43,11 +43,14 @@ object StreamQueries {
   // ---- s2: tumbling windows (window() ≡ date_trunc for aligned durations). ----
   private def s2(s: SparkSession, dir: String): DataFrame =
     EventStreams.tumbling(events(s, dir), "1 hour")
+      .select(col("w_start"), col("event_type"), col("n"),
+        (col("total") * 100).cast("long").as("total_cents"))
       .orderBy("w_start", "event_type")
 
   private val s2Oracle =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
-      |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   // ---- s3: sliding windows (2 h duration, 1 h slide → every event in

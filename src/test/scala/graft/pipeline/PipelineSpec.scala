@@ -119,6 +119,13 @@ class PipelineSpec extends SparkSpec {
       Similarity.dequantize(
         Similarity.quantizeInt8(col("embedding").cast("array<double>")))
         .as("embedding"))
+    // fused codegen kernel (what e6 runs) is bit-identical to the composed
+    // HOF form, component by component
+    val fused = emb.select(col("vec_id"),
+      graft.functions.QuantizeRoundtrip.quantize_roundtrip(
+        col("embedding").cast("array<double>")).as("embedding"))
+    assert(deq.exceptAll(fused).count() === 0)
+    assert(fused.exceptAll(deq).count() === 0)
     // pointwise cosine between original and its dequantized self ≈ 1
     val selfCos = emb.join(deq.withColumnRenamed("embedding", "deq"), "vec_id")
       .select(Similarity.cosineFast(col("embedding").cast("array<double>"),
