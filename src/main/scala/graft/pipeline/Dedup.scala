@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a 100 TB training-data pipeline.
   *
@@ -52,11 +51,19 @@ object Dedup {
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // Lazy localCheckpoint (materialized by each round's single count()
+    // action) rather than persist: same recompute-avoidance, but it also
+    // TRUNCATES the logical plan, so per-round analysis/optimization cost
+    // stays constant instead of growing with the upstream (pair-mining)
+    // lineage times the round number.
+    // No distinct(): min-label propagation is idempotent to duplicate
+    // edges (min over a bag = min over its set), so deduplicating the
+    // doubled edge list would be a pure-overhead shuffle of the largest
+    // intermediate in the query.
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // Init folds the first propagation round in: label = min(self, direct
     // neighbors) from one aggregate over edges (also yields the node set,
     // no separate distinct). Duplicate-clique components — the common case
@@ -64,7 +71,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -72,17 +79,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // One action per round: the convergence count doubles as the job
+      // that materializes the round's checkpoint.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"),
             coalesce(col("nbr_min"), col("component"))).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       changed = next.filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next.select("id", "component")
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
