@@ -31,6 +31,7 @@ object Graft {
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def session(): SparkSession = {
     val s = sessionBuilder().getOrCreate()

@@ -17,11 +17,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects. Read nanos as long (session-wide legacy flag;
-      // harmless for micros-typed files) and truncate to microseconds —
-      // matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation on the oracle
-      // side.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet reader rejects unless nanosAsLong is set. The engine's
+      // session builders set it at build time; the guard below only covers
+      // foreign sessions (set once, not on every load), truncating to
+      // microseconds — matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation
+      // on the oracle side.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

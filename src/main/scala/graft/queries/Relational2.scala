@@ -314,7 +314,27 @@ object Relational2 {
       |  json_extract_string(props, '$.k') AS k_str
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- q35: partition-local sort (sortWithinPartitions) — the write-
+  // layout clustering surface. One hash shuffle + local sort instead of a
+  // global range sort (plan shape asserted in PlanSpec; partition-level
+  // sortedness asserted in ClusteringSpec). Output CONTENT is
+  // partitioning-invariant, which is what the gate hash-checks. ----
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.clusterForScan(
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_shipdate")),
+      partCols = Seq("l_returnflag"),
+      sortCols = Seq("l_returnflag", "l_shipdate", "l_orderkey",
+        "l_linenumber"))
+
+  private val q35Oracle =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+      |FROM lineitem WHERE l_orderkey < 500""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q35_clustered_layout", q35, Some(q35Oracle)),
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
     QueryDef("q34_from_json", q34, Some(q34Oracle)),
     QueryDef("q33_unpivot", q33, Some(q33Oracle)),

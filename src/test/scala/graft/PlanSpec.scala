@@ -89,6 +89,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("q35: clustered layout — one exchange, partition-local sort only") {
+    val df = run("q35_clustered_layout")
+    val p = plan(df)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"clustering must shuffle exactly once (the repartition):\n$p")
+    // Sort(global=false) prints without a trailing 'true' (global) flag
+    assert(p.contains("Sort ["), s"no sort in:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort snuck in (range exchange):\n$p")
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then

@@ -145,7 +145,8 @@ class StreamingSpec extends SparkSpec {
     val cfg = GenConfig(numMeters = 2, ticks = 60)
     val batchSec = MeterGen.secondTable(spark, cfg)
     batchSec.write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream.schema(batchSec.schema).parquet(dir)
+    val stream = graft.sources.Formats.readParquetStream(
+      spark, dir, batchSec.schema)
     val rolled = MeterStream.rollupStream(stream, "minute")
     val q = rolled.writeStream.format("memory").queryName("fsmins")
       .outputMode("complete").start()
