@@ -276,17 +276,83 @@ object PipelineQueries {
       |SELECT q_id, nn_label AS predicted_label, votes
       |FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin
 
-  // ---- e3: LSH-bucketed ANN (recall<1 by design — rows-only; recall
-  // vs. brute force asserted in SimilaritySpec). ----
+  // ---- e3: LSH-bucketed ANN (recall<1 by design vs brute force; recall
+  // asserted in PipelineSpec). The hyperplanes are fixed-seed plan
+  // literals, so the oracle embeds the SAME planes as SQL literal arrays
+  // (shortest-repr doubles round-trip exactly through both parsers) and
+  // replays the whole construction: sign-bit signatures, ≤2-bit-flip
+  // multi-probe, bucket join, cosine, per-query top-k. ----
   private def e3(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
 
-  // ---- e5: IVF-cell ANN (recall<1 by design — rows-only; recall vs.
-  // brute force asserted in PipelineSpec). ----
+  private val e3Oracle: String = {
+    val bits = 6
+    val planes = Similarity.lshPlanes(dim = 64, bits = bits)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (0L +:
+      ((0 until bits).map(b => 1L << b) ++
+        (for { a <- 0 until bits; b <- a + 1 until bits }
+          yield (1L << a) | (1L << b))).map(_.toLong)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |q AS (SELECT * FROM sg WHERE vec_id < 20),
+       |fl AS (SELECT unnest($flips) AS flip),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, xor(q.sig, fl.flip) AS sig
+       |  FROM q CROSS JOIN fl),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, s.vec_id AS nn_id,
+       |    ROUND(list_dot_product(p.qv, s.v) /
+       |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+       |  FROM probes p JOIN sg s ON p.sig = s.sig AND p.q_id <> s.vec_id),
+       |r AS (
+       |  SELECT q_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---- e5: IVF-cell ANN (recall<1 by design vs brute force; recall
+  // asserted in PipelineSpec). Fully oracle-replayable: the coarse
+  // quantizer is a sha256-ordered id sample (≡ DuckDB sha256), cell
+  // assignment is argmax cosine over the 16 centroids (max-struct ≡
+  // ORDER BY s DESC, c DESC), probes are each query's top-4 cells. ----
   private def e5(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
       .orderBy("q_id", "rank")
+
+  private val e5Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents c),
+      |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
+      |cand AS (
+      |  SELECT p.q_id, s.vec_id AS nn_id,
+      |    ROUND(list_dot_product(p.qv, s.v) /
+      |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+      |  FROM probes p JOIN cells s ON p.cell = s.cell AND p.q_id <> s.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
@@ -398,8 +464,8 @@ object PipelineQueries {
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
-    QueryDef("e3_lsh_ann", e3, None),
-    QueryDef("e5_ivf_ann", e5, None),
+    QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),
+    QueryDef("e5_ivf_ann", e5, Some(e5Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),

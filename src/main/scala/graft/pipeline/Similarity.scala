@@ -88,11 +88,18 @@ object Similarity {
     * deterministic pseudo-random hyperplanes (seeded RNG, embedded in the
     * plan as literal arrays — no stored model, no per-row derivation,
     * identical on every executor). */
-  def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+  /** The deterministic hyperplanes behind [[lshSignature]]: `bits` vectors
+    * of `dim` components in [-1, 1), from a fixed-seed RNG. Exposed so the
+    * e3 oracle can embed the SAME planes as SQL literals (shortest-repr
+    * doubles round-trip exactly through both Scala and DuckDB parsing). */
+  def lshPlanes(dim: Int, bits: Int): Seq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(20240101L)
-    val planeDots = (0 until bits).map { p =>
-      val comps = array((0 until dim).map(_ =>
-        lit(rnd.nextDouble() * 2.0 - 1.0)): _*)
+    (0 until bits).map(_ => (0 until dim).map(_ => rnd.nextDouble() * 2.0 - 1.0))
+  }
+
+  def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val planeDots = lshPlanes(dim, bits).map { plane =>
+      val comps = array(plane.map(lit): _*)
       aggregate(zip_with(vec, comps, (x, c) => x * c), lit(0.0), (a, v) => a + v)
     }
     planeDots.zipWithIndex.map { case (d, p) =>
@@ -119,8 +126,13 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
-    // index build: deterministic sample — order by id hash, first nlist
-    val cents = corpus.orderBy(xxhash64(col("nn_id")), col("nn_id"))
+    // index build: deterministic sample — order by a hash of the id, first
+    // nlist. sha2 (not xxhash64) so the e5 oracle can replay the selection
+    // in DuckDB (sha256 ≡ sha2/256, identical lowercase-hex ordering); one
+    // scalar hash per row at index-build time, so the crypto-vs-xx cost
+    // difference is irrelevant even at 100 TB.
+    val cents = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
       .limit(nlist).collect().map(_.getSeq[Double](1))
     def centLit(i: Int): Column = array(cents(i).map(lit): _*)
     def cellScores(v: Column): Column = array((0 until nlist).map(i =>
