@@ -70,14 +70,27 @@ object PipelineQueries {
       |    / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ---- d10: deterministic train/val/test split (xxhash64-bucketed —
-  // rows-only in the driver; the determinism/stability properties are
-  // asserted in SamplingSpec). ----
+  // ---- d10: deterministic train/val/test split. This registered query
+  // uses the sha256 bucket variant so the oracle replays the assignment
+  // exactly (DuckDB parses the same 8-hex-char prefix); the xxhash64
+  // default's determinism/stability properties are asserted in
+  // SamplingSpec. ----
   private def d10(s: SparkSession, dir: String): DataFrame =
     Sampling.splitByHash(docs(s, dir), "doc_id",
-      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      bucketFn = Sampling.shaBucket)
       .groupBy("split").agg(count(lit(1)).as("n"))
       .orderBy("split")
+
+  private val d10Oracle =
+    """SELECT split, COUNT(*) AS n FROM (
+      |  SELECT CASE WHEN b < 8000 THEN 'train'
+      |              WHEN b < 9000 THEN 'val'
+      |              WHEN b < 10000 THEN 'test'
+      |              ELSE 'rest' END AS split
+      |  FROM (SELECT ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |        FROM documents))
+      |GROUP BY split ORDER BY split""".stripMargin
 
   // ---- d3: language-ID marker heuristic. ----
   private def d3(s: SparkSession, dir: String): DataFrame =
@@ -460,7 +473,7 @@ object PipelineQueries {
     QueryDef("d7_minhash_pairs", d7, None),
     QueryDef("d8_simhash_pairs", d8, None),
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
-    QueryDef("d10_hash_split", d10, None),
+    QueryDef("d10_hash_split", d10, Some(d10Oracle)),
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),

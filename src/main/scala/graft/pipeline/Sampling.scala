@@ -22,13 +22,27 @@ object Sampling {
   def hashBucket(key: Column, seed: Long): Column =
     pmod(xxhash64(lit(seed), key), lit(Buckets.toLong))
 
+  /** Cross-engine-replayable bucket: first 8 hex chars of
+    * sha256("seed:key") parsed as a 32-bit int, mod 10000. Same
+    * growth-stable membership property as [[hashBucket]] at ~20× the
+    * per-row hash cost — still negligible against reading a document row;
+    * choose it when an external system (here: the DuckDB oracle, which has
+    * sha256 but not xxhash64) must reproduce the assignment bit-for-bit. */
+  def shaBucket(key: Column, seed: Long): Column =
+    pmod(
+      conv(substring(
+        sha2(concat_ws(":", lit(seed.toString), key.cast("string")), 256),
+        1, 8), 16, 10).cast("long"),
+      lit(Buckets.toLong))
+
   /** Adds a `split` column assigning each row to the first named range of
     * the cumulative fractions (fractions must sum to ≤ 1; any remainder
     * bucket is labeled "rest"). Shuffle-free — a pure projection. */
   def splitByHash(df: DataFrame, keyCol: String,
-      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+      fractions: Seq[(String, Double)], seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum <= 1")
-    val bucket = hashBucket(col(keyCol), seed)
+    val bucket = bucketFn(col(keyCol), seed)
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
     val cases = fractions.zip(bounds.sliding(2).toSeq).foldLeft(
       lit(null).cast("string")) { case (acc, ((name, _), Seq(lo, hi))) =>
