@@ -97,7 +97,13 @@ object Similarity {
     (0 until bits).map(_ => (0 until dim).map(_ => rnd.nextDouble() * 2.0 - 1.0))
   }
 
-  def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+  def lshSignature(vec: Column, dim: Int, bits: Int): Column =
+    graft.functions.LshSignature.lsh_signature(vec, lshPlanes(dim, bits))
+
+  /** Composed-builtin form of [[lshSignature]] — readable reference,
+    * interpreted lambdas per plane; kept for the bit-equality spec, the
+    * hot path uses the fused codegen kernel (LshSignatureExpr). */
+  def lshSignatureHof(vec: Column, dim: Int, bits: Int): Column = {
     val planeDots = lshPlanes(dim, bits).map { plane =>
       val comps = array(plane.map(lit): _*)
       aggregate(zip_with(vec, comps, (x, c) => x * c), lit(0.0), (a, v) => a + v)

@@ -67,6 +67,16 @@ class PipelineSpec extends SparkSpec {
       exact.count())
   }
 
+  test("lsh signature: fused codegen kernel equals composed HOF form") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mismatches = emb.select(
+      Similarity.lshSignature(col("v"), 64, 6).as("fused"),
+      Similarity.lshSignatureHof(col("v"), 64, 6).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
   test("lsh ann achieves decent recall@5 vs brute force") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
