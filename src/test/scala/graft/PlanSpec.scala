@@ -100,6 +100,27 @@ class PlanSpec extends SparkSpec {
       s"global sort snuck in (range exchange):\n$p")
   }
 
+  test("d10: split assignment is a pure projection — one agg shuffle total") {
+    val p = plan(run("d10_hash_split"))
+    // sha bucket + CASE ranges happen map-side; the only hash exchange is
+    // the tiny (split, n) aggregate (plus the output sort's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"split derivation should not shuffle:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+  }
+
+  test("e3: signature is codegen, query side broadcast, no corpus SMJ") {
+    val df = run("e3_lsh_ann")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("lshsignatureexpr") || p.contains("LshSignatureExpr")
+      || !p.contains("lambdafunction"),
+      s"interpreted lambda signature in hot path:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then
