@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * double accumulation — the same contract the DuckDB oracle computes —
   * because each accumulator adds elements in index order.
   *
-  * Inputs must be ARRAY<DOUBLE> of equal length (enforced by the caller
-  * casting; mismatched lengths evaluate over the shorter prefix of `a`
-  * like zip_with would produce nulls — callers guarantee fixed dims).
+  * Inputs must be ARRAY<DOUBLE> of equal length with no null elements
+  * (all call sites cast the fixed-dim, non-null embedding column).
+  * Mismatched lengths accumulate over the common PREFIX — note this is
+  * NOT zip_with's semantics, which would null-pad the shorter side and
+  * null the whole lambda result; the two forms agree only on equal-length
+  * inputs, which is what every caller and the bit-equality spec provide.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

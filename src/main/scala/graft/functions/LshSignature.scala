@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * signature projection, so it must be codegen, like the cosine kernel
   * it feeds. The planes arrive as a constructor constant (plan literal —
   * no model state on executors) via `ctx.addReferenceObj`.
+  *
+  * PRECONDITION: the input array must have exactly `dim` elements, none
+  * null. Length mismatches fail loudly (one compare per row — the HOF
+  * form would instead silently null-pad, yielding bit 0 everywhere, and
+  * the fused form would otherwise silently truncate; neither is a
+  * signature anyone asked for). Null elements are NOT checked per element
+  * (that would put a branch in the innermost loop of the hottest kernel);
+  * callers reach this through a cast from the non-null embedding column.
   */
 case class LshSignatureExpr(child: Expression, planes: Seq[IndexedSeq[Double]])
     extends UnaryExpression {
@@ -32,13 +40,16 @@ case class LshSignatureExpr(child: Expression, planes: Seq[IndexedSeq[Double]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"lsh_signature: expected array of exactly $dim elements, got ${v.numElements()}")
+    }
     var sig = 0L
     var p = 0
     while (p < bits) {
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += v.getDouble(i) * flat(p * dim + i); i += 1 }
+      while (i < dim) { dot += v.getDouble(i) * flat(p * dim + i); i += 1 }
       if (dot > 0) sig |= (1L << p)
       p += 1
     }
@@ -48,17 +59,19 @@ case class LshSignatureExpr(child: Expression, planes: Seq[IndexedSeq[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_signature: expected array of exactly $dim elements, got " + $a.numElements());
+         |}
          |long $sig = 0L;
          |for (int $p = 0; $p < $bits; $p++) {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    $dot += $a.getDouble($i) * $planesRef[$p * $dim + $i];
          |  }
          |  if ($dot > 0) $sig |= (1L << $p);

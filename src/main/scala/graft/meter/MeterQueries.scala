@@ -103,14 +103,26 @@ object MeterQueries {
        |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
 
   // -- m6: deterministic id seeding (core.clj:27-35). DuckDB 1.0 has no
-  // sha1(), so this is a rows-only check; exact golden values are pinned in
-  // SaidSeedSpec. --
+  // sha1(), so the oracle can't recompute the hash — but m6's input is the
+  // FIXED literal list host-0..host-9, so the oracle is a VALUES table of
+  // the ten goldens computed independently of Spark (python hashlib,
+  // signed big-endian interpretation, non-negative mod — the same values
+  // pinned in SaidSeedSpec). The driver gate then certifies rows+schema+
+  // hash for the whole expression path, not just rowcount. --
   private def m6(s: SparkSession, dir: String): DataFrame = {
     val hosts = s.range(0, 10)
       .select(concat(lit("host-"), col("id")).as("host"))
     hosts.select(col("host"), SaidSeed.said_seed(col("host")).as("said"))
       .orderBy("host")
   }
+
+  private val m6Oracle =
+    """SELECT host, CAST(said AS INT) AS said FROM (VALUES
+      |  ('host-0', 94285), ('host-1', 95181), ('host-2', 34087),
+      |  ('host-3', 50831), ('host-4', 61621), ('host-5', 26693),
+      |  ('host-6', 6794), ('host-7', 4212), ('host-8', 92125),
+      |  ('host-9', 20685)) AS t(host, said)
+      |ORDER BY host""".stripMargin
 
   // -- m7: upsert/LWW dedup before rollup (setup_and_notes.txt:20, SURVEY
   // §7.3): duplicate per-second rows must collapse on (said, datetime). --
@@ -158,7 +170,7 @@ object MeterQueries {
     QueryDef("m3_rollup_minute", m3, Some(m3Oracle)),
     QueryDef("m4_rollup_hour", m4, Some(m4Oracle)),
     QueryDef("m5_rollup_day", m5, Some(m5Oracle)),
-    QueryDef("m6_said_seed", m6, None),
+    QueryDef("m6_said_seed", m6, Some(m6Oracle)),
     QueryDef("m7_dedup_rollup", m7, Some(m7Oracle)),
     QueryDef("m8_routed_report", m8, Some(m8Oracle)))
 }

@@ -56,6 +56,18 @@ object Dedup {
     // TRUNCATES the logical plan, so per-round analysis/optimization cost
     // stays constant instead of growing with the upstream (pair-mining)
     // lineage times the round number.
+    // Checkpoint LIFECYCLE (r2 lesson): blocks a round pins are dead the
+    // moment the next round materializes — left pinned they accumulate in
+    // the block manager for the life of the session. Each round therefore
+    // frees the previous round's blocks, and the loop exit frees the edge
+    // list; only the RETURNED labels' blocks stay (the caller's action
+    // reads them; localCheckpoint data is unrecoverable once dropped, so
+    // releasing those too would make the result unreadable).
+    val sc = pairs.sparkSession.sparkContext
+    val foreign = sc.getPersistentRDDs.keySet.toSet
+    def owned: Set[Int] = sc.getPersistentRDDs.keySet.toSet -- foreign
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // No distinct(): min-label propagation is idempotent to duplicate
     // edges (min over a bag = min over its set), so deduplicating the
     // doubled edge list would be a pure-overhead shuffle of the largest
@@ -64,6 +76,7 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(false)
+    val edgeIds = owned
     // Init folds the first propagation round in: label = min(self, direct
     // neighbors) from one aggregate over edges (also yields the node set,
     // no separate distinct). Duplicate-clique components — the common case
@@ -72,6 +85,7 @@ object Dedup {
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
       .localCheckpoint(false)
+    var prevRound = owned -- edgeIds
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -88,8 +102,12 @@ object Dedup {
         .localCheckpoint(false)
       changed = next.filter(col("component") < col("old")).count()
       labels = next.select("id", "component")
+      // next is materialized; the previous round's labels are dead.
+      free(prevRound)
+      prevRound = owned -- edgeIds
       iter += 1
     }
+    free(edgeIds)
     labels
   }
 
@@ -117,9 +135,17 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    // No .cache(): the index subtree below ends in the dropDuplicates
+    // hash-aggregate's Exchange, and all three consumers (df-cap, join,
+    // sizes) contain that identical Exchange — Spark's ReuseExchange
+    // executes the scan→tokenize→hash→dedup stage ONCE and the consumers
+    // read its shuffle files. Same recompute-avoidance as caching, but
+    // the storage is job-scoped shuffle data that Spark itself reclaims,
+    // so a long-lived session (a bench, a notebook, a server) accumulates
+    // nothing. (r2 lesson: a library function that persists and never
+    // unpersists leaks pinned blocks into every later query.)
     val idx = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
       .dropDuplicates("id", "shingle")
-      .cache()
     val dfOk = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

@@ -86,7 +86,14 @@ object MinHashLSH {
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = signatures(df, textCol, idCol, k, numHashes).cache()
+    // No .cache(): signatures() ends in a hash aggregate whose Exchange
+    // subtree is identical in all three consumers below (banding + the two
+    // signature re-joins), so ReuseExchange runs the expensive stage —
+    // scan → shingle → hash → partial min-agg — once and the consumers
+    // replay only the final aggregation from its shuffle files. Unlike the
+    // r2 .cache(), nothing stays pinned in the block manager after the
+    // caller's action completes.
+    val sigs = signatures(df, textCol, idCol, k, numHashes)
     val bd = banded(sigs, bands, rowsPerBand)
     val smallBuckets = bd.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))

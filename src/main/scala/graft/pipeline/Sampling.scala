@@ -29,9 +29,15 @@ object Sampling {
     * choose it when an external system (here: the DuckDB oracle, which has
     * sha256 but not xxhash64) must reproduce the assignment bit-for-bit. */
   def shaBucket(key: Column, seed: Long): Column =
+    // concat (null-propagating), NOT concat_ws (null-skipping): a NULL key
+    // must yield a NULL bucket → split "rest", matching the oracle's
+    // ('seed:' || CAST(key AS VARCHAR)) which is NULL for NULL keys. With
+    // concat_ws a NULL key would silently hash the bare seed string and
+    // land every null row in a real split. Identical bytes for non-null
+    // keys, so existing assignments don't move.
     pmod(
       conv(substring(
-        sha2(concat_ws(":", lit(seed.toString), key.cast("string")), 256),
+        sha2(concat(lit(seed.toString + ":"), key.cast("string")), 256),
         1, 8), 16, 10).cast("long"),
       lit(Buckets.toLong))
 

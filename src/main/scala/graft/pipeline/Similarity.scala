@@ -137,16 +137,24 @@ object Similarity {
     // in DuckDB (sha256 ≡ sha2/256, identical lowercase-hex ordering); one
     // scalar hash per row at index-build time, so the crypto-vs-xx cost
     // difference is irrelevant even at 100 TB.
-    val cents = corpus
+    val centRows = corpus
       .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
-      .limit(nlist).collect().map(_.getSeq[Double](1))
+      .limit(nlist).collect()
+    val cents = centRows.map(_.getSeq[Double](1))
+    // Cells are labeled by the centroid's VEC_ID (not its sample-order
+    // index): score ties then break toward the larger id on both the
+    // Spark side (struct greatest / sort_array desc) and the oracle
+    // (ORDER BY s DESC, cid DESC) — with index labels the two orderings
+    // diverge whenever two sampled centroids tie (e.g. duplicate vectors).
+    val centIds = centRows.map(_.get(0))
     def centLit(i: Int): Column = array(cents(i).map(lit): _*)
     def cellScores(v: Column): Column = array((0 until nlist).map(i =>
-      struct(round(cosineFast(v, centLit(i)), 9).as("s"), lit(i).as("c"))): _*)
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
     val listed = corpus.withColumn("cell",
       greatest((0 until nlist).map(i =>
         struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
-          lit(i).as("c"))): _*).getField("c"))
+          lit(centIds(i)).as("c"))): _*).getField("c"))
     val probes = listed.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),

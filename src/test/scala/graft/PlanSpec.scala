@@ -113,9 +113,14 @@ class PlanSpec extends SparkSpec {
     val df = run("e3_lsh_ann")
     df.collect()
     val p = plan(df)
-    assert(p.contains("lshsignatureexpr") || p.contains("LshSignatureExpr")
-      || !p.contains("lambdafunction"),
-      s"interpreted lambda signature in hot path:\n$p")
+    // conjunctive: the fused kernel must be present AND no interpreted
+    // lambdafunction may remain anywhere in the hot path (the old
+    // disjunction passed as long as the kernel name appeared once, even
+    // with interpreted lambdas still doing the real work).
+    assert(p.contains("lshsignatureexpr") || p.contains("LshSignatureExpr"),
+      s"fused signature kernel missing from plan:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted lambda in hot path:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"probe set not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
