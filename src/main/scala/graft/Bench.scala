@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement discipline (r2 lesson — a noisy bench can't adjudicate a
   * 2× criterion):
-  *   - every query runs `SPARK_GRAFT_REPS` times (default 2); the JSON
+  *   - every query runs `SPARK_GRAFT_REPS` times (default 3); the JSON
   *     reports the MIN per query (steady-state throughput) plus the
   *     per-query spread (max-min) so run-to-run noise is visible in the
   *     artifact instead of baked into the number;
@@ -19,7 +19,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new plans.GraftExtensions)

@@ -31,6 +31,12 @@ object ScaleProbe {
       .lshTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("ivf")(pipeline.Similarity
       .ivfTopK(big, "vec_id", "embedding", _ < nq, 5).count())
+    // kernel path (nlist > 64): same nprobe/nlist = 1/4 scan fraction as
+    // nlist=16/nprobe=4, but through the fixed-size-codegen IvfCellsExpr —
+    // the configuration the literal path cannot compile.
+    time("ivf256")(pipeline.Similarity
+      .ivfTopK(big, "vec_id", "embedding", _ < nq, 5,
+        nlist = 256, nprobe = 64).count())
     spark.stop()
   }
 }

@@ -120,12 +120,23 @@ object Similarity {
     *
     * The quantizer here is a deterministic hash-ordered sample of corpus
     * vectors (one cheap pass; k-means refinement would reuse exactly this
-    * assignment plumbing with updated centroid literals). Centroids embed in
-    * the plan as literals — executors carry no model state, and cell
-    * assignment is a codegen'd cosine per centroid. At 100 TB: nlist scales
-    * to ~√n so the broadcastable probe side stays tiny while each inverted
-    * list stays executor-sized; the corpus-side assignment is a single
-    * shuffle-free projection.
+    * assignment plumbing with updated centroid literals). Two assignment
+    * strategies, both shuffle-free projections with no executor-side model
+    * state:
+    *
+    *   - nlist ≤ 64: centroids as plan literals, cell = struct-greatest
+    *     over nlist codegen'd cosines. Oracle-replayable (e5 embeds the
+    *     same construction in SQL) but the generated code grows O(nlist).
+    *   - nlist > 64: the fused [[graft.functions.IvfCellsExpr]] kernel —
+    *     centroid matrix + norms + labels ride as reference objects, the
+    *     generated loop nest is fixed-size, per-row cost is exactly
+    *     nlist dot products. This is the 100 TB path: nlist scales to ~√n
+    *     so the broadcastable probe side stays tiny while each inverted
+    *     list stays executor-sized, and assignment cost per row is flat
+    *     in codegen size. (Same argmax ordering — score desc, larger
+    *     label on ties — but unrounded scores, so it is recall-equivalent
+    *     rather than bit-matched to the literal path; requires integral
+    *     ids for the label array.)
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
@@ -147,19 +158,39 @@ object Similarity {
     // (ORDER BY s DESC, cid DESC) — with index labels the two orderings
     // diverge whenever two sampled centroids tie (e.g. duplicate vectors).
     val centIds = centRows.map(_.get(0))
-    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
-    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
-      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
-        lit(centIds(i)).as("c"))): _*)
-    val listed = corpus.withColumn("cell",
-      greatest((0 until nlist).map(i =>
-        struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
-          lit(centIds(i)).as("c"))): _*).getField("c"))
-    val probes = listed.filter(queryPred(col("nn_id")))
-      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
-        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
-          1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+    val (listed, probes) = if (nlist <= 64) {
+      // literal-centroid path: oracle-replayable, O(nlist) codegen.
+      def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+      def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+        struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+          lit(centIds(i)).as("c"))): _*)
+      val l = corpus.withColumn("cell",
+        greatest((0 until nlist).map(i =>
+          struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
+            lit(centIds(i)).as("c"))): _*).getField("c"))
+      val p = l.filter(queryPred(col("nn_id")))
+        .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+          explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+            1, nprobe)).as("pc"))
+        .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+      (l, p)
+    } else {
+      // fused-kernel path: fixed-size codegen regardless of nlist.
+      val centArr = cents.map(_.toArray)
+      val labels = centIds.map {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"ivfTopK kernel path needs integral ids, got ${other.getClass}")
+      }
+      import graft.functions.IvfCells.ivf_cells
+      val l = corpus.withColumn("cell",
+        element_at(ivf_cells(col("nn_vec"), centArr, labels, 1), 1))
+      val p = corpus.filter(queryPred(col("nn_id")))
+        .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+          explode(ivf_cells(col("nn_vec"), centArr, labels, nprobe))
+            .as("cell"))
+      (l, p)
+    }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id"))
     broadcast(probes)

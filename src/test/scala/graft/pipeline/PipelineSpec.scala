@@ -104,6 +104,48 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("ivf kernel path (nlist > 64): assignment matches reference, decent recall") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    // nlist=100 > 64 routes through the fused IvfCellsExpr kernel; probe a
+    // quarter of the cells so every query still fills its top-5.
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      nlist = 100, nprobe = 25)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"kernel-path recall@5 was $recall")
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+    // the kernel's nprobe=1 assignment must agree with independent Scala
+    // math (argmax cosine, larger id on ties) for every corpus vector
+    val cents = emb
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(100).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = emb.select(col("vec_id"),
+        graft.functions.IvfCells.ivf_cells(
+          col("embedding").cast("array<double>"),
+          cents.map(_._2), cents.map(_._1), 1).getItem(0).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    assigned.foreach { case (id, cell) =>
+      val want = cents.map { case (cid, cv) => (cos(vecs(id), cv), cid) }
+        .maxBy { case (s, cid) => (s, cid) }._2
+      assert(cell === want, s"vec $id assigned to $cell, reference says $want")
+    }
+  }
+
   test("connected components: chains, cliques, singletons resolve to min id") {
     import spark.implicits._
     // components: chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
