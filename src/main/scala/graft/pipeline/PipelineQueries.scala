@@ -92,6 +92,29 @@ object PipelineQueries {
       |        FROM documents))
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- d12: stratified exact sampling — per-language quota of
+  // ceil(0.2 × |stratum|) documents, membership chosen by deterministic
+  // key-hash order so the sample is stable across runs and corpus
+  // growth. Registered with the sha256 bucket (like d10) so DuckDB
+  // replays the per-stratum ordering and quota arithmetic exactly; the
+  // xxhash64 default's properties are covered in SamplingSpec. ----
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(docs(s, dir), "lang", "doc_id", 0.2,
+      bucketFn = Sampling.shaBucket)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+
+  private val d12Oracle =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM (SELECT doc_id, lang,
+      |          ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |        FROM documents))
+      |WHERE rk <= CEIL(n * 0.2::DOUBLE)
+      |ORDER BY lang, doc_id""".stripMargin
+
   // ---- d3: language-ID marker heuristic. ----
   private def d3(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -475,6 +498,7 @@ object PipelineQueries {
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
     QueryDef("d10_hash_split", d10, Some(d10Oracle)),
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
+    QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),

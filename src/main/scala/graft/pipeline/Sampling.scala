@@ -67,11 +67,14 @@ object Sampling {
 
   /** Stratified exact sample: per stratum, keep ceil(fraction × |stratum|)
     * rows, selected in hash order (deterministic). One shuffle on the
-    * stratum key; rank via WindowGroupLimit-eligible row_number. */
+    * stratum key; rank via WindowGroupLimit-eligible row_number.
+    * `bucketFn` picks the hash family: [[hashBucket]] (xxhash64, fastest)
+    * or [[shaBucket]] (cross-engine-replayable, oracle-checkable). */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,
-      fraction: Double, seed: Long = 42L): DataFrame = {
+      fraction: Double, seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(keyCol), seed), col(keyCol))
+      .orderBy(bucketFn(col(keyCol), seed), col(keyCol))
     val counted = df.withColumn("_n",
       count(lit(1)).over(Window.partitionBy(col(stratumCol))))
     counted.withColumn("_rk", row_number().over(w))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -333,7 +333,127 @@ object Relational2 {
     """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
       |FROM lineitem WHERE l_orderkey < 500""".stripMargin
 
+  // ---- q36: window-function completion — cume_dist (distribution rank),
+  // nth_value / first_value / last_value under explicit ROWS frames with a
+  // fully deterministic ORDER BY. cume_dist is an exact-integer ratio
+  // (rows ≤ key / rows), a single double division — bit-stable across
+  // engines; nth_value's leading NULLs are coalesced to -1 so the output
+  // stays integral (NULL→NaN column promotion hashes unreliably). ----
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val wCume = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+    val wRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTail = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        round(cume_dist().over(wCume), 6).as("cume"),
+        coalesce(nth_value(col("l_orderkey"), 2).over(wRun), lit(-1L))
+          .as("second_seen"),
+        first(col("l_orderkey")).over(wRun).as("first_key"),
+        last(col("l_orderkey")).over(wTail).as("last_key"))
+      .orderBy("l_returnflag", "qty", "l_orderkey", "l_linenumber")
+  }
+
+  private val q36Oracle =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST(l_quantity AS BIGINT) AS qty,
+      |  ROUND(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS cume,
+      |  COALESCE(nth_value(l_orderkey, 2) OVER w, -1) AS second_seen,
+      |  first_value(l_orderkey) OVER w AS first_key,
+      |  last_value(l_orderkey) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity, l_orderkey, l_linenumber
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key
+      |FROM lineitem WHERE l_orderkey < 200
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY l_quantity, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, qty, l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q37: MERGEABLE distinct-count sketches (Apache DataSketches HLL)
+  // — the 100 TB pattern q27's one-shot approx_count_distinct can't do:
+  // build small per-month sketches once, then answer the full-range
+  // question by UNIONING sketches instead of rescanning raw data. Verified like
+  // q27: exact count plus a Spark-computed boolean that the
+  // union-of-monthly-sketches estimate lands within 5%; the oracle emits
+  // the exact count and literal TRUE. ----
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+      count(lit(1)).as("n_sketches"))
+    val exact = t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    exact.crossJoin(merged)
+      .select(col("exact_customers"), col("n_sketches"),
+        (abs(col("est") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("union_within_5pct"))
+  }
+
+  private val q37Oracle =
+    """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |  CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS n_sketches,
+      |  true AS union_within_5pct
+      |FROM orders""".stripMargin
+
+  // ---- q38: correlation/covariance statistics, certified EXACTLY: both
+  // engines derive Pearson r from integer-exact moment sums (quantity is
+  // integral, discount is cents) with the identical double formula — every
+  // intermediate product < 2^53, so the result is bit-stable in a way
+  // directly hashing corr()'s accumulation-order-dependent output can
+  // never be. Spark's builtin corr() is certified alongside via a
+  // tolerance boolean (oracle: literal TRUE). ----
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_discount") * 100, 0).cast("long")
+    def d(c: String): Column = col(c).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        corr(col("l_quantity"), round(col("l_discount") * 100, 0))
+          .as("corr_builtin"))
+      .select(col("l_returnflag"), col("n"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
+          .as("corr_moments"),
+        (abs(col("corr_builtin") -
+          (d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n") * d("syy") - d("sy") * d("sy")))) < 1e-6)
+          .as("builtin_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q38Oracle =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_moments,
+      |  true AS builtin_ok
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q36_window_extras", q36, Some(q36Oracle)),
+    QueryDef("q37_sketch_rollup", q37, Some(q37Oracle)),
+    QueryDef("q38_corr_moments", q38, Some(q38Oracle)),
     QueryDef("q35_clustered_layout", q35, Some(q35Oracle)),
     QueryDef("q28_explode_words", q28, Some(q28Oracle)),
     QueryDef("q34_from_json", q34, Some(q34Oracle)),
