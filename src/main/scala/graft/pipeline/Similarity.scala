@@ -140,7 +140,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     // index build: deterministic sample — order by a hash of the id, first
@@ -151,13 +151,23 @@ object Similarity {
     val centRows = corpus
       .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
       .limit(nlist).collect()
-    val cents = centRows.map(_.getSeq[Double](1))
     // Cells are labeled by the centroid's VEC_ID (not its sample-order
     // index): score ties then break toward the larger id on both the
     // Spark side (struct greatest / sort_array desc) and the oracle
     // (ORDER BY s DESC, cid DESC) — with index labels the two orderings
     // diverge whenever two sampled centroids tie (e.g. duplicate vectors).
     val centIds = centRows.map(_.get(0))
+    lazy val centLabels: Array[Long] = centIds.map {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"ivfTopK kernel/refine path needs integral ids, got ${other.getClass}")
+    }
+    val cents: Array[Array[Double]] = {
+      val init = centRows.map(_.getSeq[Double](1).toArray)
+      if (refineIters > 0) kmeansRefine(corpus, "nn_vec", init,
+        centLabels, refineIters)
+      else init
+    }
     val (listed, probes) = if (nlist <= 64) {
       // literal-centroid path: oracle-replayable, O(nlist) codegen.
       def centLit(i: Int): Column = array(cents(i).map(lit): _*)
@@ -176,18 +186,12 @@ object Similarity {
       (l, p)
     } else {
       // fused-kernel path: fixed-size codegen regardless of nlist.
-      val centArr = cents.map(_.toArray)
-      val labels = centIds.map {
-        case n: java.lang.Number => n.longValue()
-        case other => throw new IllegalArgumentException(
-          s"ivfTopK kernel path needs integral ids, got ${other.getClass}")
-      }
       import graft.functions.IvfCells.ivf_cells
       val l = corpus.withColumn("cell",
-        element_at(ivf_cells(col("nn_vec"), centArr, labels, 1), 1))
+        element_at(ivf_cells(col("nn_vec"), cents, centLabels, 1), 1))
       val p = corpus.filter(queryPred(col("nn_id")))
         .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
-          explode(ivf_cells(col("nn_vec"), centArr, labels, nprobe))
+          explode(ivf_cells(col("nn_vec"), cents, centLabels, nprobe))
             .as("cell"))
       (l, p)
     }
@@ -200,6 +204,47 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** Lloyd (k-means) refinement of an IVF coarse quantizer: each
+    * iteration assigns every corpus vector to its cosine-nearest centroid
+    * through the SAME fused kernel `ivfTopK`'s kernel path uses, then
+    * replaces each centroid with its cell's mean. Per iteration the
+    * corpus is scanned once, the shuffle carries one partial-sum row per
+    * cell per task (nlist × dim doubles — map-side partial aggregation
+    * does the heavy combine), and the driver collects exactly nlist rows.
+    * That is the full cost at 100 TB: iterations × (one scan + one tiny
+    * shuffle). Empty cells keep their previous centroid.
+    *
+    * Note: the refined centroids depend on distributed double-sum order,
+    * so unlike the sha-sampled initial quantizer they are quality-stable
+    * but not bit-reproducible across cluster layouts — which is why the
+    * oracle-checked e5 path stays on the unrefined deterministic sample.
+    */
+  def kmeansRefine(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], labels: Array[Long],
+      iters: Int = 1): Array[Array[Double]] = {
+    val dim = centroids.head.length
+    val corpus = emb.select(asDouble(col(vecCol)).as("v"))
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("cell", element_at(
+        graft.functions.IvfCells.ivf_cells(col("v"), cents, labels, 1), 1))
+      val rows = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("sums"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Double](2))).toMap
+      cents = labels.zip(cents).map { case (label, old) =>
+        rows.get(label) match {
+          case Some((n, sums)) => sums.map(_ / n).toArray
+          case None => old
+        }
+      }
+    }
+    cents
   }
 
   /** Bucketed ANN top-k: scan only vectors whose signature matches the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -36,6 +36,19 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"),
         col("first_ts"), col("last_ts"))
+
+  /** Stream-stream INTERVAL JOIN shape: left rows matched to right rows
+    * with `keyEq` satisfied and `rTs` within [lTs - lookback, lTs].
+    * Works identically on batch or streaming inputs; streaming callers
+    * watermark BOTH sides first — the bounded time range is exactly what
+    * lets Spark evict join state, so executor state stays O(rows inside
+    * the lookback window) instead of O(stream history). Batch runs of the
+    * same expression are the oracle (s5 at the driver gate; stream-vs-
+    * batch equivalence in StreamingSpec). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+      lTs: Column, rTs: Column, lookback: String): DataFrame =
+    left.join(right,
+      keyEq && rTs >= lTs - expr(s"INTERVAL $lookback") && rTs <= lTs)
 
   case class Ping(user_id: Long, ts: Timestamp)
   case class Gap(user_id: Long, last_seen: Timestamp, silent_ms: Long)

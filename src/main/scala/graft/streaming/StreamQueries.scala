@@ -91,7 +91,39 @@ object StreamQueries {
       |  COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
+  // ---- s5: stream-stream interval join (attribution: each click joined
+  // to same-user views in the preceding 6 h). The batch run here is
+  // hash-verified; the identical expression under watermarks on two
+  // MemoryStreams is asserted equal in StreamingSpec. ----
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    EventStreams.intervalJoin(clicks, views,
+        col("user_id") === col("view_user"),
+        col("click_ts"), col("view_ts"), "6 hours")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
+  private val s5Oracle =
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |  c.ts AS click_ts, v.ts AS view_ts,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events c JOIN events v ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+      |ORDER BY c.user_id, click_id, view_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s5_interval_join", s5, Some(s5Oracle)),
     QueryDef("s1_event_deltas", s1, Some(s1Oracle)),
     QueryDef("s2_tumbling_hour", s2, Some(s2Oracle)),
     QueryDef("s3_sliding_2h1h", s3, Some(s3Oracle)),

@@ -165,6 +165,53 @@ class PipelineSpec extends SparkSpec {
     assert(surv.values.toSet == Set(1L, 10L, 20L, 99L))
   }
 
+  test("ivf k-means refinement improves the quantization objective") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // initial quantizer exactly as ivfTopK builds it
+    val centRows = corpus
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(16).collect()
+    val labels = centRows.map(_.getLong(0))
+    val init = centRows.map(_.getSeq[Double](1).toArray)
+    val refined = Similarity.kmeansRefine(corpus, "v", init, labels, iters = 2)
+    // objective: mean best-centroid cosine, computed with independent math
+    val vecs = corpus.collect().map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def obj(cs: Array[Array[Double]]): Double =
+      vecs.map(v => cs.map(cos(v, _)).max).sum / vecs.length
+    val (o0, o1) = (obj(init), obj(refined))
+    assert(o1 > o0, s"refinement did not improve objective: $o0 -> $o1")
+    // end-to-end: refined quantizer still serves full top-k
+    val r = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      nlist = 16, nprobe = 4, refineIters = 1)
+    assert(r.count() === 100)
+  }
+
+  test("components releases its per-round checkpoint blocks (r2 leak regression)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    // chain forces ≥2 propagation rounds, so intermediate checkpoints exist
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs, "doc_a", "doc_b")
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === 1L && got(11L) === 10L)
+    val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+    // only the RETURNED labels' final checkpoint may stay pinned — every
+    // intermediate round and the edge list must have been unpersisted
+    assert(pinned.size <= 1, s"leaked persistent RDDs: $pinned")
+    pinned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   test("int8 quantization: small cosine error, top-5 mostly preserved") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val deq = emb.select(col("vec_id"),

@@ -156,6 +156,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().forall(_.getAs[Long]("joules") === 3540L))
   }
 
+  test("stream-stream interval join == batch interval join on same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    def ts(min: Long) = new Timestamp(t0 + min * 60000)
+    // clicks at 10/70/200 min; views at 0/5/65/199/201 min for user 1,
+    // plus a decoy user-2 view that must never match user-1 clicks.
+    val clickRows = Seq((1L, 100L, ts(10)), (1L, 101L, ts(70)),
+      (1L, 102L, ts(200)), (2L, 103L, ts(10)))
+    val viewRows = Seq((1L, 200L, ts(0)), (1L, 201L, ts(5)),
+      (1L, 202L, ts(65)), (1L, 203L, ts(199)), (1L, 204L, ts(201)),
+      (2L, 205L, ts(8)))
+    def shape(df: org.apache.spark.sql.DataFrame, id: String, t: String) =
+      df.toDF("u", "e", "t").select(col("u"), col("e").as(id),
+        col("t").as(t))
+    val lin = MemoryStream[(Long, Long, Timestamp)]
+    val rin = MemoryStream[(Long, Long, Timestamp)]
+    lin.addData(clickRows: _*)
+    rin.addData(viewRows: _*)
+    val joined = EventStreams.intervalJoin(
+      shape(lin.toDF().withWatermark("_3", "10 minutes"), "click_id", "click_ts"),
+      shape(rin.toDF().withWatermark("_3", "10 minutes"), "view_id", "view_ts")
+        .withColumnRenamed("u", "vu"),
+      col("u") === col("vu"), col("click_ts"), col("view_ts"), "1 hour")
+      .select("u", "click_id", "view_id")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.intervalJoin(
+      shape(clickRows.toDF(), "click_id", "click_ts"),
+      shape(viewRows.toDF(), "view_id", "view_ts").withColumnRenamed("u", "vu"),
+      col("u") === col("vu"), col("click_ts"), col("view_ts"), "1 hour")
+      .select("u", "click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // and the batch semantics are what we think: 10-min click sees both
+    // early views, 70-min click sees 65-min view only, 200-min click sees
+    // 199 (not 201 — future), user 2 isolated.
+    assert(batch === Set((1L, 100L, 200L), (1L, 100L, 201L),
+      (1L, 101L, 202L), (1L, 102L, 203L), (2L, 103L, 205L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
