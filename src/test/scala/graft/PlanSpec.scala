@@ -126,6 +126,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("d12: stratified sample — one scan, one hash shuffle (the stratum window)") {
+    val df = run("d12_stratified_sample")
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).size === 1, s"documents scanned twice:\n$p")
+    // per-stratum rank + count need exactly one hash exchange on lang;
+    // the only other exchange is the output sort's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"stratified sampling should shuffle once on the stratum key:\n$p")
+  }
+
+  test("q38: moment sums — single scan, pruned to the three used columns") {
+    val df = run("q38_corr_moments")
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).size === 1, s"lineitem scanned twice:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string,l_discount:double>")
+      || p.contains("ReadSchema: struct<l_quantity:double,l_discount:double,l_returnflag:string>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("s5: interval join is an equi-join with range residual, not a cartesian") {
+    val df = run("s5_interval_join")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a product join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"no hash/merge join in:\n$p")
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then
