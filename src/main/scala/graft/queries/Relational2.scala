@@ -450,7 +450,35 @@ object Relational2 {
       |  true AS builtin_ok
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---- q39: approximate percentile (GK sketch) — the streaming/partial-
+  // aggregatable complement of q17's exact percentile. Certified like
+  // q27/q37: the exact interpolated percentile (already proven
+  // bit-equal to DuckDB quantile_cont by q17) plus a Spark-computed
+  // envelope boolean on the sketch; the oracle emits the exact value and
+  // literal TRUE. Tolerance 2.0 on a 1..50-valued column is ~40× the
+  // worst rank error at accuracy 1000 on sf0.1. ----
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("approx_p50"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.95)").as("exact_p95"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        (abs(col("approx_p50") - col("exact_p50")) <= 2.0)
+          .as("approx_within_tol"))
+      .orderBy("l_returnflag")
+
+  private val q39Oracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS exact_p50,
+      |  quantile_cont(l_quantity, 0.95) AS exact_p95,
+      |  true AS approx_within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q39_approx_percentile", q39, Some(q39Oracle)),
     QueryDef("q36_window_extras", q36, Some(q36Oracle)),
     QueryDef("q37_sketch_rollup", q37, Some(q37Oracle)),
     QueryDef("q38_corr_moments", q38, Some(q38Oracle)),

@@ -56,4 +56,16 @@ object Formats {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC round-trip — the columnar alternative to parquet for engines
+    * standardized on the Hive stack. Same pushdown/pruning behavior
+    * (predicate pushdown, column projection, zlib/zstd); schema explicit
+    * on read for the same reasons as the text formats. */
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      compression: String = "zstd"): Unit =
+    df.write.option("compression", compression).mode("overwrite").orc(path)
 }

@@ -28,6 +28,20 @@ class FormatsSpec extends SparkSpec {
       nation.exceptAll(back).count() == 0)
   }
 
+  test("orc round-trip preserves rows and schema, filters push down") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Formats.writeOrc(nation, dir)
+    val back = Formats.readOrc(spark, dir, nation.schema)
+    assert(back.schema == nation.schema)
+    assert(back.exceptAll(nation).count() == 0 &&
+      nation.exceptAll(back).count() == 0)
+    // the same pushdown contract the parquet scans get
+    val p = back.filter(col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]"),
+      s"ORC scan did not push the filter:\n$p")
+  }
+
   test("malformed csv rows land in _corrupt_record, valid rows survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bad").toString
     java.nio.file.Files.writeString(
