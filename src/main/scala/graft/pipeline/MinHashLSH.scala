@@ -24,9 +24,14 @@ object MinHashLSH {
   /** Prime just above 2^32 for the permutation family. */
   private val P = 4294967311L
 
+  /** Prime exposed for oracle construction (d14 embeds the same modulus). */
+  val Modulus: Long = P
+
   /** Deterministic permutation constants: a_i odd < 2^30, b_i < 2^30, so
-    * a_i · h (h < 2^32) stays under 2^62 — no int64 overflow under ANSI. */
-  private def perms(n: Int): IndexedSeq[(Long, Long)] = {
+    * a_i · h (h < 2^32) stays under 2^62 — no int64 overflow under ANSI.
+    * Public so the d14 oracle can embed the identical (a_i, b_i) pairs as
+    * SQL literals (same fixed seed ⇒ same family everywhere). */
+  def perms(n: Int): IndexedSeq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     IndexedSeq.fill(n)(((rnd.nextInt(1 << 29).toLong << 1) | 1L,
       rnd.nextInt(1 << 30).toLong))
@@ -43,13 +48,17 @@ object MinHashLSH {
     * per seed and is the standard construction (universal hash family).
     */
   def signatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, numHashes: Int = 128): DataFrame = {
+      k: Int = 5, numHashes: Int = 128,
+      shingleRows: (DataFrame, String, String, Int) => DataFrame =
+        TextAnalysis.hashedShingleRows): DataFrame = {
     // Shingles are hashed straight off the word columns (no shingle string,
     // no array_distinct — min() over a multiset equals min() over its set,
     // and TextAnalysis.hashedShingleRows keeps tokenize→generate→hash in
     // one codegen span). min()-aggregates over the exploded rows partial-
     // aggregate map-side, so the shuffle carries one row per doc.
-    val hashed = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
+    // `shingleRows` swaps in TextAnalysis.shaShingleRows for the
+    // oracle-replayable d14 variant (already < 2^32 — the mask is a no-op).
+    val hashed = shingleRows(df, textCol, idCol, k)
       .select(col("id"), col("shingle").bitwiseAND(lit(0xffffffffL)).as("h"))
       // One null-hash sentinel row per doc: min() ignores nulls, so docs
       // with shingles are unaffected while docs with < k tokens (which
@@ -84,7 +93,9 @@ object MinHashLSH {
     * maxDf caps Dedup.jaccardPairs. */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      estThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+      estThreshold: Double = 0.5, maxBucket: Int = 200,
+      shingleRows: (DataFrame, String, String, Int) => DataFrame =
+        TextAnalysis.hashedShingleRows): DataFrame = {
     val rowsPerBand = numHashes / bands
     // No .cache(): signatures() ends in a hash aggregate whose Exchange
     // subtree is identical in all three consumers below (banding + the two
@@ -93,7 +104,7 @@ object MinHashLSH {
     // replay only the final aggregation from its shuffle files. Unlike the
     // r2 .cache(), nothing stays pinned in the block manager after the
     // caller's action completes.
-    val sigs = signatures(df, textCol, idCol, k, numHashes)
+    val sigs = signatures(df, textCol, idCol, k, numHashes, shingleRows)
     val bd = banded(sigs, bands, rowsPerBand)
     val smallBuckets = bd.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))

@@ -261,6 +261,82 @@ object PipelineQueries {
     SimHash.pairs(docs(s, dir), "text", "doc_id")
       .orderBy("doc_a", "doc_b")
 
+  // ---- d13/d14: the CERTIFICATION variants of d8/d7 — the identical
+  // SimHash / MinHash-LSH pipelines with the per-token/per-shingle hash
+  // swapped from xxhash64 to a sha256 prefix DuckDB can replay, so the
+  // whole construction (bit votes → fingerprint → chunk pigeonhole join;
+  // permuted min-signatures → banded buckets → agreement estimate) is
+  // hash-verified end-to-end at the gate. maxBucket is uncapped here so
+  // the bucketed candidate set provably equals the oracle's all-pairs
+  // form (pigeonhole for Hamming ≤ 3; band-slice equality for LSH); the
+  // xxhash64 defaults with production caps remain the 100 TB path. ----
+  private def d13(s: SparkSession, dir: String): DataFrame =
+    SimHash.pairs(docs(s, dir), "text", "doc_id", maxHamming = 3,
+      maxBucket = Int.MaxValue, hashFn = SimHash.shaTokenHash, numBits = 60)
+      .orderBy("doc_a", "doc_b")
+
+  private val d13Oracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::BIGINT AS h FROM tok),
+      |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+      |votes AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN bits GROUP BY doc_id, b),
+      |fp0 AS (
+      |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fp
+      |  FROM votes GROUP BY doc_id),
+      |fp AS (
+      |  SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+      |  FROM documents d LEFT JOIN fp0 f USING (doc_id))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.candidatePairs(docs(s, dir), "text", "doc_id",
+      k = 5, numHashes = 64, bands = 16, estThreshold = 0.5,
+      maxBucket = Int.MaxValue, shingleRows = TextAnalysis.shaShingleRows)
+      .orderBy("doc_a", "doc_b")
+
+  private val d14Oracle: String = {
+    val mod = MinHashLSH.Modulus
+    val ps = MinHashLSH.perms(64)
+    val minExprs = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $mod) AS m$i"
+    }.mkString(", ")
+    val bandEq = (0 until 16).map { b =>
+      (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val agree = (0 until 64)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 5 THEN
+       |      list_transform(generate_series(1, len(ws) - 4),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+       |    ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM w),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS (SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM u),
+       |sig AS (
+       |  SELECT doc_id, $minExprs
+       |  FROM hs GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ROUND(($agree) / 64.0, 6) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ($bandEq))
+       |SELECT doc_a, doc_b, est_jaccard FROM p
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- e1: brute-force cosine top-k (the ANN baseline). ----
   private def e1(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -499,6 +575,8 @@ object PipelineQueries {
     QueryDef("d10_hash_split", d10, Some(d10Oracle)),
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
+    QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
+    QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),

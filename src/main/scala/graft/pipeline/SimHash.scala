@@ -20,6 +20,14 @@ object SimHash {
   def tokenHashes(textCol: Column): Column =
     transform(TextAnalysis.words(textCol), t => xxhash64(t))
 
+  /** Cross-engine-replayable token hash: first 15 hex chars (60 bits) of
+    * sha256, parsed as an integer — DuckDB computes the identical value via
+    * ('0x' || substr(sha256(t), 1, 15))::BIGINT, so a fingerprint built on
+    * it is fully oracle-checkable (d13). ~20× the per-token cost of
+    * xxhash64; the xxhash64 default stays the 100 TB path (d8). */
+  def shaTokenHash(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
+
   /** Fingerprint from a precomputed token-hash array column. */
   def simhashFromHashes(hs: Column): Column = {
     val bitCols = (0 until 63).map { b =>
@@ -39,9 +47,10 @@ object SimHash {
   def simhash(textCol: Column): Column =
     simhashFromHashes(tokenHashes(textCol))
 
-  /** 16-bit chunk c (0..3) of a fingerprint — the LSH band key. */
-  def chunk(fp: Column, c: Int): Column =
-    shiftrightunsigned(fp, c * 16).bitwiseAND(0xFFFFL)
+  /** Chunk c (0..3) of a fingerprint, `width` bits each — the LSH band
+    * key. Four chunks always cover all fingerprint bits (pigeonhole). */
+  def chunk(fp: Column, c: Int, width: Int = 16): Column =
+    shiftrightunsigned(fp, c * width).bitwiseAND(lit((1L << width) - 1))
 
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -52,18 +61,19 @@ object SimHash {
     * form evaluates interpreted per element; this form partial-aggregates
     * map-side and shuffles one row per doc). Docs with zero tokens get
     * fingerprint 0, matching the Column form's empty-fold. */
-  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+      hashFn: Column => Column = xxhash64(_), numBits: Int = 63): DataFrame = {
     val tok = df
       .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val sumCols = (0 until 63).map { b =>
+      .select(col("id"), hashFn(col("t")).as("h"))
+    val sumCols = (0 until numBits).map { b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"s$b")
     }
     val folded = tok.groupBy(col("id"))
       .agg(sumCols.head, sumCols.tail: _*)
       .select(col("id"),
-        (0 until 63).map(b =>
+        (0 until numBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
     df.select(col(idCol).as("id")).distinct()
@@ -72,10 +82,12 @@ object SimHash {
   }
 
   def pairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val fps = fingerprints(df, textCol, idCol)
+      maxHamming: Int = 3, maxBucket: Int = 200,
+      hashFn: Column => Column = xxhash64(_), numBits: Int = 63): DataFrame = {
+    val width = (numBits + 3) / 4
+    val fps = fingerprints(df, textCol, idCol, hashFn, numBits)
     val chunked = fps.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(c => chunk(col("fp"), c)): _*)))
+      posexplode(array((0 until 4).map(c => chunk(col("fp"), c, width)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
     val ok = chunked.groupBy("chunk", "chunk_val")
       .agg(count(lit(1)).as("n"))

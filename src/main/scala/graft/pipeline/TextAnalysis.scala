@@ -42,6 +42,22 @@ object TextAnalysis {
         xxhash64((0 until k).map(j =>
           element_at(col("ws"), col("i") + lit(j))): _*).as("shingle"))
 
+  /** Cross-engine-replayable shingle rows: the k words ARE joined into a
+    * shingle string here (unlike [[hashedShingleRows]]), then hashed to a
+    * 32-bit value via the first 8 hex chars of sha256 — DuckDB reproduces
+    * it as ('0x' || substr(sha256(w1||' '||…), 1, 8))::BIGINT. This is the
+    * certification variant behind d14; the string build + crypto hash make
+    * it ~an order of magnitude more per-row work than the fused xxhash64
+    * form, which remains the 100 TB default. */
+  def shaShingleRows(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"),
+        explode(wordShingles(col("ws"), k)).as("s"))
+      .select(col("id"),
+        conv(substring(sha2(col("s"), 256), 1, 8), 16, 10)
+          .cast("long").as("shingle"))
+
   def nTokens(c: Column): Column = size(words(c))
 
   /** BPE-style pre-tokenizer pattern (the public GPT-2 shape: contraction
