@@ -155,6 +155,24 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), s"no hash/merge join in:\n$p")
   }
 
+  test("d6/d7: shared index/signature stage runs once via exchange reuse") {
+    // r2 regression lesson: these pipelines used .cache() for the
+    // multiply-referenced shingle index / signature table and leaked the
+    // blocks forever. The replacement contract is structural: the shared
+    // subtree ends in an Exchange that every consumer reuses, so the
+    // expensive scan→tokenize→hash stage executes once per query with
+    // job-scoped shuffle storage. Assert the plan actually says so.
+    for (q <- Seq("d6_jaccard_pairs", "d7_minhash_pairs")) {
+      val df = run(q)
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("ReusedExchange"),
+        s"$q no longer reuses its shared stage's exchange:\n$p")
+      assert(!p.contains("InMemoryTableScan"),
+        s"$q reintroduced a cache:\n$p")
+    }
+  }
+
   test("q2: selective scan stays inside whole-stage codegen") {
     val df = run("q2_selective_filter")
     df.collect() // finalize the adaptive plan — codegen markers appear then

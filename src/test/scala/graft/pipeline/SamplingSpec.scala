@@ -59,4 +59,18 @@ class SamplingSpec extends SparkSpec {
         s"stratum $lang: ${sampled(lang)} of $n")
     }
   }
+
+  test("stratified: sha and xxhash bucket families both give exact quotas, stable membership") {
+    for (fn <- Seq(Sampling.hashBucket _, Sampling.shaBucket _)) {
+      val a = Sampling.stratified(docs, "lang", "doc_id", 0.2, bucketFn = fn)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Sampling.stratified(docs.repartition(13), "lang", "doc_id", 0.2,
+        bucketFn = fn)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b, "membership changed under repartition")
+      val quotas = docs.groupBy("lang").count().collect()
+        .map(r => math.ceil(r.getLong(1) * 0.2).toLong).sum
+      assert(a.size.toLong == quotas)
+    }
+  }
 }
