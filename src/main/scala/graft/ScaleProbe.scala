@@ -37,6 +37,15 @@ object ScaleProbe {
     time("ivf256")(pipeline.Similarity
       .ivfTopK(big, "vec_id", "embedding", _ < nq, 5,
         nlist = 256, nprobe = 64).count())
+    // two-level assignment at the same nlist/scan fraction: per-row
+    // arithmetic ~(1+superProbe)·√nlist·d instead of nlist·d — the
+    // kernel for nlist ≫ 10³.
+    time("ivf256x2")(pipeline.Similarity
+      .ivfTopK(big, "vec_id", "embedding", _ < nq, 5,
+        nlist = 256, nprobe = 64, superProbe = 4).count())
+    time("ivf1024x2")(pipeline.Similarity
+      .ivfTopK(big, "vec_id", "embedding", _ < nq, 5,
+        nlist = 1024, nprobe = 256, superProbe = 6).count())
     spark.stop()
   }
 }

@@ -140,7 +140,8 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+      nprobe: Int = 4, refineIters: Int = 0,
+      superProbe: Int = 0): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     // index build: deterministic sample — order by a hash of the id, first
@@ -186,13 +187,20 @@ object Similarity {
       (l, p)
     } else {
       // fused-kernel path: fixed-size codegen regardless of nlist.
+      // superProbe > 0 switches to the TWO-LEVEL kernel (Ivf2CellsExpr):
+      // per-row arithmetic drops from nlist·d to ~(1+superProbe)·√nlist·d
+      // — the configuration for nlist ≫ 10³ where even the flat kernel's
+      // per-row dot products dominate.
       import graft.functions.IvfCells.ivf_cells
+      import graft.functions.Ivf2Cells.ivf2_cells
+      def cellsOf(v: Column, np: Int): Column =
+        if (superProbe > 0) ivf2_cells(v, cents, centLabels, superProbe, np)
+        else ivf_cells(v, cents, centLabels, np)
       val l = corpus.withColumn("cell",
-        element_at(ivf_cells(col("nn_vec"), cents, centLabels, 1), 1))
+        element_at(cellsOf(col("nn_vec"), 1), 1))
       val p = corpus.filter(queryPred(col("nn_id")))
         .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
-          explode(ivf_cells(col("nn_vec"), cents, centLabels, nprobe))
-            .as("cell"))
+          explode(cellsOf(col("nn_vec"), nprobe)).as("cell"))
       (l, p)
     }
     val w = Window.partitionBy(col("q_id"))

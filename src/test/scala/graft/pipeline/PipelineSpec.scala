@@ -165,6 +165,20 @@ class PipelineSpec extends SparkSpec {
     assert(surv.values.toSet == Set(1L, 10L, 20L, 99L))
   }
 
+  test("two-level ivf (superProbe) keeps decent recall at a fraction of assignment cost") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      nlist = 100, nprobe = 25, superProbe = 4)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect two).size.toDouble / bf.size
+    assert(recall > 0.2, s"two-level recall@5 was $recall")
+    assert(two.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("ivf k-means refinement improves the quantization objective") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val corpus = emb.select(col("vec_id"),
