@@ -477,7 +477,33 @@ object Relational2 {
       |  true AS approx_within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q40: bloom-pruned join — the runtime-filter operator certified
+  // at the gate. The oracle is simply the PLAIN join: bloom false
+  // positives only re-admit rows the join drops, so the pruned join must
+  // hash-match it exactly; the pruning itself (map-side might_contain
+  // before the exchange, no shuffle added) is asserted in BloomPruneSpec.
+  // The dim is a selective orders slice (~3% of keys) — the shape where
+  // fact-side shuffle reduction pays at 100 TB. ----
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+    graft.operators.BloomPrune.prunedJoin(
+        t(s, dir, "lineitem"), dim, "l_orderkey", "o_orderkey",
+        expectedItems = 100000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .as("qty_e2"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q40Oracle =
+    """SELECT l_orderkey, l_linenumber, o_custkey,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_e2
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 37 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q40_bloom_pruned_join", q40, Some(q40Oracle)),
     QueryDef("q39_approx_percentile", q39, Some(q39Oracle)),
     QueryDef("q36_window_extras", q36, Some(q36Oracle)),
     QueryDef("q37_sketch_rollup", q37, Some(q37Oracle)),
