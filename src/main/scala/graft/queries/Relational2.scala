@@ -502,7 +502,29 @@ object Relational2 {
       |WHERE o_orderkey % 37 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- q41: Z-ORDER layout clustering — like q35 the CONTENT is
+  // partitioning-invariant (that's what the gate hashes); what the
+  // operator adds is the physical property: rows near in z-sequence are
+  // near in BOTH ship-date and order-key, so parquet zone maps prune
+  // range predicates on either column. Morton correctness and the 2×2
+  // tile property are asserted in ClusteringSpec; one-exchange plan
+  // shape in PlanSpec. ----
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.clusterZOrder(
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_shipdate")),
+      partCols = Seq("l_returnflag"),
+      dimA = datediff(col("l_shipdate"), lit("1992-01-01")),
+      dimB = col("l_orderkey"), bits = 12)
+
+  private val q41Oracle =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+      |FROM lineitem WHERE l_orderkey < 500""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q41_zorder_layout", q41, Some(q41Oracle)),
     QueryDef("q40_bloom_pruned_join", q40, Some(q40Oracle)),
     QueryDef("q39_approx_percentile", q39, Some(q39Oracle)),
     QueryDef("q36_window_extras", q36, Some(q36Oracle)),

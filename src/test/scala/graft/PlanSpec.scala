@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("q41: z-order layout — one exchange, partition-local sort, codegen z-key") {
+    val p = plan(run("q41_zorder_layout"))
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"z-order clustering must shuffle exactly once:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort snuck in:\n$p")
+    assert(p.contains("Sort ["), s"no sort in:\n$p")
+  }
+
   test("d12: stratified sample — one scan, one hash shuffle (the stratum window)") {
     val df = run("d12_stratified_sample")
     val p = plan(df)

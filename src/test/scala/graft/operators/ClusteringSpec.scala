@@ -41,4 +41,41 @@ class ClusteringSpec extends SparkSpec {
     assert(clustered.exceptAll(li).count() === 0)
     assert(li.exceptAll(clustered).count() === 0)
   }
+
+  test("zValue: matches reference Morton interleave, masks out-of-range input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((a >>> i) & 1L) << (2 * i)) | (((b >>> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(3)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (65536L, 2L), (123456L, 7L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("a", "b")
+      .select(Clustering.zValue(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect()
+    got.zip(cases).foreach { case (z, (a, b)) =>
+      assert(z === ref(a & 0xFFFF, b & 0xFFFF, 16), s"for ($a, $b)")
+    }
+  }
+
+  test("z-order locality: every aligned run of 4 in z-sequence is a 2x2 tile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 16x16 grid; sort by z; positions 4k..4k+3 must form an aligned 2x2
+    // box — the block property that makes zone maps prune BOTH dimensions.
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val sorted = grid.toDF("x", "y")
+      .withColumn("z", Clustering.zValue(col("x"), col("y"), 4))
+      .orderBy("z")
+      .as[(Long, Long, Long)].collect()
+    assert(sorted.length === 256)
+    sorted.grouped(4).foreach { tile =>
+      val xs = tile.map(_._1); val ys = tile.map(_._2)
+      assert(xs.max - xs.min <= 1 && ys.max - ys.min <= 1,
+        s"z-run not a 2x2 tile: ${tile.mkString(",")}")
+    }
+  }
 }
