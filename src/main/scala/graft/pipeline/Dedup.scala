@@ -63,6 +63,11 @@ object Dedup {
     // list; only the RETURNED labels' blocks stay (the caller's action
     // reads them; localCheckpoint data is unrecoverable once dropped, so
     // releasing those too would make the result unreadable).
+    // Ownership = snapshot diff of the context's persistent RDDs: blocks
+    // persisted BEFORE this call are never touched. Two components()
+    // calls racing on ONE session could free each other's round blocks —
+    // run concurrent instances on separate sessions; the failure mode is
+    // a recompute error in the in-flight round, never a wrong result.
     val sc = pairs.sparkSession.sparkContext
     val foreign = sc.getPersistentRDDs.keySet.toSet
     def owned: Set[Int] = sc.getPersistentRDDs.keySet.toSet -- foreign
