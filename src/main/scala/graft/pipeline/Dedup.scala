@@ -49,6 +49,26 @@ object Dedup {
     * coordination only (one `count()` per round); all data work is
     * distributed. Returns (id, component) with component = min id reachable.
     */
+  /** Lazy localCheckpoint plus the ids of the RDD blocks it registered —
+    * captured by a before/after snapshot around THIS call only. Frees
+    * against these ids touch exactly the blocks this checkpoint created;
+    * blocks persisted by anything else on the session are never in the
+    * set unless another thread persists inside this call's microsecond
+    * snapshot window (the residual race; callers needing hard isolation
+    * run on their own session). */
+  private def checkpointOwning(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint(false)
+    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def free(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     // Lazy localCheckpoint (materialized by each round's single count()
@@ -63,34 +83,25 @@ object Dedup {
     // list; only the RETURNED labels' blocks stay (the caller's action
     // reads them; localCheckpoint data is unrecoverable once dropped, so
     // releasing those too would make the result unreadable).
-    // Ownership = snapshot diff of the context's persistent RDDs: blocks
-    // persisted BEFORE this call are never touched. Two components()
-    // calls racing on ONE session could free each other's round blocks —
-    // run concurrent instances on separate sessions; the failure mode is
-    // a recompute error in the in-flight round, never a wrong result.
-    val sc = pairs.sparkSession.sparkContext
-    val foreign = sc.getPersistentRDDs.keySet.toSet
-    def owned: Set[Int] = sc.getPersistentRDDs.keySet.toSet -- foreign
-    def free(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // Ownership: every checkpoint's block ids are captured at its own
+    // call site ([[checkpointOwning]]), so frees are scoped to blocks
+    // this invocation created — concurrent persists elsewhere on the
+    // session are untouched outside the snapshot windows.
     // No distinct(): min-label propagation is idempotent to duplicate
     // edges (min over a bag = min over its set), so deduplicating the
     // doubled edge list would be a pure-overhead shuffle of the largest
     // intermediate in the query.
-    val edges = pairs
+    val (edges, edgeIds) = checkpointOwning(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(false)
-    val edgeIds = owned
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     // Init folds the first propagation round in: label = min(self, direct
     // neighbors) from one aggregate over edges (also yields the node set,
     // no separate distinct). Duplicate-clique components — the common case
     // in near-dup graphs — are final immediately.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("nbr_min"))
-      .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
-      .localCheckpoint(false)
-    var prevRound = owned -- edgeIds
+    var (labels, prevRound) = checkpointOwning(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nbr_min"))
+        .select(col("id"), least(col("id"), col("nbr_min")).as("component")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -100,19 +111,19 @@ object Dedup {
         .agg(min(col("component")).as("nbr_min"))
       // One action per round: the convergence count doubles as the job
       // that materializes the round's checkpoint.
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(false)
+      val (next, nextIds) = checkpointOwning(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"), col("component").as("old"),
+            least(col("component"),
+              coalesce(col("nbr_min"), col("component"))).as("component")))
       changed = next.filter(col("component") < col("old")).count()
       labels = next.select("id", "component")
       // next is materialized; the previous round's labels are dead.
-      free(prevRound)
-      prevRound = owned -- edgeIds
+      free(labels, prevRound)
+      prevRound = nextIds
       iter += 1
     }
-    free(edgeIds)
+    free(labels, edgeIds)
     labels
   }
 
@@ -125,6 +136,57 @@ object Dedup {
       .join(comp, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("component"), col("id")).as("keep_id"))
+  }
+
+  /** The composed end-to-end near-dup dedup pipeline — the query a
+    * training-data user actually runs (SURVEY §2b): MinHash-LSH candidate
+    * generation → EXACT Jaccard verification restricted to the candidate
+    * set → connected components → survivors.
+    *
+    * Scale shape: the expensive exact verification (inverted-index
+    * self-join) never sees the full corpus — the corpus is first
+    * semi-joined down to documents the LSH flagged (at realistic near-dup
+    * rates a few percent of 100 TB), so the quadratic-ish exact step runs
+    * on the small flagged slice while the full corpus is touched only by
+    * the constant-size-signature LSH pass and the final survivors
+    * left-join. Verified pairs are then the candidate∩exact set (the
+    * est_jaccard screen can overshoot; exact Jaccard has the final say),
+    * closed into components, and every document maps to its component's
+    * minimum id. Note the df-cap inside the exact step is computed over
+    * the flagged slice, not the corpus — more faithful anyway, since the
+    * cap exists to bound THIS join's bucket blow-up.
+    *
+    * Returns (idCol, keep_id) for EVERY input document (unflagged or
+    * unverified documents keep themselves).
+    */
+  def nearDupPipeline(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, threshold: Double = 0.6, numHashes: Int = 64,
+      bands: Int = 16, estThreshold: Double = 0.5, maxBucket: Int = 200,
+      maxDf: Int = 100,
+      shingleRows: (DataFrame, String, String, Int) => DataFrame =
+        TextAnalysis.hashedShingleRows): DataFrame = {
+    // The candidate list is tiny relative to the corpus (that is the point
+    // of LSH), but its PLAN is the whole signature pipeline — and three
+    // consumers reference it (member set, exact-verify restriction, final
+    // pair screen). Checkpoint it once so the LSH pass runs once, not
+    // three times. Scoped lifecycle (r2 lesson): survivors() → components()
+    // materializes everything downstream eagerly during this call, after
+    // which the candidate blocks are dead — freed in the finally; the
+    // returned DataFrame reads only the corpus scan and the components
+    // labels checkpoint.
+    val (cands, candIds0) = checkpointOwning(
+      MinHashLSH.candidatePairs(df, textCol, idCol, k, numHashes,
+        bands, estThreshold, maxBucket, shingleRows)
+        .select(col("doc_a"), col("doc_b")))
+    try {
+      val candIds = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
+        .distinct()
+      val flagged = df.join(candIds, col(idCol) === col("cid"), "left_semi")
+      val verified = jaccardPairs(flagged, textCol, idCol, k, threshold, maxDf)
+        .join(cands, Seq("doc_a", "doc_b"))
+      survivors(df, verified, idCol)
+    } finally free(cands, candIds0)
   }
 
   /** Exact n-gram Jaccard similar pairs: J(a,b) >= threshold, a < b.

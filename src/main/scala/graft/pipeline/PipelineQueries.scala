@@ -337,6 +337,87 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- d15: the COMPOSED end-to-end near-dup dedup pipeline — LSH
+  // candidates (sha family, as d14) → exact Jaccard verification
+  // restricted to the flagged slice → connected components → survivors.
+  // The oracle replays all four stages: the d14 signature/band algebra
+  // picks the candidate pairs, the d6 inverted-index Jaccard (computed
+  // over candidate members only, df-cap included) verifies them, and the
+  // d11 recursive-CTE closure maps every document to its cluster minimum.
+  // maxBucket uncapped like d14 so bucketed candidates provably equal the
+  // oracle's band-equality pairs; the xxhash64 defaults with production
+  // caps remain the 100 TB path (exercised by d7 + PipelineSpec). ----
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPipeline(docs(s, dir), "text", "doc_id",
+      k = 5, threshold = 0.6, numHashes = 64, bands = 16,
+      estThreshold = 0.5, maxBucket = Int.MaxValue, maxDf = 100,
+      shingleRows = TextAnalysis.shaShingleRows)
+      .orderBy("doc_id")
+
+  private val d15Oracle: String = {
+    val mod = MinHashLSH.Modulus
+    val ps = MinHashLSH.perms(64)
+    val minExprs = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $mod) AS m$i"
+    }.mkString(", ")
+    val bandEq = (0 until 16).map { b =>
+      (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val agree = (0 until 64)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ws) >= 5 THEN
+       |      list_transform(generate_series(1, len(ws) - 4),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+       |  FROM w),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS (SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM u),
+       |sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ($bandEq) AND ROUND(($agree) / 64.0, 6) >= 0.5),
+       |cdocs AS (
+       |  -- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+       |  -- list DuckDB 1.0.0 skips the UNION dedup for non-recursive CTEs
+       |  -- (d11's edges tolerate that; a membership set must not).
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL SELECT doc_b FROM cand)),
+       |idx AS (
+       |  SELECT sh.doc_id, unnest(sh.shingles) AS shingle
+       |  FROM sh JOIN cdocs USING (doc_id)),
+       |df_ok AS (
+       |  SELECT shingle FROM idx GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+       |f AS (SELECT idx.* FROM idx JOIN df_ok USING (shingle)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT sh.doc_id, len(shingles) AS n FROM sh JOIN cdocs USING (doc_id)),
+       |jp AS (
+       |  SELECT p.id_a, p.id_b FROM p
+       |  JOIN sizes sa ON p.id_a = sa.doc_id
+       |  JOIN sizes sb ON p.id_b = sb.doc_id
+       |  JOIN cand c ON p.id_a = c.doc_a AND p.id_b = c.doc_b
+       |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION SELECT id_b, id_a FROM jp),
+       |cc AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+       |SELECT id AS doc_id, MIN(comp) AS keep_id FROM cc
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- e1: brute-force cosine top-k (the ANN baseline). ----
   private def e1(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -577,6 +658,7 @@ object PipelineQueries {
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
     QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),
+    QueryDef("d15_neardup_pipeline", d15, Some(d15Oracle)),
     QueryDef("e1_cosine_topk", e1, Some(e1Oracle)),
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),

@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size <= exact.size * 3 + 10)
   }
 
+  test("nearDupPipeline (production xxhash64 path) composes candidates→verify→components→survivors") {
+    // Survivors from the composed pipeline must agree with the reference
+    // composition computed the long way: exact Jaccard restricted to the
+    // LSH candidate set, closed into components.
+    val cands = MinHashLSH.candidatePairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b")
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", k = 5,
+      threshold = 0.6, maxDf = 100)
+    // NOTE: the pipeline computes the df-cap over the FLAGGED slice; on
+    // these fixtures (small corpus, caps not binding) the verified pair
+    // sets coincide, which is what makes this reference comparison valid.
+    val verifiedRef = exact.join(cands, Seq("doc_a", "doc_b"))
+    val expected = Dedup.survivors(docs, verifiedRef, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.nearDupPipeline(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+    // and it actually deduplicates something on the fixtures
+    assert(got.exists { case (id, keep) => keep < id })
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large for unrelated") {
     import spark.implicits._
     val df = Seq(
