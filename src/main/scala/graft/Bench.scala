@@ -54,7 +54,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).replaceAll("[\"\\n\\r]", " ").take(120)
+              String.valueOf(e.getMessage).take(120)
             None
         }
         sweep()
@@ -66,14 +66,34 @@ object Bench {
         f"[bench] $name%-24s min $best%8.2f s  spread $spread%6.2f s  (${times.size}/$reps ok)")
       (name, best, spread)
     }
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map(r => r._1 -> r._2))
-    val spreads = jmap(results.map(r => r._1 -> r._3))
-    val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\") + "\"")
-      .mkString("[", ",", "]")
+    def jmap(kv: Seq[(String, Double)], fmt: Double => String): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Compact time format for the stdout line: ~3 significant digits,
+    // locale-pinned. The driver's artifact keeps only the LAST 2000 chars
+    // of output, so the whole JSON line must fit there or the per-query
+    // block is truncated away (r1–r3 all lost it); full precision lives in
+    // bench.json instead.
+    def fmtT(t: Double): String =
+      if (t < 0) "-1"
+      else java.lang.String.format(java.util.Locale.ROOT,
+        if (t >= 100) "%.0f" else if (t >= 10) "%.1f"
+        else "%.2f", Double.box(t))
+    val errJson = errors.map(e => Graft.jsonString(e)).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spreads,"errors":$errJson,"sf":"$sfDir"}""")
+    // Full-precision artifact (times + spreads + reps) written to the repo
+    // root, where the per-round auto-commit preserves it whole.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
+      jmap(results.map(r => r._1 -> r._3), _.toString)},"errors":$errJson,"sf":${
+      Graft.jsonString(sfDir)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
+    System.err.println(s"[bench] full-precision artifact: bench.json (${full.length} chars)")
+    val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    val compact = s"""{"metric":"total","value":${fmtT(total)},"unit":"sec","queries":${
+      jmap(results.map(r => r._1 -> r._2), fmtT)},"sf":${
+      Graft.jsonString(sfDir.split('/').last)}$errField}"""
+    System.err.println(s"[bench] stdout line: ${compact.length} chars (must stay < ~1900)")
+    println(compact)
     spark.stop()
   }
 }

@@ -33,6 +33,19 @@ object Graft {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** JSON string literal (quotes included): escapes backslash, quote, and
+    * ALL control chars < 0x20 — a tab or CR in an exception message or in
+    * builder-authored SQL must not invalidate a single-line artifact. */
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def session(): SparkSession = {
     val s = sessionBuilder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
