@@ -66,11 +66,71 @@ object Sampling {
       math.round(fraction * Buckets))
 
   /** Stratified exact sample: per stratum, keep ceil(fraction × |stratum|)
-    * rows, selected in hash order (deterministic). One shuffle on the
-    * stratum key; rank via WindowGroupLimit-eligible row_number.
-    * `bucketFn` picks the hash family: [[hashBucket]] (xxhash64, fastest)
-    * or [[shaBucket]] (cross-engine-replayable, oracle-checkable). */
+    * rows, selected in (hash-bucket, key) order — deterministic, stable
+    * across runs and layouts. `bucketFn` picks the hash family:
+    * [[hashBucket]] (xxhash64, fastest) or [[shaBucket]] (cross-engine-
+    * replayable, oracle-checkable).
+    *
+    * Two-phase EXACT selection, no per-stratum full sort (a hot stratum
+    * at 100 TB must not become one window task):
+    *
+    *   1. histogram: rows per (stratum, bucket) — a hash aggregate with
+    *      map-side partials, ≤ 10000 rows per stratum however large the
+    *      stratum. A prefix-sum window over the HISTOGRAM finds each
+    *      stratum's threshold bucket `_tb`: all rows in buckets < `_tb`
+    *      are in, and `_take` rows of bucket `_tb` complete the quota.
+    *   2. selection: buckets below the threshold pass with a filter (no
+    *      sort at all); only the single threshold bucket — ~1/10000 of
+    *      the stratum — is ranked by key for the exact remainder.
+    *
+    * The selected set is IDENTICAL to ranking the whole stratum by
+    * (bucket, key) and keeping the first ceil(n·fraction) rows (the
+    * [[stratifiedBySort]] reference form; equality is spec-asserted, and
+    * the d12 oracle replays exactly that ranking). Null keys hash to a
+    * null bucket, which sorts first in the reference form — mapped to
+    * bucket -1 here to match. Reserved column names `_s _bkt _tb _take
+    * _rk` must not collide with `df`'s.
+    */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+      fraction: Double, seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val tagged = df.withColumn("_bkt",
+      coalesce(bucketFn(col(keyCol), seed), lit(-1L)))
+    // Phase 1 — per-stratum bucket histogram (bounded: ≤ Buckets+1 rows
+    // per stratum), prefix sums over it, threshold bucket + remainder.
+    val hist = tagged.groupBy(col(stratumCol).as("_s"), col("_bkt"))
+      .agg(count(lit(1)).as("_bn"))
+    val wAll = Window.partitionBy(col("_s"))
+    val wCum = wAll.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("_cum", sum(col("_bn")).over(wCum))
+      .withColumn("_quota", ceil(sum(col("_bn")).over(wAll) * fraction))
+      .filter(col("_cum") >= col("_quota"))
+      .withColumn("_rn", row_number().over(wAll.orderBy(col("_bkt"))))
+      .filter(col("_rn") === 1)
+      .select(col("_s"), col("_bkt").as("_tb"),
+        (col("_quota") - col("_cum") + col("_bn")).as("_take"))
+    // Phase 2 — join the tiny per-stratum threshold row back (null-safe:
+    // a null stratum is a stratum), filter below-threshold buckets
+    // through, rank only the threshold bucket.
+    val withThr = tagged.join(thr, col(stratumCol) <=> col("_s"))
+    val below = withThr.filter(col("_bkt") < col("_tb"))
+    val atThr = withThr.filter(col("_bkt") === col("_tb"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_s")).orderBy(col(keyCol))))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk")
+    below.unionByName(atThr).drop("_s", "_bkt", "_tb", "_take")
+  }
+
+  /** Reference form of [[stratified]]: rank the WHOLE stratum by
+    * (bucket, key) through one window. Identical selected set; kept as
+    * the readable specification and for the equality spec — at scale a
+    * hot stratum makes this a single-task sort, so production code uses
+    * the two-phase form. */
+  def stratifiedBySort(df: DataFrame, stratumCol: String, keyCol: String,
       fraction: Double, seed: Long = 42L,
       bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
