@@ -34,6 +34,17 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding width from a one-row probe (bounded driver work: LIMIT 1,
+    * no shuffle). Widths are uniform by construction in an embedding
+    * table; a mixed-width table is caller error surfaced downstream. */
+  private def probeDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).limit(1).collect() match {
+      case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"cannot infer embedding width from '$vecCol' (empty table or " +
+          "null/empty first vector); pass dim explicitly")
+    }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred` on the id column), the k nearest other vectors.
     * The query side is broadcast — the corpus is scanned exactly once with
@@ -259,13 +270,19 @@ object Similarity {
     * query's bucket or any ≤2-bit flip of it (multi-probe). Returns the same
     * schema as bruteForceTopK; recall < 1 by construction — the number of
     * `bits` trades recall against scan fraction (probing covers
-    * 1+b+b(b-1)/2 of the 2^b buckets). */
+    * 1+b+b(b-1)/2 of the 2^b buckets).
+    *
+    * `dim` is the embedding width the hyperplanes are drawn at; 0 (the
+    * default) probes it from the data with a one-row lookup — hyperplanes
+    * of the wrong width would silently mis-project every vector. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, k: Int, bits: Int = 6): DataFrame = {
-    val dim = 64
+      queryPred: Column => Column, k: Int, bits: Int = 6,
+      dim: Int = 0): DataFrame = {
+    require(dim >= 0, "dim must be positive, or 0 to infer from the data")
+    val width = if (dim > 0) dim else probeDim(emb, vecCol)
     val sigged = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"),
-      lshSignature(asDouble(col(vecCol)), dim, bits).as("sig"))
+      lshSignature(asDouble(col(vecCol)), width, bits).as("sig"))
     val queries = sigged.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         col("sig").as("q_sig"))

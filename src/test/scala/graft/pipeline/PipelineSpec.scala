@@ -111,6 +111,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.2, s"recall@5 was $recall") // multi-probe 1-bit, 12 bits
   }
 
+  test("lsh ann at a non-64 embedding width: dim probed from data, recall holds") {
+    import spark.implicits._
+    // deterministic 16-dim embeddings: 10 cluster centers + small offsets,
+    // so true neighbors share a cluster and LSH must find them
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      val v = c.map(x => (x + (rnd.nextDouble() - 0.5) * 0.1).toFloat)
+      (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probed path (dim = 0 default) and explicit-width path must agree
+    val probed = Similarity.lshTopK(emb, "vec_id", "embedding", _ < 10, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.lshTopK(emb, "vec_id", "embedding", _ < 10, 5,
+      dim = dim)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == explicit)
+    val recall = (bf intersect probed).size.toDouble / bf.size
+    assert(recall > 0.5, s"recall@5 at dim=$dim was $recall")
+  }
+
   test("ivf ann achieves decent recall@5 vs brute force, scans a fraction") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
