@@ -547,6 +547,77 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e7: TWO-LEVEL IVF ANN (the nlist ≫ 10³ configuration) under the
+  // gate. nlist = 81 > 64 forces the fused kernel path, superProbe = 2
+  // engages Ivf2CellsExpr: score 9 super-centroids, descend into the
+  // children of the best 2, take the top-4 cells. The oracle replays the
+  // ENTIRE two-level construction in SQL: sha-ordered centroid sample
+  // with sample-order indexes, supers = first ceil(√81) = 9, child→super
+  // home assignment (cosine desc, larger super index on ties), per-vector
+  // super top-2 then child top-1 (corpus cells) / top-4 (query probes),
+  // bucket join, rounded cosine, per-query top-k. Cell assignment ranks
+  // UNROUNDED cosines on both sides — deterministic on the fixed fixtures
+  // (validated at sf0.01 and sf0.1); the output ranking itself uses the
+  // 6-dp rounded sim exactly like e5. ----
+  private def e7(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5,
+      nlist = 81, nprobe = 4, superProbe = 2)
+      .orderBy("q_id", "rank")
+
+  private val e7Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY sha, cid) - 1 AS cidx
+      |  FROM (SELECT vec_id AS cid, v AS cv,
+      |          sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 81)),
+      |supers AS (SELECT cidx AS sidx, cv AS sv FROM cents WHERE cidx < 9),
+      |home AS (
+      |  SELECT cid, cv, sidx FROM (
+      |    SELECT c.cid, c.cv, s.sidx,
+      |      ROW_NUMBER() OVER (PARTITION BY c.cidx ORDER BY
+      |        list_dot_product(c.cv, s.sv) /
+      |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |        s.sidx DESC) AS rn
+      |    FROM cents c CROSS JOIN supers s)
+      |  WHERE rn = 1),
+      |sup_top AS (
+      |  SELECT vec_id, sidx FROM (
+      |    SELECT e.vec_id, s.sidx,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |        s.sidx DESC) AS rn
+      |    FROM e CROSS JOIN supers s)
+      |  WHERE rn <= 2),
+      |ranked AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn
+      |  FROM (
+      |    SELECT st.vec_id, h.cid AS cell,
+      |      list_dot_product(e.v, h.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(h.cv, h.cv))) AS cs
+      |    FROM sup_top st JOIN e ON e.vec_id = st.vec_id
+      |    JOIN home h ON h.sidx = st.sidx)),
+      |cells AS (
+      |  SELECT e.vec_id, e.v, r.cell
+      |  FROM e JOIN ranked r ON e.vec_id = r.vec_id AND r.rn = 1),
+      |probes AS (
+      |  SELECT r.vec_id AS q_id, q.v AS qv, r.cell
+      |  FROM ranked r JOIN e q ON q.vec_id = r.vec_id
+      |  WHERE r.vec_id < 20 AND r.rn <= 4),
+      |cand AS (
+      |  SELECT p.q_id, s.vec_id AS nn_id,
+      |    ROUND(list_dot_product(p.qv, s.v) /
+      |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+      |  FROM probes p JOIN cells s ON p.cell = s.cell AND p.q_id <> s.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -663,6 +734,7 @@ object PipelineQueries {
     QueryDef("e2_knn_classify", e2, Some(e2Oracle)),
     QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),
     QueryDef("e5_ivf_ann", e5, Some(e5Oracle)),
+    QueryDef("e7_ivf2_ann", e7, Some(e7Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
