@@ -200,6 +200,50 @@ class StreamingSpec extends SparkSpec {
       (1L, 101L, 202L), (1L, 102L, 203L), (2L, 103L, 205L)))
   }
 
+  test("RocksDB state store: session state evicts under watermark advance (metrics-asserted)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateStores.rocksDb.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val in = MemoryStream[(Long, Timestamp)]
+      val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+      def ts(sec: Long) = new Timestamp(t0 + sec * 1000)
+      val sessions = EventStreams.sessions(
+        in.toDF().toDF("user_id", "ts").withWatermark("ts", "10 seconds"),
+        "30 seconds")
+      val q = sessions.writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode("append").start()
+      try {
+        // 20 users, two pings each → 20 open sessions held in state
+        in.addData((0L until 20L).flatMap(u => Seq((u, ts(0)), (u, ts(5)))): _*)
+        q.processAllAvailable()
+        // jump event time 10 minutes: watermark passes every session's
+        // close, all 20 must emit and their state rows must be EVICTED
+        in.addData((99L, ts(600)))
+        q.processAllAvailable()
+        in.addData((99L, ts(1200)))
+        q.processAllAvailable()
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val totals = progs.map(_.stateOperators(0).numRowsTotal)
+        assert(totals.max >= 20L, s"state never held the open sessions: ${totals.toSeq}")
+        assert(totals.last <= 2L,
+          s"state not evicted after watermark advance: ${totals.toSeq}")
+        assert(progs.exists(_.stateOperators(0).numRowsRemoved > 0L),
+          "no state removals reported")
+        // the provider actually engaged: rocksdb custom metrics present
+        import scala.jdk.CollectionConverters._
+        assert(progs.last.stateOperators(0).customMetrics.keySet.asScala
+          .exists(_.startsWith("rocksdb")), "RocksDB provider not engaged")
+        // and the emitted sessions are the right ones: 20 closed sessions
+        // of 2 events each for users 0..19, then user 99's first session
+        val out = spark.table("rocks_sessions")
+          .select("user_id", "n_events").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        assert(out.count(_._2 == 2L) >= 20)
+      } finally q.stop()
+    } finally StateStores.rocksDb.keys.foreach(spark.conf.unset)
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
