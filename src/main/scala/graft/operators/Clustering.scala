@@ -31,40 +31,57 @@ object Clustering {
   def localSort(df: DataFrame, sortCols: Seq[Column]): DataFrame =
     df.sortWithinPartitions(sortCols: _*)
 
-  /** Z-order (Morton) interleaving of two non-negative dimension values,
-    * `bits` bits each: bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i+1. Sorting by this single key clusters rows that are close in
-    * BOTH dimensions, so parquet zone maps (row-group min/max) prune
-    * range predicates on EITHER column — the layout trick single-column
-    * sorting can't give (sorting by a leaves b scattered across every
-    * row group). Pure bit arithmetic on built-in Column ops: stays in
-    * whole-stage codegen, no UDF, no shuffle of its own.
+  /** Z-order (Morton) interleaving of k non-negative dimension values,
+    * `bits` bits each: bit i of dimension j lands at position i·k + j.
+    * Sorting by this single key clusters rows that are close in EVERY
+    * dimension, so parquet zone maps (row-group min/max) prune range
+    * predicates on ANY of the columns — the layout trick single-column
+    * sorting can't give (sorting by one column leaves the others
+    * scattered across every row group; asserted against real parquet
+    * footers in ClusteringSpec). Pure bit arithmetic on built-in Column
+    * ops: stays in whole-stage codegen, no UDF, no shuffle of its own.
     *
     * Callers map each dimension to a bounded non-negative int first —
     * e.g. a day number, a bucket id, `ntile`, or a quantized measure.
-    * Inputs ≥ 2^bits fold into the top cell rather than corrupting
-    * neighbors (they are masked). */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    * Out-of-range inputs SATURATE: values ≥ 2^bits clamp to the top
+    * cell, negatives to cell 0, so a stray value lands at the edge of
+    * the space instead of scattering among in-range neighbors. */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val k = dims.size
+    require(k >= 1, "at least one dimension")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must fit a signed long: $k * $bits > 63")
     val mask = (1L << bits) - 1
-    val am = a.cast("long").bitwiseAND(lit(mask))
-    val bm = b.cast("long").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(am, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftrightunsigned(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val clamped = dims.map(d =>
+      least(greatest(d.cast("long"), lit(0L)), lit(mask)))
+    (for {
+      (d, j) <- clamped.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(d, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Two-dimensional [[zValueN]] (bit i of `a` at position 2i, of `b` at
+    * 2i+1). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits <= 31, "bits must be in [1, 31]")
+    zValueN(Seq(a, b), bits)
   }
 
   /** Cluster for multi-dimensional range scans: hash-partition on
-    * `partCols` (or round-robin when empty), then order each partition by
-    * the z-value of the two dimension columns. Same one-exchange plan
-    * shape as [[clusterForScan]], but zone maps now serve range
-    * predicates on both `dimA` and `dimB`. */
-  def clusterZOrder(df: DataFrame, partCols: Seq[String],
-      dimA: Column, dimB: Column, bits: Int = 16): DataFrame = {
+    * `partCols` (or keep the upstream partitioning when empty), then
+    * order each partition by the z-value of the dimension columns. Same
+    * one-exchange plan shape as [[clusterForScan]], but zone maps now
+    * serve range predicates on every dimension. */
+  def clusterZOrderN(df: DataFrame, partCols: Seq[String],
+      dims: Seq[Column], bits: Int = 16): DataFrame = {
     val keyed =
       if (partCols.nonEmpty) df.repartition(partCols.map(col): _*) else df
-    keyed.sortWithinPartitions(zValue(dimA, dimB, bits))
+    keyed.sortWithinPartitions(zValueN(dims, bits))
   }
+
+  /** Two-dimensional [[clusterZOrderN]]. */
+  def clusterZOrder(df: DataFrame, partCols: Seq[String],
+      dimA: Column, dimB: Column, bits: Int = 16): DataFrame =
+    clusterZOrderN(df, partCols, Seq(dimA, dimB), bits)
 }
