@@ -30,14 +30,12 @@ final class ParquetSink(baseDir: String,
   }
 }
 
-/** Cassandra connector shape (documented, not instantiable offline):
+/** Cassandra connector shape (config buildable and validated offline; the
+  * save itself needs the connector jar + a cluster):
   *
   * {{{
-  * df.write
-  *   .format("org.apache.spark.sql.cassandra")
-  *   .options(Map("keyspace" -> "disagg", "table" -> table))
-  *   .mode("append")
-  *   .save()
+  * val cfg = sink.writeConfig(table)   // validated, pure data
+  * df.write.format(cfg.format).options(cfg.options).mode(cfg.mode).save()
   * }}}
   *
   * Table layout mirrors the reference DDL: partition key `said`, clustering
@@ -46,9 +44,51 @@ final class ParquetSink(baseDir: String,
   * so plain INSERT overwrite semantics suffice — no non-idempotent
   * counter increments.
   */
-final class CassandraSinkShape(keyspace: String) extends SinkAdapter {
-  override def write(df: DataFrame, table: String): Unit =
+final class CassandraSinkShape(keyspace: String,
+    extraOptions: Map[String, String] = Map.empty) extends SinkAdapter {
+  import CassandraSinkShape._
+
+  /** The exact writer configuration the connector invocation would use —
+    * validated eagerly so a bad keyspace/table/option key fails at parse
+    * time in ANY environment, not at save time on a cluster. */
+  def writeConfig(table: String): WriteConfig = {
+    require(Identifier.matches(keyspace),
+      s"keyspace '$keyspace' is not a valid unquoted CQL identifier " +
+        "(lowercase alphanumeric/underscore, starts with a letter, <= 48 chars)")
+    require(Identifier.matches(table),
+      s"table '$table' is not a valid unquoted CQL identifier")
+    extraOptions.keys.foreach(k => require(
+      OptionKeys.contains(k) || k.startsWith("spark.cassandra."),
+      s"unknown connector option '$k' — documented keys: " +
+        OptionKeys.mkString(", ") + ", or any spark.cassandra.* conf"))
+    WriteConfig(Format,
+      Map("keyspace" -> keyspace, "table" -> table) ++ extraOptions,
+      mode = "append")
+  }
+
+  override def write(df: DataFrame, table: String): Unit = {
+    writeConfig(table) // config must parse even where the save cannot run
     throw new UnsupportedOperationException(
       "Cassandra connector not available in this offline environment; " +
-        "see scaladoc for the exact connector invocation.")
+        "writeConfig(table) carries the validated invocation.")
+  }
+}
+
+object CassandraSinkShape {
+  /** Writer invocation as pure data. */
+  final case class WriteConfig(format: String, options: Map[String, String],
+      mode: String)
+
+  /** DataSource V2 short name of the spark-cassandra-connector. */
+  val Format = "org.apache.spark.sql.cassandra"
+
+  /** Unquoted CQL identifier: lowercase start, alphanumeric/underscore,
+    * at most 48 chars. */
+  val Identifier = "^[a-z][a-z0-9_]{0,47}$".r
+
+  /** Per-write option keys the connector documents (beyond the
+    * spark.cassandra.* session confs, which pass through). */
+  val OptionKeys: Set[String] = Set(
+    "keyspace", "table", "cluster", "directJoinSetting", "confirm.truncate",
+    "ttl", "writetime")
 }
