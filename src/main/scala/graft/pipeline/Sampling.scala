@@ -74,22 +74,25 @@ object Sampling {
     * Two-phase EXACT selection, no per-stratum full sort (a hot stratum
     * at 100 TB must not become one window task):
     *
-    *   1. histogram: rows per (stratum, bucket) — a hash aggregate with
-    *      map-side partials, ≤ 10000 rows per stratum however large the
-    *      stratum. A prefix-sum window over the HISTOGRAM finds each
-    *      stratum's threshold bucket `_tb`: all rows in buckets < `_tb`
-    *      are in, and `_take` rows of bucket `_tb` complete the quota.
-    *   2. selection: buckets below the threshold pass with a filter (no
-    *      sort at all); only the single threshold bucket — ~1/10000 of
-    *      the stratum — is ranked by key for the exact remainder.
+    *   1. counting pass (column-pruned to stratum + key): rows per
+    *      (stratum, bucket) — a hash aggregate with map-side partials,
+    *      ≤ 10000 rows per stratum however large the stratum. Prefix
+    *      sums over the HISTOGRAM find each stratum's threshold bucket
+    *      `_tb` (all rows in buckets < `_tb` are in) and the remainder
+    *      `_take` that bucket `_tb` contributes.
+    *   2. selection pass: rank rows within their (stratum, BUCKET) group
+    *      — ~1/10000 of a stratum per window partition, so parallelism
+    *      is strata × buckets and no task ever sorts a whole stratum —
+    *      broadcast-join the one threshold row per stratum, and keep
+    *      `_bkt < _tb OR (_bkt = _tb AND _rk <= _take)` with one filter.
     *
     * The selected set is IDENTICAL to ranking the whole stratum by
     * (bucket, key) and keeping the first ceil(n·fraction) rows (the
     * [[stratifiedBySort]] reference form; equality is spec-asserted, and
     * the d12 oracle replays exactly that ranking). Null keys hash to a
     * null bucket, which sorts first in the reference form — mapped to
-    * bucket -1 here to match. Reserved column names `_s _bkt _tb _take
-    * _rk` must not collide with `df`'s.
+    * bucket -1 here to match. Reserved column names `_s _bkt _bn _tb
+    * _take _rk` must not collide with `df`'s.
     */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,
       fraction: Double, seed: Long = 42L,
@@ -98,7 +101,9 @@ object Sampling {
     val tagged = df.withColumn("_bkt",
       coalesce(bucketFn(col(keyCol), seed), lit(-1L)))
     // Phase 1 — per-stratum bucket histogram (bounded: ≤ Buckets+1 rows
-    // per stratum), prefix sums over it, threshold bucket + remainder.
+    // per stratum; the scan prunes to the stratum/key columns), prefix
+    // sums over it, threshold bucket + remainder. The windows here run
+    // over histogram rows only.
     val hist = tagged.groupBy(col(stratumCol).as("_s"), col("_bkt"))
       .agg(count(lit(1)).as("_bn"))
     val wAll = Window.partitionBy(col("_s"))
@@ -112,17 +117,15 @@ object Sampling {
       .filter(col("_rn") === 1)
       .select(col("_s"), col("_bkt").as("_tb"),
         (col("_quota") - col("_cum") + col("_bn")).as("_take"))
-    // Phase 2 — join the tiny per-stratum threshold row back (null-safe:
-    // a null stratum is a stratum), filter below-threshold buckets
-    // through, rank only the threshold bucket.
-    val withThr = tagged.join(thr, col(stratumCol) <=> col("_s"))
-    val below = withThr.filter(col("_bkt") < col("_tb"))
-    val atThr = withThr.filter(col("_bkt") === col("_tb"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("_s")).orderBy(col(keyCol))))
-      .filter(col("_rk") <= col("_take"))
-      .drop("_rk")
-    below.unionByName(atThr).drop("_s", "_bkt", "_tb", "_take")
+    // Phase 2 — rank within fine-grained (stratum, bucket) groups, then
+    // one null-safe broadcastable join of the per-stratum threshold row
+    // and one filter. No union, no re-scan per branch.
+    val ranked = tagged.withColumn("_rk", row_number().over(
+      Window.partitionBy(col(stratumCol), col("_bkt")).orderBy(col(keyCol))))
+    ranked.join(thr, col(stratumCol) <=> col("_s"))
+      .filter(col("_bkt") < col("_tb") ||
+        (col("_bkt") === col("_tb") && col("_rk") <= col("_take")))
+      .drop("_s", "_bkt", "_tb", "_take", "_rk")
   }
 
   /** Reference form of [[stratified]]: rank the WHOLE stratum by

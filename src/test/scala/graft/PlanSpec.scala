@@ -135,14 +135,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort ["), s"no sort in:\n$p")
   }
 
-  test("d12: stratified sample — one scan, one hash shuffle (the stratum window)") {
+  test("d12: stratified sample — two passes (pruned count + selection), no per-stratum sort") {
     val df = run("d12_stratified_sample")
     val p = plan(df)
-    assert("FileScan".r.findAllIn(p).size === 1, s"documents scanned twice:\n$p")
-    // per-stratum rank + count need exactly one hash exchange on lang;
-    // the only other exchange is the output sort's range partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      s"stratified sampling should shuffle once on the stratum key:\n$p")
+    // two-phase exact selection: a counting pass over (stratum, key) and
+    // a selection pass — never more (the r4 redesign briefly scanned 4×
+    // via a union of filtered joins; this pins the fix)
+    assert("FileScan".r.findAllIn(p).size === 2,
+      s"expected exactly the counting + selection scans:\n$p")
+    // the selection pass ranks within fine-grained (stratum, bucket)
+    // groups — a hot stratum must never collapse into one window task
+    assert("hashpartitioning\\(lang#\\d+, _bkt".r.findAllIn(p).nonEmpty,
+      s"selection window not partitioned by (stratum, bucket):\n$p")
+    // threshold rows join back via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join should broadcast the per-stratum rows:\n$p")
   }
 
   test("q38: moment sums — single scan, pruned to the three used columns") {

@@ -89,30 +89,25 @@ class SamplingSpec extends SparkSpec {
 
   test("stratified: hot stratum is never ranked whole — windows see only " +
       "histogram rows or the threshold bucket") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // one giant stratum: the exact shape that made the old form a
     // single-task sort
     val skewed = spark.range(0, 50000)
       .selectExpr("'hot' AS lang", "id AS doc_id")
     val out = Sampling.stratified(skewed, "lang", "doc_id", 0.1)
     assert(out.count() === 5000)
-    def referencesTb(p: LogicalPlan): Boolean = p match {
-      case f: Filter => f.condition.references.exists(_.name == "_tb")
-      case j: Join => j.condition.exists(_.references.exists(_.name == "_tb"))
-      case _ => false
-    }
     val windows = out.queryExecution.optimizedPlan.collect {
       case w: LWindow => w }
     assert(windows.nonEmpty)
     windows.foreach { w =>
-      val bounded = w.child.collectFirst {
-        // prefix-sum/threshold windows run over the bucket HISTOGRAM
-        // (an aggregate: ≤ #buckets rows per stratum) …
-        case a: Aggregate => a
-        // … and the ranking window only over the threshold-bucket slice
-        case p if referencesTb(p) => p
-      }
-      assert(bounded.nonEmpty,
+      // prefix-sum/threshold windows run over the bucket HISTOGRAM (an
+      // aggregate: ≤ #buckets rows per stratum) …
+      val overHistogram = w.child.collectFirst { case a: Aggregate => a }
+      // … and the ranking window partitions by (stratum, BUCKET), so a
+      // hot stratum splits across ~#buckets window groups
+      val fineGrained = w.partitionSpec.exists(
+        _.references.exists(_.name == "_bkt"))
+      assert(overHistogram.nonEmpty || fineGrained,
         s"window over unbounded per-stratum input:\n$w")
     }
   }
