@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger — without this every line gets an `[info] `
+// prefix, which made the driver's JSON parse of the Bench stdout line fail
+// ("parsed": null in BENCH_r1–r5).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.Salting
+import graft.sources.{Bucketing, Formats}
+
+/** Gate certification for the physical-infrastructure operators — bucketed
+  * layouts, skew salting, text-format readers. Unlike the relational
+  * queries, the OUTPUT of each of these is deliberately a plain query any
+  * engine can run: the operator under test is the storage/shuffle machinery
+  * underneath, and the oracle proves that machinery is result-invariant.
+  */
+object InfraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Catalog-safe unique suffix per sf directory, so sf0.01 and sf0.1 runs
+    * in one warehouse never collide. */
+  private def tag(dir: String): String =
+    (dir.hashCode & 0x7fffffff).toHexString
+
+  // ---- q42: bucketed+sorted co-located join — the Spark analog of the
+  // reference keying every table by (said, datetime) so related rows
+  // co-locate (setup_and_notes.txt:16-44). Both fact tables are written
+  // bucketed by orderkey; the join then plans with NO Exchange on either
+  // side (asserted in BucketingSpec). The oracle runs the identical join
+  // on the un-bucketed parquet: identical output is the point — bucketing
+  // is pure layout, invisible to results. ----
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val ot = s"graft_bk_orders_${tag(dir)}"
+    val lt = s"graft_bk_lineitem_${tag(dir)}"
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      lt, "l_orderkey", 8)
+    Bucketing.colocatedJoinOn(s, ot, lt, "o_orderkey", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q42Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q43: two-phase salted aggregation — result-invariant skew
+  // mitigation. The salted path groups by (key, salt) then by key; sums run
+  // on DECIMAL so re-association is exact and the output is bit-identical
+  // to the plain GROUP BY the oracle runs (that identity IS the operator's
+  // contract). l_returnflag has only 3 distinct values over ~600k rows at
+  // sf0.1 — exactly the hot-key shape where one reducer would otherwise
+  // hold a third of the table's aggregate state. ----
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedSum(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty")),
+      keys = Seq("l_returnflag"), valueCol = "qty",
+      salts = 16, resultCol = "qty_sum")
+      .select(col("l_returnflag"),
+        (col("qty_sum") * 100).cast("long").as("qty_cents"))
+      .orderBy("l_returnflag")
+
+  private val q43Oracle =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q44: schema-explicit CSV + JSONL reader certification. The
+  // customer table round-trips through BOTH text formats; the query
+  // returns the INTERSECT of the two read-backs while the oracle reads the
+  // original parquet — any parse drift in either reader (quoting, null
+  // handling, double shortest-representation round-trip) drops rows and
+  // breaks the hash. Schemas are stated, never inferred (Formats contract:
+  // at 100 TB inference is a full extra pass and a sampled-type hazard). ----
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}"
+    Formats.writeCsv(cust, s"$tmp/csv")
+    Formats.writeJsonl(cust, s"$tmp/jsonl")
+    Formats.readCsv(s, s"$tmp/csv", cust.schema)
+      .intersect(Formats.readJsonl(s, s"$tmp/jsonl", cust.schema))
+      .orderBy("c_custkey")
+  }
+
+  private val q44Oracle =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q42_bucketed_join", q42, Some(q42Oracle)),
+    QueryDef("q43_salted_sum", q43, Some(q43Oracle)),
+    QueryDef("q44_text_roundtrip", q44, Some(q44Oracle)))
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table utilities for co-located joins (SURVEY §2b partitioning).
   *
@@ -13,10 +14,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (in-catalog parquet). */
+  /** Write `df` as a bucketed+sorted managed table (in-catalog parquet).
+    *
+    * The input is first repartitioned by the bucket key into exactly
+    * `numBuckets` partitions. `repartition(n, col)` and the bucket-id
+    * assignment use the same function (`HashPartitioning(col, n)
+    * .partitionIdExpression`), so every write task holds exactly one
+    * bucket's rows → ONE file per bucket instead of (input partitions ×
+    * buckets) fragments. That single-file-per-bucket layout is also what
+    * lets the planner trust the `sortBy` metadata and elide the join-side
+    * Sort, not just the Exchange. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int): Unit =
-    df.write
+    df.repartition(numBuckets, col(bucketCol))
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
@@ -25,7 +36,16 @@ object Bucketing {
 
   /** Join two bucketed tables on their bucket key — planner elides both
     * exchanges when bucket specs line up. */
-  def colocatedJoin(spark: org.apache.spark.sql.SparkSession,
+  def colocatedJoin(spark: SparkSession,
       leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Same, for differently-named keys (e.g. o_orderkey = l_orderkey):
+    * bucket-spec compatibility is positional on the join expressions, so
+    * the exchanges still elide. */
+  def colocatedJoinOn(spark: SparkSession,
+      leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
 }

@@ -122,7 +122,37 @@ object StreamQueries {
       |  AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
       |ORDER BY c.user_id, click_id, view_id""".stripMargin
 
+  // ---- s6: gap detection — "meter silent for more than N" over event
+  // time, the batch-replayable form of EventStreams.detectGaps /
+  // detectGapsTws (the streaming twins are equivalence-asserted against
+  // this exact shape in StreamingSpec). Mirrors the reference's 1 Hz
+  // cadence contract (core.clj:173-176): a healthy source emits
+  // continuously, so any lag(ts) delta above the threshold is an outage
+  // row (who, last_seen, how long). Threshold 30 min matches the s1/s4
+  // session-break convention on this fixture. ----
+  private def s6(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("last_seen"))
+      .withColumn("silent_us",
+        unix_micros(col("ts")) - unix_micros(col("last_seen")))
+      .filter(col("silent_us") > lit(30L * 60 * 1000000))
+      .select(col("user_id"), col("last_seen"), col("silent_us"))
+      .orderBy("user_id", "last_seen", "silent_us")
+  }
+
+  private val s6Oracle =
+    """SELECT user_id, last_seen, silent_us FROM (
+      |  SELECT user_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_seen,
+      |    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS silent_us
+      |  FROM events)
+      |WHERE silent_us > 1800000000
+      |ORDER BY user_id, last_seen, silent_us""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s6_gap_detect", s6, Some(s6Oracle)),
     QueryDef("s5_interval_join", s5, Some(s5Oracle)),
     QueryDef("s1_event_deltas", s1, Some(s1Oracle)),
     QueryDef("s2_tumbling_hour", s2, Some(s2Oracle)),

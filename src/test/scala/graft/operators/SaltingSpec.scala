@@ -35,6 +35,17 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("saltedSum plans two aggregate stages: (key, salt) then key") {
+    val df = Salting.saltedSum(skewed, Seq("k"), "v", salts = 16,
+      resultCol = "total")
+    val p = df.queryExecution.executedPlan.toString
+    // phase 1 shuffles on (k, _salt) — the hot key spread over 16 reducers —
+    // phase 2 re-shuffles the 16 partials per key: exactly two hash exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected the two-phase shuffle shape:\n$p")
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
+  }
+
   test("salted join on fixtures: lineitem x orders row-identical") {
     val li = Tables.load(spark, sf(), "lineitem")
       .select("l_orderkey", "l_quantity")

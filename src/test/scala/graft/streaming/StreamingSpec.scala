@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).user_id === 2 && got(1).silent_ms === 995000)
   }
 
+  test("s6 lag-shape gap query ≡ stateful detectGaps on the events fixture") {
+    import spark.implicits._
+    // The s6 gate query computes gaps declaratively (lag over event time);
+    // detectGaps computes the same thing with per-key state. Run both over
+    // the real events fixture and demand identical rows. The stateful
+    // operator works at Timestamp.getTime (ms) precision, so the batch
+    // side here uses unix_millis — the registered s6 query is the same
+    // shape at full µs precision, hash-checked by the driver gate.
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val pings = ev.select(col("user_id"), col("ts")).as[EventStreams.Ping]
+    val stateful = EventStreams.detectGaps(pings, gapMs).toDF()
+      .select(col("user_id"), col("last_seen"), col("silent_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = ev
+      .select(col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("last_seen"))
+      .withColumn("silent_ms",
+        unix_millis(col("ts")) - unix_millis(col("last_seen")))
+      .filter(col("silent_ms") > gapMs)
+      .select(col("user_id"), col("last_seen"), col("silent_ms"))
+    assert(stateful.count() > 0, "fixture has no gaps — test is vacuous")
+    assert(stateful.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(stateful).count() === 0,
+      "stateful and declarative gap detection diverged")
+  }
+
   test("transformWithState gap detection matches flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
