@@ -5,12 +5,64 @@ import org.apache.spark.sql.functions._
 /** Dev scale probe (not part of the engine surface): ANN paths at 10× the
   * sf0.1 corpus — replicates the embeddings table with id offsets to 50k
   * vectors and times brute-force vs LSH vs IVF top-k for the same 20
-  * queries. Results recorded in BASELINE.md. */
+  * queries. `runMain graft.ScaleProbe dedup [times]` instead probes the
+  * composed near-dup pipeline (d15) at times× the documents table.
+  * Results recorded in BASELINE.md. */
 object ScaleProbe {
+
+  /** Near-dup pipeline at scale: replicate documents `times`× with every
+    * replica's vocabulary made disjoint (each word prefixed with the
+    * replica index), so the corpus grows times× while the PLANTED
+    * duplicate fraction stays constant — replicas share no shingles, so
+    * no cross-replica candidates appear. That is the 100 TB shape the
+    * flagged-slice claim has to survive: input grows, the LSH-flagged
+    * slice must grow only linearly with it. */
+  private def dedupProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    def corpus(t: Int) = (0 until t).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = c.count()
+      // flagged slice = distinct ids in the LSH candidate list (production
+      // xxhash64 family, production caps — the 100 TB configuration)
+      val cands = pipeline.MinHashLSH
+        .candidatePairs(c, "text", "doc_id").select("doc_a", "doc_b")
+      val nPairs = cands.count()
+      val nFlagged = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .distinct().count()
+      def run(label: String): Long = {
+        val t0 = System.nanoTime()
+        val dups = pipeline.Dedup.nearDupPipeline(c, "text", "doc_id")
+          .filter(col("keep_id") =!= col("doc_id")).count()
+        println(f"[probe] d15/$tag/$label%-6s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        dups
+      }
+      val d1 = run("cold") // fresh plan: JIT + checkpoint materialization
+      val d2 = run("warm") // answers whether the bench spread is cold-start
+      assert(d1 == d2)
+      println(s"[probe] d15/$tag rows=$rows candPairs=$nPairs " +
+        s"flagged=$nFlagged (${"%.1f".format(100.0 * nFlagged / rows)}%) dups=$d1")
+    }
+    probe("1x", corpus(1))
+    probe(s"${times}x", corpus(times))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("dedup")) {
+      dedupProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     val emb = Tables.load(spark, dir, "embeddings")
     val n = emb.count()
     val times = args.headOption.map(_.toInt).getOrElse(10)

@@ -29,14 +29,18 @@ object InfraQueries {
   // bucketed by orderkey; the join then plans with NO Exchange on either
   // side (asserted in BucketingSpec). The oracle runs the identical join
   // on the un-bucketed parquet: identical output is the point — bucketing
-  // is pure layout, invisible to results. ----
+  // is pure layout, invisible to results. Tables build at most once per
+  // session (ensureBucketed), so bench rep 1 measures build+join and the
+  // min-of-reps measures the co-located join alone; a fresh JVM over a
+  // stale warehouse rebuilds hermetically instead of dying on
+  // LOCATION_ALREADY_EXISTS (the round-6 gate gap). ----
   def q42(s: SparkSession, dir: String): DataFrame = {
     val ot = s"graft_bk_orders_${tag(dir)}"
     val lt = s"graft_bk_lineitem_${tag(dir)}"
-    Bucketing.writeBucketed(
+    Bucketing.ensureBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
       ot, "o_orderkey", 8)
-    Bucketing.writeBucketed(
+    Bucketing.ensureBucketed(
       t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
       lt, "l_orderkey", 8)
     Bucketing.colocatedJoinOn(s, ot, lt, "o_orderkey", "l_orderkey")
@@ -85,7 +89,12 @@ object InfraQueries {
   // at 100 TB inference is a full extra pass and a sampled-type hazard). ----
   def q44(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}"
+    // pid in the path: two processes over the same sf dir (gate and bench
+    // overlapping) must not overwrite each other's round-trip files
+    // mid-read; within one process the path is stable so reps overwrite
+    // their own copy.
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}" +
+      s"_p${ProcessHandle.current().pid()}"
     Formats.writeCsv(cust, s"$tmp/csv")
     Formats.writeJsonl(cust, s"$tmp/jsonl")
     Formats.readCsv(s, s"$tmp/csv", cust.schema)

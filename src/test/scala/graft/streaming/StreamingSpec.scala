@@ -83,17 +83,25 @@ class StreamingSpec extends SparkSpec {
     val gapMs = 30L * 60 * 1000
     val ev = graft.Tables.load(spark, sf(), "events")
     val pings = ev.select(col("user_id"), col("ts")).as[EventStreams.Ping]
+    // The stateful operator's contract is millisecond event time
+    // (Timestamp.getTime): within-one-ms ordering is unspecified, and at
+    // ms precision the emitted gaps are invariant to it. So the batch side
+    // pins a total order with the event_id tiebreak (same as registered
+    // s6) and BOTH sides compare last_seen at unix_millis — comparing the
+    // raw µs timestamps would make the test flaky on same-ms events.
     val stateful = EventStreams.detectGaps(pings, gapMs).toDF()
-      .select(col("user_id"), col("last_seen"), col("silent_ms"))
+      .select(col("user_id"),
+        unix_millis(col("last_seen")).as("last_seen_ms"), col("silent_ms"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val batch = ev
-      .select(col("user_id"), col("ts"),
+      .select(col("user_id"), col("event_id"), col("ts"),
         lag(col("ts"), 1).over(w).as("last_seen"))
       .withColumn("silent_ms",
         unix_millis(col("ts")) - unix_millis(col("last_seen")))
       .filter(col("silent_ms") > gapMs)
-      .select(col("user_id"), col("last_seen"), col("silent_ms"))
+      .select(col("user_id"),
+        unix_millis(col("last_seen")).as("last_seen_ms"), col("silent_ms"))
     assert(stateful.count() > 0, "fixture has no gaps — test is vacuous")
     assert(stateful.exceptAll(batch).count() === 0 &&
       batch.exceptAll(stateful).count() === 0,
