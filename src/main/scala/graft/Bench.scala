@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   *     reports the MIN per query (steady-state throughput) plus the
   *     per-query spread (max-min) so run-to-run noise is visible in the
   *     artifact instead of baked into the number;
+  *   - each rep runs the WHOLE registry in a different (seeded, so
+  *     reproducible) order. Rounds 6 and 7 both saw 2–10× slowdowns land
+  *     on trivial untouched queries and recover untouched the next round
+  *     — with a fixed run order inside one JVM, one query's GC/JIT/
+  *     codegen-cache debris always falls on the same fixed neighbors, so
+  *     min-of-reps could not average it away. Shuffling per rep means the
+  *     min samples three different neighborhoods and an order artifact
+  *     can no longer masquerade as a regression (root-cause entry in
+  *     BASELINE.md);
   *   - between runs the session is swept clean — `catalog.clearCache()`
   *     plus unpersisting every persistent RDD (localCheckpoint blocks) —
   *     so no query's pinned storage shadows the queries after it;
@@ -45,21 +54,31 @@ object Bench {
     } catch { case _: Throwable => () }
     sweep()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { rep =>
+      // Deterministic per-rep order: rep 1 is the registry order, later
+      // reps are seeded shuffles — same schedule every run, different
+      // neighbors every rep.
+      val order =
+        if (rep == 1) registry
+        else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        val t = try {
+        try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
         } catch {
           case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(120)
-            None
         }
         sweep()
-        t
       }
+    }
+    val results = registry.map { case (name, _) =>
+      val times = samples(name)
       val best = if (times.isEmpty) -1.0 else times.min
       val spread = if (times.isEmpty) -1.0 else times.max - times.min
       System.err.println(

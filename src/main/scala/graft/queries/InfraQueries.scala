@@ -23,6 +23,20 @@ object InfraQueries {
   private def tag(dir: String): String =
     (dir.hashCode & 0x7fffffff).toHexString
 
+  /** Input fingerprint for a table's source files (name/size/mtime): folded
+    * into bucketed-table names so a regenerated sf dir keys a REBUILD
+    * instead of silently joining a stale bucketed copy (ensureBucketed's
+    * staleness contract is catalog-existence only). */
+  private def fpr(dir: String, tables: String*): String = {
+    val h = tables.flatMap { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      val files = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq
+                  else Seq(f)
+      files.map(x => (x.getName, x.length, x.lastModified).hashCode())
+    }.hashCode()
+    (h & 0x7fffffff).toHexString
+  }
+
   // ---- q42: bucketed+sorted co-located join — the Spark analog of the
   // reference keying every table by (said, datetime) so related rows
   // co-locate (setup_and_notes.txt:16-44). Both fact tables are written
@@ -33,10 +47,17 @@ object InfraQueries {
   // session (ensureBucketed), so bench rep 1 measures build+join and the
   // min-of-reps measures the co-located join alone; a fresh JVM over a
   // stale warehouse rebuilds hermetically instead of dying on
-  // LOCATION_ALREADY_EXISTS (the round-6 gate gap). ----
+  // LOCATION_ALREADY_EXISTS (the round-6 gate gap). Table names embed the
+  // pid (two live JVMs sharing the warehouse can never delete each
+  // other's tables) and an input fingerprint (a regenerated sf dir keys a
+  // rebuild instead of joining a stale copy); dead pids' leftovers are
+  // swept on entry so the warehouse doesn't accrete. ----
   def q42(s: SparkSession, dir: String): DataFrame = {
-    val ot = s"graft_bk_orders_${tag(dir)}"
-    val lt = s"graft_bk_lineitem_${tag(dir)}"
+    val key = s"${tag(dir)}_${fpr(dir, "orders", "lineitem")}" +
+      s"_p${ProcessHandle.current().pid()}"
+    val ot = s"graft_bk_orders_$key"
+    val lt = s"graft_bk_lineitem_$key"
+    Bucketing.sweepDeadBucketed(s)
     Bucketing.ensureBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
       ot, "o_orderkey", 8)

@@ -19,7 +19,14 @@ object Bucketing {
     * bench run followed by a fresh-JVM gate run leaves a directory the new
     * catalog has never heard of — and `saveAsTable` then fails with
     * LOCATION_ALREADY_EXISTS instead of overwriting. Clear the orphaned
-    * location so every write is hermetic against prior-process state. */
+    * location so every write is hermetic against prior-process state.
+    *
+    * Safety against CONCURRENT processes sharing the warehouse dir relies
+    * on the caller keying table names per process (q42 appends the pid):
+    * "not in this JVM's catalog" then implies "no live JVM owns it" — the
+    * only process that could have a live table at this path is the one
+    * whose pid is in the name, i.e. us. Without a per-process name this
+    * delete could race a sibling JVM's live table. */
   private def clearStaleLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val loc = spark.sessionState.catalog.defaultTablePath(
@@ -54,7 +61,13 @@ object Bucketing {
   /** Idempotent build: write only if this session hasn't already. Callers
     * whose table name keys the input (q42's per-sf-dir tag) get
     * build-once-join-many semantics — a bench rep after the first times
-    * the co-located join alone, not the table write. */
+    * the co-located join alone, not the table write.
+    *
+    * Staleness contract: freshness is keyed on catalog existence ONLY.
+    * If the input data can change under a running session, the caller
+    * must fold an input fingerprint into `table` (q42 hashes the source
+    * files' name/size/mtime) — otherwise a regenerated sf dir would
+    * silently join a stale bucketed copy. */
   def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int): Unit =
     if (!df.sparkSession.catalog.tableExists(table))
@@ -65,6 +78,34 @@ object Bucketing {
   def dropBucketed(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     clearStaleLocation(spark, table)
+  }
+
+  /** Garbage-collect warehouse locations left by DEAD processes. Per-pid
+    * table names (q42) make concurrent JVMs collision-free, but each pid
+    * leaves its `graft_bk_*_p<pid>` dirs behind when it exits; without a
+    * sweep the shared warehouse accretes one table pair per process
+    * forever. Deleting is safe exactly when the embedded pid is not
+    * alive: only the creating process can hold that table live, because
+    * the name embeds its own pid. Live siblings are never touched. */
+  def sweepDeadBucketed(spark: SparkSession): Unit = {
+    val probe = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_bk_probe")))
+    val wh = probe.getParent
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      val tagged = "^graft_bk_.*_p(\\d+)$".r
+      val self = ProcessHandle.current().pid()
+      fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case tagged(pid) if pid.toLong != self => {
+            val h = ProcessHandle.of(pid.toLong)
+            if (!(h.isPresent && h.get().isAlive)) fs.delete(st.getPath, true)
+          }
+          case _ => ()
+        }
+      }
+    }
   }
 
   /** Join two bucketed tables on their bucket key — planner elides both

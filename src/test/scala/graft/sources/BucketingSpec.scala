@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
 import graft.{SparkSpec, Tables}
 
@@ -8,7 +9,68 @@ import graft.{SparkSpec, Tables}
   * (b) remove the shuffle from the join — the property that makes a
   * 100 TB fact-fact join feasible (each task reads bucket i of both
   * sides; no Exchange materializes either table). */
-class BucketingSpec extends SparkSpec {
+class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private def tableLocation(table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+
+  /** dropBucketed is the owning end of the table lifecycle: catalog entry
+    * AND warehouse location must both be gone, so repeated `sbt test`
+    * runs never accrete warehouse state. */
+  override def afterAll(): Unit = {
+    Seq("bkspec_orders", "bkspec_lineitem", "bkspec_layout", "bkspec_orphan")
+      .foreach { t =>
+        Bucketing.dropBucketed(spark, t)
+        assert(!spark.catalog.tableExists(t), s"$t still in catalog")
+        val loc = tableLocation(t)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(!fs.exists(loc), s"$t location survived drop: $loc")
+      }
+    super.afterAll()
+  }
+
+  test("writeBucketed recovers from an orphaned warehouse location") {
+    // The round-6 failure shape: the location exists on disk but the
+    // (in-memory) catalog has no entry — a fresh JVM over a previous
+    // process's warehouse. saveAsTable alone dies with
+    // LOCATION_ALREADY_EXISTS; writeBucketed must clear and proceed.
+    val table = "bkspec_orphan"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = tableLocation(table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(loc, "stale-part"))
+    junk.writeBytes("left behind by a dead process")
+    junk.close()
+    assert(fs.exists(loc) && !spark.catalog.tableExists(table))
+
+    val orders = Tables.load(spark, sf(), "orders")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(orders, table, "o_orderkey", 4)
+    assert(spark.table(table).count() === orders.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "stale-part")),
+      "stale file survived the hermetic rewrite")
+  }
+
+  test("sweepDeadBucketed removes dead pids' tables, never live ones") {
+    // pid 2147483646 exceeds Linux's pid_max ceiling (4194304) → cannot
+    // be a live process, so the sweep must treat its dir as garbage
+    val dead = "graft_bk_sweepspec_p2147483646"
+    val live = s"graft_bk_sweepspec_p${ProcessHandle.current().pid()}"
+    val fs = tableLocation(dead)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tableLocation(dead))
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf(), "orders").select("o_orderkey"),
+      live, "o_orderkey", 2)
+    Bucketing.sweepDeadBucketed(spark)
+    assert(!fs.exists(tableLocation(dead)), "dead pid's location not swept")
+    assert(spark.catalog.tableExists(live) && fs.exists(tableLocation(live)),
+      "sweep deleted a LIVE process's table")
+    Bucketing.dropBucketed(spark, live)
+  }
 
   test("bucketed join: no Exchange on either side, results identical") {
     val dir = sf()

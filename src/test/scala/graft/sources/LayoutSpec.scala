@@ -10,7 +10,15 @@ import graft.meter.{GenConfig, MeterGen, Rollups}
 /** Storage-layout behavior: partition pruning on the raw meter table
   * (the Q1 read pattern, setup_and_notes.txt:46) and shuffle-free
   * co-located joins on bucketed tables. */
-class LayoutSpec extends SparkSpec {
+class LayoutSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    Seq("bkt_orders", "bkt_lineitem").foreach { t =>
+      Bucketing.dropBucketed(spark, t)
+      assert(!spark.catalog.tableExists(t), s"$t still in catalog")
+    }
+    super.afterAll()
+  }
 
   test("raw table layout prunes partitions for meter/time-range reads") {
     val dir = Files.createTempDirectory("graft_raw").toString
