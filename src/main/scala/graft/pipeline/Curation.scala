@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, repetition-based quality filtering, and per-source
+  * quota capping. Together with [[Dedup]]/[[Sampling]] these cover the
+  * standard pre-training curation loop (dedup → decontaminate → quality
+  * filter → mix by source).
+  */
+object Curation {
+
+  /** Eval-set contamination check: for every corpus document, the number
+    * of distinct word-k-shingles it shares with ANY document of
+    * `evalSet` (benchmark/eval data that must not leak into training).
+    * Returns (id, n_shared) for contaminated documents only — callers
+    * anti-join to scrub, or keep the counts for an audit report.
+    *
+    * 100 TB shape: eval sets are small (benchmarks are thousands of
+    * documents, the corpus is billions), so the eval shingle set is
+    * BROADCAST and the corpus side never shuffles its text — the scan
+    * projects (id, 8-byte shingle hash) rows through one codegen span
+    * ([[TextAnalysis.hashedShingleRows]]), hash-joins against the
+    * broadcast set map-side, and only matching (id, shingle) pairs reach
+    * the one aggregation shuffle (keyed by id, bounded by the overlap,
+    * not the corpus).
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val corpusSh = TextAnalysis
+      .hashedShingleRows(corpus, textCol, idCol, k).distinct()
+    val evalSh = TextAnalysis
+      .hashedShingleRows(evalSet, textCol, idCol, k)
+      .select("shingle").distinct()
+    corpusSh.join(broadcast(evalSh), "shingle")
+      .groupBy("id")
+      // corpusSh is distinct per (id, shingle): plain count IS the
+      // distinct shared-shingle count, no countDistinct state needed
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Repetition-based quality stats (the Gopher/C4 family of filters,
+    * adapted to single-line documents): per document,
+    *   - `n_tokens` / `n_distinct`: whitespace-token totals;
+    *   - `dup_pm`: per-mille of tokens that are repeats of an earlier
+    *     token, `1000·(n - n_distinct) div n`;
+    *   - `top_pm`: per-mille of tokens taken by the single most frequent
+    *     token — high values flag keyword-stuffed / boilerplate pages;
+    *   - `keep`: 1 iff both are at or under the supplied ceilings.
+    *
+    * Pure narrow expressions — no explode, no shuffle: the top-token
+    * count folds over the distinct-token array per row (quadratic in the
+    * per-document vocabulary, linear in the corpus — the trade that
+    * keeps a 100 TB scoring pass a single map stage). Integer per-mille
+    * outputs make the scores engine-portable (no float rounding drift).
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      maxDupPm: Int = 600, maxTopPm: Int = 150): DataFrame = {
+    val withTok = df.select(col(idCol),
+      TextAnalysis.words(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"),
+        size(col("_ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_ws"))).cast("long").as("n_distinct"))
+    val topCnt = array_max(transform(array_distinct(col("_ws")),
+      w => size(filter(col("_ws"), x => x === w)))).cast("long")
+    withTok
+      .withColumn("_topcnt", topCnt)
+      .withColumn("dup_pm",
+        when(col("n_tokens") > 0,
+          expr("(1000 * (n_tokens - n_distinct)) div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("top_pm",
+        when(col("n_tokens") > 0, expr("(1000 * _topcnt) div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("keep",
+        when(col("dup_pm") <= maxDupPm && col("top_pm") <= maxTopPm, 1L)
+          .otherwise(0L))
+      .drop("_ws", "_topcnt")
+  }
+
+  /** Per-source quota cap — at most `maxPerSource` documents from each
+    * source, chosen deterministically by key hash (stable across runs
+    * and corpus growth). The "domain cap" mixing op: a crawl where one
+    * domain is 30% of the bytes must not be 30% of the training mix.
+    * Delegates to [[Sampling.stratifiedQuota]] (two-phase histogram
+    * selection: a giant source costs a bounded histogram, never a
+    * single-task sort). */
+  def sourceQuota(df: DataFrame, sourceCol: String, keyCol: String,
+      maxPerSource: Long, seed: Long = 42L,
+      bucketFn: (org.apache.spark.sql.Column, Long) =>
+        org.apache.spark.sql.Column = Sampling.hashBucket): DataFrame =
+    Sampling.stratifiedQuota(df, sourceCol, keyCol, maxPerSource, seed,
+      bucketFn)
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Gate certification for the corpus-curation operators ([[Curation]]):
+  * benchmark decontamination, repetition quality filtering, per-source
+  * quota capping. Each oracle replays the full derivation in DuckDB SQL.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- d16: eval-set contamination check. Documents with
+  // doc_id % 50 == 0 stand in for a benchmark/eval set; every other
+  // document is reported with the number of distinct word-5-shingles it
+  // shares with that set (the n-gram-overlap decontamination standard).
+  // Spark joins 8-byte xxhash64 shingles against the BROADCAST eval set
+  // (corpus text never shuffles); the oracle joins the shingle strings
+  // themselves — counts agree because both sides count distinct shingles
+  // per document. ----
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isEval = col("doc_id") % 50 === 0
+    Curation.contamination(
+        d.filter(!isEval), d.filter(isEval), "text", "doc_id", k = 5)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val d16Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |  FROM w),
+      |idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |ev AS (SELECT DISTINCT shingle FROM idx WHERE doc_id % 50 = 0)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM idx JOIN ev USING (shingle)
+      |WHERE doc_id % 50 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- d17: repetition-based quality stats + keep flag (Gopher/C4
+  // family). Integer per-mille scores so both engines compute identical
+  // values (no float rounding drift); thresholds chosen to actually
+  // split the fixture (dup_pm spans 0–723, top_pm 51–300). ----
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(docs(s, dir), "text", "doc_id",
+        maxDupPm = 600, maxTopPm = 150)
+      .orderBy("doc_id")
+
+  private val d17Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)
+      |SELECT doc_id,
+      |  len(ws)::BIGINT AS n_tokens,
+      |  len(list_distinct(ws))::BIGINT AS n_distinct,
+      |  CASE WHEN len(ws) > 0
+      |    THEN (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+      |    ELSE 0 END::BIGINT AS dup_pm,
+      |  CASE WHEN len(ws) > 0
+      |    THEN (1000 * list_max(list_transform(list_distinct(ws),
+      |           t -> len(list_filter(ws, x -> x = t))))) // len(ws)
+      |    ELSE 0 END::BIGINT AS top_pm,
+      |  CASE WHEN
+      |    (CASE WHEN len(ws) > 0
+      |       THEN (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+      |       ELSE 0 END) <= 600
+      |    AND
+      |    (CASE WHEN len(ws) > 0
+      |       THEN (1000 * list_max(list_transform(list_distinct(ws),
+      |              t -> len(list_filter(ws, x -> x = t))))) // len(ws)
+      |       ELSE 0 END) <= 150
+      |  THEN 1 ELSE 0 END::BIGINT AS keep
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---- d18: per-source quota cap — at most 10 documents per source,
+  // chosen by the sha-replayable hash rank (same two-phase histogram
+  // machinery as d12, absolute quota instead of a fraction). The oracle
+  // replays the reference ranking: ROW_NUMBER per source over
+  // (sha-bucket, doc_id), keep rk <= 10. ----
+  private def d18(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceQuota(docs(s, dir), "source", "doc_id",
+        maxPerSource = 10, seed = 42L, bucketFn = Sampling.shaBucket)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val d18Oracle =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+      |  FROM (SELECT doc_id, source,
+      |          ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |        FROM documents))
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("d16_contamination", d16, Some(d16Oracle)),
+    QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
+    QueryDef("d18_source_quota", d18, Some(d18Oracle)))
+}

@@ -98,6 +98,31 @@ object Sampling {
       fraction: Double, seed: Long = 42L,
       bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    selectByQuota(df, stratumCol, keyCol, total => ceil(total * fraction),
+      seed, bucketFn)
+  }
+
+  /** Per-stratum QUOTA cap: keep at most `maxPerStratum` rows per stratum
+    * (all of them when the stratum is smaller), selected in (hash-bucket,
+    * key) order — the "domain cap" curation op for crawl corpora, where a
+    * handful of giant sources would otherwise dominate the training mix.
+    * Same two-phase histogram selection as [[stratified]] (absolute quota
+    * instead of a fraction), so a 10-billion-row source costs a bounded
+    * histogram, never a single-task sort. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
+      maxPerStratum: Long, seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
+    require(maxPerStratum >= 0, "maxPerStratum must be >= 0")
+    selectByQuota(df, stratumCol, keyCol,
+      total => least(lit(maxPerStratum), total), seed, bucketFn)
+  }
+
+  /** Shared two-phase selection body: `quotaOf` maps a stratum's total
+    * row count to the number of rows to keep from its (bucket, key)
+    * ranking. */
+  private def selectByQuota(df: DataFrame, stratumCol: String,
+      keyCol: String, quotaOf: Column => Column, seed: Long,
+      bucketFn: (Column, Long) => Column): DataFrame = {
     val tagged = df.withColumn("_bkt",
       coalesce(bucketFn(col(keyCol), seed), lit(-1L)))
     // Phase 1 — per-stratum bucket histogram (bounded: ≤ Buckets+1 rows
@@ -111,7 +136,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = hist
       .withColumn("_cum", sum(col("_bn")).over(wCum))
-      .withColumn("_quota", ceil(sum(col("_bn")).over(wAll) * fraction))
+      .withColumn("_quota", quotaOf(sum(col("_bn")).over(wAll)))
       .filter(col("_cum") >= col("_quota"))
       .withColumn("_rn", row_number().over(wAll.orderBy(col("_bkt"))))
       .filter(col("_rn") === 1)

@@ -198,4 +198,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"),
       s"no codegen span over scan+filter+agg:\n$p")
   }
+
+  test("d16: eval shingles broadcast — corpus text never shuffles") {
+    val df = run("d16_contamination")
+    df.collect()
+    val p = plan(df)
+    // decontamination joins a billions-row corpus against a thousands-row
+    // eval set: the eval side must broadcast and the corpus side must not
+    // enter a shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    // shuffled bytes are (id, shingle) pairs only — never document text
+    assert(!"Exchange hashpartitioning\\(.*text".r.findFirstIn(p).isDefined,
+      s"document text reached a shuffle:\n$p")
+  }
+
+  test("d17: repetition scoring is a pure map stage — zero shuffles " +
+    "before the output sort") {
+    val p = plan(run("d17_repetition_quality"))
+    // only the final ORDER BY's range exchange may appear
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quality scoring shuffled:\n$p")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Curation operators: contamination detection, repetition quality,
+  * per-source quota caps. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf(), "documents")
+
+  test("contamination finds planted n-gram overlap, nothing else") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")).toDF(
+      "doc_id", "text")
+    val corpus = Seq(
+      // shares exactly 3 shingles: "the quick brown fox jumps",
+      // "quick brown fox jumps over", "brown fox jumps over the"
+      (10L, "she saw the quick brown fox jumps over the fence"),
+      // no 5-gram in common (shared words, different order)
+      (11L, "dog lazy the over jumps fox brown quick the tonight"),
+      // exact copy → every one of its shingles is shared
+      (12L, "the quick brown fox jumps over the lazy dog tonight")).toDF(
+      "doc_id", "text")
+    val out = Curation.contamination(corpus, evalSet, "text", "doc_id")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(10L -> 3L, 12L -> 6L))
+  }
+
+  test("repetitionStats: hand-computed per-mille scores and keep flag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),          // no repeats: dup 0, top 250
+      (2L, "a a a a b"),        // dup (5-2)*1000 div 5 = 600, top 800
+      (3L, "x x y y")           // dup 500, top 500
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df, "text", "doc_id",
+        maxDupPm = 600, maxTopPm = 500)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_distinct", "dup_pm", "top_pm", "keep")
+      .collect().map(r => (0 to 4).map(r.getLong))
+    assert(out(0) === Seq(4L, 4L, 0L, 250L, 1L))
+    assert(out(1) === Seq(5L, 2L, 600L, 800L, 0L)) // top_pm over ceiling
+    assert(out(2) === Seq(4L, 2L, 500L, 500L, 1L))
+  }
+
+  test("sourceQuota: exact cap per source, equals the window reference " +
+    "form, stable under repartitioning") {
+    val byQuota = Curation.sourceQuota(docs, "source", "doc_id", 7)
+    val counts = byQuota.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 7L)) // all strata ≥ 7 here
+
+    // reference form: rank whole source by (bucket, key)
+    val ranked = docs.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(Sampling.hashBucket(col("doc_id"), 42L), col("doc_id"))))
+      .filter(col("_rk") <= 7).drop("_rk")
+    assert(byQuota.select("doc_id").exceptAll(ranked.select("doc_id"))
+      .isEmpty)
+    assert(ranked.select("doc_id").exceptAll(byQuota.select("doc_id"))
+      .isEmpty)
+
+    // physical layout must not change membership
+    val again = Curation.sourceQuota(docs.repartition(13), "source",
+      "doc_id", 7)
+    assert(again.select("doc_id").exceptAll(byQuota.select("doc_id"))
+      .isEmpty)
+
+    // quota larger than every stratum keeps everything
+    val all = Curation.sourceQuota(docs, "source", "doc_id", 1000000)
+    assert(all.count() === docs.count())
+  }
+}
