@@ -79,6 +79,47 @@ object Curation {
       .drop("_ws", "_topcnt")
   }
 
+  /** Corpus-level duplicate-shingle fraction (the C4 "dedup at n-gram
+    * granularity" audit signal): per document, how many of its distinct
+    * word-k-shingles occur in at least one OTHER document, as a
+    * per-mille of its shingle count. High values mean the document is
+    * assembled from boilerplate the corpus already has even when no
+    * single pair-wise near-dup fires. Returns
+    * (id, n_shingles, n_dup, dup_sh_pm).
+    *
+    * 100 TB shape: one scan produces distinct (id, 8-byte shingle hash)
+    * rows; the shingle document-frequency aggregate shuffles those 16
+    * bytes per row — never text — and the df table joins back by
+    * shingle hash. Both shuffles key on the hash, so skew is bounded by
+    * the most common shingle's df, not by any document. */
+  def dupShingleStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val sh = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
+      .distinct()
+    val freq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("_df"))
+    sh.join(freq, "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_sh_pm",
+        expr("(1000 * n_dup) div n_shingles"))
+  }
+
+  /** Weighted corpus mixing: per-source document budgets ("the training
+    * mix wants 5k of src_web, 20k of src_code, …"), each source capped
+    * at its quota — sources absent from the map contribute nothing.
+    * Selection is deterministic by key hash (stable across runs and
+    * corpus growth). Delegates to [[Sampling.stratifiedQuotas]]; the
+    * same two-phase histogram machinery as [[sourceQuota]], so the mix
+    * never sorts a whole source in one task. */
+  def mixBySource(df: DataFrame, sourceCol: String, keyCol: String,
+      quotas: Map[String, Long], seed: Long = 42L,
+      bucketFn: (org.apache.spark.sql.Column, Long) =>
+        org.apache.spark.sql.Column = Sampling.hashBucket): DataFrame =
+    Sampling.stratifiedQuotas(df, sourceCol, keyCol, quotas, seed,
+      bucketFn)
+
   /** Per-source quota cap — at most `maxPerSource` documents from each
     * source, chosen deterministically by key hash (stable across runs
     * and corpus growth). The "domain cap" mixing op: a crawl where one

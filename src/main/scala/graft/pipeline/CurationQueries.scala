@@ -102,8 +102,65 @@ object CurationQueries {
       |        FROM documents))
       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
+  // ---- d19: weighted corpus mixing — per-source document budgets.
+  // The fixture's 20 sources get quotas 5/10/15/20 cycling by source
+  // index (srcN → 5·(N%4+1)); the oracle replays the ranking with the
+  // quota as a CASE over the parsed source index. ----
+  private val mixQuotas: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (5L * (i % 4 + 1))).toMap
+
+  private def d19(s: SparkSession, dir: String): DataFrame =
+    Curation.mixBySource(docs(s, dir), "source", "doc_id",
+        quotas = mixQuotas, seed = 42L, bucketFn = Sampling.shaBucket)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val d19Oracle =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+      |  FROM (SELECT doc_id, source,
+      |          ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |        FROM documents))
+      |WHERE rk <= 5 * (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- d20: corpus-level duplicate-shingle fraction (C4-style n-gram-
+  // granularity dedup audit): per document, the per-mille of its
+  // distinct word-5-shingles that occur in at least one other document.
+  // Catches boilerplate assembly that pair-wise near-dup thresholds
+  // miss. Spark aggregates 8-byte shingle hashes; the oracle aggregates
+  // the shingle strings — counts agree per document. ----
+  private def d20(s: SparkSession, dir: String): DataFrame =
+    Curation.dupShingleStats(docs(s, dir), "text", "doc_id", k = 5)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_dup"),
+        col("dup_sh_pm"))
+      .orderBy("doc_id")
+
+  private val d20Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |  FROM w),
+      |idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |fr AS (SELECT shingle, COUNT(*) AS df FROM idx GROUP BY shingle)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  (1000 * CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT))
+      |    // COUNT(*) AS dup_sh_pm
+      |FROM idx JOIN fr USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
-    QueryDef("d18_source_quota", d18, Some(d18Oracle)))
+    QueryDef("d18_source_quota", d18, Some(d18Oracle)),
+    QueryDef("d19_weighted_mix", d19, Some(d19Oracle)),
+    QueryDef("d20_dup_shingles", d20, Some(d20Oracle)))
 }

@@ -98,8 +98,8 @@ object Sampling {
       fraction: Double, seed: Long = 42L,
       bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
-    selectByQuota(df, stratumCol, keyCol, total => ceil(total * fraction),
-      seed, bucketFn)
+    selectByQuota(df, stratumCol, keyCol,
+      (_, total) => ceil(total * fraction), seed, bucketFn)
   }
 
   /** Per-stratum QUOTA cap: keep at most `maxPerStratum` rows per stratum
@@ -114,14 +114,32 @@ object Sampling {
       bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
     require(maxPerStratum >= 0, "maxPerStratum must be >= 0")
     selectByQuota(df, stratumCol, keyCol,
-      total => least(lit(maxPerStratum), total), seed, bucketFn)
+      (_, total) => least(lit(maxPerStratum), total), seed, bucketFn)
   }
 
-  /** Shared two-phase selection body: `quotaOf` maps a stratum's total
-    * row count to the number of rows to keep from its (bucket, key)
-    * ranking. */
+  /** Per-stratum quota TABLE: each stratum keeps at most its own quota
+    * (strata absent from the map keep nothing) — the primitive behind
+    * weighted corpus mixing, where "30% web / 50% code / 20% books" is
+    * expressed as absolute per-source document budgets. The quota map is
+    * a driver-side config (mix specs are small — hundreds of named
+    * sources); it compiles to a CASE chain evaluated on histogram rows
+    * only, never per document row. */
+  def stratifiedQuotas(df: DataFrame, stratumCol: String, keyCol: String,
+      quotas: Map[String, Long], seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val quotaExpr = (s: Column) => quotas.foldLeft(lit(0L)) {
+      case (acc, (name, q)) => when(s === name, q).otherwise(acc)
+    }
+    selectByQuota(df, stratumCol, keyCol,
+      (s, total) => least(quotaExpr(s), total), seed, bucketFn)
+  }
+
+  /** Shared two-phase selection body: `quotaOf` maps a stratum's value
+    * and total row count to the number of rows to keep from its
+    * (bucket, key) ranking. */
   private def selectByQuota(df: DataFrame, stratumCol: String,
-      keyCol: String, quotaOf: Column => Column, seed: Long,
+      keyCol: String, quotaOf: (Column, Column) => Column, seed: Long,
       bucketFn: (Column, Long) => Column): DataFrame = {
     val tagged = df.withColumn("_bkt",
       coalesce(bucketFn(col(keyCol), seed), lit(-1L)))
@@ -136,7 +154,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = hist
       .withColumn("_cum", sum(col("_bn")).over(wCum))
-      .withColumn("_quota", quotaOf(sum(col("_bn")).over(wAll)))
+      .withColumn("_quota", quotaOf(col("_s"), sum(col("_bn")).over(wAll)))
       .filter(col("_cum") >= col("_quota"))
       .withColumn("_rn", row_number().over(wAll.orderBy(col("_bkt"))))
       .filter(col("_rn") === 1)

@@ -127,8 +127,29 @@ object InfraQueries {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---- q45: ORC round-trip certification — the q44 contract for the
+  // binary columnar format (upgrades ORC from spec-only FormatsSpec
+  // coverage to a driver-gate row). The orders table round-trips
+  // through schema-explicit ORC write/read; the oracle reads the
+  // original parquet — any value drift in the ORC writer/reader
+  // (double bit patterns, string encoding) breaks the hash. ----
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q45_${tag(dir)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    Formats.writeOrc(orders, s"$tmp/orc")
+    Formats.readOrc(s, s"$tmp/orc", orders.schema)
+      .orderBy("o_orderkey")
+  }
+
+  private val q45Oracle =
+    """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q42_bucketed_join", q42, Some(q42Oracle)),
     QueryDef("q43_salted_sum", q43, Some(q43Oracle)),
-    QueryDef("q44_text_roundtrip", q44, Some(q44Oracle)))
+    QueryDef("q44_text_roundtrip", q44, Some(q44Oracle)),
+    QueryDef("q45_orc_roundtrip", q45, Some(q45Oracle)))
 }

@@ -74,4 +74,33 @@ class CurationSpec extends SparkSpec {
     val all = Curation.sourceQuota(docs, "source", "doc_id", 1000000)
     assert(all.count() === docs.count())
   }
+
+  test("mixBySource: per-source budgets honored exactly; absent sources " +
+    "contribute nothing; oversized quotas cap at the stratum") {
+    val quotas = Map("src0" -> 3L, "src1" -> 0L, "src2" -> 1000000L)
+    val out = Curation.mixBySource(docs, "source", "doc_id", quotas)
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src2Total = docs.filter(col("source") === "src2").count()
+    assert(bySource === Map("src0" -> 3L, "src2" -> src2Total))
+    // determinism: the kept set is a pure function of (quotas, seed, keys)
+    val again = Curation.mixBySource(docs.repartition(7), "source",
+      "doc_id", quotas)
+    assert(again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
+  }
+
+  test("dupShingleStats: hand-computed duplicate-shingle fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),      // shingles: abcde, bcdef
+      (2L, "a b c d e x"),      // shingles: abcde, bcdex → shares abcde
+      (3L, "p q r s t u")       // shingles: pqrst, qrstu → unique
+    ).toDF("doc_id", "text")
+    val out = Curation.dupShingleStats(df, "text", "doc_id")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L), (3L, 2L, 0L, 0L)))
+  }
 }
