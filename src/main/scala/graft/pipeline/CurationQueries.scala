@@ -157,10 +157,52 @@ object CurationQueries {
       |FROM idx JOIN fr USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- d21: incremental near-dup check — documents with
+  // doc_id % 10 == 0 stand in for a new crawl increment, everything
+  // else is the existing corpus; each increment document is paired with
+  // its exact-Jaccard matches in the corpus (J ≥ 0.6). The corpus is
+  // never paired against itself — the crawl-update cost model. ----
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    Dedup.incrementalPairs(d.filter(!isNew), d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6, maxDf = 100)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val d21Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |  FROM w),
+      |idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |c AS (SELECT * FROM idx WHERE doc_id % 10 <> 0),
+      |n AS (SELECT * FROM idx WHERE doc_id % 10 = 0),
+      |dfok AS (SELECT shingle FROM c GROUP BY shingle HAVING COUNT(*) <= 100),
+      |p AS (
+      |  SELECT n.doc_id AS new_id, c2.doc_id AS corpus_id, COUNT(*) AS inter
+      |  FROM n JOIN (SELECT c.* FROM c JOIN dfok USING (shingle)) c2
+      |    ON n.shingle = c2.shingle
+      |  GROUP BY 1, 2),
+      |cs AS (SELECT doc_id, len(shingles) AS n FROM sh)
+      |SELECT new_id, corpus_id, inter,
+      |  ROUND(inter / (nn.n + nc.n - inter), 6) AS jaccard
+      |FROM p
+      |JOIN cs nn ON p.new_id = nn.doc_id
+      |JOIN cs nc ON p.corpus_id = nc.doc_id
+      |WHERE ROUND(inter / (nn.n + nc.n - inter), 6) >= 0.6
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
     QueryDef("d18_source_quota", d18, Some(d18Oracle)),
     QueryDef("d19_weighted_mix", d19, Some(d19Oracle)),
-    QueryDef("d20_dup_shingles", d20, Some(d20Oracle)))
+    QueryDef("d20_dup_shingles", d20, Some(d20Oracle)),
+    QueryDef("d21_incremental_dedup", d21, Some(d21Oracle)))
 }

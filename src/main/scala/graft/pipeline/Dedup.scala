@@ -238,4 +238,45 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter"), col("jaccard"))
   }
+
+  /** Incremental exact near-dup check — the crawl-update shape: for every
+    * document of `newBatch`, its exact-Jaccard matches in the existing
+    * `corpus` (J ≥ threshold). A daily increment is deduped against
+    * 100 TB of history WITHOUT re-pairing the history against itself:
+    * candidate generation joins the increment's shingles against the
+    * corpus index, so cost is |increment's shingles| × bounded corpus
+    * fan-out, never corpus × corpus.
+    *
+    * The df-cap applies to the CORPUS side only — a boilerplate shingle
+    * present in a million archive documents must not fan every incoming
+    * document into a million candidate rows. Same spam-guard rationale
+    * (and same exactness caveat) as [[jaccardPairs]]'s maxDf: capped
+    * shingles don't contribute to the intersection, sizes stay uncapped.
+    */
+  def incrementalPairs(corpus: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String, k: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    val cIdx = TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
+      .dropDuplicates("id", "shingle")
+    val nIdx = TextAnalysis.hashedShingleRows(newBatch, textCol, idCol, k)
+      .dropDuplicates("id", "shingle")
+    val dfOk = cIdx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val cSizes = cIdx.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+    val nSizes = nIdx.groupBy(col("id")).agg(count(lit(1)).as("n_n"))
+    cIdx.join(dfOk, "shingle")
+      .select(col("shingle"), col("id").as("corpus_id"))
+      .join(nIdx.select(col("shingle"), col("id").as("new_id")),
+        Seq("shingle"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nSizes.withColumnRenamed("id", "new_id"), Seq("new_id"))
+      .join(cSizes.withColumnRenamed("id", "corpus_id"), Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_n") + col("n_c") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
+  }
 }

@@ -89,6 +89,25 @@ class CurationSpec extends SparkSpec {
     assert(again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
   }
 
+  test("incrementalPairs: increment pairs only against the corpus, " +
+    "never the corpus against itself") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"), // corpus-internal dup
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "one two three four five six seven"), // dup of 1 and 2
+      (101L, "nothing here resembles the archive at all")).toDF(
+      "doc_id", "text")
+    val out = Dedup.incrementalPairs(corpus, batch, "text", "doc_id")
+      .orderBy("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // 100 matches corpus docs 1 and 2 at J=1; the 1↔2 corpus-internal
+    // pair must NOT appear — incremental cost never re-pairs history
+    assert(out.toSeq === Seq((100L, 1L, 1.0), (100L, 2L, 1.0)))
+  }
+
   test("dupShingleStats: hand-computed duplicate-shingle fractions") {
     import spark.implicits._
     val df = Seq(
