@@ -255,9 +255,31 @@ object Dedup {
     */
   def incrementalPairs(corpus: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, k: Int = 5,
-      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val cIdx = TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
+    incrementalPairsFromIndex(hashedShingleIndex(corpus, textCol, idCol, k),
+      newBatch, textCol, idCol, k, threshold, maxDf)
+
+  /** The corpus's deduplicated (id, shingle-hash) rows — the reusable
+    * index behind [[incrementalPairs]]. A 100 TB archive builds this
+    * ONCE per corpus snapshot and persists it (parquet, bucketed by
+    * shingle if joins should co-locate); every increment then joins
+    * against the stored index instead of re-tokenizing history.
+    * (Distinct from [[shingleIndex]], the string-shingle form — this
+    * one carries 8-byte hashes, the shape every downstream join keys
+    * on.) */
+  def hashedShingleIndex(corpus: DataFrame, textCol: String,
+      idCol: String, k: Int = 5): DataFrame =
+    TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
       .dropDuplicates("id", "shingle")
+
+  /** [[incrementalPairs]] against a pre-built [[shingleIndex]] — the
+    * production entry point for repeated increments (batch backfills or
+    * a streaming foreachBatch), where re-deriving the corpus index per
+    * increment would dominate the cost. */
+  def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String, k: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    val cIdx = corpusIdx
     val nIdx = TextAnalysis.hashedShingleRows(newBatch, textCol, idCol, k)
       .dropDuplicates("id", "shingle")
     val dfOk = cIdx.groupBy(col("shingle"))

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.pipeline.Dedup
+
+/** Streaming curation: continuous crawl ingestion deduped against the
+  * archive as it arrives, instead of in nightly batch sweeps.
+  *
+  * Each micro-batch of incoming documents runs
+  * [[Dedup.incrementalPairsFromIndex]] against a STATIC corpus shingle
+  * index ([[Dedup.hashedShingleIndex]], built once per corpus snapshot and
+  * persisted) — so per-batch cost is |batch shingles| × bounded corpus
+  * fan-out, and the archive is never re-tokenized, let alone re-paired
+  * with itself. Results land in per-batch partitions: a replayed
+  * micro-batch OVERWRITES its own `batch=<id>` directory, giving the
+  * same exactly-once layout discipline as
+  * [[MeterStream.writeRollups]].
+  */
+object CurationStream {
+
+  /** foreachBatch sink emitting (new_id, corpus_id, inter, jaccard)
+    * rows per micro-batch under `outDir/pairs/batch=<id>`. `corpusIdx`
+    * is a [[Dedup.hashedShingleIndex]] — typically `spark.read.parquet` of a
+    * persisted index, NOT a live derivation from the corpus. */
+  def incrementalDedupSink(newDocs: DataFrame, corpusIdx: DataFrame,
+      textCol: String, idCol: String, outDir: String, checkpoint: String,
+      k: Int = 5, threshold: Double = 0.6,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.incrementalPairsFromIndex(corpusIdx, batch,
+            textCol, idCol, k, threshold, maxDf)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$batchId")
+      }
+}
