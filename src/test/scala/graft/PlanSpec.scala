@@ -220,4 +220,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"quality scoring shuffled:\n$p")
   }
+
+  test("d20/d21: every shuffle keys on hashes or ids — document text " +
+    "never enters an exchange") {
+    Seq("d20_dup_shingles", "d21_incremental_dedup").foreach { q =>
+      val df = run(q)
+      df.collect()
+      val p = plan(df)
+      // at 100 TB the text column dominates row width; these operators
+      // must reduce to (id, 8-byte shingle hash) before any shuffle
+      assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p)
+        .isDefined, s"$q shuffled document text:\n$p")
+    }
+  }
 }
