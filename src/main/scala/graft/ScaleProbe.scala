@@ -54,12 +54,60 @@ object ScaleProbe {
     probe(s"${times}x", corpus(times))
   }
 
+  /** Incremental-dedup cost model at scale: corpus grows `times`×
+    * (disjoint replica vocabularies, as in [[dedupProbe]]), the
+    * increment stays FIXED (10% of the base table, id-shifted, matching
+    * only replica 0 — constant true-pair count). Measures (a) the
+    * one-time index snapshot build+persist, which may grow linearly,
+    * and (b) the per-increment query against the persisted index, whose
+    * only corpus-dependent term is a map-side scan of the 16-byte-row
+    * index — no archive-wide shuffle or aggregate (d21's design claim). */
+  private def incrProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    def corpus(t: Int) = (0 until t).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
+    }.reduce(_ unionAll _)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    Seq(1, times).foreach { t =>
+      val idxPath = java.nio.file.Files
+        .createTempDirectory(s"graft_incridx_$t").toString
+      val t0 = System.nanoTime()
+      pipeline.Dedup.hashedShingleIndex(corpus(t), "text", "doc_id")
+        .write.mode("overwrite").parquet(idxPath)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val idx = spark.read.parquet(idxPath)
+      def query(label: String): Long = {
+        val q0 = System.nanoTime()
+        val pairs = pipeline.Dedup
+          .incrementalPairsFromIndex(idx, inc, "text", "doc_id").count()
+        println(f"[probe] incr/${t}x/$label%-5s ${(System.nanoTime() - q0) / 1e9}%7.2f s  pairs=$pairs")
+        pairs
+      }
+      val p1 = query("cold")
+      val p2 = query("warm")
+      assert(p1 == p2)
+      println(s"[probe] incr/${t}x corpus=${t * n} idxRows=${idx.count()} " +
+        f"build=$buildS%.2f s")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("dedup")) {
       dedupProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("incr")) {
+      incrProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }

@@ -256,46 +256,53 @@ object Dedup {
   def incrementalPairs(corpus: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, k: Int = 5,
       threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
-    incrementalPairsFromIndex(hashedShingleIndex(corpus, textCol, idCol, k),
-      newBatch, textCol, idCol, k, threshold, maxDf)
+    incrementalPairsFromIndex(
+      hashedShingleIndex(corpus, textCol, idCol, k, maxDf),
+      newBatch, textCol, idCol, k, threshold)
 
-  /** The corpus's deduplicated (id, shingle-hash) rows — the reusable
-    * index behind [[incrementalPairs]]. A 100 TB archive builds this
-    * ONCE per corpus snapshot and persists it (parquet, bucketed by
-    * shingle if joins should co-locate); every increment then joins
-    * against the stored index instead of re-tokenizing history.
-    * (Distinct from [[shingleIndex]], the string-shingle form — this
-    * one carries 8-byte hashes, the shape every downstream join keys
-    * on.) */
+  /** The corpus's reusable dedup index: one row per distinct
+    * (id, shingle-hash), RESTRICTED to shingles whose corpus document
+    * frequency is ≤ maxDf, with each row carrying `n_c` — the document's
+    * PRE-cap distinct shingle count (the Jaccard denominator). A 100 TB
+    * archive builds this ONCE per corpus snapshot and persists it
+    * (parquet, bucketed by shingle if joins should co-locate); because
+    * the df-cap and the sizes are baked in at build time, an increment
+    * never triggers an archive-wide aggregate — its cost is the join
+    * alone. (Distinct from [[shingleIndex]], the string-shingle form —
+    * this one carries 8-byte hashes, the shape every join keys on.) */
   def hashedShingleIndex(corpus: DataFrame, textCol: String,
-      idCol: String, k: Int = 5): DataFrame =
-    TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
+      idCol: String, k: Int = 5, maxDf: Int = 100): DataFrame = {
+    val idx = TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
       .dropDuplicates("id", "shingle")
-
-  /** [[incrementalPairs]] against a pre-built [[shingleIndex]] — the
-    * production entry point for repeated increments (batch backfills or
-    * a streaming foreachBatch), where re-deriving the corpus index per
-    * increment would dominate the cost. */
-  def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
-      textCol: String, idCol: String, k: Int = 5,
-      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val cIdx = corpusIdx
-    val nIdx = TextAnalysis.hashedShingleRows(newBatch, textCol, idCol, k)
-      .dropDuplicates("id", "shingle")
-    val dfOk = cIdx.groupBy(col("shingle"))
+    val dfOk = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    val cSizes = cIdx.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+    idx.join(dfOk, "shingle").join(sizes, "id")
+      .select("id", "shingle", "n_c")
+  }
+
+  /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
+    * the production entry point for repeated increments (batch backfills
+    * or a streaming foreachBatch). Touches the archive ONLY through the
+    * index join: the df-cap and corpus sizes were baked in at index
+    * build, so nothing here aggregates over the whole corpus and
+    * per-increment cost is |increment shingles| × bounded fan-out. */
+  def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String, k: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val nIdx = TextAnalysis.hashedShingleRows(newBatch, textCol, idCol, k)
+      .dropDuplicates("id", "shingle")
     val nSizes = nIdx.groupBy(col("id")).agg(count(lit(1)).as("n_n"))
-    cIdx.join(dfOk, "shingle")
-      .select(col("shingle"), col("id").as("corpus_id"))
+    corpusIdx
+      .select(col("shingle"), col("id").as("corpus_id"), col("n_c"))
       .join(nIdx.select(col("shingle"), col("id").as("new_id")),
         Seq("shingle"))
       .groupBy(col("new_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("inter"))
+      // n_c is constant per corpus_id (it rides every index row)
+      .agg(count(lit(1)).as("inter"), min(col("n_c")).as("n_c"))
       .join(nSizes.withColumnRenamed("id", "new_id"), Seq("new_id"))
-      .join(cSizes.withColumnRenamed("id", "corpus_id"), Seq("corpus_id"))
       .withColumn("jaccard",
         round(col("inter") / (col("n_n") + col("n_c") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)

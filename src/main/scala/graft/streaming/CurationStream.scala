@@ -23,17 +23,18 @@ object CurationStream {
   /** foreachBatch sink emitting (new_id, corpus_id, inter, jaccard)
     * rows per micro-batch under `outDir/pairs/batch=<id>`. `corpusIdx`
     * is a [[Dedup.hashedShingleIndex]] — typically `spark.read.parquet` of a
-    * persisted index, NOT a live derivation from the corpus. */
+    * persisted index, NOT a live derivation from the corpus (the df-cap
+    * and corpus sizes are baked in at index build, so no micro-batch
+    * ever aggregates over the archive). */
   def incrementalDedupSink(newDocs: DataFrame, corpusIdx: DataFrame,
       textCol: String, idCol: String, outDir: String, checkpoint: String,
-      k: Int = 5, threshold: Double = 0.6,
-      maxDf: Int = 100): DataStreamWriter[Row] =
+      k: Int = 5, threshold: Double = 0.6): DataStreamWriter[Row] =
     newDocs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Dedup.incrementalPairsFromIndex(corpusIdx, batch,
-            textCol, idCol, k, threshold, maxDf)
+            textCol, idCol, k, threshold)
           .write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$batchId")
       }
