@@ -71,7 +71,13 @@ object ScaleProbe {
         (if (i == 0) col("text")
          else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
     }.reduce(_ unionAll _)
-    val inc = docs.filter(col("doc_id") % 10 === 0)
+    // two increment sizes (10% and 100% of the base table, id-shifted,
+    // still matching only replica 0) × two corpus scales: the grid
+    // separates the increment-proportional term from the index-scan term
+    val incSmall = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val incBig = docs
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
       .localCheckpoint(true)
     Seq(1, times).foreach { t =>
@@ -82,16 +88,19 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(idxPath)
       val buildS = (System.nanoTime() - t0) / 1e9
       val idx = spark.read.parquet(idxPath)
-      def query(label: String): Long = {
+      def query(tag: String, inc: org.apache.spark.sql.DataFrame,
+          label: String): Long = {
         val q0 = System.nanoTime()
         val pairs = pipeline.Dedup
           .incrementalPairsFromIndex(idx, inc, "text", "doc_id").count()
-        println(f"[probe] incr/${t}x/$label%-5s ${(System.nanoTime() - q0) / 1e9}%7.2f s  pairs=$pairs")
+        println(f"[probe] incr/${t}x/$tag/$label%-5s ${(System.nanoTime() - q0) / 1e9}%7.2f s  pairs=$pairs")
         pairs
       }
-      val p1 = query("cold")
-      val p2 = query("warm")
-      assert(p1 == p2)
+      Seq("small" -> incSmall, "big" -> incBig).foreach { case (tag, inc) =>
+        val p1 = query(tag, inc, "cold")
+        val p2 = query(tag, inc, "warm")
+        assert(p1 == p2)
+      }
       println(s"[probe] incr/${t}x corpus=${t * n} idxRows=${idx.count()} " +
         f"build=$buildS%.2f s")
     }
