@@ -61,6 +61,15 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val demoMode = args.headOption.contains("demo")
+    // demo fixes meters/ticks and takes only an output dir; flags are
+    // rejected up front (`demo --stream` must not silently become a
+    // streaming run against a directory literally named "--stream")
+    if (demoMode && args.exists(_.startsWith("--"))) {
+      System.err.println(
+        s"[graft] demo takes no flags (got: ${args.mkString(" ")}); " +
+          "usage: runMain graft.Main demo [outDir]")
+      sys.exit(2)
+    }
     val pos =
       if (demoMode) Array("2", "60", args.lift(1).getOrElse("/tmp/graft_demo"))
       else args.filterNot(_.startsWith("--"))

@@ -280,7 +280,12 @@ object Dedup {
       .select("shingle")
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
     idx.join(dfOk, "shingle").join(sizes, "id")
-      .select("id", "shingle", "n_c")
+      // k rides in the column name: an xxhash64 over k word columns is
+      // meaningless against any other k, and a silent mismatch would
+      // return zero pairs (every duplicate admitted, no error anywhere).
+      // Schema-carried, so it survives the parquet round-trip and
+      // incrementalPairsFromIndex can fail fast instead.
+      .select(col("id"), col("shingle").as(s"shingle_k$k"), col("n_c"))
   }
 
   /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
@@ -292,11 +297,16 @@ object Dedup {
   def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, k: Int = 5,
       threshold: Double = 0.6): DataFrame = {
+    require(corpusIdx.columns.contains(s"shingle_k$k"),
+      s"corpus index was not built with k=$k (columns: " +
+        s"${corpusIdx.columns.mkString(", ")}) — hashes from different " +
+        "shingle widths never match and would silently return zero pairs")
     val nIdx = TextAnalysis.hashedShingleRows(newBatch, textCol, idCol, k)
       .dropDuplicates("id", "shingle")
     val nSizes = nIdx.groupBy(col("id")).agg(count(lit(1)).as("n_n"))
     corpusIdx
-      .select(col("shingle"), col("id").as("corpus_id"), col("n_c"))
+      .select(col(s"shingle_k$k").as("shingle"), col("id").as("corpus_id"),
+        col("n_c"))
       .join(nIdx.select(col("shingle"), col("id").as("new_id")),
         Seq("shingle"))
       .groupBy(col("new_id"), col("corpus_id"))

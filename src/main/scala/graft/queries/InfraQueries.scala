@@ -23,6 +23,32 @@ object InfraQueries {
   private def tag(dir: String): String =
     (dir.hashCode & 0x7fffffff).toHexString
 
+  /** GC tmp round-trip dirs (`<prefix>_<tag>_p<pid>`) left by DEAD
+    * processes — q44/q45 write one per process, so without a sweep the
+    * tmpdir accretes a table copy per run. Same deletion criteria as
+    * `Bucketing.sweepDeadBucketed`: embedded pid not alive (local PID
+    * namespace only) AND dir older than the grace window. */
+  private def sweepTmp(s: SparkSession, prefix: String,
+      graceMs: Long = 10L * 60 * 1000): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pat = ("^" + prefix + "_.*_p(\\d+)$").r
+    val self = ProcessHandle.current().pid()
+    val cutoff = System.currentTimeMillis() - graceMs
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pid) if pid.toLong != self && f.lastModified < cutoff =>
+          val h = ProcessHandle.of(pid.toLong)
+          if (!(h.isPresent && h.get().isAlive)) {
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
   /** Input fingerprint for a table's source files (name/size/mtime): folded
     * into bucketed-table names so a regenerated sf dir keys a REBUILD
     * instead of silently joining a stale bucketed copy (ensureBucketed's
@@ -114,6 +140,7 @@ object InfraQueries {
     // overlapping) must not overwrite each other's round-trip files
     // mid-read; within one process the path is stable so reps overwrite
     // their own copy.
+    sweepTmp(s, "graft_q44")
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}" +
       s"_p${ProcessHandle.current().pid()}"
     Formats.writeCsv(cust, s"$tmp/csv")
@@ -136,6 +163,7 @@ object InfraQueries {
   def q45(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    sweepTmp(s, "graft_q45")
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q45_${tag(dir)}" +
       s"_p${ProcessHandle.current().pid()}"
     Formats.writeOrc(orders, s"$tmp/orc")

@@ -84,10 +84,24 @@ object Bucketing {
     * table names (q42) make concurrent JVMs collision-free, but each pid
     * leaves its `graft_bk_*_p<pid>` dirs behind when it exits; without a
     * sweep the shared warehouse accretes one table pair per process
-    * forever. Deleting is safe exactly when the embedded pid is not
-    * alive: only the creating process can hold that table live, because
-    * the name embeds its own pid. Live siblings are never touched. */
-  def sweepDeadBucketed(spark: SparkSession): Unit = {
+    * forever.
+    *
+    * Deletion criteria, both required:
+    *   - the embedded pid is not alive (only the creating process can
+    *     hold the table live, because the name embeds its own pid) —
+    *     NOTE this check sees only the local PID namespace, so the sweep
+    *     assumes warehouse-sharing processes share a host+namespace;
+    *     deployments mounting one warehouse across containers must use
+    *     per-process `spark.sql.warehouse.dir` instead;
+    *   - the dir hasn't been modified for `graceMs` (default 10 min) —
+    *     a freshly written table whose owner the liveness probe can't
+    *     see (pid-namespace blind spot, pid reuse races) is never
+    *     deleted mid-query; abandoned dirs age past the grace window
+    *     and are then collected.
+    * Legacy tag-only names from before the pid scheme
+    * (`graft_bk_*_<hex>`, no live writers exist) age out the same way. */
+  def sweepDeadBucketed(spark: SparkSession,
+      graceMs: Long = 10L * 60 * 1000): Unit = {
     val probe = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier("graft_bk_probe")))
@@ -95,13 +109,20 @@ object Bucketing {
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) {
       val tagged = "^graft_bk_.*_p(\\d+)$".r
+      val legacy = "^graft_bk_.*$".r
       val self = ProcessHandle.current().pid()
+      val cutoff = System.currentTimeMillis() - graceMs
       fs.listStatus(wh).foreach { st =>
+        val aged = st.getModificationTime < cutoff
         st.getPath.getName match {
-          case tagged(pid) if pid.toLong != self => {
+          case tagged(pid) if pid.toLong != self && aged => {
             val h = ProcessHandle.of(pid.toLong)
             if (!(h.isPresent && h.get().isAlive)) fs.delete(st.getPath, true)
           }
+          case tagged(_) => () // own tables, or too fresh to judge
+          case legacy() if aged &&
+              !spark.catalog.tableExists(st.getPath.getName) =>
+            fs.delete(st.getPath, true)
           case _ => ()
         }
       }

@@ -108,6 +108,19 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, 1L, 1.0), (100L, 2L, 1.0)))
   }
 
+  test("incrementalPairsFromIndex rejects an index built with another k") {
+    import spark.implicits._
+    val corpus = Seq((1L, "one two three four five six")).toDF(
+      "doc_id", "text")
+    val idx = Dedup.hashedShingleIndex(corpus, "text", "doc_id", k = 5)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalPairsFromIndex(idx, corpus, "text", "doc_id", k = 4)
+    }
+    // hashes over different shingle widths never match — this must be a
+    // loud failure, not a silent zero-pair result
+    assert(e.getMessage.contains("k=4"))
+  }
+
   test("dupShingleStats: hand-computed duplicate-shingle fractions") {
     import spark.implicits._
     val df = Seq(

@@ -58,15 +58,26 @@ class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
     // pid 2147483646 exceeds Linux's pid_max ceiling (4194304) → cannot
     // be a live process, so the sweep must treat its dir as garbage
     val dead = "graft_bk_sweepspec_p2147483646"
+    val legacy = "graft_bk_sweepspec_7418e66b" // pre-pid-scheme name shape
     val live = s"graft_bk_sweepspec_p${ProcessHandle.current().pid()}"
     val fs = tableLocation(dead)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tableLocation(dead))
+    fs.mkdirs(tableLocation(legacy))
     Bucketing.writeBucketed(
       Tables.load(spark, sf(), "orders").select("o_orderkey"),
       live, "o_orderkey", 2)
+
+    // within the grace window NOTHING foreign is deleted (a fresh dir's
+    // owner may be invisible to this PID namespace)
     Bucketing.sweepDeadBucketed(spark)
+    assert(fs.exists(tableLocation(dead)) && fs.exists(tableLocation(legacy)),
+      "sweep deleted a dir younger than the grace window")
+
+    // past the grace window: dead-pid and legacy dirs go, live stays
+    Bucketing.sweepDeadBucketed(spark, graceMs = 0)
     assert(!fs.exists(tableLocation(dead)), "dead pid's location not swept")
+    assert(!fs.exists(tableLocation(legacy)), "legacy location not swept")
     assert(spark.catalog.tableExists(live) && fs.exists(tableLocation(live)),
       "sweep deleted a LIVE process's table")
     Bucketing.dropBucketed(spark, live)
