@@ -120,6 +120,20 @@ object Curation {
     Sampling.stratifiedQuotas(df, sourceCol, keyCol, quotas, seed,
       bucketFn)
 
+  /** Token-budget selection — the final assembly step of a training
+    * mix: keep the best-scoring documents (lowest `scoreCol`, e.g.
+    * [[repetitionStats]]'s `dup_pm`) until the cumulative `weightCol`
+    * (token counts) spends `budget`. Deterministic prefix of the
+    * (score, hash-bucket, key) order; delegates to
+    * [[Sampling.weightBudget]]'s two-phase selection, so no score class
+    * is ever sorted in one task. */
+  def tokenBudget(df: DataFrame, scoreCol: String, keyCol: String,
+      tokenCol: String, budget: Long, seed: Long = 42L,
+      bucketFn: (org.apache.spark.sql.Column, Long) =>
+        org.apache.spark.sql.Column = Sampling.hashBucket): DataFrame =
+    Sampling.weightBudget(df, scoreCol, keyCol, tokenCol, budget, seed,
+      bucketFn)
+
   /** Per-source quota cap — at most `maxPerSource` documents from each
     * source, chosen deterministically by key hash (stable across runs
     * and corpus growth). The "domain cap" mixing op: a crawl where one

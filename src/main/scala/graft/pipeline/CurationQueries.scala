@@ -198,11 +198,45 @@ object CurationQueries {
       |WHERE ROUND(inter / (nn.n + nc.n - inter), 6) >= 0.6
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- d22: token-budget selection — spend a 10,000-token budget on
+  // the least-repetitive documents (dup_pm ascending, sha-bucket rank
+  // inside a score class). The oracle replays the single-window
+  // reference form: cumulative token sum over the full
+  // (dup_pm, bucket, doc_id) order, kept while ≤ budget — provably the
+  // same set as the engine's two-phase selection. ----
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val stats = Curation.repetitionStats(docs(s, dir), "text", "doc_id")
+      .select("doc_id", "n_tokens", "dup_pm")
+    Curation.tokenBudget(stats, "dup_pm", "doc_id", "n_tokens",
+        budget = 10000L, seed = 42L, bucketFn = Sampling.shaBucket)
+      .orderBy("doc_id")
+  }
+
+  private val d22Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    len(ws)::BIGINT AS n_tokens,
+      |    (CASE WHEN len(ws) > 0
+      |       THEN (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+      |       ELSE 0 END)::BIGINT AS dup_pm,
+      |    ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |  FROM w),
+      |o AS (
+      |  SELECT doc_id, n_tokens, dup_pm,
+      |    SUM(n_tokens) OVER (ORDER BY dup_pm, b, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens, dup_pm FROM o
+      |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
     QueryDef("d18_source_quota", d18, Some(d18Oracle)),
     QueryDef("d19_weighted_mix", d19, Some(d19Oracle)),
     QueryDef("d20_dup_shingles", d20, Some(d20Oracle)),
-    QueryDef("d21_incremental_dedup", d21, Some(d21Oracle)))
+    QueryDef("d21_incremental_dedup", d21, Some(d21Oracle)),
+    QueryDef("d22_token_budget", d22, Some(d22Oracle)))
 }

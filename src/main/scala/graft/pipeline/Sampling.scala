@@ -117,6 +117,65 @@ object Sampling {
       (_, total) => least(lit(maxPerStratum), total), seed, bucketFn)
   }
 
+  /** Weighted BUDGET selection: keep the prefix of `df` in
+    * (score, hash-bucket, key) order whose cumulative `weightCol` stays
+    * within `budget` — "take the best-scoring documents until the token
+    * budget is spent", the final assembly step of a training mix.
+    *
+    * Two-phase, like [[stratified]]: a global sort by score at 100 TB is
+    * off the table, so phase 1 aggregates weight per (score, bucket)
+    * group — a bounded histogram (distinct scores × 10000 buckets)
+    * whose running sum locates the one threshold group that crosses the
+    * budget — and phase 2 ranks rows ONLY inside that group (~1/10000
+    * of one score class) to spend the remainder. Selected set is
+    * IDENTICAL to the single-window reference form (cum-sum over the
+    * full (score, bucket, key) order, kept while ≤ budget — a prefix,
+    * since weights are non-negative); the d22 oracle replays exactly
+    * that. Scores should be low-cardinality (integer per-mille grades
+    * like [[Curation.repetitionStats]]'s — ≤ ~1001 values); weights
+    * must be non-negative. Reserved column names `_bkt _w _cum _ts _tb
+    * _rem _cw` must not collide with `df`'s. */
+  def weightBudget(df: DataFrame, scoreCol: String, keyCol: String,
+      weightCol: String, budget: Long, seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = hashBucket): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val tagged = df.withColumn("_bkt",
+      coalesce(bucketFn(col(keyCol), seed), lit(-1L)))
+    // Phase 1 — weight per (score, bucket) group; ONE ordered window,
+    // but over histogram rows only. The first group whose running sum
+    // exceeds the budget is the threshold group; everything before it is
+    // fully in, and `_rem` is the weight it may still spend.
+    val hist = tagged.groupBy(col(scoreCol).as("_ts"), col("_bkt").as("_tb"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val wCum = Window.orderBy(col("_ts"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .filter(col("_cum") > budget)
+      .orderBy(col("_ts"), col("_tb"))
+      .limit(1)
+      .select(col("_ts"), col("_tb"),
+        (lit(budget) - col("_cum") + col("_w")).as("_rem"))
+    // Phase 2 — every row sees the (at most one) threshold row via an
+    // always-true left broadcast join; no threshold row means the whole
+    // input fits the budget. The cum-sum window partitions by
+    // (score, bucket) — tiny partitions, the same boundedness as
+    // [[stratified]]'s phase 2 — and only the threshold group's values
+    // are consulted by the filter. Scores must be non-null (null
+    // ordering differs across engines).
+    val wIn = Window.partitionBy(col(scoreCol), col("_bkt"))
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.join(broadcast(thr), lit(true), "left")
+      .withColumn("_cw", sum(col(weightCol)).over(wIn))
+      .filter(col("_ts").isNull ||
+        col(scoreCol) < col("_ts") ||
+        (col(scoreCol) === col("_ts") && col("_bkt") < col("_tb")) ||
+        (col(scoreCol) === col("_ts") && col("_bkt") === col("_tb") &&
+          col("_cw") <= col("_rem")))
+      .drop("_bkt", "_ts", "_tb", "_rem", "_cw")
+  }
+
   /** Per-stratum quota TABLE: each stratum keeps at most its own quota
     * (strata absent from the map keep nothing) — the primitive behind
     * weighted corpus mixing, where "30% web / 50% code / 20% books" is

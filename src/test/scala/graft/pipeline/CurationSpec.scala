@@ -108,6 +108,38 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, 1L, 1.0), (100L, 2L, 1.0)))
   }
 
+  test("weightBudget: equals the single-window reference form; edge " +
+    "budgets behave") {
+    import org.apache.spark.sql.expressions.Window
+    val stats = Curation.repetitionStats(docs, "text", "doc_id")
+      .select("doc_id", "n_tokens", "dup_pm")
+    def reference(budget: Long) = stats
+      .withColumn("_cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("dup_pm"),
+          Sampling.hashBucket(col("doc_id"), 42L), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= budget).drop("_cum")
+    Seq(0L, 500L, 5000L, 1000000L).foreach { budget =>
+      val twoPhase = Sampling.weightBudget(stats, "dup_pm", "doc_id",
+        "n_tokens", budget)
+      val ref = reference(budget)
+      assert(twoPhase.select("doc_id").exceptAll(ref.select("doc_id"))
+          .isEmpty &&
+        ref.select("doc_id").exceptAll(twoPhase.select("doc_id")).isEmpty,
+        s"two-phase != reference at budget=$budget")
+    }
+    // budget 0 keeps nothing; budget >= total keeps everything
+    assert(Sampling.weightBudget(stats, "dup_pm", "doc_id", "n_tokens", 0L)
+      .count() === 0)
+    assert(Sampling.weightBudget(stats, "dup_pm", "doc_id", "n_tokens",
+      1000000L).count() === stats.count())
+    // the spent budget is within one document of the target
+    val sel = Sampling.weightBudget(stats, "dup_pm", "doc_id", "n_tokens",
+      5000L)
+    val spent = sel.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(spent <= 5000L, s"overspent: $spent")
+  }
+
   test("incrementalPairsFromIndex rejects an index built with another k") {
     import spark.implicits._
     val corpus = Seq((1L, "one two three four five six")).toDF(
