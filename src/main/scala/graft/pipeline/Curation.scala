@@ -134,6 +134,89 @@ object Curation {
     Sampling.weightBudget(df, scoreCol, keyCol, tokenCol, budget, seed,
       bucketFn)
 
+  /** PII patterns shared by detection and redaction. Deliberately kept
+    * inside the RE2 ∩ java.util.regex dialect (no backreferences, no
+    * lookaround) so the DuckDB oracle replays them verbatim. Redaction
+    * order matters and is part of the contract: emails first (their
+    * local parts may contain digits a later pattern could bite into),
+    * then IPv4, then phone fragments; the replacement tokens contain no
+    * digits, so later patterns can never match inside an earlier
+    * redaction. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction (the anonymization pass every released
+    * corpus runs): per document, counts of email / IPv4 / phone-shaped
+    * spans plus the text with each span replaced by a typed tag
+    * (`<EMAIL>`/`<IP>`/`<PHONE>`). Returns
+    * (id, n_email, n_ip, n_phone, redacted).
+    *
+    * 100 TB shape: pure narrow regexp expressions — one codegen'd map
+    * stage, zero shuffles; the scan reads only (id, text). */
+  def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+        .as("n_email"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long")
+        .as("n_ip"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phone"),
+      redacted.as("redacted"))
+  }
+
+  /** Corpus-level line deduplication (the RefinedWeb/C4 step below
+    * document granularity): split every document on `sep`, drop blank
+    * lines, remove each line that occurs in at least `minDocs` DISTINCT
+    * documents (navigation chrome, cookie banners, license boilerplate),
+    * and reassemble the survivors in original order. Returns
+    * (id, n_lines, n_kept, n_dropped, cleaned) — one row per input
+    * document, including documents whose every line was boilerplate
+    * (`cleaned` = empty string).
+    *
+    * 100 TB shape: the line document-frequency aggregate shuffles
+    * (8-byte xxhash64, id) pairs — never line text; the banned-line set
+    * (df ≥ minDocs) is the small side of a LEFT ANTI join that AQE
+    * broadcast-converts when it fits (boilerplate vocabularies are tiny
+    * relative to a corpus), so the exploded text crosses no shuffle in
+    * the common case. Reassembly groups by document id — bounded by the
+    * largest single document, the same bound a plain parse already has. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minDocs: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(split(col(textCol),
+          java.util.regex.Pattern.quote(sep)),
+        l => length(l) > 0).as("lines"))
+    val exploded = base
+      .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val banned = exploded.groupBy("lh")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("lh")
+    val kept = exploded.join(banned, Seq("lh"), "left_anti")
+    val reassembled = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("cleaned"))
+    base.select(col("id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Per-source quota cap — at most `maxPerSource` documents from each
     * source, chosen deterministically by key hash (stable across runs
     * and corpus growth). The "domain cap" mixing op: a crawl where one

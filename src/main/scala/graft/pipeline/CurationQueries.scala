@@ -231,6 +231,112 @@ object CurationQueries {
       |SELECT doc_id, n_tokens, dup_pm FROM o
       |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin
 
+  // ---- d23: PII detection + redaction. The fixture corpus carries no
+  // PII, so the query plants it deterministically from doc_id (emails
+  // on id%7, IPv4 on id%11, phone fragments on id%13 — ids divisible by
+  // several moduli get several kinds) with plain string concatenation
+  // that both engines compute identically, then runs the scrub. The
+  // oracle replays injection, counting, and the ordered three-stage
+  // redaction with the same RE2∩Java regexes; md5 of the redacted text
+  // certifies the rewrite byte-for-byte without shipping it. ----
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+        .as("text"))
+    Curation.piiScrub(planted, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_email"), col("n_ip"),
+        col("n_phone"), md5(col("redacted")).as("red_md5"),
+        length(col("redacted")).cast("long").as("n_chars_red"))
+      .orderBy("doc_id")
+  }
+
+  private val d23Oracle =
+    """WITH p AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |         THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |         ELSE '' END AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+      |  FROM p)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+      |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+      |  md5(red) AS red_md5,
+      |  length(red)::BIGINT AS n_chars_red
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- d24: corpus-level line dedup. The fixture documents are
+  // single-line, so the query derives a multi-line corpus
+  // deterministically: consecutive 3-token chunks become "lines"
+  // (3 tokens over a 31-word vocabulary ≈ 30k combinations against
+  // ~7.5k corpus lines at sf0.01 — a real split: ~19% of distinct lines
+  // recur across documents). Lines occurring in ≥2 distinct documents
+  // are boilerplate and dropped; the oracle replays chunking, the
+  // distinct-document frequency, the anti-join, and the in-order
+  // reassembly, certifying the cleaned text via md5. ----
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), "\\s+")
+    val chunked = docs(s, dir).select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(1), ((size(ws) + lit(2)) / lit(3)).cast("int")),
+          i => array_join(slice(ws, (i - 1) * 3 + 1, lit(3)), " ")),
+        "\n").as("text"))
+    Curation.lineDedup(chunked, "text", "doc_id", sep = "\n", minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_dropped"), md5(col("cleaned")).as("clean_md5"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val d24Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, list_transform(generate_series(1, (len(ws)+2)//3),
+      |    i -> array_to_string(ws[(i-1)*3+1:least(i*3, len(ws))], ' ')) AS lines
+      |  FROM w),
+      |l AS (
+      |  SELECT doc_id, unnest(lines) AS line,
+      |    generate_subscripts(lines, 1) AS pos FROM c),
+      |b AS (
+      |  SELECT line FROM l GROUP BY line
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+      |r AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |  FROM k GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  len(c.lines)::BIGINT AS n_lines,
+      |  COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+      |  (len(c.lines) - COALESCE(r.n_kept, 0))::BIGINT AS n_dropped,
+      |  md5(COALESCE(r.cleaned, '')) AS clean_md5,
+      |  length(COALESCE(r.cleaned, ''))::BIGINT AS n_chars_clean
+      |FROM c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -238,5 +344,7 @@ object CurationQueries {
     QueryDef("d19_weighted_mix", d19, Some(d19Oracle)),
     QueryDef("d20_dup_shingles", d20, Some(d20Oracle)),
     QueryDef("d21_incremental_dedup", d21, Some(d21Oracle)),
-    QueryDef("d22_token_budget", d22, Some(d22Oracle)))
+    QueryDef("d22_token_budget", d22, Some(d22Oracle)),
+    QueryDef("d23_pii_redact", d23, Some(d23Oracle)),
+    QueryDef("d24_line_dedup", d24, Some(d24Oracle)))
 }

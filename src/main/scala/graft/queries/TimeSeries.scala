@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Time-series operators over the `events` fixture: regular-grid gap
+  * filling with forward fill, and gap-based batch sessionization (the
+  * batch face of the streaming session windows in
+  * [[graft.streaming.StreamQueries]] s4).
+  *
+  * Both are per-entity window patterns: one shuffle keyed on the entity
+  * id, then order-by-time work inside each partition. At 100 TB the
+  * entity key (user, device, meter) is the natural partitioner — state
+  * per entity is bounded by its own history span, and no operator here
+  * ever materializes a cross-entity structure.
+  */
+object TimeSeries {
+
+  /** Regular hourly grid per entity with forward fill: aggregate
+    * `metric` per (entity, hour), densify each entity's [min, max] hour
+    * span, and carry the last observed value across the gaps. Returns
+    * (entityCol, hour, filled, was_observed).
+    *
+    * The grid generation is per-entity `sequence(min, max, 1h)` — its
+    * cost is the entity's time span, not the corpus size; the fill is a
+    * running `last(ignoreNulls)` over the entity window. The first grid
+    * row per entity is its first observed hour, so `filled` is never
+    * NULL.
+    *
+    * 100 TB shape: two shuffles keyed on the entity (pre-agg, then
+    * window); the grid explode happens AFTER aggregation, on one row
+    * per (entity, hour-span) — never on raw events. */
+  def gapFillHourly(events: DataFrame, entityCol: String, tsCol: String,
+      metric: Column): DataFrame = {
+    val hourly = events
+      .groupBy(col(entityCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(metric.as("observed"))
+    val grid = hourly.groupBy(col(entityCol))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col(entityCol),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy(entityCol).orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(entityCol, "hour"), "left")
+      .select(col(entityCol), col("hour"),
+        last(col("observed"), ignoreNulls = true).over(w).as("filled"),
+        col("observed").isNotNull.cast("long").as("was_observed"))
+  }
+
+  /** Gap-based sessionization: events of one entity belong to the same
+    * session while consecutive gaps stay within `gapUs` microseconds
+    * (the classic web-analytics session definition; the streaming twin
+    * is s4's session window). Returns one row per event with its
+    * `session_id` (1-based, per entity, in time order).
+    *
+    * Tie safety: events sharing an exact timestamp have gap 0, so the
+    * break flag and the running sum are invariant to their relative
+    * order — the output is deterministic without a tiebreak column.
+    *
+    * 100 TB shape: one shuffle on the entity key, two window passes
+    * (lag + running sum) inside each partition, never a self-join. */
+  def sessionize(events: DataFrame, entityCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(entityCol).orderBy(tsCol)
+    val run = Window.partitionBy(entityCol).orderBy(tsCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(ord)
+    events
+      .withColumn("_brk",
+        when(prev.isNull || unix_micros(col(tsCol)) - prev > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_brk")).over(run))
+      .drop("_brk")
+  }
+}
+
+/** Gate queries for [[TimeSeries]]. */
+object TimeSeriesQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---- q46: hourly gap fill + forward fill for a deterministic user
+  // subset (id % 50 — grid rows stay bounded at every SF: entities ×
+  // span-hours, ~2.2k at sf0.01). The metric is the certified exact
+  // pattern for the double `value` column: per-hour sum as
+  // DECIMAL(18,2), emitted as cents (BIGINT — identical repr on both
+  // gate read paths). The oracle replays grid, join, and IGNORE NULLS
+  // running fill. ----
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillHourly(
+        events(s, dir).filter(col("user_id") % 50 === 0),
+        "user_id", "ts",
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long"))
+      .orderBy("user_id", "hour")
+
+  private val q46Oracle =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS observed
+      |  FROM events WHERE user_id % 50 = 0
+      |  GROUP BY user_id, date_trunc('hour', ts)),
+      |s AS (
+      |  SELECT user_id, unnest(hs) AS hour FROM (
+      |    SELECT user_id,
+      |      generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR) AS hs
+      |    FROM h GROUP BY user_id)),
+      |j AS (
+      |  SELECT s.user_id, s.hour, h.observed
+      |  FROM s LEFT JOIN h USING (user_id, hour))
+      |SELECT user_id, hour,
+      |  last_value(observed IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  (CASE WHEN observed IS NULL THEN 0 ELSE 1 END)::BIGINT AS was_observed
+      |FROM j ORDER BY user_id, hour""".stripMargin
+
+  // ---- q47: batch sessionization, 12-hour gap (the fixture averages
+  // ~10.7h between events per user, so the threshold genuinely splits:
+  // ~3.3k sessions over 10k events at sf0.01). Emitted per user so the
+  // row count stays at the user count; per-session structure is
+  // certified through n_sessions / max_session_events / the exact
+  // total in-session microseconds. ----
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionize(events(s, dir), "user_id", "ts",
+        gapUs = 12L * 3600 * 1000000)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_ev"),
+        unix_micros(min(col("ts"))).as("t0"),
+        unix_micros(max(col("ts"))).as("t1"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        sum(col("t1") - col("t0")).as("in_session_us"))
+      .orderBy("user_id")
+
+  private val q47Oracle =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sid AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_ev,
+      |    epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+      |  FROM sid GROUP BY user_id, session_id)
+      |SELECT user_id,
+      |  COUNT(*) AS n_sessions,
+      |  SUM(n_ev)::BIGINT AS n_events,
+      |  MAX(n_ev)::BIGINT AS max_session_events,
+      |  SUM(t1 - t0)::BIGINT AS in_session_us
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
+    QueryDef("q47_sessionize", q47, Some(q47Oracle)))
+}

@@ -233,4 +233,42 @@ class PlanSpec extends SparkSpec {
         .isDefined, s"$q shuffled document text:\n$p")
     }
   }
+
+  test("d23: PII scrub is a pure map stage — zero shuffles before the " +
+    "output sort") {
+    val p = plan(run("d23_pii_redact"))
+    // anonymizing 100 TB must cost exactly one scan+project pass; only
+    // the final ORDER BY's range exchange may appear
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PII scrub shuffled:\n$p")
+  }
+
+  test("d24: banned-line set broadcast — exploded line text never " +
+    "enters a shuffle join") {
+    val df = run("d24_line_dedup")
+    df.collect()
+    val p = plan(df)
+    // the line document-frequency aggregate shuffles (8-byte hash, id)
+    // pairs; the boilerplate set is tiny relative to the corpus, so the
+    // anti-join against it must be broadcast, not sort-merge
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"banned-line set not broadcast:\n$p")
+    assert(!"SortMergeJoin LeftAnti".r.findFirstIn(p).isDefined,
+      s"anti-join shuffled the exploded lines:\n$p")
+  }
+
+  test("q46/q47: time-series ops shuffle on the entity key only — " +
+    "raw events never explode before aggregation") {
+    Seq("q46_gapfill_ffill", "q47_sessionize").foreach { q =>
+      val df = run(q)
+      df.collect()
+      val p = plan(df)
+      // every hash exchange keys on user_id (+hour for the pre-agg):
+      // per-entity window work, never a cross-entity structure
+      val badKey = "Exchange hashpartitioning\\((?![^)]*user_id)"
+        .r.findFirstIn(p)
+      assert(badKey.isEmpty, s"$q shuffled on a non-entity key:\n$p")
+    }
+  }
 }

@@ -167,4 +167,45 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L), (3L, 2L, 0L, 0L)))
   }
+
+  test("piiScrub: counts and ordered redaction, hand-computed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-0199 or 555-0200"),
+      // all three kinds in one document; the email's digits must not be
+      // re-matched by the phone pattern after redaction
+      (4L, "a1@b.co at 1.2.3.4 tel 123-4567"),
+      (5L, "nothing to see here")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(df, "text", "doc_id").orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out(0) === ((1L, 1L, 0L, 0L,
+      "mail <EMAIL> now")))
+    assert(out(1) === ((2L, 0L, 2L, 0L, "host <IP> and <IP> up")))
+    assert(out(2) === ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(out(3) === ((4L, 1L, 1L, 1L, "<EMAIL> at <IP> tel <PHONE>")))
+    assert(out(4) === ((5L, 0L, 0L, 0L, "nothing to see here")))
+  }
+
+  test("lineDedup: boilerplate lines dropped, order kept, empty docs kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep me one\nCOOKIE BANNER\nkeep me two"),
+      (2L, "COOKIE BANNER\nunique middle\nFOOTER"),
+      (3L, "FOOTER\nCOOKIE BANNER"), // everything boilerplate → empty
+      (4L, "only\n\nlines here")     // blank line dropped from the count
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(df, "text", "doc_id", minDocs = 2)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out(0) === ((1L, 3L, 2L, 1L, "keep me one\nkeep me two")))
+    assert(out(1) === ((2L, 3L, 1L, 2L, "unique middle")))
+    assert(out(2) === ((3L, 2L, 0L, 2L, "")))
+    assert(out(3) === ((4L, 2L, 2L, 0L, "only\nlines here")))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Time-series operators: hourly gap fill with forward fill, and
+  * gap-based batch sessionization. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillHourly: dense grid per entity, forward fill across gaps") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: observations at hours 00 and 03 → grid 00..03, hours
+      // 01/02 filled from hour 00
+      (1L, ts("2024-01-01 00:10:00"), 5L),
+      (1L, ts("2024-01-01 00:40:00"), 7L),
+      (1L, ts("2024-01-01 03:05:00"), 2L),
+      // user 2: a single hour → a one-row grid
+      (2L, ts("2024-01-02 10:30:00"), 9L)).toDF("user_id", "ts", "v")
+    val out = TimeSeries.gapFillHourly(ev, "user_id", "ts",
+        sum(col("v")).cast("long"))
+      .orderBy("user_id", "hour").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", 12L, 1L),
+      (1L, "2024-01-01 01:00:00.0", 12L, 0L),
+      (1L, "2024-01-01 02:00:00.0", 12L, 0L),
+      (1L, "2024-01-01 03:00:00.0", 2L, 1L),
+      (2L, "2024-01-02 10:00:00.0", 9L, 1L)))
+  }
+
+  test("gapFillHourly: grid is contiguous and filled is never null " +
+      "on fixture data") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val out = TimeSeries.gapFillHourly(ev, "user_id", "ts",
+      count(lit(1)).cast("long"))
+    assert(out.filter(col("filled").isNull).count() === 0)
+    // per user: rows == span hours + 1 (dense grid)
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        ((unix_micros(max(col("hour"))) - unix_micros(min(col("hour"))))
+          / lit(3600000000L) + 1).cast("long").as("expect"))
+      .filter(col("n") =!= col("expect"))
+    assert(bad.count() === 0)
+  }
+
+  test("sessionize: hand-computed session boundaries, gap inclusive/" +
+      "exclusive contract") {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000 // 1 hour
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 01:00:00")), // exactly the gap → same session
+      (1L, ts("2024-01-01 02:00:01")), // 1s over → new session
+      (1L, ts("2024-01-01 02:30:00")),
+      (2L, ts("2024-01-01 00:00:00"))).toDF("user_id", "ts")
+    val out = TimeSeries.sessionize(ev, "user_id", "ts", gapUs)
+      .orderBy("user_id", "ts")
+      .select("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("sessionize: session ids are 1..n_sessions per entity, events " +
+      "conserved on fixture data") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val out = TimeSeries.sessionize(ev, "user_id", "ts",
+      gapUs = 12L * 3600 * 1000000)
+    assert(out.count() === ev.count())
+    val bad = out.groupBy("user_id")
+      .agg(min(col("session_id")).as("lo"),
+        max(col("session_id")).as("hi"),
+        countDistinct(col("session_id")).as("n"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+}
