@@ -50,6 +50,57 @@ object TimeSeries {
         col("observed").isNotNull.cast("long").as("was_observed"))
   }
 
+  /** Regular hourly grid per entity with LINEAR INTERPOLATION across
+    * gaps (the fill for continuous measurements, where forward fill is
+    * the fill for step/state signals): missing hours get
+    * `prev + (next - prev) * offset / span` between the neighboring
+    * observations. The grid spans [first, last] observed hour per
+    * entity, so every gap is interior and the interpolation is always
+    * defined (span ≥ 2 on interpolated rows — no division by zero).
+    *
+    * Numeric contract: with an exact integer `metric` (e.g. cents), the
+    * interpolation is ONE double division over exact-in-double integers
+    * (|next-prev| · offset-hours stays far under 2^53), so the result is
+    * reproducible bit-for-bit across engines — the DuckDB oracle replays
+    * the same expression tree.
+    *
+    * 100 TB shape: identical to [[gapFillHourly]] — two entity-keyed
+    * shuffles; the backward/forward neighbor scans are two window passes
+    * over the same sort order, which Spark executes in one sort. */
+  def gapFillInterp(events: DataFrame, entityCol: String, tsCol: String,
+      metric: Column): DataFrame = {
+    val hourly = events
+      .groupBy(col(entityCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(metric.as("observed"))
+    val grid = hourly.groupBy(col(entityCol))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col(entityCol),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val back = Window.partitionBy(entityCol).orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(entityCol).orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hourOf = (c: Column) => (unix_micros(c) / lit(3600000000L))
+      .cast("long")
+    grid.join(hourly, Seq(entityCol, "hour"), "left")
+      .withColumn("_pv", last(col("observed"), ignoreNulls = true)
+        .over(back))
+      .withColumn("_ph", last(when(col("observed").isNotNull, col("hour")),
+        ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col("observed"), ignoreNulls = true)
+        .over(fwd))
+      .withColumn("_nh", first(when(col("observed").isNotNull, col("hour")),
+        ignoreNulls = true).over(fwd))
+      .select(col(entityCol), col("hour"),
+        when(col("observed").isNotNull, col("observed").cast("double"))
+          .otherwise(col("_pv").cast("double") +
+            ((col("_nv") - col("_pv")) *
+              (hourOf(col("hour")) - hourOf(col("_ph")))).cast("double") /
+            (hourOf(col("_nh")) - hourOf(col("_ph"))).cast("double"))
+          .as("filled"),
+        col("observed").isNotNull.cast("long").as("was_observed"))
+  }
+
   /** Gap-based sessionization: events of one entity belong to the same
     * session while consecutive gaps stay within `gapUs` microseconds
     * (the classic web-analytics session definition; the streaming twin
@@ -118,6 +169,56 @@ object TimeSeriesQueries {
       |  (CASE WHEN observed IS NULL THEN 0 ELSE 1 END)::BIGINT AS was_observed
       |FROM j ORDER BY user_id, hour""".stripMargin
 
+  // ---- q48: same grid, linear interpolation instead of forward fill.
+  // The metric is integer cents, so the interpolated double is one
+  // division over exact-in-double integers — both engines reproduce it
+  // bit-for-bit from the same expression tree (see gapFillInterp's
+  // numeric contract). ----
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillInterp(
+        events(s, dir).filter(col("user_id") % 50 === 0),
+        "user_id", "ts",
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long"))
+      .orderBy("user_id", "hour")
+
+  private val q48Oracle =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS observed
+      |  FROM events WHERE user_id % 50 = 0
+      |  GROUP BY user_id, date_trunc('hour', ts)),
+      |s AS (
+      |  SELECT user_id, unnest(hs) AS hour FROM (
+      |    SELECT user_id,
+      |      generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR) AS hs
+      |    FROM h GROUP BY user_id)),
+      |j AS (
+      |  SELECT s.user_id, s.hour, h.observed
+      |  FROM s LEFT JOIN h USING (user_id, hour)),
+      |n AS (
+      |  SELECT user_id, hour, observed,
+      |    last_value(observed IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN observed IS NOT NULL THEN hour END
+      |      IGNORE NULLS) OVER wb AS ph,
+      |    first_value(observed IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN observed IS NOT NULL THEN hour END
+      |      IGNORE NULLS) OVER wf AS nh
+      |  FROM j
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, hour,
+      |  CASE WHEN observed IS NOT NULL THEN observed::DOUBLE
+      |    ELSE pv::DOUBLE +
+      |      ((nv - pv) * (epoch_us(hour)//3600000000
+      |                    - epoch_us(ph)//3600000000))::DOUBLE /
+      |      (epoch_us(nh)//3600000000
+      |       - epoch_us(ph)//3600000000)::DOUBLE END AS filled,
+      |  (CASE WHEN observed IS NULL THEN 0 ELSE 1 END)::BIGINT AS was_observed
+      |FROM n ORDER BY user_id, hour""".stripMargin
+
   // ---- q47: batch sessionization, 12-hour gap (the fixture averages
   // ~10.7h between events per user, so the threshold genuinely splits:
   // ~3.3k sessions over 10k events at sf0.01). Emitted per user so the
@@ -164,5 +265,6 @@ object TimeSeriesQueries {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
-    QueryDef("q47_sessionize", q47, Some(q47Oracle)))
+    QueryDef("q47_sessionize", q47, Some(q47Oracle)),
+    QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)))
 }

@@ -116,4 +116,50 @@ object EventStreams {
       .transformWithState(new GapProcessor(gapMs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class HourObs(user_id: Long, hour_ms: Long, v: Long)
+  case class FilledHour(user_id: Long, hour_ms: Long, v: Long,
+      was_observed: Boolean)
+
+  /** Streaming twin of [[graft.queries.TimeSeries.gapFillHourly]]:
+    * per-entity forward fill over finalized hourly observations. Each
+    * incoming (entity, hour, value) row emits itself plus one carried
+    * row per missing hour since the entity's previous observation.
+    * State is one (hour_ms, value) pair per entity — O(#entities),
+    * independent of stream length.
+    *
+    * Input contract: observations must arrive per-entity in
+    * NON-DECREASING hour order across micro-batches (within a batch any
+    * order is fine — the group iterator is sorted). In a deployment
+    * that is exactly what an upstream watermarked hourly aggregation
+    * emits in append mode: an hour is finalized (and thus emitted) only
+    * once the watermark passes it, in event-time order. Cross-batch
+    * equivalence against the batch operator is asserted in
+    * StreamingSpec. */
+  def fillGapsHourly(obs: Dataset[HourObs]): Dataset[FilledHour] = {
+    import obs.sparkSession.implicits._
+    val hourMs = 3600000L
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), FilledHour](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[HourObs],
+            state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(_.hour_ms)
+          var last = state.getOption
+          val out = Seq.newBuilder[FilledHour]
+          sorted.foreach { o =>
+            last.foreach { case (lh, lv) =>
+              var h = lh + hourMs
+              while (h < o.hour_ms) {
+                out += FilledHour(uid, h, lv, was_observed = false)
+                h += hourMs
+              }
+            }
+            out += FilledHour(uid, o.hour_ms, o.v, was_observed = true)
+            last = Some((o.hour_ms, o.v))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -260,7 +260,8 @@ class PlanSpec extends SparkSpec {
 
   test("q46/q47: time-series ops shuffle on the entity key only — " +
     "raw events never explode before aggregation") {
-    Seq("q46_gapfill_ffill", "q47_sessionize").foreach { q =>
+    Seq("q46_gapfill_ffill", "q47_sessionize",
+        "q48_gapfill_interp").foreach { q =>
       val df = run(q)
       df.collect()
       val p = plan(df)

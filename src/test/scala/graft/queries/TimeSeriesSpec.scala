@@ -50,6 +50,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("gapFillInterp: hand-computed linear interpolation across a gap") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 10 at hour 00, 40 at hour 03 → hours 01/02 interpolate
+      // to 20.0 and 30.0; a descending leg 40 → 20 over two hours → 30.0
+      (1L, ts("2024-01-01 00:30:00"), 10L),
+      (1L, ts("2024-01-01 03:30:00"), 40L),
+      (1L, ts("2024-01-01 05:30:00"), 20L)).toDF("user_id", "ts", "v")
+    val out = TimeSeries.gapFillInterp(ev, "user_id", "ts",
+        sum(col("v")).cast("long"))
+      .orderBy("hour").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 10.0, 1L),
+      ("2024-01-01 01:00:00.0", 20.0, 0L),
+      ("2024-01-01 02:00:00.0", 30.0, 0L),
+      ("2024-01-01 03:00:00.0", 40.0, 1L),
+      ("2024-01-01 04:00:00.0", 30.0, 0L),
+      ("2024-01-01 05:00:00.0", 20.0, 1L)))
+  }
+
   test("sessionize: hand-computed session boundaries, gap inclusive/" +
       "exclusive contract") {
     import spark.implicits._

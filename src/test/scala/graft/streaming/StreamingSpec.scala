@@ -297,4 +297,46 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup").count() === 60)
   }
+
+  test("streaming forward fill == batch gapFillHourly, state carried " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.load(spark, sf(), "events")
+    // finalized hourly observations — what an upstream watermarked hourly
+    // aggregation emits in append mode, in event-time order
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("v"))
+      .select(col("user_id"), unix_millis(col("hour")).as("hour_ms"),
+        col("v"))
+      .as[EventStreams.HourObs].collect().sortBy(_.hour_ms)
+    // split on a mid-corpus hour: per-user hour order is preserved across
+    // the two batches, and fills spanning the cut exercise carried state
+    val cut = hourly(hourly.length / 2).hour_ms
+    val (b1, b2) = hourly.partition(_.hour_ms <= cut)
+    assert(b1.nonEmpty && b2.nonEmpty)
+
+    val input = MemoryStream[EventStreams.HourObs]
+    val q = EventStreams.fillGapsHourly(input.toDS()).writeStream
+      .format("memory").queryName("ffill_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ffill_stream")
+      .select(col("user_id"), col("hour_ms"), col("v"),
+        col("was_observed").cast("long").as("was_observed"))
+    val batch = graft.queries.TimeSeries
+      .gapFillHourly(ev, "user_id", "ts", count(lit(1)).cast("long"))
+      .select(col("user_id"), unix_millis(col("hour")).as("hour_ms"),
+        col("filled").as("v"), col("was_observed"))
+    assert(streamed.count() > hourly.length,
+      "no gap rows were filled — the fixture makes this test vacuous")
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "streaming forward fill diverged from the batch operator")
+  }
 }
