@@ -106,6 +106,47 @@ object ScaleProbe {
     }
   }
 
+  /** Time-series operators at scale: replicate events `times`× with
+    * user_id offsets — the ENTITY COUNT grows times× while every
+    * entity's history (span, density, per-key state) stays constant.
+    * That is the claim the family makes for 100 TB: all shuffles key on
+    * the entity, so wall time scales with entities × per-entity span,
+    * and nothing cross-entity ever materializes. */
+  private def tsProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "value")
+    val n = ev.agg(max("user_id")).first().getLong(0) + 1
+    def corpus(t: Int) = (0 until t).map { i =>
+      ev.select((col("user_id") + lit(i * n)).as("user_id"), col("ts"),
+        col("value"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"[probe] ts/$tag/$label%-10s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$out")
+      }
+      println(s"[probe] ts/$tag events=$rows")
+      time("ffill")(queries.TimeSeries
+        .gapFillHourly(c, "user_id", "ts", count(lit(1)).cast("long"))
+        .count())
+      time("interp")(queries.TimeSeries
+        .gapFillInterp(c, "user_id", "ts",
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long"))
+        .count())
+      time("sessionize")(queries.TimeSeries
+        .sessionize(c, "user_id", "ts", gapUs = 12L * 3600 * 1000000)
+        .groupBy("user_id", "session_id").count().count())
+    }
+    probe("1x", corpus(1))
+    probe(s"${times}x", corpus(times))
+    // 1× again, post-JIT: the honest denominator for the scaling ratio
+    probe("1x-warm", corpus(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,6 +158,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("incr")) {
       incrProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ts")) {
+      tsProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }
