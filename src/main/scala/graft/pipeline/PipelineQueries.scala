@@ -618,6 +618,55 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e8: product-quantization ANN (asymmetric distance) — the PQ half
+  // of the standard IVF-PQ layout, under the gate. 8 subspaces × 16-entry
+  // codebooks (the sha-ordered sample e5 also uses, sliced), corpus rows
+  // reduced to 8 codes by the fused PqEncodeExpr kernel, queries scored
+  // against codebook reconstructions by PqAdcExpr. The oracle replays
+  // encoding (UNROUNDED sub-distance argmin, ties to the smaller code —
+  // both engines compute the identical fold, the e7 precedent),
+  // reconstruction (flatten of codebook slices in subspace order), and
+  // the full-dimension ADC fold. Kernel ≡ HOF reference forms and
+  // shortlist recall vs exact L2 asserted in PipelineSpec. ----
+  private def e8(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  private val e8Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, cb.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - cb.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - cb.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN cb ON cb.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |adc AS (
+      |  SELECT q.q_id, r.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))), 6) AS adist
+      |  FROM q JOIN recon r ON q.q_id <> r.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -735,6 +784,7 @@ object PipelineQueries {
     QueryDef("e3_lsh_ann", e3, Some(e3Oracle)),
     QueryDef("e5_ivf_ann", e5, Some(e5Oracle)),
     QueryDef("e7_ivf2_ann", e7, Some(e7Oracle)),
+    QueryDef("e8_pq_adc_ann", e8, Some(e8Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),

@@ -225,6 +225,103 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
   }
 
+  /** Product-quantization ANN top-k (asymmetric distance, the PQ half of
+    * the IVF-PQ pairing that is THE standard 100 TB ANN layout): the
+    * embedding is split into `m` sub-vectors; each subspace gets a
+    * `ksub`-entry codebook (deterministic sha-ordered corpus sample,
+    * sliced — the same replayable construction as [[ivfTopK]]'s coarse
+    * quantizer); a corpus vector is stored as `m` small codes
+    * (m·log2(ksub) bits ≈ 4 bytes here vs 256 for the raw doubles — the
+    * 64× compression is what lets a 100 TB corpus's index live in
+    * executor memory). Queries keep their exact vector and score corpus
+    * rows by asymmetric distance: L2² between the query and the
+    * RECONSTRUCTION of each corpus row from the codebook.
+    *
+    * Numeric contract: the distance folds (query − reconstruction)²
+    * over the full dimension in array order — one deterministic
+    * fold both engines reproduce, so the 6-dp rounded distance is
+    * gate-exact (the reconstruction itself is codebook literals selected
+    * by integer codes: exact).
+    *
+    * 100 TB shape: encoding is a pure projection (argmin over ksub
+    * codegen'd sub-distances per subspace, zero shuffles); the scored
+    * scan broadcasts the query side like [[bruteForceTopK]] but reads
+    * only (id, codes) — the corpus vectors themselves are never
+    * re-touched after encoding. Recall < 1 by construction (asserted in
+    * PipelineSpec); compose with [[ivfTopK]]'s cell filter for the
+    * IVF-PQ scan-fraction × compression product. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val cbRows = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(ksub).collect()
+    require(cbRows.length == ksub,
+      s"corpus smaller than ksub=$ksub — nothing to quantize against")
+    // cb(j)(c) = subspace-j slice of the c-th sampled vector
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub)((j, c) =>
+      cbRows(c).getSeq[Double](1).slice(j * sub, (j + 1) * sub).toArray)
+    // fused kernels (graft.functions.PqAdcExpr/PqEncodeExpr): fixed-size
+    // codegen loop nests with the codebook as one reference object —
+    // bit-identical to the HOF forms below (spec-asserted), ~an order of
+    // magnitude less per-row overhead (no struct argmin chains, no
+    // flatten allocation per candidate)
+    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    val encoded = corpus.select(col("nn_id"),
+      pq_encode(col("nn_vec"), cb, dim).as("codes"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    broadcast(queries).join(encoded, col("q_id") =!= col("nn_id"))
+      .withColumn("adist",
+        round(pq_adc(col("q_vec"), col("codes"), cb, dim), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+  }
+
+  /** HOF (built-in higher-order-function) forms of the PQ kernels — the
+    * reference semantics the fused expressions must bit-match
+    * (spec-asserted in PipelineSpec). Encode: per subspace, argmin
+    * UNROUNDED sub-distance, ties toward the smaller code (both engines
+    * compute the identical fold, so no rounding is needed for oracle
+    * stability — the e7 precedent). ADC: fold (q − reconstruction)²
+    * over the full dimension in array order. */
+  private[pipeline] def pqEncodeHof(v: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val ksub = cb.head.length
+    val sub = cb.head.head.length
+    def cbLit(j: Int, c: Int): Column = array(cb(j)(c).map(lit): _*)
+    def subv(col: Column, j: Int): Column = slice(col, j * sub + 1, sub)
+    def codeOf(j: Int): Column =
+      least((0 until ksub).map(c =>
+        struct(pqSqDist(subv(v, j), cbLit(j, c)).as("d"),
+          lit(c).as("c"))): _*).getField("c")
+    array((0 until m).map(codeOf): _*)
+  }
+
+  private[pipeline] def pqAdcHof(q: Column, codes: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val ksub = cb.head.length
+    def cbLit(j: Int, c: Int): Column = array(cb(j)(c).map(lit): _*)
+    def cbAll(j: Int): Column = array((0 until ksub).map(cbLit(j, _)): _*)
+    val recon = flatten(array((0 until m).map(j =>
+      element_at(cbAll(j), codes.getItem(j) + 1)): _*))
+    pqSqDist(q, recon)
+  }
+
+  private[pipeline] def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Lloyd (k-means) refinement of an IVF coarse quantizer: each
     * iteration assigns every corpus vector to its cosine-nearest centroid
     * through the SAME fused kernel `ivfTopK`'s kernel path uses, then
