@@ -667,6 +667,66 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e9: composed IVF-PQ ANN — e5's coarse routing over e8's stored
+  // codes. The oracle fuses the two replays: `samp` serves as both the
+  // centroid set (cid + full vector, cosine assignment with the e5
+  // rounding/tie contract) and the PQ codebook (sample-order index c +
+  // subspace slices, the e8 encode/reconstruction/ADC contract); the
+  // candidate join is on the assigned cell instead of e8's all-pairs.
+  // Same codebook ⇒ e8 and e9 codes are bit-identical — composition
+  // (adist equality pair-for-pair, candidate-set containment) is
+  // spec-asserted in PipelineSpec. ----
+  private def e9(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  private val e9Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.v) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(s.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN samp s ON s.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |adc AS (
+      |  SELECT p.q_id, cl.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (p.qv[i] - r.rv[i]) * (p.qv[i] - r.rv[i]))), 6) AS adist
+      |  FROM probes p
+      |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
+      |  JOIN recon r ON r.vec_id = cl.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -785,6 +845,7 @@ object PipelineQueries {
     QueryDef("e5_ivf_ann", e5, Some(e5Oracle)),
     QueryDef("e7_ivf2_ann", e7, Some(e7Oracle)),
     QueryDef("e8_pq_adc_ann", e8, Some(e8Oracle)),
+    QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),

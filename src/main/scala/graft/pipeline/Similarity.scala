@@ -286,10 +286,83 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
   }
 
+  /** IVF-PQ ANN top-k — the composed layout the two halves were built
+    * for: [[ivfTopK]]'s coarse quantizer routes each query to its
+    * `nprobe` nearest cells, and inside those cells candidates are
+    * scored by [[pqTopK]]'s asymmetric distance over stored codes. The
+    * corpus table this scans is `(cell, id, codes)` — the raw vectors
+    * are touched exactly once (at index build) and never again, so the
+    * per-query cost is (nprobe/nlist) of the corpus × m code lookups,
+    * the scan-fraction × compression product. The PQ codebook is the
+    * SAME sha-ordered sample as [[pqTopK]]'s, so the codes are one
+    * shared storage format: an engine keeps one encoded table and this
+    * operator only adds the routing column (no-residual PQ — encoding
+    * raw vectors, not per-cell residuals, is what lets the codes be
+    * cell-independent and shared with the full-scan e8 path; the
+    * residual variant would couple codes to cells for better recall at
+    * the cost of one codebook pass per probed cell).
+    *
+    * Routing uses the literal-centroid path (nlist ≤ 64 enforced) so
+    * the whole operator — sample, assignment, encode, reconstruction,
+    * ADC — replays in the DuckDB oracle (e9). For nlist ≫ 64 compose
+    * [[graft.functions.IvfCellsExpr]]'s kernel routing with the same
+    * encoded table, as [[ivfTopK]] does. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(nlist <= 64,
+      s"nlist=$nlist > 64: literal-centroid routing only (kernel routing: ivfTopK)")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    // one deterministic sample serves both quantizers: rows 0..nlist-1
+    // are the coarse centroids (full vectors, cosine routing), rows
+    // 0..ksub-1 sliced per subspace are the PQ codebook — identical to
+    // pqTopK's, so e8 and e9 share codes bit-for-bit.
+    val sample = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(math.max(nlist, ksub)).collect()
+    require(sample.length >= math.max(nlist, ksub),
+      s"corpus smaller than max(nlist=$nlist, ksub=$ksub)")
+    val centIds = sample.take(nlist).map(_.get(0))
+    val cents = sample.take(nlist).map(_.getSeq[Double](1).toArray)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub)((j, c) =>
+      sample(c).getSeq[Double](1).slice(j * sub, (j + 1) * sub).toArray)
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
+    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    // the stored index: routing cell + codes, vectors dropped
+    val listed = corpus.withColumn("cell",
+        greatest((0 until nlist).map(i =>
+          struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
+            lit(centIds(i)).as("c"))): _*).getField("c"))
+      .select(col("cell"), col("nn_id"),
+        pq_encode(col("nn_vec"), cb, dim).as("codes"))
+    val probes = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    broadcast(probes).join(listed, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("adist",
+        round(pq_adc(col("q_vec"), col("codes"), cb, dim), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin
-    * UNROUNDED sub-distance, ties toward the smaller code (both engines
+    * UNROUNDED sub-distance, ties to the smaller code (both engines
     * compute the identical fold, so no rounding is needed for oracle
     * stability — the e7 precedent). ADC: fold (q − reconstruction)²
     * over the full dimension in array order. */

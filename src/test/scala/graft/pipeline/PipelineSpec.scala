@@ -171,6 +171,33 @@ class PipelineSpec extends SparkSpec {
       s"exact-L2 top-5 recall into the PQ top-50 shortlist was $recall50")
   }
 
+  test("ivf-pq: composes e5 routing over e8 codes — adist identical, scan bounded") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    val e9 = Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .collect()
+    // contract shape: k per query, ranks 1..5, self excluded
+    assert(e9.length === 20 * 5)
+    assert(e9.forall(r => r.getLong(0) != r.getLong(2)))
+    // composition: same codebook ⇒ the ADC distance for any (q, nn) pair
+    // must equal the standalone-PQ distance bit-for-bit — IVF may only
+    // RESTRICT the candidate set, never rescore it
+    val fullAdc = Similarity.pqTopK(emb, "vec_id", "embedding", _ < 20, n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    e9.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(fullAdc(key) === r.getDouble(3),
+        s"ivf-pq rescored pair $key: ${r.getDouble(3)} vs ${fullAdc(key)}")
+    }
+    // scan fraction: unlimited-k row count IS the candidate count; with
+    // nprobe/nlist = 4/16 it must be well under the all-pairs scan
+    val cand = Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, n)
+      .count()
+    assert(cand < 0.6 * 20L * (n - 1),
+      s"ivf-pq scanned $cand of ${20L * (n - 1)} pairs — cells not pruning")
+  }
+
   test("lsh ann at a non-64 embedding width: dim probed from data, recall holds") {
     import spark.implicits._
     // deterministic 16-dim embeddings: 10 cluster centers + small offsets,
