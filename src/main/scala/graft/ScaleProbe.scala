@@ -182,6 +182,13 @@ object ScaleProbe {
     }
     time("brute")(pipeline.Similarity
       .bruteForceTopK(big, "vec_id", "embedding", _ < nq, 5).count())
+    // PQ all-pairs: same candidate count as brute but the scored scan
+    // reads 8 codes per row instead of 64 doubles; ivfpq adds the
+    // nprobe/nlist = 1/4 cell filter on top of the same codes.
+    time("pq")(pipeline.Similarity
+      .pqTopK(big, "vec_id", "embedding", _ < nq, 5).count())
+    time("ivfpq")(pipeline.Similarity
+      .ivfPqTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("lsh")(pipeline.Similarity
       .lshTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("ivf")(pipeline.Similarity
