@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline: benchmark
@@ -230,4 +230,97 @@ object Curation {
         org.apache.spark.sql.Column = Sampling.hashBucket): DataFrame =
     Sampling.stratifiedQuota(df, sourceCol, keyCol, maxPerSource, seed,
       bucketFn)
+
+  /** BM25 keyword retrieval over the corpus: rank documents against a
+    * fixed term list with the Robertson/Spärck Jones weighting —
+    * idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). The retrieval face of a
+    * curation stack: "pull the documents about X" over a pre-tokenized
+    * 100 TB corpus without an external search system.
+    *
+    * Engine-portability contract (this is a gate query): per-term tf
+    * columns are computed with one fixed column per term and the final
+    * score is an EXPLICIT left-associated sum over the term list — never
+    * a grouped SUM over per-term rows, whose double-accumulation order
+    * no engine promises. All corpus stats (N, df, avgdl) are integers or
+    * exact integer ratios; the only non-correctly-rounded primitive is
+    * the single ln per term, bounded to ≤1 ulp by both engines and
+    * washed out by the 6-dp output rounding.
+    *
+    * 100 TB shape: one narrow scan computes (dl, tf_0..tf_T) per
+    * document; the corpus stats reduce to ONE tiny row broadcast back —
+    * two passes total, no shuffle wider than the T+2-column stats row;
+    * top-k by sort+limit, never a global window. */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.25, b: Double = 0.75,
+      topK: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one term")
+    val withTf = terms.zipWithIndex.foldLeft(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.words(col(textCol)).as("_ws"))
+        .withColumn("dl", size(col("_ws")).cast("double"))) {
+      case (d, (t, i)) => d.withColumn(s"tf_$i",
+        size(filter(col("_ws"), x => x === lit(t))).cast("double"))
+    }.drop("_ws")
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .cast("double").as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("score"))
+  }
+
+  /** SymSpell-style fuzzy vocabulary join: all (left-token, right-token)
+    * pairs within Levenshtein distance `maxDist` (1 or 2) — typo
+    * canonicalization, near-miss vocabulary merging, OCR-noise repair.
+    *
+    * The scalable part is candidate generation: instead of the O(|A|·|B|)
+    * cross join, each DISTINCT token explodes to its ≤2-deletion
+    * neighborhood (1 + L + L·(L−1)/2 variants for length L), candidates
+    * are the variant-key equi-join (two tokens within distance d share a
+    * ≤d-deletion variant — the SymSpell invariant), and only candidates
+    * pay the exact `levenshtein` verify. Vocabulary is deduped BEFORE the
+    * explode, so cost is O(vocab · len²), independent of corpus size —
+    * the same flagged-slice shape as the LSH dedup family.
+    */
+  def fuzzyTokenJoin(left: DataFrame, right: DataFrame, tokCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood banding covers maxDist 1 or 2, got $maxDist")
+    def delVariants(t: Column): Column = {
+      val L = length(t)
+      val del1 = transform(sequence(lit(1), L),
+        i => concat(t.substr(lit(1), i - lit(1)),
+          t.substr(i + lit(1), L - i)))
+      val del2 = when(L >= 2, flatten(transform(sequence(lit(1), L - lit(1)),
+        i => transform(sequence(i + lit(1), L),
+          j => concat(t.substr(lit(1), i - lit(1)),
+            t.substr(i + lit(1), j - i - lit(1)),
+            t.substr(j + lit(1), L - j))))))
+        .otherwise(array().cast("array<string>"))
+      val all = if (maxDist == 2) concat(array(t), del1, del2)
+        else concat(array(t), del1)
+      array_distinct(all)
+    }
+    def side(d: DataFrame, out: String): DataFrame =
+      d.select(col(tokCol).as(out)).distinct()
+        .select(col(out), explode(delVariants(col(out))).as("_v"))
+    side(left, "tok_a").join(side(right, "tok_b"), "_v")
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= maxDist && col("tok_a") =!= col("tok_b"))
+  }
 }

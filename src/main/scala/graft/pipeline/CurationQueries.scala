@@ -337,6 +337,71 @@ object CurationQueries {
       |  length(COALESCE(r.cleaned, ''))::BIGINT AS n_chars_clean
       |FROM c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- d25: BM25 keyword retrieval (Curation.bm25Rank) over the fixed
+  // query ["spark", "window", "merge"]. Engine-exactness: k1 = 1.25 and
+  // b = 0.75 make every constant in the weighting a dyadic rational
+  // (1.25, 2.25, 0.75, 0.25, 0.5 — exact doubles in BOTH engines, no
+  // decimal-literal drift), tf/dl/N/df are integers-as-doubles, and the
+  // score is an explicit left-associated 3-term sum — so the only
+  // non-correctly-rounded primitive is ln (≤1 ulp each side), buried by
+  // the 6-dp rounding. ----
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    Curation.bm25Rank(docs(s, dir), "text", "doc_id",
+        Seq("spark", "window", "merge"))
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  private val d25Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |st AS (SELECT doc_id,
+      |  CAST(len(ws) AS DOUBLE) AS dl,
+      |  CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |  CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf1,
+      |  CAST(len(list_filter(ws, x -> x = 'merge')) AS DOUBLE) AS tf2
+      |  FROM d),
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+      |  CAST(COUNT(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+      |  CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+      |  CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+      |  FROM st),
+      |sc AS (SELECT doc_id, ROUND(
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.25
+      |      / (tf0 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.25
+      |      / (tf1 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.25
+      |      / (tf2 + 1.25 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+      |  FROM st CROSS JOIN g)
+      |SELECT doc_id, score FROM sc WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---- d26: SymSpell fuzzy vocabulary join — even-doc tokens × odd-doc
+  // tokens within Levenshtein distance 2. The oracle pays the cross join
+  // (fine at fixture vocab size); the Spark side is the production path:
+  // ≤2-deletion-neighborhood candidate keys, exact levenshtein verify on
+  // candidates only (CartesianProduct absence plan-asserted in
+  // CurationSpec). ----
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def toks(parity: Int) = d.filter(col("doc_id") % 2 === parity)
+      .select(explode(TextAnalysis.words(col("text"))).as("tok"))
+    Curation.fuzzyTokenJoin(toks(0), toks(1), "tok")
+      .orderBy("tok_a", "tok_b")
+  }
+
+  private val d26Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |  FROM documents),
+      |a AS (SELECT DISTINCT tok FROM w WHERE doc_id % 2 = 0),
+      |b AS (SELECT DISTINCT tok FROM w WHERE doc_id % 2 = 1)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |  CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+      |FROM a, b
+      |WHERE levenshtein(a.tok, b.tok) <= 2 AND a.tok <> b.tok
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -346,5 +411,7 @@ object CurationQueries {
     QueryDef("d21_incremental_dedup", d21, Some(d21Oracle)),
     QueryDef("d22_token_budget", d22, Some(d22Oracle)),
     QueryDef("d23_pii_redact", d23, Some(d23Oracle)),
-    QueryDef("d24_line_dedup", d24, Some(d24Oracle)))
+    QueryDef("d24_line_dedup", d24, Some(d24Oracle)),
+    QueryDef("d25_bm25_rank", d25, Some(d25Oracle)),
+    QueryDef("d26_fuzzy_join", d26, Some(d26Oracle)))
 }

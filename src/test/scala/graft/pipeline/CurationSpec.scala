@@ -208,4 +208,63 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L, 2L, "")))
     assert(out(3) === ((4L, 2L, 2L, 0L, "only\nlines here")))
   }
+
+  test("bm25Rank: hand-computed score, absent-term docs dropped, ordering") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark data"), // tf=2, dl=3
+      (2L, "spark data data"),  // tf=1, dl=3
+      (3L, "data data data"),   // tf=0 → dropped
+      (4L, "spark")             // tf=1, dl=1
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25Rank(df, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=4, df=3, avgdl=2.5; idf = ln(1 + 1.5/3.5)
+    val idf = math.log(1.0 + 1.5 / 3.5)
+    def s(tf: Double, dl: Double): Double =
+      BigDecimal(idf * tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / 2.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Map(1L -> s(2, 3), 2L -> s(1, 3), 4L -> s(1, 1)))
+    // shorter doc outranks longer at equal tf; at equal length higher tf
+    // wins (tf=2/dl=3 does NOT beat tf=1/dl=1 — length normalization
+    // outweighs the saturated second occurrence, by design)
+    assert(out(4L) > out(2L) && out(1L) > out(2L))
+  }
+
+  test("fuzzyTokenJoin: all edit kinds found, distance-3 candidates " +
+      "rejected, no cartesian product in the plan") {
+    import spark.implicits._
+    val left = Seq("cat", "stream", "ab", "x", "kernel").toDF("tok")
+    val right = Seq(
+      "cbt",     // substitution: dist 1
+      "cart",    // insertion into cat: dist 2 from "cat"? no — 1
+      "steam",   // deletion from stream: dist 1
+      "ba",      // transposition of ab: dist 2 (plain levenshtein)
+      "xyz",     // dist 2 from x
+      "colonel", // dist 4 from kernel — must NOT appear
+      "cat"      // equal — must NOT appear
+    ).toDF("tok")
+    val out = Curation.fuzzyTokenJoin(left, right, "tok")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to a cross join:\n$p")
+    val pairs = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // the SymSpell path must equal the brute-force cross join exactly —
+    // candidate generation may only add work, never lose a pair
+    val ref = left.crossJoin(right.withColumnRenamed("tok", "tok_b"))
+      .select(col("tok").as("tok_a"), col("tok_b"),
+        levenshtein(col("tok"), col("tok_b")).as("dist"))
+      .filter(col("dist") <= 2 && col("tok_a") =!= col("tok_b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs === ref)
+    // every edit kind represented; the dist-3/4 decoys rejected
+    assert(pairs.contains(("cat", "cbt", 1)))    // substitution
+    assert(pairs.contains(("cat", "cart", 1)))   // insertion
+    assert(pairs.contains(("stream", "steam", 1))) // deletion
+    assert(pairs.contains(("ab", "ba", 2)))      // transposition = 2 subs
+    assert(!pairs.exists(p => p._2 == "colonel"))
+    assert(!pairs.exists(p => p._1 == "cat" && p._2 == "cat"))
+  }
 }
