@@ -147,10 +147,49 @@ object ScaleProbe {
     probe("1x-warm", corpus(1))
   }
 
+  /** SymSpell fuzzy-join cost at vocabulary scale: the 31-word fixture
+    * vocabulary cannot exercise the O(vocab·len²) claim, so the probe
+    * synthesizes `n` random 7-char tokens (left) and plants a dist-1
+    * partner for each by rotating the first character (right). Cost
+    * should scale ~linearly in vocab (each token contributes 1+L+L(L−1)/2
+    * = 29 variant keys); the planted n pairs give the output a known
+    * floor. */
+  private def fuzzyProbe(spark: org.apache.spark.sql.SparkSession,
+      times: Int): Unit = {
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    def vocab(n: Long) = spark.range(n).select(
+      concat_ws("", transform(sequence(lit(1), lit(7)),
+        i => lit(letters).substr(
+          pmod(hash(col("id"), i), lit(26)).cast("int") + lit(1),
+          lit(1)))).as("tok"))
+    def probe(tag: String, n: Long): Unit = {
+      val left = vocab(n).localCheckpoint(true)
+      val right = left.select(concat(
+          lit(letters).substr(
+            pmod(ascii(substring(col("tok"), 1, 1)) - lit(96), lit(26))
+              + lit(1), lit(1)),
+          col("tok").substr(lit(2), length(col("tok")))).as("tok"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = pipeline.Curation.fuzzyTokenJoin(left, right, "tok").count()
+      println(f"[probe] fuzzy/$tag%-7s n=$n%-8d " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s  pairs=$out")
+    }
+    val base = 20000L
+    probe("1x", base)
+    probe(s"${times}x", base * times)
+    probe("1x-warm", base)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("fuzzy")) {
+      fuzzyProbe(spark, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dedup")) {
       dedupProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
