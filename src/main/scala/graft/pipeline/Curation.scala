@@ -283,6 +283,88 @@ object Curation {
       .select(col("id"), col("score"))
   }
 
+  /** Model-based quality scoring — the fastText/DCLM-shaped linear
+    * classifier that modern curation stacks run over every document:
+    * score(doc) = sigmoid(mean over tokens of w[h(token)]), keep iff
+    * score ≥ `threshold`. The Spark shape is the point: per-token weight
+    * lookup and the token fold are pure expressions inside one codegen'd
+    * map stage — no shuffle, no UDF, no model server; a 100 TB corpus is
+    * scored by one scan.
+    *
+    * Weights here are derived from sha256 of the token itself (uniform
+    * in [−1, 1], mod-2001 of a 32-bit hash slice) — a deterministic
+    * stand-in with the same lookup cost as a trained table, chosen so
+    * the DuckDB oracle replays scoring bit-for-bit (the [[Sampling
+    * .shaBucket]] convention). Swapping in a TRAINED model is the
+    * production drop-in: replace `w(t)` with an `element_at` into a
+    * broadcast weight array keyed by the same hash — the plan shape,
+    * cost, and this operator's contract are unchanged.
+    *
+    * Exactness contract: the token fold runs in array order on both
+    * engines (Spark `aggregate`, DuckDB `list_sum∘list_transform` — the
+    * e8 precedent); each weight is an exact small-integer ratio; the
+    * single transcendental (exp in the sigmoid) is ≤1 ulp each side and
+    * washed by 6-dp rounding; `keep` derives from the ROUNDED score. */
+  def linearQualityScore(df: DataFrame, textCol: String, idCol: String,
+      seed: String = "w", threshold: Double = 0.5): DataFrame = {
+    def w(t: Column): Column =
+      (conv(substring(sha2(concat(lit(s"$seed:"), t), 256), 1, 8), 16, 10)
+        .cast("long") % 2001 - 1000).cast("double") / lit(1000.0)
+    df.select(col(idCol).as("id"),
+        TextAnalysis.words(col(textCol)).as("_ws"))
+      .withColumn("n", size(col("_ws")).cast("double"))
+      .filter(col("n") > 0)
+      .withColumn("_raw",
+        aggregate(col("_ws"), lit(0.0), (acc, t) => acc + w(t)))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("_raw") / col("n")))), 6))
+      .withColumn("keep",
+        when(col("score") >= lit(threshold), 1).otherwise(0))
+      .select(col("id"), col("score"), col("keep"))
+  }
+
+  /** Unigram-LM surprisal scoring — the CCNet/KenLM-shaped perplexity
+    * filter: each document's mean negative log-likelihood in nats/token
+    * under the corpus's own unigram distribution, keep iff at or under
+    * `maxMeanNats`. Gibberish and boilerplate-stuffed documents sit in
+    * the tails of exactly this statistic; production stacks score
+    * against a held-out LM, which drops in by replacing the self-counts
+    * join with a broadcast model table — the plan shape is unchanged.
+    *
+    * Plan shape at 100 TB: one narrow posexplode; ONE vocab-keyed count
+    * shuffle (token types, ≪ corpus); counts + the 1-row total rejoin by
+    * broadcast (drop the hint if the vocabulary outgrows broadcast — the
+    * shape survives as a shuffle join); one id-keyed aggregation whose
+    * carried value is (pos, 6-dp lp) pairs. Document text never shuffles.
+    *
+    * Exactness contract: each token's log-probability is rounded to 6 dp
+    * FIRST (washing the ln ulp), then folded per document in strict
+    * position order via the sorted-struct-fold pattern ([[lineDedup]]'s
+    * reassembly precedent) — Spark `aggregate(array_sort(collect_list(
+    * struct(pos, lp))))` ≡ DuckDB `list_sum(list(lp ORDER BY pos))`;
+    * `keep` derives from the twice-rounded mean on both sides. */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+      maxMeanNats: Double = 3.45): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / col("total")), 6))
+      .groupBy("id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("_s"),
+        count(lit(1)).cast("double").as("n"))
+      .withColumn("mean_nats", round(-col("_s") / col("n"), 6))
+      .withColumn("keep",
+        when(col("mean_nats") <= lit(maxMeanNats), 1).otherwise(0))
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        col("mean_nats"), col("keep"))
+  }
+
   /** SymSpell-style fuzzy vocabulary join: all (left-token, right-token)
     * pairs within Levenshtein distance `maxDist` (1 or 2) — typo
     * canonicalization, near-miss vocabulary merging, OCR-noise repair.

@@ -402,6 +402,66 @@ object CurationQueries {
       |WHERE levenshtein(a.tok, b.tok) <= 2 AND a.tok <> b.tok
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---- d27: model-based quality scoring (Curation.linearQualityScore)
+  // — the fastText/DCLM linear-classifier shape as one codegen'd map
+  // stage. Weights are sha-derived (the shaBucket convention) so the
+  // oracle replays the whole scoring fold; keep derives from the
+  // ROUNDED score on both sides. ----
+  private def d27(s: SparkSession, dir: String): DataFrame =
+    Curation.linearQualityScore(docs(s, dir), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("score"), col("keep"))
+      .orderBy("doc_id")
+
+  private val d27Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(ws) AS DOUBLE) AS n,
+      |  list_sum(list_transform(ws, t ->
+      |    CAST((('0x' || substr(sha256('w:' || t), 1, 8))::BIGINT % 2001
+      |          - 1000) AS DOUBLE) / 1000.0)) AS raw
+      |  FROM d WHERE len(ws) > 0)
+      |SELECT doc_id,
+      |  ROUND(1.0 / (1.0 + exp(-(raw / n))), 6) AS score,
+      |  CASE WHEN ROUND(1.0 / (1.0 + exp(-(raw / n))), 6) >= 0.5
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- d28: unigram-LM surprisal (Curation.unigramSurprisal) — the
+  // CCNet-style perplexity filter against the corpus's own unigram
+  // distribution. Per-token lp rounds to 6 dp BEFORE the position-order
+  // fold (Spark sorted-struct aggregate ≡ DuckDB list(lp ORDER BY pos)),
+  // so both engines sum identical doubles in identical order. ----
+  private def d28(s: SparkSession, dir: String): DataFrame =
+    Curation.unigramSurprisal(docs(s, dir), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("mean_nats"),
+        col("keep"))
+      .orderBy("doc_id")
+
+  private val d28Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws)),
+      |      i -> struct_pack(pos := i - 1, tok := ws[i]))) AS e
+      |  FROM d),
+      |t AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM u),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      |l AS (
+      |  SELECT t.doc_id, t.pos,
+      |    ROUND(ln(CAST(c.cnt AS DOUBLE) / tot.total), 6) AS lp
+      |  FROM t JOIN c USING (tok) CROSS JOIN tot),
+      |s AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    list_sum(list(lp ORDER BY pos)) AS sl
+      |  FROM l GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  ROUND(-sl / n, 6) AS mean_nats,
+      |  CASE WHEN ROUND(-sl / n, 6) <= 3.45 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -413,5 +473,7 @@ object CurationQueries {
     QueryDef("d23_pii_redact", d23, Some(d23Oracle)),
     QueryDef("d24_line_dedup", d24, Some(d24Oracle)),
     QueryDef("d25_bm25_rank", d25, Some(d25Oracle)),
-    QueryDef("d26_fuzzy_join", d26, Some(d26Oracle)))
+    QueryDef("d26_fuzzy_join", d26, Some(d26Oracle)),
+    QueryDef("d27_quality_model", d27, Some(d27Oracle)),
+    QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)))
 }

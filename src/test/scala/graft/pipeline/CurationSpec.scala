@@ -267,4 +267,42 @@ class CurationSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == "colonel"))
     assert(!pairs.exists(p => p._1 == "cat" && p._2 == "cat"))
   }
+
+  test("linearQualityScore: bounded, deterministic, single-token docs " +
+      "score exactly sigmoid(w)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "beta"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Curation.linearQualityScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
+      .toMap
+    assert(!out.contains(4L)) // empty doc dropped, not NaN-scored
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.forall { case (s, _) => s > 0 && s < 1 })
+    // mean over tokens: a doc repeating one token scores as the token
+    assert(out(1L) === out(2L))
+    // keep flag consistent with the 0.5 threshold on the rounded score
+    assert(out.values.forall { case (s, k) => (s >= 0.5) === (k == 1) })
+  }
+
+  test("unigramSurprisal: hand-computed mean nats on a tiny corpus") {
+    import spark.implicits._
+    // corpus counts: a=3, b=2, c=1 of 6 total
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.unigramSurprisal(df, "text", "doc_id", 1.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    def lp(c: Int): Double =
+      BigDecimal(math.log(c / 6.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mean(cs: Int*): Double =
+      BigDecimal(-cs.map(lp).sum / cs.length).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m1 = mean(3, 3, 2)
+    assert(out(1L) === ((3L, m1, if (m1 <= 1.0) 1 else 0)))
+    assert(out(2L)._2 === mean(3, 2, 1))
+    // the rarer-token doc is strictly more surprising
+    assert(out(2L)._2 > out(1L)._2)
+  }
 }
