@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline: benchmark
@@ -363,6 +364,51 @@ object Curation {
         when(col("mean_nats") <= lit(maxMeanNats), 1).otherwise(0))
       .select(col("id"), col("n").cast("long").as("n_tokens"),
         col("mean_nats"), col("keep"))
+  }
+
+  /** Sequence packing for pretraining export — the "concat and chunk"
+    * strategy: documents are laid out on one deterministic token stream
+    * (ordered by sha256 of the id — a stable shuffle both engines can
+    * replay) and cut into fixed-`budget` bins; each document reports its
+    * bin, its token offset within the bin, and whether it straddles a
+    * bin boundary (the packing loss a trainer either accepts, masks, or
+    * re-splits). All arithmetic is integer-exact.
+    *
+    * The 100 TB part is the global prefix sum, computed WITHOUT a
+    * single-partition window: the sha hex order key's first
+    * `bucketChars` characters split the stream into 16^bucketChars
+    * contiguous logical buckets; per-bucket token totals (one tiny
+    * aggregate, one row per bucket) prefix-sum into per-bucket offsets
+    * on the driver — bounded by the bucket count, never the data — and
+    * each bucket then windows only its own slice. Logical buckets, not
+    * `spark_partition_id`: the result is a pure function of the data, so
+    * no caching/checkpointing is needed to keep two passes consistent. */
+  def sequencePack(df: DataFrame, textCol: String, idCol: String,
+      budget: Long, seed: String = "pk", bucketChars: Int = 2): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(col(idCol).as("id"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tok"),
+        sha2(concat(lit(s"$seed:"), col(idCol).cast("string")), 256)
+          .as("ord"))
+      .withColumn("bucket", substring(col("ord"), 1, bucketChars))
+    val offsets = base.groupBy("bucket").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offByBucket = offsets.map(_._1)
+      .zip(offsets.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offByBucket.foldLeft(lit(0L)) { case (acc, (bk, o)) =>
+      when(col("bucket") === bk, lit(o)).otherwise(acc) }
+    val w = Window.partitionBy(col("bucket")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)) + offCol)
+      .withColumn("bin", expr(s"cum_before div $budget")) // integer div: exact past 2^53
+      .withColumn("bin_offset", col("cum_before") % lit(budget))
+      .withColumn("straddles",
+        when(col("bin_offset") + col("n_tok") > lit(budget), 1)
+          .otherwise(0))
+      .select(col("id"), col("n_tok"), col("bin"), col("bin_offset"),
+        col("straddles"))
   }
 
   /** SymSpell-style fuzzy vocabulary join: all (left-token, right-token)

@@ -462,6 +462,37 @@ object CurationQueries {
       |  CASE WHEN ROUND(-sl / n, 6) <= 3.45 THEN 1 ELSE 0 END AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- d29: sequence packing (Curation.sequencePack) at a 512-token
+  // budget. The Spark side computes the global prefix sum via contiguous
+  // sha-prefix buckets + driver-side bucket offsets (never a
+  // single-partition window); the oracle IS the single global window —
+  // agreement proves the distributed prefix sum equals the sequential
+  // semantics. All integers, exact. ----
+  private def d29(s: SparkSession, dir: String): DataFrame =
+    Curation.sequencePack(docs(s, dir), "text", "doc_id", budget = 512L)
+      .select(col("id").as("doc_id"), col("n_tok"), col("bin"),
+        col("bin_offset"), col("straddles"))
+      .orderBy("doc_id")
+
+  private val d29Oracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    sha256('pk:' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM d)
+      |SELECT doc_id, n_tok,
+      |  cum_before // 512 AS bin,
+      |  cum_before % 512 AS bin_offset,
+      |  CASE WHEN cum_before % 512 + n_tok > 512 THEN 1 ELSE 0 END
+      |    AS straddles
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -475,5 +506,6 @@ object CurationQueries {
     QueryDef("d25_bm25_rank", d25, Some(d25Oracle)),
     QueryDef("d26_fuzzy_join", d26, Some(d26Oracle)),
     QueryDef("d27_quality_model", d27, Some(d27Oracle)),
-    QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)))
+    QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)),
+    QueryDef("d29_sequence_pack", d29, Some(d29Oracle)))
 }

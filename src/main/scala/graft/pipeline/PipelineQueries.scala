@@ -788,6 +788,47 @@ object PipelineQueries {
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- e10: semantic dedup (SemDeDup composition) — embedding-space
+  // near-dup groups resolved to keep-one-per-group survivors: e4's exact
+  // cosine edges → distributed connected components (Dedup.components,
+  // the d11 machinery) → survivors left-join. The scale path swaps the
+  // exact all-pairs edge set for e3's LSH-bucketed candidates with the
+  // same threshold — the composition downstream is identical; the gate
+  // uses the exact edges so DuckDB can replay end to end (recursive-CTE
+  // CC, the d11 precedent). ----
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val sub = emb(s, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = sub.select(col("vec_id").as("doc_a"), col("v").as("va"))
+    val b = sub.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("sim",
+        round(Similarity.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.4)
+      .select("doc_a", "doc_b")
+    Dedup.survivors(sub.select(col("vec_id")), pairs, "vec_id")
+      .orderBy("vec_id")
+  }
+
+  private val e10Oracle =
+    """WITH RECURSIVE ev AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 500),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |cc AS (
+      |  SELECT vec_id AS id, vec_id AS comp FROM ev
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+      |SELECT id AS vec_id, MIN(comp) AS keep_id FROM cc
+      |GROUP BY id ORDER BY vec_id""".stripMargin
+
   // ---- mm1: multimodal decode plumbing (stub codec; Spark-side schema,
   // mapPartitions batching, metadata derivation are the real test). ----
   private def mm1(s: SparkSession, dir: String): DataFrame =
@@ -848,6 +889,7 @@ object PipelineQueries {
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
+    QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)))
 }

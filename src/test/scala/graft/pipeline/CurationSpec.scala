@@ -305,4 +305,31 @@ class CurationSpec extends SparkSpec {
     // the rarer-token doc is strictly more surprising
     assert(out(2L)._2 > out(1L)._2)
   }
+
+  test("sequencePack: invariant under bucket granularity, bins tight") {
+    val d = docs.limit(200)
+    def packed(chars: Int) =
+      Curation.sequencePack(d, "text", "doc_id", budget = 256L,
+          bucketChars = chars)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4))).sortBy(_._1)
+    val p1 = packed(1)
+    val p2 = packed(2)
+    // the prefix sum is a pure function of the data: 16 buckets and 256
+    // buckets must produce the identical packing
+    assert(p1.toSeq === p2.toSeq)
+    // structural invariants: offsets inside the budget; straddle flag
+    // consistent; total stream length conserved
+    assert(p1.forall { case (_, _, _, off, _) => off >= 0 && off < 256 })
+    assert(p1.forall { case (_, n, _, off, s) => (off + n > 256) === (s == 1) })
+    val total = p1.map(_._2).sum
+    val maxBin = p1.map(_._3).max
+    assert(maxBin <= total / 256) // bin index bounded by stream length
+    // start offsets reconstruct the stream: sorting by (bin, offset)
+    // yields strictly increasing global positions bin*256 + offset
+    val pos = p1.map(t => t._3 * 256 + t._4).sorted
+    assert(pos.distinct.length === pos.length)
+    assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
+  }
 }
