@@ -727,6 +727,62 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e11: PQ shortlist → exact re-rank (Similarity.pqRerankTopK) —
+  // the production serving pattern: e8's compressed scan cut at rank 50,
+  // raw vectors fetched for the survivors only, exact L2 decides the
+  // final top-5. The oracle replays e8's encode/recon/ADC, cuts the
+  // shortlist, and re-scores with the same full-dimension fold over raw
+  // vectors. ----
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqRerankTopK(emb(s, dir), "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = 50)
+      .orderBy("q_id", "rank")
+
+  private val e11Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, cb.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - cb.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - cb.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN cb ON cb.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |adc AS (
+      |  SELECT q.q_id, r.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))), 6) AS adist
+      |  FROM q JOIN recon r ON q.q_id <> r.vec_id),
+      |sl AS (
+      |  SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |    FROM adc) WHERE rank <= 50),
+      |ex AS (
+      |  SELECT sl.q_id, sl.nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6) AS dist
+      |  FROM sl JOIN q USING (q_id) JOIN e c ON c.vec_id = sl.nn_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rank
+      |  FROM ex)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, dist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -887,6 +943,7 @@ object PipelineQueries {
     QueryDef("e7_ivf2_ann", e7, Some(e7Oracle)),
     QueryDef("e8_pq_adc_ann", e8, Some(e8Oracle)),
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
+    QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

@@ -359,6 +359,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
   }
 
+  /** PQ shortlist → exact re-rank — how IVF-PQ deployments actually
+    * serve queries: the compressed scan ([[pqTopK]]) produces a
+    * `shortlist`-sized candidate set per query reading only (id, codes);
+    * raw vectors are then fetched for the q×shortlist survivors ONLY and
+    * re-scored by exact L2, and the final top-k comes from the exact
+    * scores. At 100 TB the raw-vector table is touched at
+    * shortlist/corpus ≈ 10⁻⁶ selectivity instead of being scanned — the
+    * asymmetric-distance error that caps [[pqTopK]]'s head precision
+    * never reaches the user.
+    *
+    * Numeric contract: the exact distance is the same array-order
+    * (a−b)² fold as the PQ contract, over raw vectors — deterministic in
+    * both engines; 6-dp rounded. */
+  def pqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, shortlist: Int = 50,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val short = pqTopK(emb, idCol, vecCol, queryPred, shortlist, m, ksub)
+      .select(col("q_id"), col("nn_id"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("nn_id"))
+    short
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("nn_id"))
+      .withColumn("dist", round(pqSqDist(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("dist"))
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin

@@ -169,6 +169,17 @@ class PipelineSpec extends SparkSpec {
     val recall50 = (exact intersect short).size.toDouble / exact.size
     assert(recall50 > 0.3,
       s"exact-L2 top-5 recall into the PQ top-50 shortlist was $recall50")
+    // shortlist → exact re-rank (the serving pattern, e11): whatever of
+    // the exact top-5 survives into the shortlist must surface into the
+    // final top-5 — re-rank recall EQUALS shortlist recall and dominates
+    // the raw PQ head
+    val rr = Similarity.pqRerankTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rerankRecall = (exact intersect rr).size.toDouble / exact.size
+    assert(rerankRecall === recall50,
+      s"re-rank recall $rerankRecall != shortlist recall $recall50")
+    assert(rerankRecall > recall5,
+      s"re-rank $rerankRecall did not beat raw PQ head $recall5")
   }
 
   test("ivf-pq: composes e5 routing over e8 codes — adist identical, scan bounded") {
