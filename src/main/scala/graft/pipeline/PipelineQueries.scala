@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -892,6 +893,54 @@ object PipelineQueries {
       .select("doc_id", "media_type", "n_bytes", "width", "height")
       .orderBy("doc_id")
 
+  // ---- mm3: multimodal retrieval end to end — payload → mapPartitions
+  // decode (the Arrow-batched-UDF shape) → 8-dim stub feature vectors →
+  // cosine top-5 per query doc. Certifies the full decode→feature→ANN
+  // composition under the gate: the oracle re-derives the stripe-sum
+  // features from the utf-8 payload bytes (ASCII fixture: ord(char) =
+  // byte) with float32 division (checked: no double-rounding divergence
+  // for any value k/1000, k < 1000), then replays the e1-style cosine
+  // ranking. ----
+  private def mm3(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.featureTable(s, docs(s, dir))
+      .select(col("doc_id"), col("features").cast("array<double>").as("v"))
+    val q = feats.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    broadcast(q)
+      .join(feats.select(col("doc_id").as("nn_id"), col("v").as("nv")),
+        col("q_id") =!= col("nn_id"))
+      .withColumn("sim",
+        round(Similarity.cosineFast(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val mm3Oracle =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 7), i ->
+      |      CAST(CAST(list_sum(list_transform(
+      |          generate_series(i + 1, length(text), 8),
+      |          j -> ord(substr(text, j, 1)))) % 1000 AS FLOAT)
+      |        / CAST(1000.0 AS FLOAT) AS DOUBLE)) AS v
+      |  FROM documents),
+      |q AS (SELECT doc_id AS q_id, v AS qv FROM f WHERE doc_id < 20),
+      |c AS (
+      |  SELECT q.q_id, f.doc_id AS nn_id,
+      |    ROUND(list_dot_product(q.qv, f.v) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(f.v, f.v))), 6) AS sim
+      |  FROM q JOIN f ON q.q_id <> f.doc_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM c)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   private val mm1Oracle =
     """SELECT doc_id, 'image/fake' AS media_type,
       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -948,5 +997,6 @@ object PipelineQueries {
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
-    QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)))
+    QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)),
+    QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)))
 }
