@@ -893,6 +893,18 @@ object PipelineQueries {
       .select("doc_id", "media_type", "n_bytes", "width", "height")
       .orderBy("doc_id")
 
+  // ---- d30: heavy hitters — the exact top-20 keys by count
+  // (FrequentItems.exactTopK, one count shuffle + sort-limit). The
+  // bounded-memory space-saving path over the same data is spec-certified
+  // (containment + lower-bound guarantees) in FrequentItemsSpec. ----
+  private def d30(s: SparkSession, dir: String): DataFrame =
+    FrequentItems.exactTopK(Tables.load(s, dir, "events"), "user_id", 20)
+      .orderBy(col("n").desc, col("key"))
+
+  private val d30Oracle =
+    """SELECT user_id AS key, COUNT(*) AS n FROM events
+      |GROUP BY user_id ORDER BY n DESC, key LIMIT 20""".stripMargin
+
   // ---- mm3: multimodal retrieval end to end — payload → mapPartitions
   // decode (the Arrow-batched-UDF shape) → 8-dim stub feature vectors →
   // cosine top-5 per query doc. Certifies the full decode→feature→ANN
@@ -998,5 +1010,6 @@ object PipelineQueries {
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)),
-    QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)))
+    QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
+    QueryDef("d30_heavy_hitters", d30, Some(d30Oracle)))
 }
