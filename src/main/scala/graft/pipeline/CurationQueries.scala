@@ -493,6 +493,81 @@ object CurationQueries {
       |    AS straddles
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- d31: the composed pre-training prep pipeline — the query a
+  // training-data team actually ships: exact dedup (keep min-id copy) →
+  // eval-set decontamination (drop docs sharing any 5-shingle with the
+  // doc_id%50 eval slice) → repetition-quality filter (d17's keep flag)
+  // → sequence packing of the survivors at a 512-token budget. Every
+  // stage is an already-gate-certified operator; this row certifies the
+  // COMPOSITION (semi/anti-join plumbing between stages included)
+  // end to end against one SQL replay. ----
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isEval = col("doc_id") % 50 === 0
+    val corpus = d.filter(!isEval)
+    val keepIds = Dedup.exact(corpus, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    val contaminated = Curation.contamination(
+        deduped, d.filter(isEval), "text", "doc_id", k = 5)
+      .select(col("id").as("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = Curation.repetitionStats(clean, "text", "doc_id")
+      .filter(col("keep") === 1).select("doc_id")
+    val survivors = clean.join(kept, Seq("doc_id"), "left_semi")
+    Curation.sequencePack(survivors, "text", "doc_id", budget = 512L)
+      .select(col("id").as("doc_id"), col("n_tok"), col("bin"),
+        col("bin_offset"), col("straddles"))
+      .orderBy("doc_id")
+  }
+
+  private val d31Oracle =
+    """WITH d0 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+      |dd AS (
+      |  SELECT doc_id, text FROM d0 WHERE doc_id IN (
+      |    SELECT MIN(doc_id) FROM d0 GROUP BY sha256(text))),
+      |w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |  FROM w),
+      |idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |ev AS (SELECT DISTINCT shingle FROM idx WHERE doc_id % 50 = 0),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM idx JOIN ev USING (shingle)
+      |  WHERE doc_id % 50 <> 0),
+      |clean AS (
+      |  SELECT dd.doc_id, dd.text FROM dd
+      |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |q AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM clean),
+      |keepq AS (
+      |  SELECT doc_id, ws FROM q WHERE len(ws) > 0
+      |    AND (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws) <= 600
+      |    AND (1000 * list_max(list_transform(list_distinct(ws),
+      |          t -> len(list_filter(ws, x -> x = t))))) // len(ws) <= 150),
+      |p AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+      |    sha256('pk:' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM keepq),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM p)
+      |SELECT doc_id, n_tok,
+      |  cum_before // 512 AS bin,
+      |  cum_before % 512 AS bin_offset,
+      |  CASE WHEN cum_before % 512 + n_tok > 512 THEN 1 ELSE 0 END
+      |    AS straddles
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -507,5 +582,6 @@ object CurationQueries {
     QueryDef("d26_fuzzy_join", d26, Some(d26Oracle)),
     QueryDef("d27_quality_model", d27, Some(d27Oracle)),
     QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)),
-    QueryDef("d29_sequence_pack", d29, Some(d29Oracle)))
+    QueryDef("d29_sequence_pack", d29, Some(d29Oracle)),
+    QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)))
 }
