@@ -784,6 +784,71 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, dist
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e12: residual IVF-PQ (Similarity.ivfPqResidualTopK) — codes
+  // quantize v − centroid(cell); the oracle replays assignment (e5),
+  // in-plan residuals, the OFFSET-16 codebook sample (the first 16
+  // sha-rows are the centroids, whose own residuals are ~zero), encode,
+  // reconstruction, and the residual-space ADC with the query residual
+  // parenthesized exactly as Spark computes it. ----
+  private def e12(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqResidualTopK(emb(s, dir), "vec_id", "embedding",
+        _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  private val e12Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.cid, c.cv,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents c),
+      |res AS (
+      |  SELECT vec_id, cid AS cell,
+      |    list_transform(generate_series(1, 64), i -> v[i] - cv[i]) AS r
+      |  FROM assign WHERE rn = 1),
+      |cb AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, r AS v
+      |  FROM (SELECT vec_id, r, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM res ORDER BY sha, vec_id LIMIT 16 OFFSET 16)),
+      |enc0 AS (
+      |  SELECT res.vec_id, js.j, cb.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (res.r[js.j*8 + i] - cb.v[js.j*8 + i])
+      |           * (res.r[js.j*8 + i] - cb.v[js.j*8 + i]))) AS d
+      |  FROM res CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(cb.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN cb ON cb.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid, cv FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
+      |adc AS (
+      |  SELECT p.q_id, res.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> ((p.qv[i] - p.cv[i]) - rc.rv[i])
+      |           * ((p.qv[i] - p.cv[i]) - rc.rv[i]))), 6) AS adist
+      |  FROM probes p
+      |  JOIN res ON res.cell = p.cid AND res.vec_id <> p.q_id
+      |  JOIN recon rc ON rc.vec_id = res.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1005,6 +1070,7 @@ object PipelineQueries {
     QueryDef("e8_pq_adc_ann", e8, Some(e8Oracle)),
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
+    QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

@@ -359,6 +359,88 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
   }
 
+  /** Residual IVF-PQ ANN top-k — the classic refinement over
+    * [[ivfPqTopK]] (and the default in production ANN libraries): codes
+    * quantize the RESIDUAL v − centroid(cell) instead of the raw vector.
+    * Residuals concentrate around zero once the coarse quantizer has
+    * absorbed the cell's location, so the same m×ksub code budget spends
+    * its resolution on a tighter distribution; the query side subtracts
+    * the probed cell's centroid from the query and runs the identical
+    * ADC kernel against the residual codebook. The price of the better
+    * fit is that codes become cell-dependent — they cannot be shared
+    * with a full-scan PQ path the way [[ivfPqTopK]]'s can.
+    *
+    * Construction mirrors the no-residual path exactly (literal-centroid
+    * routing, sha-ordered codebook sample — here sampled from the
+    * RESIDUAL table computed in-plan, so the whole operator still
+    * replays in SQL); candidate sets are identical to [[ivfPqTopK]] at
+    * the same nlist/nprobe (routing is shared), which the spec asserts. */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(nlist <= 64,
+      s"nlist=$nlist > 64: literal-centroid routing only (kernel routing: ivfTopK)")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val sample = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist).collect()
+    require(sample.length >= nlist, s"corpus smaller than nlist=$nlist")
+    val centIds = sample.map(_.get(0))
+    val cents = sample.map(_.getSeq[Double](1).toArray)
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
+    def cellOf(v: Column): Column =
+      greatest((0 until nlist).map(i =>
+        struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+          lit(centIds(i)).as("c"))): _*).getField("c")
+    // residual of a vector against ITS cell's centroid, as one
+    // cell-dispatched subtraction chain (nlist literal branches)
+    def residual(v: Column, cell: Column): Column =
+      (0 until nlist).foldLeft(lit(null).cast("array<double>")) {
+        case (acc, i) => when(cell === lit(centIds(i)),
+          zip_with(v, centLit(i), (x, c) => x - c)).otherwise(acc)
+      }
+    val withRes = corpus.withColumn("cell", cellOf(col("nn_vec")))
+      .withColumn("res", residual(col("nn_vec"), col("cell")))
+    // residual codebook: the sha-ordered deterministic sample OFFSET past
+    // the centroid rows (a centroid's own residual is ~zero — sampling
+    // the same first-nlist rows would degenerate the codebook), taken
+    // from the residual table computed in-plan (collect reads, it does
+    // not re-derive — so SQL replays it identically)
+    val cbRows = withRes
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist + ksub).select("res").collect().drop(nlist)
+    require(cbRows.length == ksub,
+      s"corpus smaller than nlist=$nlist + ksub=$ksub")
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub)((j, c) =>
+      cbRows(c).getSeq[Double](0).slice(j * sub, (j + 1) * sub).toArray)
+    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    val listed = withRes.select(col("cell"), col("nn_id"),
+      pq_encode(col("res"), cb, dim).as("codes"))
+    val probes = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    broadcast(probes).join(listed, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("q_res", residual(col("q_vec"), col("cell")))
+      .withColumn("adist",
+        round(pq_adc(col("q_res"), col("codes"), cb, dim), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+  }
+
   /** PQ shortlist → exact re-rank — how IVF-PQ deployments actually
     * serve queries: the compressed scan ([[pqTopK]]) produces a
     * `shortlist`-sized candidate set per query reading only (id, codes);

@@ -209,6 +209,26 @@ class PipelineSpec extends SparkSpec {
       s"ivf-pq scanned $cand of ${20L * (n - 1)} pairs — cells not pruning")
   }
 
+  test("residual ivf-pq: candidate set identical to the no-residual path") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    // routing is shared with the no-residual path → identical candidate
+    // sets at the same nlist/nprobe (distances differ, membership not)
+    def candSet(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val candRes = candSet(
+      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", _ < 20, n))
+    val candRaw = candSet(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, n))
+    assert(candRes === candRaw, "residual path changed the candidate set")
+    // end-to-end: top-5 contract shape
+    val top = Similarity.ivfPqResidualTopK(
+      emb, "vec_id", "embedding", _ < 20, 5).collect()
+    assert(top.length === 20 * 5)
+    assert(top.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(top.forall(r => r.getDouble(3) >= 0))
+  }
+
   test("lsh ann at a non-64 embedding width: dim probed from data, recall holds") {
     import spark.implicits._
     // deterministic 16-dim embeddings: 10 cluster centers + small offsets,
