@@ -228,6 +228,10 @@ object ScaleProbe {
       .pqTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("ivfpq")(pipeline.Similarity
       .ivfPqTopK(big, "vec_id", "embedding", _ < nq, 5).count())
+    time("ivfpq-res")(pipeline.Similarity
+      .ivfPqResidualTopK(big, "vec_id", "embedding", _ < nq, 5).count())
+    time("pq-rerank")(pipeline.Similarity
+      .pqRerankTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("lsh")(pipeline.Similarity
       .lshTopK(big, "vec_id", "embedding", _ < nq, 5).count())
     time("ivf")(pipeline.Similarity

@@ -424,16 +424,21 @@ object Similarity {
     import graft.functions.PqAdc.{pq_adc, pq_encode}
     val listed = withRes.select(col("cell"), col("nn_id"),
       pq_encode(col("res"), cb, dim).as("codes"))
+    // query residual computed ONCE per (query, probed cell) — q×nprobe
+    // rows — BEFORE the candidate join; carrying it through the join
+    // instead of recomputing per candidate keeps the per-pair work at
+    // exactly one ADC kernel call
     val probes = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+      .withColumn("q_res", residual(col("q_vec"), col("cell")))
+      .select(col("q_id"), col("cell"), col("q_res"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("nn_id"))
     broadcast(probes).join(listed, Seq("cell"))
       .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("q_res", residual(col("q_vec"), col("cell")))
       .withColumn("adist",
         round(pq_adc(col("q_res"), col("codes"), cb, dim), 6))
       .withColumn("rank", row_number().over(w))
