@@ -175,9 +175,60 @@ object InfraQueries {
     """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---- q49: dynamic partition pruning certification. The events table
+  // is rewritten PARTITIONED BY event_type; the dim side is the same
+  // table's per-type counts filtered by a runtime-only predicate
+  // (HAVING COUNT(*) > 2000 — deliberately NOT a predicate on the join
+  // key itself, which Catalyst would propagate statically). Spark's DPP
+  // then injects the dim's surviving keys as a runtime partition filter
+  // into the fact scan (dynamicpruning# in PartitionFilters,
+  // plan-asserted in LayoutSpec); at 100 TB this is what turns a
+  // star-join over a date/tenant-partitioned fact into a scan of only
+  // the qualifying partitions. Result is layout-invariant — the oracle
+  // runs the identical join on the original parquet. ----
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    writePartitionedEvents(s, dir)
+    val fact = s.read.parquet(q49Path(dir))
+    val dim = t(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      .filter(col("n_type") > 2000)
+      .select("event_type")
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("value_cents"))
+      .orderBy("event_type")
+  }
+
+  /** The q49 partitioned copy: (event_type-partitioned events projection)
+    * under a pid-keyed tmp dir — exposed so LayoutSpec can assert the
+    * DPP plan against the same layout the gate query reads. */
+  def q49Path(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q49_${tag(dir)}" +
+      s"_p${ProcessHandle.current().pid()}"
+
+  def writePartitionedEvents(s: SparkSession, dir: String): Unit = {
+    sweepTmp(s, "graft_q49")
+    t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(q49Path(dir))
+  }
+
+  private val q49Oracle =
+    """WITH dim AS (
+      |  SELECT event_type FROM events GROUP BY event_type
+      |  HAVING COUNT(*) > 2000)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q42_bucketed_join", q42, Some(q42Oracle)),
     QueryDef("q43_salted_sum", q43, Some(q43Oracle)),
     QueryDef("q44_text_roundtrip", q44, Some(q44Oracle)),
-    QueryDef("q45_orc_roundtrip", q45, Some(q45Oracle)))
+    QueryDef("q45_orc_roundtrip", q45, Some(q45Oracle)),
+    QueryDef("q49_dpp_join", q49, Some(q49Oracle)))
 }

@@ -61,4 +61,17 @@ class LayoutSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(!p.contains("Exchange"), s"bucketed join shuffled:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q49 fact scan carries a dynamicpruning partition filter") {
+    val dir = sf()
+    graft.queries.InfraQueries.writePartitionedEvents(spark, dir)
+    val q = graft.queries.InfraQueries.q49(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the runtime dim filter (HAVING on counts) must reach the fact scan
+    // as a dynamic partition filter — not a static IN list
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+    assert(p.contains("PartitionFilters:"), p)
+  }
 }
