@@ -181,10 +181,57 @@ object ScaleProbe {
     probe("1x-warm", base)
   }
 
+  /** Composed curation pipeline (d31's shape) at scale: documents
+    * replicated `times`× with disjoint vocabularies (the [[dedupProbe]]
+    * construction — planted duplicate/contamination structure constant
+    * per replica), run through dedup → decontaminate → quality → pack.
+    * The claim under test: every stage is shuffle-bounded by keys/
+    * shingle-hashes (never text), the packing prefix sum is bucket-
+    * distributed, so wall scales ~linearly with corpus. */
+  private def curationProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    def corpus(t: Int) = (0 until t).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val isEval = col("doc_id") % 50 === 0
+      val base = c.filter(!isEval)
+      val keepIds = pipeline.Dedup.exact(base, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = base.join(keepIds, Seq("doc_id"), "left_semi")
+      val contaminated = pipeline.Curation.contamination(
+          deduped, c.filter(isEval), "text", "doc_id", k = 5)
+        .select(col("id").as("doc_id"))
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val kept = pipeline.Curation.repetitionStats(clean, "text", "doc_id")
+        .filter(col("keep") === 1).select("doc_id")
+      val survivors = clean.join(kept, Seq("doc_id"), "left_semi")
+      val packed = pipeline.Curation
+        .sequencePack(survivors, "text", "doc_id", budget = 512L)
+      val rows = packed.count()
+      val bins = packed.agg(max("bin")).first().getLong(0) + 1
+      println(f"[probe] curation/$tag%-7s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  survivors=$rows bins=$bins")
+    }
+    probe("1x", corpus(1))
+    probe(s"${times}x", corpus(times))
+    probe("1x-warm", corpus(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("curation")) {
+      curationProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("fuzzy")) {
       fuzzyProbe(spark, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
