@@ -55,6 +55,44 @@ object Bench {
     sweep()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Frozen round-7 registry membership (82 queries). The full "total"
+    // changes meaning every time a query is registered, so round-over-round
+    // comparisons kept degenerating into hand-recomputed subsets (the r8
+    // headline went 37.7 -> 62.6 s purely by growing the registry). This
+    // set NEVER changes: `core82_total` is the one number whose delta
+    // between rounds is a real performance delta. New queries only ever
+    // move the full total.
+    val core82: Set[String] = Set(
+      "d10_hash_split", "d11_neardup_groups", "d12_stratified_sample",
+      "d13_simhash_sha", "d14_minhash_sha", "d15_neardup_pipeline",
+      "d1_exact_dedup", "d2_token_stats", "d3_lang_id", "d4_quality_score",
+      "d5_fingerprint", "d6_jaccard_pairs", "d7_minhash_pairs",
+      "d8_simhash_pairs", "d9_bpe_tokens", "e1_cosine_topk",
+      "e2_knn_classify", "e3_lsh_ann", "e4_cosine_neardup", "e5_ivf_ann",
+      "e6_quantized_topk", "e7_ivf2_ann", "m1_gen_raw", "m2_gen_second",
+      "m3_rollup_minute", "m4_rollup_hour", "m5_rollup_day", "m6_said_seed",
+      "m7_dedup_rollup", "m8_routed_report", "mm1_multimodal_meta",
+      "mm2_frame_sample", "q10_cube", "q11_distinct", "q12_topk_global",
+      "q13_conditional", "q14_strings", "q15_datetime", "q16_json",
+      "q17_scalar_stats", "q18_asof_join", "q19_ranking", "q1_agg",
+      "q20_correlated_avg", "q21_sql_entry", "q22_array_agg",
+      "q23_range_join", "q24_map_functions", "q25_multiset_ops",
+      "q26_typed_agg", "q27_approx_distinct", "q28_explode_words",
+      "q29_pivot", "q2_selective_filter", "q30_lateral_topn",
+      "q31_range_frame", "q32_grouping_sets", "q33_unpivot", "q34_from_json",
+      "q35_clustered_layout", "q36_window_extras", "q37_sketch_rollup",
+      "q38_corr_moments", "q39_approx_percentile", "q3_join_topk",
+      "q40_bloom_pruned_join", "q41_zorder_layout", "q42_bucketed_join",
+      "q43_salted_sum", "q44_text_roundtrip", "q4_star_broadcast",
+      "q5_semi_anti", "q6_window_topk", "q7_window_running", "q8_setops",
+      "q9_rollup", "s1_event_deltas", "s2_tumbling_hour", "s3_sliding_2h1h",
+      "s4_session_window", "s5_interval_join", "s6_gap_detect")
+    // Queries whose first execution pays a one-time physical-layout build
+    // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
+    // For these the artifact carries `build_s` = rep-1 time minus the
+    // steady-state min — the honest price of the build, reported instead
+    // of silently dropped.
+    val buildOnce: Set[String] = Set("q42_bucketed_join", "q49_dpp_join")
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     (1 to reps).foreach { rep =>
@@ -99,11 +137,21 @@ object Bench {
         else "%.2f", Double.box(t))
     val errJson = errors.map(e => Graft.jsonString(e)).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val core82Total = results.filter(r => core82(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    // build_s: samples are prepended per rep, so .last is the rep-1
+    // (chronologically first) run — the one that pays any build-once cost.
+    val buildS = results.collect {
+      case (name, best, _) if buildOnce(name) && best >= 0 &&
+          samples(name).size >= 2 =>
+        name -> math.max(0.0, samples(name).last - best)
+    }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
-      jmap(results.map(r => r._1 -> r._3), _.toString)},"errors":$errJson,"sf":${
+      jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
+      jmap(buildS, _.toString)},"errors":$errJson,"sf":${
       Graft.jsonString(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     System.err.println(s"[bench] full-precision artifact: bench.json (${full.length} chars)")
@@ -114,7 +162,8 @@ object Bench {
     // one registration from truncating); per-query times live whole in
     // bench.json, which the per-round auto-commit preserves.
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    val compact = s"""{"metric":"total","value":${fmtT(total)},"unit":"sec","queries":${
+    val compact = s"""{"metric":"total","value":${fmtT(total)},"unit":"sec","core82":${
+      fmtT(core82Total)},"queries":${
       jmap(top5.map(r => r._1 -> r._2), fmtT)},"n_queries":${results.size
       },"full":"bench.json","sf":${
       Graft.jsonString(sfDir.split('/').last)}$errField}"""

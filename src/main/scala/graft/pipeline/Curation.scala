@@ -157,18 +157,20 @@ object Curation {
     * stage, zero shuffles; the scan reads only (id, text). */
   def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
+    // Counts follow the redaction cascade: each pattern is counted on the
+    // text AFTER the earlier patterns were redacted, so n_email + n_ip +
+    // n_phone equals exactly the number of tags in `redacted` — one span
+    // can never be double-counted (a phone-shaped fragment inside an
+    // email's local part counts only as the email that swallowed it).
+    val t1 = regexp_replace(t, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val redacted = regexp_replace(t2, PhoneRe, "<PHONE>")
     df.select(col(idCol).as("id"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
         .as("n_email"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long")
+      size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))).cast("long")
         .as("n_ip"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+      size(regexp_extract_all(t2, lit(PhoneRe), lit(0))).cast("long")
         .as("n_phone"),
       redacted.as("redacted"))
   }

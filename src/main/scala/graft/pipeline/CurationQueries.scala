@@ -273,20 +273,26 @@ object CurationQueries {
       |  FROM documents),
       |r AS (
       |  SELECT doc_id, t,
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(t,
-      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
-      |  FROM p)
+      |    regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+      |      AS t1
+      |  FROM p),
+      |r2 AS (
+      |  SELECT doc_id, t, t1,
+      |    regexp_replace(t1,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      |  FROM r),
+      |r3 AS (
+      |  SELECT doc_id, t, t1, t2,
+      |    regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+      |  FROM r2)
       |SELECT doc_id,
       |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
-      |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+      |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+      |  len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone,
       |  md5(red) AS red_md5,
       |  length(red)::BIGINT AS n_chars_red
-      |FROM r ORDER BY doc_id""".stripMargin
+      |FROM r3 ORDER BY doc_id""".stripMargin
 
   // ---- d24: corpus-level line dedup. The fixture documents are
   // single-line, so the query derives a multi-line corpus
@@ -298,12 +304,20 @@ object CurationQueries {
   // distinct-document frequency, the anti-join, and the in-order
   // reassembly, certifying the cleaned text via md5. ----
   private def d24(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), "\\s+")
+    // TextAnalysis.words (\S+ extraction) rather than split-on-\s+: split
+    // with the default limit emits leading/trailing empty tokens on padded
+    // text, which would diverge from the oracle's regexp_extract_all AND
+    // could hand sequence(1, 0) a descending [1,0] on an all-whitespace
+    // document (the wordShingles guard exists for exactly that quirk).
+    val ws = TextAnalysis.words(col("text"))
+    // when-guarded like wordShingles: sequence(1, 0) yields a DESCENDING
+    // [1, 0] in Spark, so a token-less document must short-circuit to "".
+    val chunks = when(size(ws) > 0,
+      transform(sequence(lit(1), ((size(ws) + lit(2)) / lit(3)).cast("int")),
+        i => array_join(slice(ws, (i - 1) * 3 + 1, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
     val chunked = docs(s, dir).select(col("doc_id"),
-      array_join(
-        transform(sequence(lit(1), ((size(ws) + lit(2)) / lit(3)).cast("int")),
-          i => array_join(slice(ws, (i - 1) * 3 + 1, lit(3)), " ")),
-        "\n").as("text"))
+      array_join(chunks, "\n").as("text"))
     Curation.lineDedup(chunked, "text", "doc_id", sep = "\n", minDocs = 2)
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
         col("n_dropped"), md5(col("cleaned")).as("clean_md5"),

@@ -36,31 +36,63 @@ object FrequentItems {
 
   /** Bounded-memory frequent-item candidates: per-partition space-saving
     * summaries of `capacity` counters each, unioned and summed. Output:
-    * (key, cnt_lower) — a lower bound on the true count; every key whose
-    * true count exceeds totalRows/capacity is guaranteed present. */
+    * (key, cnt_lower) — `key` keeps the INPUT column's type (string
+    * domains, long ids — anything hashable), `cnt_lower` is a lower
+    * bound on the true count; every key whose true count exceeds
+    * totalRows/capacity is guaranteed present.
+    *
+    * Eviction is O(log capacity) amortized via a lazily-invalidated
+    * min-heap (an increment pushes a fresh entry instead of re-keying
+    * the heap; stale entries are skipped at pop time and the heap is
+    * rebuilt from the live counters when staleness exceeds 8×capacity),
+    * so a high-cardinality partition costs O(rows × log capacity), not
+    * the O(rows × capacity) a min-scan per unseen key would. */
   def spaceSaving(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val summaries = df.select(col(keyCol).cast("long")).as[Long]
-      .mapPartitions { it =>
-        // Metwally et al. space saving: capacity counters; an unseen key
-        // replaces the minimum counter and inherits its count as error.
-        val cnt = scala.collection.mutable.LongMap.empty[Long]
-        val err = scala.collection.mutable.LongMap.empty[Long]
-        it.foreach { k =>
-          if (cnt.contains(k)) cnt(k) += 1L
-          else if (cnt.size < capacity) { cnt(k) = 1L; err(k) = 0L }
-          else {
-            val (mk, mv) = cnt.minBy(_._2)
+    val keyed = df.select(col(keyCol).as("key"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      keyed.schema.head,
+      org.apache.spark.sql.types.StructField("lower",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val summaries = keyed.mapPartitions { it =>
+      // Metwally et al. space saving: capacity counters; an unseen key
+      // replaces the minimum counter and inherits its count as error.
+      val cnt = scala.collection.mutable.HashMap.empty[Any, Long]
+      val err = scala.collection.mutable.HashMap.empty[Any, Long]
+      // min-heap over (count, key) with lazy invalidation: an entry is
+      // live iff its count equals the key's current count.
+      implicit val ord: Ordering[(Long, Any)] =
+        Ordering.by[(Long, Any), Long](_._1).reverse
+      var heap = scala.collection.mutable.PriorityQueue.empty[(Long, Any)]
+      def popMin(): (Any, Long) = {
+        var top = heap.dequeue()
+        while (!cnt.get(top._2).contains(top._1)) top = heap.dequeue()
+        (top._2, top._1)
+      }
+      it.foreach { row =>
+        val k = row.get(0)
+        cnt.get(k) match {
+          case Some(c) =>
+            cnt(k) = c + 1L
+            heap.enqueue((c + 1L, k))
+          case None if cnt.size < capacity =>
+            cnt(k) = 1L; err(k) = 0L
+            heap.enqueue((1L, k))
+          case None =>
+            val (mk, mv) = popMin()
             cnt.remove(mk); err.remove(mk)
             cnt(k) = mv + 1L
             err(k) = mv
-          }
+            heap.enqueue((mv + 1L, k))
         }
-        cnt.iterator.map { case (k, c) => (k, c - err(k)) }
+        if (heap.size > 8 * capacity)
+          heap = scala.collection.mutable.PriorityQueue.from(
+            cnt.iterator.map { case (key, c) => (c, key) })
       }
-    summaries.toDF("key", "lower")
-      .groupBy("key").agg(sum("lower").as("cnt_lower"))
+      cnt.iterator.map { case (k, c) =>
+        org.apache.spark.sql.Row(k, c - err(k))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    summaries.groupBy("key").agg(sum("lower").as("cnt_lower"))
   }
 }

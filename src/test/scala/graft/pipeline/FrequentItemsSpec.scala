@@ -40,6 +40,27 @@ class FrequentItemsSpec extends SparkSpec {
     assert(got.size <= 8 * capacity)
   }
 
+  test("spaceSaving: string keys keep their type and their guarantee") {
+    val n = 6000L
+    val capacity = 50
+    // top-domains shape: two heavy domains over a long tail of unique ones
+    val df = spark.range(n).select(
+      when(col("id") % 2 === 0, lit("example.com"))
+        .when(col("id") % 3 === 0, lit("example.org"))
+        .otherwise(concat(lit("host-"), col("id"))).as("domain"))
+      .repartition(4)
+    val got = FrequentItems.spaceSaving(df, "domain", capacity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mustHave = truth.filter(_._2 > n / capacity).keySet
+    assert(mustHave === Set("example.com", "example.org"))
+    assert(mustHave.subsetOf(got.keySet))
+    got.foreach { case (k, lb) => assert(lb <= truth(k)) }
+    val top2 = got.toSeq.sortBy { case (k, lb) => (-lb, k) }.take(2).map(_._1)
+    assert(top2.toSet === mustHave)
+  }
+
   test("exactTopK: ties break toward the smaller key, k respected") {
     import spark.implicits._
     val df = Seq(1L, 1L, 2L, 2L, 3L).toDF("k")
