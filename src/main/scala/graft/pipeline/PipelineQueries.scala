@@ -849,6 +849,80 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e13: IVF ANN with a k-means-REFINED quantizer — the gate row for
+  // the Lloyd iteration (the last spec-only similarity component through
+  // round 8). One iteration from the deterministic sha-sample: assign
+  // every vector to its round-9-cosine argmax cell (ties to the larger
+  // label), replace each centroid with its cell's mean — folded in
+  // ascending-id order (the d28 sorted-fold pattern) and rounded to 9 dp,
+  // so the refined centroids are bit-identical across partitionings AND
+  // in DuckDB — then route and rank exactly like e5 against the refined
+  // centroids. The oracle replays the whole chain: sha sample, initial
+  // assignment, list(ORDER BY id) means with COALESCE for empty cells,
+  // re-assignment, probes, rounded-cosine top-k. nlist = 8, nprobe = 3,
+  // k = 5 over the 64-dim embeddings. ----
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 8
+    val centRows = emb(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(sha2(col("id").cast("string"), 256), col("id"))
+      .limit(nlist).collect()
+    val labels = centRows.map(_.getLong(0))
+    val init = centRows.map(_.getSeq[Double](1).toArray)
+    val refined = Similarity.kmeansRefineExact(emb(s, dir), "vec_id",
+      "embedding", init, labels, iters = 1)
+    Similarity.ivfTopKWith(emb(s, dir), "vec_id", "embedding", _ < 20,
+      k = 5, refined, labels.toSeq, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val e13Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |assign0 AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents c),
+      |cells0 AS (SELECT vec_id, v, cid AS cell FROM assign0 WHERE rn = 1),
+      |agg AS (
+      |  SELECT cell, COUNT(*) AS n, list(v ORDER BY vec_id) AS lv
+      |  FROM cells0 GROUP BY cell),
+      |refined AS (
+      |  SELECT cell, list_transform(generate_series(1, 64),
+      |    d -> ROUND(list_sum(list_transform(lv, x -> x[d])) / n, 9)) AS mv
+      |  FROM agg),
+      |cents1 AS (
+      |  SELECT c.cid, COALESCE(r.mv, c.cv) AS cv
+      |  FROM cents c LEFT JOIN refined r ON c.cid = r.cell),
+      |assign1 AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents1 c),
+      |cells AS (SELECT vec_id, v, cid AS cell FROM assign1 WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign1
+      |  WHERE vec_id < 20 AND rn <= 3),
+      |cand AS (
+      |  SELECT p.q_id, s.vec_id AS nn_id,
+      |    ROUND(list_dot_product(p.qv, s.v) /
+      |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+      |  FROM probes p JOIN cells s ON p.cell = s.cell AND p.q_id <> s.vec_id),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1071,6 +1145,7 @@ object PipelineQueries {
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
     QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
+    QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

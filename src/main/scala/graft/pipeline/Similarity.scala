@@ -182,20 +182,7 @@ object Similarity {
     }
     val (listed, probes) = if (nlist <= 64) {
       // literal-centroid path: oracle-replayable, O(nlist) codegen.
-      def centLit(i: Int): Column = array(cents(i).map(lit): _*)
-      def cellScores(v: Column): Column = array((0 until nlist).map(i =>
-        struct(round(cosineFast(v, centLit(i)), 9).as("s"),
-          lit(centIds(i)).as("c"))): _*)
-      val l = corpus.withColumn("cell",
-        greatest((0 until nlist).map(i =>
-          struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
-            lit(centIds(i)).as("c"))): _*).getField("c"))
-      val p = l.filter(queryPred(col("nn_id")))
-        .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
-          explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
-            1, nprobe)).as("pc"))
-        .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
-      (l, p)
+      literalCells(corpus, queryPred, cents, centIds.toSeq, nprobe)
     } else {
       // fused-kernel path: fixed-size codegen regardless of nlist.
       // superProbe > 0 switches to the TWO-LEVEL kernel (Ivf2CellsExpr):
@@ -214,6 +201,41 @@ object Similarity {
           explode(cellsOf(col("nn_vec"), nprobe)).as("cell"))
       (l, p)
     }
+    probedTopK(listed, probes, k)
+  }
+
+  /** Literal-centroid cell assignment + query probes — the
+    * oracle-replayable routing shared by [[ivfTopK]]'s nlist ≤ 64 branch
+    * and [[ivfTopKWith]]: cell = argmax of round-9 cosine over the
+    * centroid literals (struct-greatest; ties break toward the larger
+    * label, matching the oracle's ORDER BY s DESC, c DESC), probes =
+    * each query's top-`nprobe` cells by the same ordering. Both outputs
+    * are shuffle-free projections of the corpus scan. */
+  private def literalCells(corpus: DataFrame, queryPred: Column => Column,
+      cents: Array[Array[Double]], centIds: Seq[Any],
+      nprobe: Int): (DataFrame, DataFrame) = {
+    val nlist = cents.length
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
+    val l = corpus.withColumn("cell",
+      greatest((0 until nlist).map(i =>
+        struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
+          lit(centIds(i)).as("c"))): _*).getField("c"))
+    val p = l.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+    (l, p)
+  }
+
+  /** Inverted-list scan + per-query top-k shared by every IVF face:
+    * broadcast the (tiny) probe set, hash-join on cell, rank rounded
+    * cosines within each query. */
+  private def probedTopK(listed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id"))
     broadcast(probes)
@@ -223,6 +245,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** IVF top-k against INJECTED centroids — the refined-quantizer face:
+    * [[kmeansRefine]]/[[kmeansRefineExact]] produce centroids, this
+    * routes and ranks against them with exactly the e5 literal-path
+    * semantics. Labels keep whatever identity the caller assigned
+    * (typically the seed vector's id), so a refined quantizer's cells
+    * remain comparable to the unrefined ones. */
+  def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, cents: Array[Array[Double]],
+      centIds: Seq[Any], nprobe: Int = 4): DataFrame = {
+    require(cents.nonEmpty && cents.length == centIds.length,
+      s"centroids (${cents.length}) and labels (${centIds.length}) must align")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val (listed, probes) = literalCells(corpus, queryPred, cents, centIds,
+      nprobe)
+    probedTopK(listed, probes, k)
   }
 
   /** Product-quantization ANN top-k (asymmetric distance, the PQ half of
@@ -551,6 +591,57 @@ object Similarity {
           case Some((n, sums)) => sums.map(_ / n).toArray
           case None => old
         }
+      }
+    }
+    cents
+  }
+
+  /** Certification-mode Lloyd refinement: the same iteration semantics as
+    * [[kmeansRefine]] (assign → per-cell mean → empty cells keep their
+    * centroid) made bit-reproducible and oracle-replayable:
+    *
+    *   - assignment uses the LITERAL-centroid construction (round-9
+    *     cosine, ties toward the larger label) — exactly the e5/e13
+    *     oracle's ORDER BY s DESC, c DESC;
+    *   - the per-cell mean folds vectors in ascending-id order
+    *     (array_sort(collect_list(struct(id, v))) then a sequential
+    *     aggregate per dimension — the d28 fold pattern, ≡ DuckDB
+    *     list_sum over list(ORDER BY id)), then rounds to 9 dp, so the
+    *     refined centroids are identical on every partitioning and in
+    *     DuckDB.
+    *
+    * The price is collect_list materializing each cell's vectors on one
+    * executor — bounded by the largest cell, which the production
+    * [[kmeansRefine]] (free-order partial sums, map-side combined) never
+    * pays; use THIS face to certify, THAT one at scale. The two differ
+    * only in summation order; IvfCellsSpec asserts element-wise agreement
+    * within 1e-9 on the fixture. */
+  def kmeansRefineExact(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], labels: Array[Long],
+      iters: Int = 1): Array[Array[Double]] = {
+    val dim = centroids.head.length
+    val corpus = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val nlist = cents.length
+      def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+      val assigned = corpus.withColumn("cell",
+        greatest((0 until nlist).map(i =>
+          struct(round(cosineFast(col("v"), centLit(i)), 9).as("s"),
+            lit(labels(i)).as("c"))): _*).getField("c"))
+      val refined = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("id"), col("v")))).as("sv"))
+        .select(col("cell"),
+          transform(sequence(lit(1), lit(dim)), d =>
+            round(aggregate(
+              transform(col("sv"), s => element_at(s.getField("v"), d)),
+              lit(0.0), (a, x) => a + x) / col("n"), 9)).as("mv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = labels.zip(cents).map { case (label, old) =>
+        refined.getOrElse(label, old)
       }
     }
     cents

@@ -378,6 +378,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.count() === 100)
   }
 
+  test("kmeansRefineExact matches kmeansRefine within summation-order noise") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centRows = corpus
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(8).collect()
+    val labels = centRows.map(_.getLong(0))
+    val init = centRows.map(_.getSeq[Double](1).toArray)
+    // production face: kernel assignment, free-order partial sums
+    val prod = Similarity.kmeansRefine(corpus, "v", init, labels, iters = 1)
+    // certification face: literal round-9 assignment, ascending-id fold,
+    // 9-dp rounded components (the e13 gate construction)
+    val exact = Similarity.kmeansRefineExact(emb, "vec_id", "embedding",
+      init, labels, iters = 1)
+    // same Lloyd semantics: with no assignment ties on the fixture the two
+    // differ only by per-cell summation order (+ the 9-dp round), so every
+    // component must agree to ~1e-9
+    prod.zip(exact).zipWithIndex.foreach { case ((p, x), c) =>
+      p.zip(x).zipWithIndex.foreach { case ((pv, xv), d) =>
+        assert(math.abs(pv - xv) < 1e-8,
+          s"centroid $c dim $d: production $pv vs exact $xv")
+      }
+    }
+  }
+
   test("components releases its per-round checkpoint blocks (r2 leak regression)") {
     import spark.implicits._
     val sc = spark.sparkContext
