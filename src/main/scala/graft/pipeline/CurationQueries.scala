@@ -170,7 +170,7 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private val d21Oracle =
+  private[graft] val d21Oracle =
     """WITH w AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (

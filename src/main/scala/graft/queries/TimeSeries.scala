@@ -148,7 +148,7 @@ object TimeSeriesQueries {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long"))
       .orderBy("user_id", "hour")
 
-  private val q46Oracle =
+  private[graft] val q46Oracle =
     """WITH h AS (
       |  SELECT user_id, date_trunc('hour', ts) AS hour,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS observed

@@ -151,7 +151,89 @@ object StreamQueries {
       |WHERE silent_us > 1800000000
       |ORDER BY user_id, last_seen, silent_us""".stripMargin
 
+  // ---- s7: the STREAMING incremental-dedup face under the gate. A real
+  // Structured Streaming query (MemoryStream → foreachBatch parquet sink,
+  // the production CurationStream.incrementalDedupSink) processes the d21
+  // increment split (doc_id % 10 == 0) in three deterministic
+  // micro-batches (doc_id % 3) against the persisted-shape corpus shingle
+  // index; the unioned per-batch outputs are hash-compared against d21's
+  // DuckDB oracle. Pairing is per-document against a static index, so
+  // micro-batch boundaries cannot change the result — the exactly-once
+  // layout + batch-boundary invariance this row certifies. ----
+  private def s7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val idx = graft.pipeline.Dedup.hashedShingleIndex(
+      d.filter(!isNew), "text", "doc_id", k = 5, maxDf = 100)
+    val incr = d.filter(isNew).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s7").toString
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text"), idx, "text", "doc_id",
+      out, s"$out/_cp").start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(incr.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(s"$out/pairs")
+      .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  // ---- s8: the STREAMING forward-fill face under the gate. q46's
+  // hourly observations (user_id % 50, exact cents) replay through
+  // EventStreams.fillGapsHourly as a real stream in three micro-batches
+  // cut on GLOBAL hour terciles — every entity sees its hours in
+  // non-decreasing order across batches, the operator's input contract
+  // (exactly what a watermarked hourly aggregation emits in append
+  // mode). The memory-sink result maps back to q46's schema and is
+  // hash-compared against q46's oracle — certifying that cross-batch
+  // carried state reproduces the batch grid + forward fill. ----
+  private def s8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val hourly = events(s, dir).filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("v"))
+      .select(col("user_id"), unix_millis(col("hour")).as("hour_ms"),
+        col("v"))
+      .as[EventStreams.HourObs].collect()
+    val hours = hourly.map(_.hour_ms).distinct.sorted
+    val chunk = math.max(1, (hours.length + 2) / 3)
+    val batchOf = hours.zipWithIndex
+      .map { case (h, i) => h -> i / chunk }.toMap
+    val input = MemoryStream[EventStreams.HourObs]
+    val sink = s"s8_ffill_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val q = EventStreams.fillGapsHourly(input.toDS()).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      hourly.groupBy(o => batchOf(o.hour_ms)).toSeq.sortBy(_._1)
+        .foreach { case (_, rows) =>
+          input.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    s.table(sink)
+      .select(col("user_id"), timestamp_millis(col("hour_ms")).as("hour"),
+        col("v").as("filled"),
+        col("was_observed").cast("long").as("was_observed"))
+      .orderBy("user_id", "hour")
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s7_stream_incr_dedup", s7,
+      Some(graft.pipeline.CurationQueries.d21Oracle)),
+    QueryDef("s8_stream_ffill", s8,
+      Some(graft.queries.TimeSeriesQueries.q46Oracle)),
     QueryDef("s6_gap_detect", s6, Some(s6Oracle)),
     QueryDef("s5_interval_join", s5, Some(s5Oracle)),
     QueryDef("s1_event_deltas", s1, Some(s1Oracle)),
