@@ -175,6 +175,58 @@ object Curation {
       redacted.as("redacted"))
   }
 
+  /** Exact duplicated-span removal — the ExactSubstr step of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better",
+    * at word granularity: every token that lies inside some `k`-token
+    * window occurring at least `minCount` times in the WHOLE corpus
+    * (across or within documents — occurrences, not document frequency)
+    * is removed, and the survivors are reassembled in original order.
+    * Catches verbatim boilerplate runs that document- and line-level
+    * dedup both miss. Returns (id, n_tokens, n_removed, cleaned).
+    *
+    * 100 TB shape: the only corpus-wide structure is the window
+    * frequency over 8-byte xxhash64 window keys — one hash-keyed count
+    * shuffle; document text never shuffles. Coverage explodes each
+    * DUPLICATED window start into its k positions ((id, int) pairs,
+    * bounded by k × duplicated starts — duplication-proportional, not
+    * corpus-proportional) and anti-joins token positions; reassembly
+    * groups by document id, bounded by the largest single document,
+    * the same bound a plain parse already has. */
+  def substrDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minCount: Long = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val starts = base.select(col("id"), col("ws"),
+        explode(when(size(col("ws")) >= k,
+            sequence(lit(1), size(col("ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("sp"))
+      .select(col("id"), col("sp"),
+        xxhash64((0 until k).map(j =>
+          element_at(col("ws"), col("sp") + lit(j))): _*).as("wh"))
+    val dup = starts.groupBy(col("wh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("wh")
+    val covered = starts.join(dup, "wh")
+      .select(col("id"),
+        explode(sequence(col("sp"), col("sp") + lit(k - 1))).as("p"))
+      .distinct()
+    val tokens = base
+      .select(col("id"), posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + lit(1)).as("p"), col("tok"))
+    val reassembled = tokens.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned"))
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Corpus-level line deduplication (the RefinedWeb/C4 step below
     * document granularity): split every document on `sep`, drop blank
     * lines, remove each line that occurs in at least `minDocs` DISTINCT

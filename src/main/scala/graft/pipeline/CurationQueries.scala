@@ -582,6 +582,52 @@ object CurationQueries {
       |    AS straddles
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- d32: exact duplicated-span removal (ExactSubstr at word
+  // granularity): tokens inside any 5-token window occurring ≥ 2 times
+  // corpus-wide are dropped, survivors reassembled in order. Spark keys
+  // the window frequency on 8-byte xxhash64 window hashes; the oracle
+  // joins the window STRINGS — counts agree per window (the d16/d20
+  // precedent), and the cleaned text is certified via md5. ----
+  private def d32(s: SparkSession, dir: String): DataFrame =
+    Curation.substrDedup(docs(s, dir), "text", "doc_id", k = 5,
+        minCount = 2)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("cleaned")).as("clean_md5"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+
+  private val d32Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |st AS (
+      |  SELECT doc_id, ws, unnest(
+      |    CASE WHEN len(ws) >= 5 THEN generate_series(1, len(ws) - 4)
+      |         ELSE CAST([] AS BIGINT[]) END) AS sp
+      |  FROM w),
+      |sh AS (
+      |  SELECT doc_id, sp,
+      |    ws[sp] || ' ' || ws[sp+1] || ' ' || ws[sp+2] || ' ' ||
+      |      ws[sp+3] || ' ' || ws[sp+4] AS s
+      |  FROM st),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, sp + d AS p
+      |  FROM (SELECT doc_id, sp FROM sh SEMI JOIN dup USING (s))
+      |  CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS o(d)),
+      |t AS (
+      |  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+      |  FROM w),
+      |kp AS (SELECT t.* FROM t ANTI JOIN cov USING (doc_id, p)),
+      |r AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |  FROM kp GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.ws)::BIGINT AS n_tokens,
+      |  (len(w.ws) - COALESCE(r.n_kept, 0))::BIGINT AS n_removed,
+      |  md5(COALESCE(r.cleaned, '')) AS clean_md5,
+      |  length(COALESCE(r.cleaned, ''))::BIGINT AS n_chars_clean
+      |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -597,5 +643,6 @@ object CurationQueries {
     QueryDef("d27_quality_model", d27, Some(d27Oracle)),
     QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)),
     QueryDef("d29_sequence_pack", d29, Some(d29Oracle)),
-    QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)))
+    QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)),
+    QueryDef("d32_substr_dedup", d32, Some(d32Oracle)))
 }

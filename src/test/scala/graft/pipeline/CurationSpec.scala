@@ -332,4 +332,27 @@ class CurationSpec extends SparkSpec {
     assert(pos.distinct.length === pos.length)
     assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
   }
+
+  test("substrDedup removes exactly the tokens covered by duplicated windows") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h"),             // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u p q r s t u"),     // within-doc repeat: fully covered
+      (4L, "m n o dd ee ff"),              // unique: untouched
+      (5L, "aa bb")                        // < k tokens: no windows, untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.substrDedup(d, "text", "doc_id", k = 5, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // cross-doc: "a b c d e" occurs twice, covering p1-5 of doc 1 and
+    // p3-7 of doc 2 — exactly 5 tokens removed from each
+    assert(out(1L) === ((8L, 5L, "f g h")))
+    assert(out(2L) === ((8L, 5L, "x y z")))
+    // within-doc: both halves' windows repeat, covering every position
+    assert(out(3L) === ((12L, 12L, "")))
+    // no duplicated window touches docs 4 and 5
+    assert(out(4L) === ((6L, 0L, "m n o dd ee ff")))
+    assert(out(5L) === ((2L, 0L, "aa bb")))
+  }
 }
