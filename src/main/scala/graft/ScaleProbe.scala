@@ -223,10 +223,59 @@ object ScaleProbe {
     probe("1x-warm", corpus(1))
   }
 
+  /** ANN at 1M vectors with a measured build/query split. The operator
+    * APIs fuse index build (centroid/codebook sample + corpus encode)
+    * with querying, so the split is measured differentially: a warmed
+    * run with ONE query ≈ build + one scan, and the nq-query run minus
+    * it = the marginal cost of the other nq-1 queries. That turns the
+    * "build cost amortizes over queries" argument into two numbers per
+    * family instead of a claim. Configs match the 100k ANN-refresh table
+    * (BASELINE.md) so the 1M row is comparable, except LSH gets
+    * bits = 10 — at 1M vectors 6 bits is 64 buckets of ~16k vectors and
+    * the probe neighborhood would approach a brute scan. */
+  private def annSplitProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int, nq: Long): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val big = emb.crossJoin(
+        spark.range(times.toLong).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * n).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    println(s"[probe] annsplit corpus = ${big.count()} vectors, $nq queries")
+    def t(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def split(name: String)(
+        run: Long => org.apache.spark.sql.DataFrame): Unit = {
+      run(1L).count() // warm: JIT + codegen, off the clock
+      val b = t(run(1L).count())
+      val q = t(run(nq).count())
+      println(f"[probe] annsplit/$name%-10s build+1q $b%7.2f s   " +
+        f"build+${nq}q $q%8.2f s   marginal ${q - b}%7.2f s")
+    }
+    split("brute")(m => pipeline.Similarity
+      .bruteForceTopK(big, "vec_id", "embedding", _ < m, 5))
+    split("lsh10")(m => pipeline.Similarity
+      .lshTopK(big, "vec_id", "embedding", _ < m, 5, bits = 10))
+    split("ivf256x2")(m => pipeline.Similarity
+      .ivfTopK(big, "vec_id", "embedding", _ < m, 5,
+        nlist = 256, nprobe = 64, superProbe = 4))
+    split("ivfpq")(m => pipeline.Similarity
+      .ivfPqTopK(big, "vec_id", "embedding", _ < m, 5))
+    split("ivfpq-res")(m => pipeline.Similarity
+      .ivfPqResidualTopK(big, "vec_id", "embedding", _ < m, 5))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("annsplit")) {
+      annSplitProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(500),
+        args.lift(2).map(_.toLong).getOrElse(500L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("curation")) {
       curationProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
