@@ -420,6 +420,77 @@ object Curation {
         col("mean_nats"), col("keep"))
   }
 
+  /** Bigram-LM surprisal — [[unigramSurprisal]]'s next rung toward the
+    * CCNet 5-gram filter: per-token log-probability under an
+    * interpolated bigram model trained on the corpus itself,
+    * p(w₂|w₁) = ¾·c(w₁w₂)/c(w₁·) + ¼·c(w₂)/N (Jelinek-Mercer with
+    * dyadic weights so both engines scale exactly; every scored bigram
+    * was counted, so no zero-probability guard is needed). The first
+    * token of each document scores under the unigram term alone.
+    * Returns (id, n_tokens, mean_unats, keep) — mean surprisal in
+    * integer micro-nats (3375000 ≙ 3.375 nats).
+    *
+    * Cross-engine exactness: ONE float-rounding layer only. Each token's
+    * surprisal becomes an INTEGER in micro-nats (round(ln(·)·10⁶) →
+    * BIGINT); from there everything is exact integer arithmetic — the sum
+    * is order-free (no sorted-struct fold needed) and the mean is `div`
+    * (≡ DuckDB `//`). d28's double pattern (6-dp round per term, fold,
+    * round the mean again) was tried first and the SECOND rounding hit a
+    * half-ulp boundary at sf0.1 (-s/n = 3.40617849999…: Spark HALF_UP on
+    * the double says …178, DuckDB's decimal-repr ROUND says …179) — the
+    * derived-quotient re-round the exactness cookbook warns about. The
+    * interpolation is written (bc/sc)·0.75 + (uc/N)·0.25 — integer÷
+    * integer first (double on both engines), THEN the dyadic scale, so
+    * a DECIMAL-parsing engine never folds 0.75 in decimal arithmetic.
+    *
+    * 100 TB shape: two count shuffles (unigram-keyed, bigram-keyed);
+    * count tables rejoin broadcast when they fit (a word vocabulary
+    * does; a bigram table at web scale would flip to a shuffle join —
+    * same plan, Spark picks) and text tokens otherwise stay narrow. */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+      maxMeanMicroNats: Long = 3375000L): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val toks = base
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("uc"))
+    val total = uni.agg(sum(col("uc")).cast("double").as("total"))
+    val bi = base
+      .select(col("id"), col("ws"),
+        explode(when(size(col("ws")) >= 2,
+            sequence(lit(1), size(col("ws")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), col("i"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val sc = bc.groupBy("w1").agg(sum(col("bc")).as("sc"))
+    val lpFirst = toks.filter(col("pos") === 1)
+      .join(broadcast(uni), "tok").crossJoin(broadcast(total))
+      .select(col("id"),
+        round(log(col("uc").cast("double") / col("total")) * 1e6)
+          .cast("long").as("lp_u"))
+    val lpRest = bi
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(sc), "w1")
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        round(log(
+          col("bc").cast("double") / col("sc").cast("double") * 0.75 +
+          col("uc").cast("double") / col("total") * 0.25) * 1e6)
+          .cast("long").as("lp_u"))
+    lpFirst.unionByName(lpRest)
+      .groupBy("id")
+      .agg((-sum(col("lp_u"))).as("_s"), count(lit(1)).as("n"))
+      .withColumn("mean_unats", expr("_s div n"))
+      .withColumn("keep",
+        when(col("mean_unats") <= lit(maxMeanMicroNats), 1).otherwise(0))
+      .select(col("id"), col("n").as("n_tokens"),
+        col("mean_unats"), col("keep"))
+  }
+
   /** Sequence packing for pretraining export — the "concat and chunk"
     * strategy: documents are laid out on one deterministic token stream
     * (ordered by sha256 of the id — a stable shuffle both engines can

@@ -628,6 +628,58 @@ object CurationQueries {
       |  length(COALESCE(r.cleaned, ''))::BIGINT AS n_chars_clean
       |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- d33: interpolated bigram-LM surprisal (the step from d28's
+  // unigram toward CCNet's 5-gram filter). Dyadic 3/4–1/4 interpolation;
+  // ONE float-rounding layer: per-token ln becomes integer micro-nats,
+  // then exact BIGINT sum + `div` mean — the d28-style re-round of the
+  // derived mean hit a half-ulp boundary at sf0.1 (see the operator's
+  // scaladoc). Division runs integer/integer → DOUBLE before the dyadic
+  // scale on both engines so no DECIMAL arithmetic sneaks in. ----
+  private def d33(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramSurprisal(docs(s, dir), "text", "doc_id",
+        maxMeanMicroNats = 3375000L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("mean_unats"),
+        col("keep"))
+      .orderBy("doc_id")
+
+  private val d33Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+      |  FROM d),
+      |uni AS (SELECT tok, COUNT(*) AS uc FROM t GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS total FROM uni),
+      |b AS (
+      |  SELECT doc_id, i, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM d WHERE len(ws) >= 2)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM b GROUP BY w1, w2),
+      |sc AS (SELECT w1, SUM(bc) AS sc FROM bc GROUP BY w1),
+      |lp1 AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(ln(CAST(uni.uc AS DOUBLE) / tot.total) * 1e6)
+      |      AS BIGINT) AS lp_u
+      |  FROM t JOIN uni USING (tok) CROSS JOIN tot WHERE t.pos = 1),
+      |lp2 AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(ln(
+      |      CAST(bc.bc AS DOUBLE) / CAST(sc.sc AS DOUBLE) * 0.75 +
+      |      CAST(uni.uc AS DOUBLE) / tot.total * 0.25) * 1e6)
+      |      AS BIGINT) AS lp_u
+      |  FROM b JOIN bc USING (w1, w2) JOIN sc USING (w1)
+      |    JOIN uni ON uni.tok = b.w2 CROSS JOIN tot),
+      |l AS (SELECT * FROM lp1 UNION ALL SELECT * FROM lp2),
+      |s AS (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |    CAST(-SUM(lp_u) AS BIGINT) AS su
+      |  FROM l GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(su // n AS BIGINT) AS mean_unats,
+      |  CASE WHEN su // n <= 3375000 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -644,5 +696,6 @@ object CurationQueries {
     QueryDef("d28_unigram_surprisal", d28, Some(d28Oracle)),
     QueryDef("d29_sequence_pack", d29, Some(d29Oracle)),
     QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)),
-    QueryDef("d32_substr_dedup", d32, Some(d32Oracle)))
+    QueryDef("d32_substr_dedup", d32, Some(d32Oracle)),
+    QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)))
 }

@@ -333,6 +333,44 @@ class CurationSpec extends SparkSpec {
     assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
   }
 
+  test("bigramSurprisal matches an independently computed reference model") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat")
+    ).toDF("doc_id", "text")
+    val texts = Map(1L -> "the cat sat", 2L -> "the cat ran",
+      3L -> "a dog sat")
+    // reference: same interpolated model computed with plain Scala math
+    val allToks = texts.values.flatMap(_.split(" ")).toSeq
+    val uni = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = allToks.size.toDouble
+    val bis = texts.values.flatMap(t => t.split(" ").sliding(2))
+      .map(a => (a(0), a(1))).toSeq
+    val bc = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sc = bis.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def lpU(first: Boolean, w1: String, w2: String): Long =
+      if (first) math.round(math.log(uni(w2) / total) * 1e6)
+      else math.round(math.log(
+        bc((w1, w2)).toDouble / sc(w1).toDouble * 0.75 +
+          uni(w2) / total * 0.25) * 1e6)
+    val expect = texts.map { case (id, t) =>
+      val ws = t.split(" ")
+      val lps = lpU(first = true, "", ws(0)) +:
+        ws.sliding(2).map(a => lpU(first = false, a(0), a(1))).toSeq
+      id -> (ws.length.toLong, -lps.sum / ws.length)
+    }
+    val got = Curation.bigramSurprisal(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    expect.foreach { case (id, (n, mu)) =>
+      assert(got(id) === ((n, mu)), s"doc $id")
+    }
+    // repeated bigram "the cat" must make docs 1/2 less surprising than 3
+    assert(got(1L)._2 < got(3L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
   test("substrDedup removes exactly the tokens covered by duplicated windows") {
     import spark.implicits._
     val d = Seq(
