@@ -89,6 +89,64 @@ object Multimodal {
     }
   }
 
+  case class AudioFrameRow(doc_id: Long, frame_idx: Int,
+      n_bytes_frame: Int, energy_pm: Long, active: Int)
+
+  /** STUB audio framing — the voice-activity-detection front half every
+    * audio curation pipeline runs (silence stripping, segment-level
+    * dedup): the payload is treated as fake PCM, cut into contiguous
+    * `frameBytes`-byte frames, and each frame scores an integer
+    * per-mille energy (byte-sum · 1000 div (255 · frame length)) with an
+    * `active` flag at `activePm`. All integer arithmetic — a SQL oracle
+    * replays it byte-for-byte (the fixture payloads are ASCII text, so
+    * byte p ≡ ord of character p). Real codecs swap in at the marked
+    * line; the Spark contract (map-side 1→N framing off the scan, no
+    * payload shuffle, bounded output rows) is the tested part. */
+  def sampleAudioFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      activePm: Long = 400L): Dataset[AudioFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.map { f =>
+          val lo = f * frameBytes
+          val hi = math.min(n, lo + frameBytes)
+          var s = 0L // STUB decode: byte-sum energy stands in for PCM RMS
+          var j = lo
+          while (j < hi) { s += (r.payload(j) & 0xff); j += 1 }
+          val len = hi - lo
+          val energyPm = s * 1000L / (255L * len)
+          AudioFrameRow(r.doc_id, f, len, energyPm,
+            if (energyPm >= activePm) 1 else 0)
+        }
+      }
+    }
+  }
+
+  /** Active/silence segmentation over [[sampleAudioFrames]] output — the
+    * run-length half of VAD: consecutive frames with the same `active`
+    * flag collapse into one segment (flag-change running sum, the same
+    * window shape as batch sessionization but keyed on state change, not
+    * time gaps). Returns one row per (doc, segment): flag, frame span,
+    * frame count. One doc-keyed shuffle; frames are (long, int, int)
+    * triples — payloads are long gone by this stage. */
+  def audioSegments(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("active"), 1).over(ord)
+    frames
+      .withColumn("_brk",
+        when(prev.isNull || col("active") =!= prev, 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("_brk")).over(run))
+      .groupBy(col("doc_id"), col("seg_id"), col("active"))
+      .agg(min(col("frame_idx")).cast("long").as("start_idx"),
+        max(col("frame_idx")).cast("long").as("end_idx"),
+        count(lit(1)).as("n_frames"))
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
       features: Array[Float])
 

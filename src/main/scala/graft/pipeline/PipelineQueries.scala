@@ -1120,6 +1120,63 @@ object PipelineQueries {
       |  CAST(((1000 + octet_length(encode(text)) % 9000) // 500) * 500 AS BIGINT) AS last_ts
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm4: audio modality — stub PCM framing + VAD-style
+  // active/silence segmentation (the silence-stripping front half of an
+  // audio curation pipeline). Frame energy is integer per-mille byte-sum
+  // arithmetic, so the oracle replays frames, flags, the flag-change
+  // running sum, and the per-segment rollup byte-for-byte (fixture
+  // payloads are ASCII: byte p ≡ ord(substr(text, p, 1))). ----
+  private def mm4(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.audioSegments(
+        Multimodal.sampleAudioFrames(media, frameBytes = 16,
+          activePm = 390L).toDF())
+      .select(col("doc_id"), col("seg_id"), col("active").cast("long")
+        .as("active"), col("start_idx"), col("end_idx"), col("n_frames"))
+      .orderBy("doc_id", "seg_id")
+  }
+
+  private val mm4Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(generate_series(0, (n + 15) // 16 - 1)) AS fi
+      |  FROM d),
+      |e AS (
+      |  SELECT doc_id, fi,
+      |    list_sum(list_transform(
+      |      generate_series(fi * 16 + 1, least(fi * 16 + 16, n)),
+      |      p -> ord(substr(text, CAST(p AS INT), 1)))) AS s,
+      |    least(fi * 16 + 16, n) - fi * 16 AS len
+      |  FROM f),
+      |a AS (
+      |  SELECT doc_id, fi,
+      |    CASE WHEN (s * 1000) // (255 * len) >= 390 THEN 1 ELSE 0 END
+      |      AS active
+      |  FROM e),
+      |b AS (
+      |  SELECT doc_id, fi, active,
+      |    CASE WHEN LAG(active) OVER w IS NULL
+      |           OR active <> LAG(active) OVER w THEN 1 ELSE 0 END AS brk
+      |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      |g AS (
+      |  SELECT doc_id, fi, active,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY fi
+      |      ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM b)
+      |SELECT doc_id, CAST(seg AS BIGINT) AS seg_id,
+      |  CAST(active AS BIGINT) AS active,
+      |  CAST(MIN(fi) AS BIGINT) AS start_idx,
+      |  CAST(MAX(fi) AS BIGINT) AS end_idx,
+      |  COUNT(*) AS n_frames
+      |FROM g GROUP BY doc_id, seg, active
+      |ORDER BY doc_id, seg_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),
     QueryDef("d2_token_stats", d2, Some(d2Oracle)),
@@ -1152,5 +1209,6 @@ object PipelineQueries {
     QueryDef("mm1_multimodal_meta", mm1, Some(mm1Oracle)),
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)),
     QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
+    QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
     QueryDef("d30_heavy_hitters", d30, Some(d30Oracle)))
 }

@@ -481,6 +481,35 @@ class PipelineSpec extends SparkSpec {
     assert(frames.toDF().exceptAll(again.toDF()).count() == 0)
   }
 
+  test("audio framing + VAD segmentation: energies, run-lengths, partial frames") {
+    import spark.implicits._
+    // 'z' = 122 → 478 pm (active at 390); ' ' = 32 → 125 pm (silent)
+    val loud = "z" * 16; val quiet = " " * 16
+    val d = Seq(
+      (1L, loud + quiet + loud),   // active / silent / active
+      (2L, quiet + quiet),         // one silent segment (run-length merge)
+      (3L, loud + "z" * 8)         // partial last frame, same energy
+    ).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleAudioFrames(media, frameBytes = 16,
+      activePm = 390L).toDF()
+    val e = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(e((1L, 0)) === 478L && e((1L, 1)) === 125L && e((1L, 2)) === 478L)
+    assert(e((3L, 1)) === 478L) // partial 8-byte frame: same per-mille
+    val segs = Multimodal.audioSegments(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(segs((1L, 1L)) === ((1, 0L, 0L, 1L)))  // active frame 0
+    assert(segs((1L, 2L)) === ((0, 1L, 1L, 1L)))  // silent frame 1
+    assert(segs((1L, 3L)) === ((1, 2L, 2L, 1L)))  // active frame 2
+    assert(segs((2L, 1L)) === ((0, 0L, 1L, 2L)))  // both frames merged
+    assert(segs((3L, 1L)) === ((1, 0L, 1L, 2L)))  // full + partial merged
+    assert(segs.size === 5)
+  }
+
   test("quality score is bounded and keep-flag consistent") {
     val q = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
     val rows = q.agg(min("q"), max("q")).collect()(0)
