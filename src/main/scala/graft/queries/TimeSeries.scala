@@ -101,6 +101,30 @@ object TimeSeries {
         col("observed").isNotNull.cast("long").as("was_observed"))
   }
 
+  /** SCD type-2 interval construction — the warehouse CDC pattern: a
+    * change stream keyed by `keyCols` becomes versioned history rows,
+    * each valid from its own timestamp until the key's next change
+    * (`valid_to` NULL ⇒ current version). The MERGE-free formulation:
+    * one `lead` window per key instead of a self-join or a mutable
+    * upsert target, so building 100 TB of history is one key-partitioned
+    * shuffle + one ordered pass per key — and it is idempotent (re-runs
+    * replace, never double-apply, the same property the rollup sinks
+    * rely on).
+    *
+    * Ties: changes sharing a timestamp within a key order by `tieCol`,
+    * so the interval chain is deterministic without trusting arrival
+    * order. */
+  def scd2Intervals(cdc: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    cdc.select((keyCols ++ Seq(tsCol, tieCol) ++ valueCols).map(col): _*)
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(ord))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .drop(tsCol)
+  }
+
   /** Gap-based sessionization: events of one entity belong to the same
     * session while consecutive gaps stay within `gapUs` microseconds
     * (the classic web-analytics session definition; the streaming twin
@@ -263,8 +287,33 @@ object TimeSeriesQueries {
       |  SUM(t1 - t0)::BIGINT AS in_session_us
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q50: SCD type-2 history from the events change stream — each
+  // (user_id, event_type) key's events become versioned intervals
+  // [valid_from, valid_to) with the exact-cents value pattern; ties on
+  // ts break by event_id on both sides. The oracle replays the LEAD
+  // window verbatim. ----
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.scd2Intervals(
+        events(s, dir).withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+        tieCol = "event_id", valueCols = Seq("cents"))
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+
+  private val q50Oracle =
+    """SELECT user_id, event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
     QueryDef("q47_sessionize", q47, Some(q47Oracle)),
-    QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)))
+    QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)),
+    QueryDef("q50_scd2_intervals", q50, Some(q50Oracle)))
 }

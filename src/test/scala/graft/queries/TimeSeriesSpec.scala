@@ -102,4 +102,33 @@ class TimeSeriesSpec extends SparkSpec {
       .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
     assert(bad.count() === 0)
   }
+
+  test("scd2Intervals: contiguous per-key chains, exactly one current version") {
+    import spark.implicits._
+    val cdc = Seq(
+      (1L, "plan", ts("2024-01-01 00:00:00"), 1L, 10L),
+      (1L, "plan", ts("2024-02-01 00:00:00"), 2L, 20L),
+      (1L, "plan", ts("2024-02-01 00:00:00"), 3L, 30L), // same-ts tie
+      (1L, "addr", ts("2024-01-15 00:00:00"), 4L, 99L), // other key
+      (2L, "plan", ts("2024-03-01 00:00:00"), 5L, 7L)   // single version
+    ).toDF("user_id", "event_type", "ts", "event_id", "v")
+    val out = TimeSeries.scd2Intervals(cdc, Seq("user_id", "event_type"),
+        "ts", "event_id", Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Timestamp]("valid_to")),
+          r.getAs[Long]("is_current"))).toMap
+    // chain: v1 until the feb change, tie orders v2 before v3, v3 current
+    assert(out(1L) === ((Some(ts("2024-02-01 00:00:00")), 0L)))
+    assert(out(2L) === ((Some(ts("2024-02-01 00:00:00")), 0L)))
+    assert(out(3L) === ((None, 1L)))
+    // other keys untouched by user 1's plan history
+    assert(out(4L) === ((None, 1L)) && out(5L) === ((None, 1L)))
+    // invariant: exactly one current row per key
+    val cur = TimeSeries.scd2Intervals(cdc, Seq("user_id", "event_type"),
+        "ts", "event_id", Seq("v"))
+      .groupBy("user_id", "event_type")
+      .agg(sum("is_current").as("n_cur")).collect()
+    assert(cur.forall(_.getAs[Long]("n_cur") == 1L))
+  }
 }
