@@ -138,6 +138,26 @@ object Dedup {
         coalesce(col("component"), col("id")).as("keep_id"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is keyed on the
+    * near-dup GROUP (each component's minimum id via [[survivors]]), not
+    * the document — so two near-duplicate documents can never land on
+    * opposite sides of a train/test boundary, the contamination that
+    * silently inflates eval scores when splitting hashes raw ids.
+    * `pairs` is whatever near-dup evidence the caller trusts (exact
+    * [[jaccardPairs]] here; [[MinHashLSH]] candidates verified by the
+    * composed pipeline at scale). Returns (idCol, group_id, split).
+    *
+    * 100 TB shape: [[survivors]]' distributed CC over the (bounded)
+    * pair set + one hash-bucket projection — the split adds NO shuffle
+    * beyond what group discovery already paid. */
+  def groupSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L,
+      bucketFn: (Column, Long) => Column = Sampling.hashBucket)
+      : DataFrame =
+    Sampling.splitByHash(survivors(docs, pairs, idCol), "keep_id",
+        fractions, seed, bucketFn)
+      .select(col(idCol), col("keep_id").as("group_id"), col("split"))
+
   /** The composed end-to-end near-dup dedup pipeline — the query a
     * training-data user actually runs (SURVEY §2b): MinHash-LSH candidate
     * generation → EXACT Jaccard verification restricted to the candidate

@@ -235,6 +235,46 @@ object PipelineQueries {
     Dedup.survivors(d, pairs, "doc_id").orderBy("doc_id")
   }
 
+  // ---- d34: leakage-safe train/val/test split — assignment keyed on
+  // the near-dup GROUP (d11's component minimum), so near-duplicates
+  // never straddle a train/test boundary. Oracle = d11's recursive-CC
+  // replay + d10's sha-bucket CASE applied to the group id. ----
+  private def d34(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    Dedup.groupSafeSplit(d, pairs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        bucketFn = Sampling.shaBucket)
+      .orderBy("doc_id")
+  }
+
+  private val d34Oracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |jp AS (
+      |  SELECT p.id_a, p.id_b FROM p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+      |g AS (
+      |  SELECT id AS doc_id, MIN(comp) AS group_id FROM cc GROUP BY id)
+      |SELECT doc_id, group_id,
+      |  CASE WHEN b < 8000 THEN 'train'
+      |       WHEN b < 9000 THEN 'val'
+      |       WHEN b < 10000 THEN 'test'
+      |       ELSE 'rest' END AS split
+      |FROM (SELECT doc_id, group_id,
+      |        ('0x' || substr(sha256('42:' || CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |      FROM g)
+      |ORDER BY doc_id""".stripMargin
+
   private val d11Oracle =
     s"""WITH RECURSIVE $jaccardCtes,
       |jp AS (
@@ -1210,5 +1250,6 @@ object PipelineQueries {
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)),
     QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
     QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
+    QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d30_heavy_hitters", d30, Some(d30Oracle)))
 }

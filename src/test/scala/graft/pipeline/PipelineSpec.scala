@@ -378,6 +378,35 @@ class PipelineSpec extends SparkSpec {
     assert(r.count() === 100)
   }
 
+  test("groupSafeSplit: near-dup groups never straddle a split boundary") {
+    import spark.implicits._
+    val fixture = Tables.load(spark, sf(), "documents")
+    val pairs = Dedup.jaccardPairs(fixture, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    val out = Dedup.groupSafeSplit(fixture, pairs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // the certified invariant: one split per group
+    val straddling = out.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1)
+    assert(straddling.count() === 0)
+    // non-vacuous: the fixture has multi-document groups, and a NAIVE
+    // per-doc split of the same corpus separates at least one of them —
+    // i.e. the operator prevents real leakage, not hypothetical leakage
+    val naive = Sampling.splitByHash(fixture, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val naiveLeaks = out.join(naive, "doc_id")
+      .groupBy("group_id")
+      .agg(countDistinct(col("naive_split")).as("k"))
+      .filter(col("k") > 1)
+    assert(naiveLeaks.count() > 0,
+      "fixture has no naive-split leakage — the test is vacuous")
+    // every document is assigned, none fall to 'rest'
+    assert(out.filter(col("split") === "rest").count() === 0)
+    assert(out.count() === fixture.count())
+  }
+
   test("kmeansRefineExact matches kmeansRefine within summation-order noise") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val corpus = emb.select(col("vec_id"),
