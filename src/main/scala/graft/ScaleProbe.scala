@@ -266,10 +266,43 @@ object ScaleProbe {
       .ivfPqResidualTopK(big, "vec_id", "embedding", _ < m, 5))
   }
 
+  /** ExactSubstr span removal at scale: replicate the documents `times`×
+    * with per-replica disjoint vocabularies (the d15 construction), so
+    * corpus AND planted duplication both grow exactly times× while no
+    * cross-replica windows collide. The operator's scale claim is that
+    * the coverage explode is DUPLICATION-proportional (k rows per
+    * duplicated window start), not corpus-proportional — so removed
+    * tokens must grow exactly linearly and wall sublinearly. */
+  private def substrProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    def corpus(t: Int) = (0 until t).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val agg = pipeline.Curation.substrDedup(c, "text", "doc_id")
+        .agg(sum("n_tokens").as("nt"), sum("n_removed").as("nr"))
+        .collect()(0)
+      println(f"[probe] substr/$tag%-5s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+        s"tokens=${agg.getLong(0)} removed=${agg.getLong(1)}")
+    }
+    probe("1x", corpus(1))
+    probe(s"${times}x", corpus(times))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("substr")) {
+      substrProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(20))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("annsplit")) {
       annSplitProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(500),
         args.lift(2).map(_.toLong).getOrElse(500L))
