@@ -1080,7 +1080,7 @@ object PipelineQueries {
     FrequentItems.exactTopK(Tables.load(s, dir, "events"), "user_id", 20)
       .orderBy(col("n").desc, col("key"))
 
-  private val d30Oracle =
+  private[graft] val d30Oracle =
     """SELECT user_id AS key, COUNT(*) AS n FROM events
       |GROUP BY user_id ORDER BY n DESC, key LIMIT 20""".stripMargin
 

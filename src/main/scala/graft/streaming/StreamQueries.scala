@@ -229,7 +229,46 @@ object StreamQueries {
       .orderBy("user_id", "hour")
   }
 
+  // ---- s9: COMPLETE-mode streaming aggregation under the gate — the
+  // one output mode (vs append s2-s6, update via MeterStream specs)
+  // without a gate row until now. The events fixture streams through a
+  // real groupBy-count + top-k in complete mode over three ts-tercile
+  // micro-batches; the final materialization must equal the batch d30
+  // heavy-hitters oracle — certifying that complete-mode re-emission
+  // after the last batch IS the full-history aggregate. ----
+  private def s9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir).select(col("user_id"), unix_micros(col("ts"))
+      .as("ts_us")).as[(Long, Long)].collect()
+    val cuts = ev.map(_._2).distinct.sorted
+    val chunk = math.max(1, (cuts.length + 2) / 3)
+    val batchOf = cuts.zipWithIndex.map { case (t, i) => t -> i / chunk }
+      .toMap
+    val input = MemoryStream[(Long, Long)]
+    val sink = s"s9_topk_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val counts = input.toDF().toDF("user_id", "ts_us")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(20)
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      ev.groupBy(e => batchOf(e._2)).toSeq.sortBy(_._1)
+        .foreach { case (_, rows) =>
+          input.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    s.table(sink)
+      .select(col("user_id").as("key"), col("n"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s9_stream_topk", s9,
+      Some(graft.pipeline.PipelineQueries.d30Oracle)),
     QueryDef("s7_stream_incr_dedup", s7,
       Some(graft.pipeline.CurationQueries.d21Oracle)),
     QueryDef("s8_stream_ffill", s8,
