@@ -137,18 +137,28 @@ object Bench {
         else "%.2f", Double.box(t))
     val errJson = errors.map(e => Graft.jsonString(e)).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val core82Total = results.filter(r => core82(r._1))
-      .map(_._2).filter(_ >= 0).sum
+    // core82_n records how many of the frozen 82 produced a valid time:
+    // if a member errors, its time is EXCLUDED from core82_total, which
+    // would otherwise read as a spurious round-over-round improvement —
+    // a consumer must treat core82_total as comparable only when
+    // core82_n == 82.
+    val core82Times = results.filter(r => core82(r._1))
+      .map(_._2).filter(_ >= 0)
+    val core82Total = core82Times.sum
+    val core82N = core82Times.size
     // build_s: samples are prepended per rep, so .last is the rep-1
-    // (chronologically first) run — the one that pays any build-once cost.
+    // (chronologically first) run — the one that pays any build-once
+    // cost. Attributable ONLY when every rep succeeded: if rep 1 threw,
+    // .last would be a later steady-state rep and build_s ≈ 0 would
+    // silently misreport the build as free.
     val buildS = results.collect {
       case (name, best, _) if buildOnce(name) && best >= 0 &&
-          samples(name).size >= 2 =>
+          samples(name).size == reps =>
         name -> math.max(0.0, samples(name).last - best)
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${

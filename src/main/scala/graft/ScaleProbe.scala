@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   * Results recorded in BASELINE.md. */
 object ScaleProbe {
 
+  /** Documents replicated `times`× with per-replica DISJOINT vocabularies
+    * (replica i > 0 prefixes every token with r{i}_): corpus and planted
+    * duplication both grow exactly times× while no cross-replica
+    * shingles/windows/near-dups appear — the shared construction behind
+    * the dedup / incremental / curation / substr probes. */
+  private def replicatedDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int, checkpoint: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    val c = (0 until times).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
+    }.reduce(_ unionAll _)
+    if (checkpoint) c.localCheckpoint(true) else c
+  }
+
   /** Near-dup pipeline at scale: replicate documents `times`× with every
     * replica's vocabulary made disjoint (each word prefixed with the
     * replica index), so the corpus grows times× while the PLANTED
@@ -19,13 +37,7 @@ object ScaleProbe {
     * slice must grow only linearly with it. */
   private def dedupProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val n = docs.count()
-    def corpus(t: Int) = (0 until t).map { i =>
-      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
+    def corpus(t: Int) = replicatedDocs(spark, dir, t)
 
     def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
       val rows = c.count()
@@ -66,11 +78,7 @@ object ScaleProbe {
       dir: String, times: Int): Unit = {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val n = docs.count()
-    def corpus(t: Int) = (0 until t).map { i =>
-      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
-    }.reduce(_ unionAll _)
+    def corpus(t: Int) = replicatedDocs(spark, dir, t, checkpoint = false)
     // two increment sizes (10% and 100% of the base table, id-shifted,
     // still matching only replica 0) × two corpus scales: the grid
     // separates the increment-proportional term from the index-scan term
@@ -190,13 +198,7 @@ object ScaleProbe {
     * distributed, so wall scales ~linearly with corpus. */
   private def curationProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val n = docs.count()
-    def corpus(t: Int) = (0 until t).map { i =>
-      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
+    def corpus(t: Int) = replicatedDocs(spark, dir, t)
     def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val isEval = col("doc_id") % 50 === 0
@@ -275,13 +277,7 @@ object ScaleProbe {
     * tokens must grow exactly linearly and wall sublinearly. */
   private def substrProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val n = docs.count()
-    def corpus(t: Int) = (0 until t).map { i =>
-      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
+    def corpus(t: Int) = replicatedDocs(spark, dir, t)
     def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val agg = pipeline.Curation.substrDedup(c, "text", "doc_id")

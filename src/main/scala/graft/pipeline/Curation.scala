@@ -443,10 +443,14 @@ object Curation {
     * integer first (double on both engines), THEN the dyadic scale, so
     * a DECIMAL-parsing engine never folds 0.75 in decimal arithmetic.
     *
-    * 100 TB shape: two count shuffles (unigram-keyed, bigram-keyed);
-    * count tables rejoin broadcast when they fit (a word vocabulary
-    * does; a bigram table at web scale would flip to a shuffle join —
-    * same plan, Spark picks) and text tokens otherwise stay narrow. */
+    * 100 TB shape: two count shuffles (unigram-keyed, bigram-keyed).
+    * The unigram/total tables carry an explicit broadcast hint (a word
+    * vocabulary always fits); the bigram/start-count joins carry NO
+    * hint — a web-scale bigram table exceeds broadcast limits, and an
+    * unhinted equi-join is what lets Spark/AQE pick broadcast when it
+    * fits and a shuffle join when it does not. Token-less documents
+    * still appear in the output (n_tokens 0, NULL mean, keep 0 — a
+    * document that cannot be scored is rejected, not lost). */
   def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
       maxMeanMicroNats: Long = 3375000L): DataFrame = {
     val base = df.select(col(idCol).as("id"),
@@ -472,8 +476,8 @@ object Curation {
         round(log(col("uc").cast("double") / col("total")) * 1e6)
           .cast("long").as("lp_u"))
     val lpRest = bi
-      .join(broadcast(bc), Seq("w1", "w2"))
-      .join(broadcast(sc), "w1")
+      .join(bc, Seq("w1", "w2"))
+      .join(sc, "w1")
       .join(broadcast(uni.withColumnRenamed("tok", "w2")), "w2")
       .crossJoin(broadcast(total))
       .select(col("id"),
@@ -481,14 +485,16 @@ object Curation {
           col("bc").cast("double") / col("sc").cast("double") * 0.75 +
           col("uc").cast("double") / col("total") * 0.25) * 1e6)
           .cast("long").as("lp_u"))
-    lpFirst.unionByName(lpRest)
+    val scored = lpFirst.unionByName(lpRest)
       .groupBy("id")
       .agg((-sum(col("lp_u"))).as("_s"), count(lit(1)).as("n"))
       .withColumn("mean_unats", expr("_s div n"))
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(scored, Seq("id"), "left")
       .withColumn("keep",
-        when(col("mean_unats") <= lit(maxMeanMicroNats), 1).otherwise(0))
-      .select(col("id"), col("n").as("n_tokens"),
-        col("mean_unats"), col("keep"))
+        when(col("mean_unats").isNotNull &&
+          col("mean_unats") <= lit(maxMeanMicroNats), 1).otherwise(0))
+      .select(col("id"), col("n_tokens"), col("mean_unats"), col("keep"))
   }
 
   /** Sequence packing for pretraining export — the "concat and chunk"

@@ -675,10 +675,10 @@ object CurationQueries {
       |  SELECT doc_id, COUNT(*) AS n,
       |    CAST(-SUM(lp_u) AS BIGINT) AS su
       |  FROM l GROUP BY doc_id)
-      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-      |  CAST(su // n AS BIGINT) AS mean_unats,
-      |  CASE WHEN su // n <= 3375000 THEN 1 ELSE 0 END AS keep
-      |FROM s ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+      |  CAST(s.su // s.n AS BIGINT) AS mean_unats,
+      |  CASE WHEN s.su // s.n <= 3375000 THEN 1 ELSE 0 END AS keep
+      |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),

@@ -151,13 +151,60 @@ object StreamQueries {
       |WHERE silent_us > 1800000000
       |ORDER BY user_id, last_seen, silent_us""".stripMargin
 
+  /** Feed `rows` into a MemoryStream as three contiguous micro-batches
+    * cut on the terciles of `keyOf`'s distinct values (ascending),
+    * processing each to completion — the deterministic batching the
+    * real-stream gate rows (s7–s9) share. Tercile cuts on an ordered
+    * key preserve any per-entity non-decreasing-order input contract
+    * (s8's), and are just one arbitrary-but-deterministic choice for
+    * the order-free rows (s7/s9). */
+  private def feedInTerciles[A](
+      input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Seq[A], keyOf: A => Long): Unit = {
+    val cuts = rows.map(keyOf).distinct.sorted
+    val chunk = math.max(1, (cuts.length + 2) / 3)
+    val batchOf = cuts.zipWithIndex.map { case (k, i) => k -> i / chunk }
+      .toMap
+    rows.groupBy(r => batchOf(keyOf(r))).toSeq.sortBy(_._1)
+      .foreach { case (_, rs) =>
+        input.addData(rs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+  }
+
+  /** Materialize a memory-sink table (shaped by `shape`) and DROP the
+    * sink's temp view: a gate query runs three times per bench and must
+    * not leak a view holding its full result into the session each time.
+    * localCheckpoint pins blocks the bench's between-query sweep
+    * reclaims. */
+  private def drainSink(s: SparkSession, sink: String)(
+      shape: DataFrame => DataFrame): DataFrame = {
+    val out = shape(s.table(sink)).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  /** Recursive delete for the temp dirs a foreachBatch gate row writes. */
+  private def rmTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---- s7: the STREAMING incremental-dedup face under the gate. A real
   // Structured Streaming query (MemoryStream → foreachBatch parquet sink,
   // the production CurationStream.incrementalDedupSink) processes the d21
   // increment split (doc_id % 10 == 0) in three deterministic
-  // micro-batches (doc_id % 3) against the persisted-shape corpus shingle
-  // index; the unioned per-batch outputs are hash-compared against d21's
-  // DuckDB oracle. Pairing is per-document against a static index, so
+  // micro-batches (doc_id terciles) against a MATERIALIZED corpus shingle
+  // index (localCheckpoint — the persisted-index contract the sink
+  // documents: no micro-batch ever re-aggregates the archive); the
+  // unioned per-batch outputs are hash-compared against d21's DuckDB
+  // oracle. Pairing is per-document against a static index, so
   // micro-batch boundaries cannot change the result — the exactly-once
   // layout + batch-boundary invariance this row certifies. ----
   private def s7(s: SparkSession, dir: String): DataFrame = {
@@ -167,7 +214,8 @@ object StreamQueries {
     val d = Tables.load(s, dir, "documents")
     val isNew = col("doc_id") % 10 === 0
     val idx = graft.pipeline.Dedup.hashedShingleIndex(
-      d.filter(!isNew), "text", "doc_id", k = 5, maxDf = 100)
+        d.filter(!isNew), "text", "doc_id", k = 5, maxDf = 100)
+      .localCheckpoint(true)
     val incr = d.filter(isNew).select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
     val out = java.nio.file.Files.createTempDirectory("graft_s7").toString
@@ -176,14 +224,15 @@ object StreamQueries {
       input.toDF().toDF("doc_id", "text"), idx, "text", "doc_id",
       out, s"$out/_cp").start()
     try {
-      (0 until 3).foreach { b =>
-        input.addData(incr.filter(_._1 % 3 == b).toIndexedSeq: _*)
-        q.processAllAvailable()
-      }
+      feedInTerciles(input, q, incr.toSeq, (r: (Long, String)) => r._1)
     } finally q.stop()
-    s.read.parquet(s"$out/pairs")
+    val result = s.read.parquet(s"$out/pairs")
       .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
       .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    idx.unpersist(blocking = false)
+    rmTree(out)
+    result
   }
 
   // ---- s8: the STREAMING forward-fill face under the gate. q46's
@@ -206,27 +255,20 @@ object StreamQueries {
       .select(col("user_id"), unix_millis(col("hour")).as("hour_ms"),
         col("v"))
       .as[EventStreams.HourObs].collect()
-    val hours = hourly.map(_.hour_ms).distinct.sorted
-    val chunk = math.max(1, (hours.length + 2) / 3)
-    val batchOf = hours.zipWithIndex
-      .map { case (h, i) => h -> i / chunk }.toMap
     val input = MemoryStream[EventStreams.HourObs]
     val sink = s"s8_ffill_${java.util.UUID.randomUUID().toString
       .replace("-", "")}"
     val q = EventStreams.fillGapsHourly(input.toDS()).writeStream
       .format("memory").queryName(sink).outputMode("append").start()
     try {
-      hourly.groupBy(o => batchOf(o.hour_ms)).toSeq.sortBy(_._1)
-        .foreach { case (_, rows) =>
-          input.addData(rows.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
+      feedInTerciles(input, q, hourly.toSeq,
+        (o: EventStreams.HourObs) => o.hour_ms)
     } finally q.stop()
-    s.table(sink)
-      .select(col("user_id"), timestamp_millis(col("hour_ms")).as("hour"),
-        col("v").as("filled"),
-        col("was_observed").cast("long").as("was_observed"))
-      .orderBy("user_id", "hour")
+    drainSink(s, sink)(
+      _.select(col("user_id"), timestamp_millis(col("hour_ms")).as("hour"),
+          col("v").as("filled"),
+          col("was_observed").cast("long").as("was_observed"))
+        .orderBy("user_id", "hour"))
   }
 
   // ---- s9: COMPLETE-mode streaming aggregation under the gate — the
@@ -242,10 +284,6 @@ object StreamQueries {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = events(s, dir).select(col("user_id"), unix_micros(col("ts"))
       .as("ts_us")).as[(Long, Long)].collect()
-    val cuts = ev.map(_._2).distinct.sorted
-    val chunk = math.max(1, (cuts.length + 2) / 3)
-    val batchOf = cuts.zipWithIndex.map { case (t, i) => t -> i / chunk }
-      .toMap
     val input = MemoryStream[(Long, Long)]
     val sink = s"s9_topk_${java.util.UUID.randomUUID().toString
       .replace("-", "")}"
@@ -255,15 +293,11 @@ object StreamQueries {
     val q = counts.writeStream.format("memory").queryName(sink)
       .outputMode("complete").start()
     try {
-      ev.groupBy(e => batchOf(e._2)).toSeq.sortBy(_._1)
-        .foreach { case (_, rows) =>
-          input.addData(rows.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
+      feedInTerciles(input, q, ev.toSeq, (e: (Long, Long)) => e._2)
     } finally q.stop()
-    s.table(sink)
-      .select(col("user_id").as("key"), col("n"))
-      .orderBy(col("n").desc, col("key"))
+    drainSink(s, sink)(
+      _.select(col("user_id").as("key"), col("n"))
+        .orderBy(col("n").desc, col("key")))
   }
 
   def all: Seq[QueryDef] = Seq(
