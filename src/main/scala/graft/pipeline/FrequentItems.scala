@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Heavy hitters / frequent items — the telemetry query every curation
@@ -33,6 +33,57 @@ object FrequentItems {
     df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key"))
       .limit(k)
+
+  /** One count-min hash row: first 8 hex chars of sha256("cm<i>:key")
+    * mod `width` — the same sha-prefix construction as
+    * [[Sampling.shaBucket]] with a per-row seed, so a SQL oracle replays
+    * every bucket assignment bit-for-bit. */
+  private def cmBucket(key: Column, row: Int, width: Int): Column =
+    pmod(
+      conv(substring(
+        sha2(concat(lit(s"cm$row:"), key.cast("string")), 256),
+        1, 8), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** Count-min sketch of `keyCol`: `depth` × `width` counters as rows
+    * (row, bucket, cnt). Point estimate = the MINIMUM over the depth
+    * rows of the hashed bucket's counter ([[cmsEstimate]]) — never
+    * under the true count, over only by hash collisions (expected
+    * ≤ totalRows/width per row, and the min takes the least-collided
+    * row). The third heavy-hitters face: exact when cardinality allows
+    * ([[exactTopK]]), space-saving candidates when it does not
+    * ([[spaceSaving]]), and THIS when the query is point lookups over a
+    * pre-aggregated summary.
+    *
+    * 100 TB shape: depth narrow projections of the scan union into ONE
+    * count shuffle whose key space is depth × width (a few thousand
+    * rows total, regardless of input cardinality) — the sketch is
+    * broadcastable by construction, and two sketches of the same shape
+    * merge by adding counters (a plain union-groupBy-sum), which is
+    * what makes per-partition / per-day sketches roll up exactly. */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape $depth x $width")
+    (0 until depth).map { i =>
+      df.select(lit(i).as("row"),
+        cmBucket(col(keyCol), i, width).as("bucket"))
+    }.reduce(_ unionAll _)
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `keys` against a [[cmsSketch]]: (key, est).
+    * The sketch side is broadcast (≤ depth × width rows by
+    * construction); absent (row, bucket) pairs count 0. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val probes = (0 until depth).map { i =>
+      keys.select(col(keyCol).as("key"), lit(i).as("row"),
+        cmBucket(col(keyCol), i, width).as("bucket"))
+    }.reduce(_ unionAll _)
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 
   /** Bounded-memory frequent-item candidates: per-partition space-saving
     * summaries of `capacity` counters each, unioned and summed. Output:

@@ -1080,6 +1080,40 @@ object PipelineQueries {
     FrequentItems.exactTopK(Tables.load(s, dir, "events"), "user_id", 20)
       .orderBy(col("n").desc, col("key"))
 
+  // ---- d35: count-min sketch point estimates for the exact top-20
+  // keys — the mergeable-sketch heavy-hitters face (4 × 512 counters,
+  // sha-prefix hash rows the oracle replays bit-for-bit). est ≥ n always
+  // (CMS never undercounts); the spec asserts it for EVERY key. ----
+  private def d35(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val sketch = FrequentItems.cmsSketch(ev, "user_id")
+    val top = FrequentItems.exactTopK(ev, "user_id", 20)
+    top.join(FrequentItems.cmsEstimate(sketch, top.select("key"), "key"),
+        "key")
+      .select(col("key"), col("n"), col("est"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  private val d35Oracle =
+    """WITH t AS (
+      |  SELECT user_id AS key, COUNT(*) AS n FROM events
+      |  GROUP BY user_id ORDER BY n DESC, key LIMIT 20),
+      |h AS (
+      |  SELECT row, bucket, COUNT(*) AS cnt FROM (
+      |    SELECT r.i AS row,
+      |      ('0x' || substr(sha256('cm' || r.i || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+      |    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i))
+      |  GROUP BY row, bucket),
+      |p AS (
+      |  SELECT t.key, r.i AS row,
+      |    ('0x' || substr(sha256('cm' || r.i || ':' || CAST(t.key AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+      |  FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i)),
+      |e AS (
+      |  SELECT p.key, MIN(COALESCE(h.cnt, 0)) AS est
+      |  FROM p LEFT JOIN h USING (row, bucket) GROUP BY p.key)
+      |SELECT t.key, t.n, e.est FROM t JOIN e USING (key)
+      |ORDER BY n DESC, key""".stripMargin
+
   private[graft] val d30Oracle =
     """SELECT user_id AS key, COUNT(*) AS n FROM events
       |GROUP BY user_id ORDER BY n DESC, key LIMIT 20""".stripMargin
@@ -1251,5 +1285,6 @@ object PipelineQueries {
     QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
     QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
+    QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d30_heavy_hitters", d30, Some(d30Oracle)))
 }

@@ -61,6 +61,36 @@ class FrequentItemsSpec extends SparkSpec {
     assert(top2.toSet === mustHave)
   }
 
+  test("cmsSketch: never undercounts any key, and sketches merge exactly") {
+    val n = 8000L
+    val df = spark.range(n).select(
+      when(col("id") % 2 === 0, 7L)
+        .when(col("id") % 3 === 0, 13L)
+        .otherwise(col("id") % 500).as("key"))
+      .repartition(4)
+    val truth = df.groupBy("key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sketch = FrequentItems.cmsSketch(df, "key")
+    val allKeys = df.select("key").distinct()
+    val est = FrequentItems.cmsEstimate(sketch, allKeys, "key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the CMS guarantee: estimates never fall below the true count
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"key $k undercounted: ${est(k)} < $c")
+    }
+    // bounded state: the sketch never exceeds depth x width rows
+    assert(sketch.count() <= 4L * 512L)
+    // mergeability: sketch(a union b) == counter-wise sum of the halves
+    val a = df.filter(col("id") % 2 === 0)
+    val b = df.filter(col("id") % 2 =!= 0)
+    val merged = FrequentItems.cmsSketch(a, "key")
+      .unionAll(FrequentItems.cmsSketch(b, "key"))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = sketch
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty)
+  }
+
   test("exactTopK: ties break toward the smaller key, k respected") {
     import spark.implicits._
     val df = Seq(1L, 1L, 2L, 2L, 3L).toDF("k")
