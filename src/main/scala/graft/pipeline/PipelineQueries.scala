@@ -1080,6 +1080,29 @@ object PipelineQueries {
     FrequentItems.exactTopK(Tables.load(s, dir, "events"), "user_id", 20)
       .orderBy(col("n").desc, col("key"))
 
+  // ---- d36: weighted sample without replacement (Efraimidis–Spirakis)
+  // — 100 documents drawn with probability ∝ token count. The oracle
+  // replays the sha-bucket uniform, the ln(u)/w priority (rounded to
+  // 9 dp, ties on doc_id), and the top-k. ----
+  private def d36(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", k = 100)
+      .select(col("doc_id"), col("n_tokens"), col("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+
+  private val d36Oracle =
+    """SELECT doc_id, n_tokens, pri FROM (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+      |    ROUND(
+      |      ln((('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 + 1) / 10000.0)
+      |        / len(regexp_extract_all(text, '\S+')), 9) AS pri
+      |  FROM documents)
+      |ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin
+
   // ---- d35: count-min sketch point estimates for the exact top-20
   // keys — the mergeable-sketch heavy-hitters face (4 × 512 counters,
   // sha-prefix hash rows the oracle replays bit-for-bit). est ≥ n always
@@ -1286,5 +1309,6 @@ object PipelineQueries {
     QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
+    QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),
     QueryDef("d30_heavy_hitters", d30, Some(d30Oracle)))
 }

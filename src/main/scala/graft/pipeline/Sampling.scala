@@ -58,6 +58,35 @@ object Sampling {
     df.withColumn("split", coalesce(cases, lit("rest")))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a pseudo-uniform u from its key's
+    * sha bucket ((b+1)/10000 ∈ (0, 1]) and competes on the priority
+    * ln(u)/w — the top-k priorities are a weighted sample where a row's
+    * inclusion probability is proportional to its weight. Same
+    * determinism contract as everything here: membership is a pure
+    * function of (seed, key, weight), so re-runs, repartitions, and
+    * corpus growth never reshuffle who was drawn.
+    *
+    * Cross-engine exactness: u is an exact-integer division (identical
+    * IEEE result on both engines — no decimal-literal parsing
+    * involved); ln is within 1 ulp each side, so the priority is
+    * rounded to 9 dp and ties break on the key (the e5 ranking
+    * contract). Weights must be ≥ 1 (ln(u) ≤ 0 shrinks toward 0 as w
+    * grows; w = 0 would divide by zero).
+    *
+    * 100 TB shape: one narrow projection computes priorities off the
+    * scan, then a global top-k — Spark's TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows, never a full sort. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (shaBucket(col(keyCol), seed) + lit(1)).cast("double") /
+      lit(10000.0)
+    df.withColumn("pri", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("pri").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic DOWN-sample: keep ~`fraction` of rows, chosen by key
     * hash — same rows every run. Shuffle-free filter. */
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,

@@ -111,4 +111,27 @@ class SamplingSpec extends SparkSpec {
         s"window over unbounded per-stratum input:\n$w")
     }
   }
+
+  test("weightedSample: inclusion tracks weight, deterministic, heap-not-sort plan") {
+    import spark.implicits._
+    // 500 heavy rows (w=100) among 4500 light rows (w=1): with k=250, a
+    // weight-proportional draw takes overwhelmingly from the heavy group
+    val df = spark.range(5000L).select(col("id").as("key"),
+      when(col("id") < 500, 100L).otherwise(1L).as("w"))
+    val picked = Sampling.weightedSample(df, "key", "w", k = 250)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ < 500)
+    // heavy group is 10% of rows but ~92% of total weight; require a
+    // clear majority (an unweighted draw would give ~10%)
+    assert(heavy > 200, s"only $heavy/250 picks from the heavy group")
+    // determinism: same rows, same order, every run
+    val again = Sampling.weightedSample(df, "key", "w", k = 250)
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq === again.toSeq)
+    // plan: global top-k must be a TakeOrderedAndProject (per-partition
+    // heap + driver merge of k), never a full global sort
+    val plan = Sampling.weightedSample(df, "key", "w", k = 250)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k in:\n$plan")
+  }
 }
