@@ -428,7 +428,7 @@ object Curation {
     * was counted, so no zero-probability guard is needed). The first
     * token of each document scores under the unigram term alone.
     * Returns (id, n_tokens, mean_unats, keep) — mean surprisal in
-    * integer micro-nats (3375000 ≙ 3.375 nats).
+    * integer micro-nats (3400000 ≙ 3.4 nats).
     *
     * Cross-engine exactness: ONE float-rounding layer only. Each token's
     * surprisal becomes an INTEGER in micro-nats (round(ln(·)·10⁶) →
@@ -452,7 +452,7 @@ object Curation {
     * still appear in the output (n_tokens 0, NULL mean, keep 0 — a
     * document that cannot be scored is rejected, not lost). */
   def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
-      maxMeanMicroNats: Long = 3375000L): DataFrame = {
+      maxMeanMicroNats: Long = 3400000L): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       TextAnalysis.words(col(textCol)).as("ws"))
     val toks = base

@@ -637,7 +637,7 @@ object CurationQueries {
   // scale on both engines so no DECIMAL arithmetic sneaks in. ----
   private def d33(s: SparkSession, dir: String): DataFrame =
     Curation.bigramSurprisal(docs(s, dir), "text", "doc_id",
-        maxMeanMicroNats = 3375000L)
+        maxMeanMicroNats = 3400000L)
       .select(col("id").as("doc_id"), col("n_tokens"), col("mean_unats"),
         col("keep"))
       .orderBy("doc_id")
@@ -677,7 +677,7 @@ object CurationQueries {
       |  FROM l GROUP BY doc_id)
       |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
       |  CAST(s.su // s.n AS BIGINT) AS mean_unats,
-      |  CASE WHEN s.su // s.n <= 3375000 THEN 1 ELSE 0 END AS keep
+      |  CASE WHEN s.su // s.n <= 3400000 THEN 1 ELSE 0 END AS keep
       |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
