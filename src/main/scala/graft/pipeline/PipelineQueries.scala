@@ -963,6 +963,51 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e14: binary sign-sketch prefilter + exact re-rank (Charikar
+  // hyperplane sketch, coordinate-sign variant). Each vector compresses
+  // to a 2×32-bit sign signature; the shortlist is the 50 smallest
+  // Hamming distances (XOR + popcount — pure integer codegen, the
+  // signature scan carries 16 bytes/row instead of 256); exact e1-contract
+  // cosine over raw vectors decides the top-5. The oracle replays the
+  // same chain: sign words as disjoint-power-of-two sums (additive fold
+  // == bitwise OR, and two 32-bit words sidestep DuckDB's checked 1<<63),
+  // Hamming shortlist with nn_id ties, cosine re-rank. ----
+  private def e14(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingRerankTopK(emb(s, dir), "vec_id", "embedding", _ < 20,
+      k = 5, shortlist = 50)
+      .orderBy("q_id", "rank")
+
+  private val e14Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+      |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS lo,
+      |    list_sum(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+      |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS hi
+      |  FROM e),
+      |short AS (
+      |  SELECT q_id, nn_id, hamming, qv, nv FROM (
+      |    SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+      |      CAST(bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi)) AS INT) AS hamming,
+      |      q.v AS qv, n.v AS nv,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi)), n.vec_id) AS srn
+      |    FROM sig q JOIN sig n ON n.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 20)
+      |  WHERE srn <= 50),
+      |rr AS (
+      |  SELECT q_id, nn_id, hamming,
+      |    ROUND(list_dot_product(qv, nv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS sim
+      |  FROM short),
+      |r AS (
+      |  SELECT q_id, nn_id, hamming, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM rr)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, hamming, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1300,6 +1345,7 @@ object PipelineQueries {
     QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
     QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
     QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
+    QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

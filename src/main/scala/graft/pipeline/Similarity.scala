@@ -519,6 +519,61 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("dist"))
   }
 
+  /** One 32-bit word of a sign-bit sketch: bit i is set iff
+    * `vec[off + i] > 0`. Disjoint powers of two, so the additive fold IS
+    * the bitwise OR — no shift-into-sign-bit edge case (a 64-dim vector
+    * becomes TWO 32-bit words held in BIGINTs, never a 1<<63). */
+  private def signWord(vec: Column, off: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(element_at(vec, i + off + 1) > lit(0f),
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+
+  /** Binary-sketch prefilter ANN (Charikar hyperplane sketch, here the
+    * coordinate-sign variant): each 64-dim float vector is compressed to a
+    * 2×32-bit sign signature (16 bytes vs 256 — a 16× smaller scan), the
+    * shortlist is the `shortlist` smallest Hamming distances (XOR +
+    * popcount, codegen'd integer ops, no float math), and exact cosine
+    * over raw vectors decides the final top-k — raw embeddings are fetched
+    * at shortlist selectivity only, the production pattern for
+    * memory-bound serving (same shape as [[pqRerankTopK]], trading PQ's
+    * table lookups for two popcounts).
+    *
+    * 100 TB design: the signature scan is the only full pass and carries
+    * 16 bytes/row; queries broadcast; per-query top-`shortlist` via
+    * window over the broadcast-join output (no shuffle of the corpus).
+    * Determinism: Hamming is integer-exact; ties break on nn_id; the
+    * re-rank is the e1 cosine contract (index-ordered fold, 6-dp). */
+  def hammingRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, shortlist: Int = 50): DataFrame = {
+    val sigs = emb.select(col(idCol).as("nn_id"),
+      signWord(col(vecCol), 0).as("lo"), signWord(col(vecCol), 32).as("hi"))
+    val qsigs = sigs.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val sw = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("nn_id"))
+    val short = broadcast(qsigs)
+      .join(sigs, col("q_id") =!= col("nn_id"))
+      .withColumn("hamming",
+        bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("hi"))))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("nn_id"), col("hamming"))
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    short
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("nn_id"))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("hamming"), col("sim"))
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin

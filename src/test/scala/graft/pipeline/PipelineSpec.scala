@@ -111,6 +111,36 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.2, s"recall@5 was $recall") // multi-probe 1-bit, 12 bits
   }
 
+  test("hamming rerank: full-corpus shortlist degenerates to brute force") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    // shortlist >= corpus-1 means the prefilter filters nothing, so the
+    // exact re-rank must reproduce bruteForceTopK bit-for-bit.
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "rank", "nn_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val hr = Similarity.hammingRerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = n)
+      .select("q_id", "rank", "nn_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(hr === bf)
+  }
+
+  test("hamming rerank: 10%-selectivity shortlist keeps useful recall@5") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hr = Similarity.hammingRerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = 50)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect hr).size.toDouble / bf.size
+    // 1 bit/dimension is a coarse sketch; the floor certifies the
+    // shortlist is correlated with cosine, not that it's tight.
+    assert(recall > 0.3, s"hamming-shortlist recall@5 was $recall")
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
