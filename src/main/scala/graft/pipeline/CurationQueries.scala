@@ -680,6 +680,51 @@ object CurationQueries {
       |  CASE WHEN s.su // s.n <= 3400000 THEN 1 ELSE 0 END AS keep
       |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- d37: Unicode NFC canonicalization (graft.functions.NfcNormalize,
+  // the custom codegen Expression — Spark has no normalization builtin
+  // and a UDF would break whole-stage codegen on a curation pipeline's
+  // hottest map stage). The fixture corpus is pure ASCII, where NFC is
+  // the identity, so the query PLANTS decomposed sequences
+  // deterministically first: doc_id%3==0 docs get every 'e' replaced by
+  // e+U+0301 (combining acute), doc_id%3==1 every 'a' by a+U+0308
+  // (combining diaeresis), doc_id%3==2 stays raw ASCII as the identity
+  // control. NFC must re-compose those to single codepoints (é, ä), so
+  // n_composed = len(decomposed) − len(nfc) counts exactly the planted
+  // marks and the md5 fingerprints certify byte-identical composition
+  // between the JDK normalizer and DuckDB's nfc_normalize (both UAX#15).
+  // ----
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    val deco = when(col("doc_id") % 3 === 0,
+        regexp_replace(col("text"), "e", "e\u0301"))
+      .when(col("doc_id") % 3 === 1,
+        regexp_replace(col("text"), "a", "a\u0308"))
+      .otherwise(col("text"))
+    docs(s, dir)
+      .withColumn("deco", deco)
+      .withColumn("nfc", graft.functions.NfcNormalize.nfc_normalize(col("deco")))
+      .select(col("doc_id"),
+        length(col("deco")).as("len_deco"),
+        length(col("nfc")).as("len_nfc"),
+        (length(col("deco")) - length(col("nfc"))).as("n_composed"),
+        md5(col("nfc")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val d37Oracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+      |         WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'a' || chr(776))
+      |         ELSE text END AS deco
+      |  FROM documents),
+      |n AS (SELECT doc_id, deco, nfc_normalize(deco) AS nfc FROM d)
+      |SELECT doc_id,
+      |  CAST(length(deco) AS INT) AS len_deco,
+      |  CAST(length(nfc) AS INT) AS len_nfc,
+      |  CAST(length(deco) - length(nfc) AS INT) AS n_composed,
+      |  md5(nfc) AS fp
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -697,5 +742,6 @@ object CurationQueries {
     QueryDef("d29_sequence_pack", d29, Some(d29Oracle)),
     QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)),
     QueryDef("d32_substr_dedup", d32, Some(d32Oracle)),
-    QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)))
+    QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)),
+    QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)))
 }
