@@ -300,7 +300,58 @@ object StreamQueries {
         .orderBy(col("n").desc, col("key")))
   }
 
+  // ---- s10: stream-STATIC enrichment join under the gate — the one
+  // canonical streaming join shape without a row (s5 covers
+  // stream-stream). Events replay as a real stream in three ts-tercile
+  // micro-batches; each batch joins the BROADCAST static
+  // customer-nation dimension (stateless map-side enrichment: no
+  // watermark, no state store, the stream side never shuffles — exactly
+  // the plan a 100 TB click-enrichment pipeline needs), appends enriched
+  // rows to the sink, and the drained sink aggregates per nation. The
+  // oracle is the plain batch star join — certifying that per-batch
+  // enrichment composes to the full-history join regardless of batch
+  // boundaries. Exact integer cents (the s8 convention) keep the sum
+  // hash-stable across engines. ----
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long, Long)].collect()
+    val dim = Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val sink = s"s10_enrich_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val joined = input.toDF().toDF("event_id", "user_id", "cents", "ts_us")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("n_name"), col("cents"))
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      feedInTerciles(input, q, ev.toSeq, (e: (Long, Long, Long, Long)) => e._4)
+    } finally q.stop()
+    drainSink(s, sink)(
+      _.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .orderBy("n_name"))
+  }
+
+  private val s10Oracle =
+    """SELECT n.n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s10_stream_static_join", s10, Some(s10Oracle)),
     QueryDef("s9_stream_topk", s9,
       Some(graft.pipeline.PipelineQueries.d30Oracle)),
     QueryDef("s7_stream_incr_dedup", s7,
