@@ -236,7 +236,7 @@ object ScaleProbe {
     * bits = 10 — at 1M vectors 6 bits is 64 buckets of ~16k vectors and
     * the probe neighborhood would approach a brute scan. */
   private def annSplitProbe(spark: org.apache.spark.sql.SparkSession,
-      dir: String, times: Int, nq: Long): Unit = {
+      dir: String, times: Int, nq: Long, only: Option[String] = None): Unit = {
     val emb = Tables.load(spark, dir, "embeddings")
     val n = emb.count()
     val big = emb.crossJoin(
@@ -249,6 +249,7 @@ object ScaleProbe {
     }
     def split(name: String)(
         run: Long => org.apache.spark.sql.DataFrame): Unit = {
+      if (only.exists(_ != name)) return
       run(1L).count() // warm: JIT + codegen, off the clock
       val b = t(run(1L).count())
       val q = t(run(nq).count())
@@ -266,6 +267,8 @@ object ScaleProbe {
       .ivfPqTopK(big, "vec_id", "embedding", _ < m, 5))
     split("ivfpq-res")(m => pipeline.Similarity
       .ivfPqResidualTopK(big, "vec_id", "embedding", _ < m, 5))
+    split("hamming")(m => pipeline.Similarity
+      .hammingRerankTopK(big, "vec_id", "embedding", _ < m, 5))
   }
 
   /** ExactSubstr span removal at scale: replicate the documents `times`×
@@ -301,7 +304,7 @@ object ScaleProbe {
     }
     if (args.headOption.contains("annsplit")) {
       annSplitProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(500),
-        args.lift(2).map(_.toLong).getOrElse(500L))
+        args.lift(2).map(_.toLong).getOrElse(500L), args.lift(3))
       spark.stop()
       return
     }

@@ -135,6 +135,31 @@ object Curation {
     Sampling.weightBudget(df, scoreCol, keyCol, tokenCol, budget, seed,
       bucketFn)
 
+  /** URL/domain filtering (the RefinedWeb/C4 front-of-pipeline step:
+    * resolve each document's URL to its host, measure per-domain volume,
+    * and flag documents whose host is blocklisted). Host extraction uses
+    * Spark's `parse_url` builtin (a codegen'd expression, not a UDF);
+    * the blocklist arrives as a DataFrame with a `host` column and rides
+    * a BROADCAST left join. Returns (id, host, domain_docs, blocked).
+    *
+    * 100 TB shape: host derivation is a pure map stage; the per-domain
+    * count shuffles only (host, id) — never document text; the
+    * blocklist is broadcast (domain blocklists are a few MB in
+    * practice), so no wide-side shuffle for the flag. */
+  def urlFilter(df: DataFrame, urlCol: String, idCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val hosts = df.select(col(idCol).as("id"),
+      lower(call_function("parse_url", col(urlCol), lit("HOST")))
+        .as("host"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+    hosts
+      .withColumn("domain_docs", count(lit(1)).over(w))
+      .join(broadcast(blocklist.select(col("host"), lit(1).as("blocked"))),
+        Seq("host"), "left")
+      .select(col("id"), col("host"), col("domain_docs"),
+        coalesce(col("blocked"), lit(0)).as("blocked"))
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately kept
     * inside the RE2 ∩ java.util.regex dialect (no backreferences, no
     * lookaround) so the DuckDB oracle replays them verbatim. Redaction

@@ -725,6 +725,47 @@ object CurationQueries {
       |  md5(nfc) AS fp
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ---- d38: URL/domain filtering (Curation.urlFilter). The fixture has
+  // no URL column, so the query PLANTS one deterministically (the d37
+  // pattern): url = https://www.<source>.example.com/docs/<doc_id>?lang=
+  // <lang>. Spark resolves hosts with the parse_url BUILTIN; the oracle
+  // re-derives them with a regexp — the gate therefore certifies that
+  // parse_url's HOST semantics agree with the explicit extraction, not
+  // just that one engine copied the other. The blocklist is the derived
+  // hosts whose source index is divisible by 5, joined as a broadcast
+  // left join (the production shape for a few-MB domain blocklist). ----
+  private def d38(s: SparkSession, dir: String): DataFrame = {
+    val withUrl = docs(s, dir).withColumn("url",
+      concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang")))
+    val blocklist = withUrl
+      .select(lower(concat(lit("www."), col("source"), lit(".example.com")))
+        .as("host"))
+      .distinct()
+      .filter(regexp_extract(col("host"), "src(\\d+)", 1).cast("int") % 5 === 0)
+    Curation.urlFilter(withUrl, "url", "doc_id", blocklist)
+      .select(col("id").as("doc_id"), col("host"), col("domain_docs"),
+        col("blocked"))
+      .orderBy("doc_id")
+  }
+
+  private val d38Oracle =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(
+      |      'https://www.' || source || '.example.com/docs/' ||
+      |        CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+      |      'https?://([^/?#]+)', 1)) AS host
+      |  FROM documents),
+      |b AS (
+      |  SELECT DISTINCT host FROM u
+      |  WHERE CAST(regexp_extract(host, 'src([0-9]+)', 1) AS INT) % 5 = 0)
+      |SELECT u.doc_id, u.host,
+      |  COUNT(*) OVER (PARTITION BY u.host) AS domain_docs,
+      |  CASE WHEN b.host IS NOT NULL THEN 1 ELSE 0 END AS blocked
+      |FROM u LEFT JOIN b USING (host)
+      |ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -743,5 +784,6 @@ object CurationQueries {
     QueryDef("d31_curation_pipeline", d31, Some(d31Oracle)),
     QueryDef("d32_substr_dedup", d32, Some(d32Oracle)),
     QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)),
-    QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)))
+    QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)),
+    QueryDef("d38_url_filter", d38, Some(d38Oracle)))
 }

@@ -272,4 +272,25 @@ class PlanSpec extends SparkSpec {
       assert(badKey.isEmpty, s"$q shuffled on a non-entity key:\n$p")
     }
   }
+
+  test("e14: hamming shortlist uses WindowGroupLimit (partial top-k " +
+    "per partition, not a full per-query sort of the corpus)") {
+    val df = run("e14_hamming_rerank")
+    df.collect()
+    val p = plan(df)
+    // InferWindowGroupLimit must rewrite `row_number <= shortlist` into
+    // a pre-shuffle group limit: at 1M corpus vectors the shortlist
+    // stage sees nq x 1M rows, and only a partial top-50 per partition
+    // keeps the exchange input bounded by nq x 50 x partitions.
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("d38: domain blocklist joins via broadcast — the corpus side " +
+    "never shuffles for the flag") {
+    val df = run("d38_url_filter")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
 }
