@@ -297,6 +297,52 @@ object Curation {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** C4-style line-rule cleaning (Raffel et al.'s famous filter set,
+    * the step that turned Common Crawl into C4): a line survives iff it
+    * ends with terminal punctuation, has at least `minWords` words, and
+    * contains no blacklisted substring ("javascript", "cookies enabled",
+    * lorem ipsum...); a document survives iff at least `minLines` of its
+    * lines did. Returns (id, n_lines, n_kept, n_dropped, doc_keep,
+    * cleaned) with surviving lines reassembled in order.
+    *
+    * 100 TB shape: the rules are pure narrow expressions on the exploded
+    * lines; the only shuffle is the per-document reassembly keyed on id
+    * (the [[lineDedup]] sorted-struct pattern) — line text shuffles once,
+    * bounded by the input size, with no corpus-wide aggregate at all
+    * (unlike lineDedup there is no document-frequency pass: C4 rules are
+    * local to the line, which is what made them cheap at web scale). */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minWords: Int = 3, minLines: Int = 3,
+      blacklist: Seq[String] = Seq("javascript")): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        l => length(l) > 0).as("lines"))
+    val exploded = base
+      .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val noBlacklist = blacklist
+      .map(b => !col("line").contains(b))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val kept = exploded.filter(
+      col("line").endsWith(".") &&
+        size(TextAnalysis.words(col("line"))) >= minWords &&
+        noBlacklist)
+    val reassembled = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("cleaned"))
+    base.select(col("id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        when(coalesce(col("n_kept"), lit(0L)) >= minLines, 1).otherwise(0)
+          .as("doc_keep"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Per-source quota cap — at most `maxPerSource` documents from each
     * source, chosen deterministically by key hash (stable across runs
     * and corpus growth). The "domain cap" mixing op: a crawl where one

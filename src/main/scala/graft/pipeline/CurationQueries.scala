@@ -766,6 +766,62 @@ object CurationQueries {
       |FROM u LEFT JOIN b USING (host)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- d39: C4 line-rule cleaning (Curation.c4LineFilter). Lines are
+  // the d24 3-token chunks; because the fixture vocabulary carries no
+  // punctuation, terminal periods are PLANTED deterministically on
+  // chunks where (doc_id + pos) % 3 == 0 — so the terminal-punctuation
+  // rule, the >= 3-words rule (the ragged final chunk fails it), and
+  // the blacklist rule (the vocab word "slow" stands in for
+  // "javascript") all genuinely split the fixture. Doc-level C4 rule:
+  // keep documents with >= 3 surviving lines. The oracle replays
+  // chunking, planting, all three line rules, reassembly, and the
+  // doc-keep flag; md5 certifies the cleaned text. ----
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val chunks = when(size(ws) > 0,
+      transform(sequence(lit(1), ((size(ws) + lit(2)) / lit(3)).cast("int")),
+        i => concat(
+          array_join(slice(ws, (i - 1) * 3 + 1, lit(3)), " "),
+          when((col("doc_id") + i) % 3 === 0, ".").otherwise(""))))
+      .otherwise(array().cast("array<string>"))
+    val lined = docs(s, dir).select(col("doc_id"),
+      array_join(chunks, "\n").as("text"))
+    Curation.c4LineFilter(lined, "text", "doc_id", sep = "\n",
+        minWords = 3, minLines = 3, blacklist = Seq("slow"))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_dropped"), col("doc_keep"),
+        md5(col("cleaned")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val d39Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, list_transform(generate_series(1, (len(ws)+2)//3),
+      |    i -> array_to_string(ws[(i-1)*3+1:least(i*3, len(ws))], ' ') ||
+      |      CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END) AS lines
+      |  FROM w),
+      |l AS (
+      |  SELECT doc_id, unnest(lines) AS line,
+      |    generate_subscripts(lines, 1) AS pos FROM c),
+      |k AS (
+      |  SELECT * FROM l
+      |  WHERE line LIKE '%.'
+      |    AND len(regexp_extract_all(line, '\S+')) >= 3
+      |    AND NOT contains(line, 'slow')),
+      |r AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |  FROM k GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  len(c.lines)::BIGINT AS n_lines,
+      |  COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+      |  (len(c.lines) - COALESCE(r.n_kept, 0))::BIGINT AS n_dropped,
+      |  CASE WHEN COALESCE(r.n_kept, 0) >= 3 THEN 1 ELSE 0 END AS doc_keep,
+      |  md5(COALESCE(r.cleaned, '')) AS clean_md5
+      |FROM c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -785,5 +841,6 @@ object CurationQueries {
     QueryDef("d32_substr_dedup", d32, Some(d32Oracle)),
     QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)),
     QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)),
-    QueryDef("d38_url_filter", d38, Some(d38Oracle)))
+    QueryDef("d38_url_filter", d38, Some(d38Oracle)),
+    QueryDef("d39_c4_line_filter", d39, Some(d39Oracle)))
 }

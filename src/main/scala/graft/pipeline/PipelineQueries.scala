@@ -1008,6 +1008,45 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, hamming, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e15: Matryoshka prefix-dimension two-stage ANN — shortlist by
+  // cosine over the FIRST 16 of 64 coordinates (1/4 the compute, and
+  // 1/4 the scan width under a prefix-column layout), exact
+  // full-dimension cosine re-ranks the survivors. The oracle replays
+  // the sliced-prefix shortlist (DuckDB list slice v[1:16]) and the
+  // full re-rank under the shared e1 cosine contract. ----
+  private def e15(s: SparkSession, dir: String): DataFrame =
+    Similarity.prefixRerankTopK(emb(s, dir), "vec_id", "embedding", _ < 20,
+      k = 5, prefixDim = 16, shortlist = 50)
+      .orderBy("q_id", "rank")
+
+  private val e15Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id, v, v[1:16] AS pv FROM e),
+      |short AS (
+      |  SELECT q_id, nn_id, psim, qv, nv FROM (
+      |    SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+      |      ROUND(list_dot_product(q.pv, n.pv) /
+      |        (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(n.pv, n.pv))), 6) AS psim,
+      |      q.v AS qv, n.v AS nv,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(list_dot_product(q.pv, n.pv) /
+      |          (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(n.pv, n.pv))), 6) DESC,
+      |        n.vec_id) AS srn
+      |    FROM p q JOIN p n ON n.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 20)
+      |  WHERE srn <= 50),
+      |rr AS (
+      |  SELECT q_id, nn_id, psim,
+      |    ROUND(list_dot_product(qv, nv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS sim
+      |  FROM short),
+      |r AS (
+      |  SELECT q_id, nn_id, psim, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM rr)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, psim, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1346,6 +1385,7 @@ object PipelineQueries {
     QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
     QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
     QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),
+    QueryDef("e15_matryoshka_rerank", e15, Some(e15Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

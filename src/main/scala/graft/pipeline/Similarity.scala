@@ -574,6 +574,51 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("hamming"), col("sim"))
   }
 
+  /** Prefix-dimension (Matryoshka, Kusupati et al.) two-stage ANN: the
+    * shortlist ranks by cosine over only the FIRST `prefixDim`
+    * coordinates, exact full-dimension cosine re-ranks the survivors.
+    * Matryoshka-trained embeddings pack most signal into leading
+    * coordinates, making the truncated similarity a high-recall
+    * shortlist at prefixDim/dim of the compute; on generic embeddings
+    * (this fixture) recall is lower — measured, not assumed, in the
+    * spec. The production layout stores the prefix as its own column so
+    * the shortlist scan READS dim/prefixDim× less data (same I/O-shape
+    * argument as [[pqRerankTopK]]'s codes and [[hammingRerankTopK]]'s
+    * signatures); here the slice is in-plan, which certifies semantics
+    * while the layout claim stays with the scan-width probes.
+    *
+    * Determinism: both stages round to 6 dp with nn_id ties — the e1
+    * cosine contract, index-ordered folds in both engines. */
+  def prefixRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, prefixDim: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val pref = corpus.select(col("nn_id"),
+      slice(col("nn_vec"), 1, prefixDim).as("nn_p"))
+    val qpref = pref.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_p").as("q_p"))
+    val sw = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("nn_id"))
+    val short = broadcast(qpref)
+      .join(pref, col("q_id") =!= col("nn_id"))
+      .withColumn("psim", round(cosineFast(col("q_p"), col("nn_p")), 6))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("nn_id"), col("psim"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    short
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("nn_id"))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("psim"), col("sim"))
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin

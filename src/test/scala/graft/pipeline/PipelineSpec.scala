@@ -141,6 +141,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3, s"hamming-shortlist recall@5 was $recall")
   }
 
+  test("matryoshka rerank: full-corpus shortlist degenerates to brute " +
+    "force; 16-dim prefix shortlist keeps useful recall@5") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("q_id", "rank", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Similarity.prefixRerankTopK(emb, "vec_id", "embedding",
+        _ < 20, k = 5, prefixDim = 16, shortlist = n)
+      .select("q_id", "rank", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === bf)
+    val pr = Similarity.prefixRerankTopK(emb, "vec_id", "embedding",
+        _ < 20, k = 5, prefixDim = 16, shortlist = 50)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val recall = (bfPairs intersect pr).size.toDouble / bfPairs.size
+    // generic (non-Matryoshka-trained) embeddings: the floor certifies
+    // prefix-cosine correlates with full cosine, not that it's tight
+    assert(recall > 0.3, s"prefix-shortlist recall@5 was $recall")
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
