@@ -822,6 +822,44 @@ object CurationQueries {
       |  md5(COALESCE(r.cleaned, '')) AS clean_md5
       |FROM c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- d40: corpus report card — the per-source data-governance
+  // summary every pipeline team ships with a release: document and
+  // token volume, length percentiles (exact, the q17 contract:
+  // Spark `percentile` ≡ DuckDB `quantile_cont`), and language
+  // diversity, with ROLLUP grand totals. One
+  // pass over (source, lang, n_chars, text-derived counts) — a single
+  // narrow scan + one ROLLUP shuffle; no per-document state survives
+  // the aggregation, so the report costs the same shape at 100 TB. ----
+  private def d40(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("source"), col("lang"),
+      col("n_chars"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+    base.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.95)").as("p95_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("p50_chars"), col("p95_chars"),
+        col("n_langs"))
+      .orderBy("source")
+  }
+
+  private val d40Oracle =
+    """WITH b AS (
+      |  SELECT source, lang, n_chars,
+      |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+      |  FROM documents)
+      |SELECT COALESCE(source, 'TOTAL') AS source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  quantile_cont(n_chars, 0.5) AS p50_chars,
+      |  quantile_cont(n_chars, 0.95) AS p95_chars,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM b GROUP BY ROLLUP (source)
+      |ORDER BY COALESCE(source, 'TOTAL')""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -842,5 +880,6 @@ object CurationQueries {
     QueryDef("d33_bigram_surprisal", d33, Some(d33Oracle)),
     QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)),
     QueryDef("d38_url_filter", d38, Some(d38Oracle)),
-    QueryDef("d39_c4_line_filter", d39, Some(d39Oracle)))
+    QueryDef("d39_c4_line_filter", d39, Some(d39Oracle)),
+    QueryDef("d40_corpus_report", d40, Some(d40Oracle)))
 }
