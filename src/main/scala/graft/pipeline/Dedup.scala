@@ -220,8 +220,29 @@ object Dedup {
     * Jaccard over string shingles up to xxhash64 collisions (~n²/2⁶⁴).
     * No driver-side loops; every stage is a hash agg or hash join.
     */
-  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+  /** Shingle-CONTAINMENT pairs — the asymmetric companion to
+    * [[jaccardPairs]]: containment = inter / min(|A|, |B|), so a short
+    * document quoted wholesale inside a long one scores ~1.0 where its
+    * Jaccard is near zero (the union is dominated by the long side).
+    * This is the quote/embedding detector (Broder's containment measure)
+    * a dedup pass needs beside symmetric near-dup. Same df-capped
+    * inverted-index machinery and 100 TB shape as jaccardPairs — only
+    * the final per-pair ratio differs. Returns
+    * (doc_a, doc_b, inter, containment). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
+    shinglePairStats(df, textCol, idCol, k, maxDf)
+      .withColumn("containment",
+        round(col("inter") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("containment"))
+
+  /** Shared pair machinery for [[jaccardPairs]]/[[containmentPairs]]:
+    * df-capped inverted index → co-occurring pairs with intersection and
+    * both shingle-set sizes — (id_a, id_b, inter, n_a, n_b). */
+  private def shinglePairStats(df: DataFrame, textCol: String,
+      idCol: String, k: Int, maxDf: Int): DataFrame = {
     // No .cache(): the index subtree below ends in the dropDuplicates
     // hash-aggregate's Exchange, and all three consumers (df-cap, join,
     // sizes) contain that identical Exchange — Spark's ReuseExchange
@@ -252,12 +273,16 @@ object Dedup {
         .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
+  }
+
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
+    shinglePairStats(df, textCol, idCol, k, maxDf)
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter"), col("jaccard"))
-  }
 
   /** Incremental exact near-dup check — the crawl-update shape: for every
     * document of `newBatch`, its exact-Jaccard matches in the existing

@@ -223,6 +223,28 @@ object PipelineQueries {
       |WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- d41: shingle-CONTAINMENT pairs (Broder's asymmetric measure) —
+  // the quote/embedding detector beside d6's symmetric Jaccard: a short
+  // document wholly quoted inside a long one scores containment ~1.0
+  // where Jaccard is near zero. Same df-capped inverted index as d6
+  // (ReuseExchange runs the tokenize-hash-dedup stage once); only the
+  // final ratio differs: inter / min(n_a, n_b) >= 0.8. The oracle
+  // reuses d6's CTE chain with the containment ratio. ----
+  private def d41(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "text", "doc_id",
+      k = 5, threshold = 0.8, maxDf = 100)
+      .orderBy("doc_a", "doc_b")
+
+  private val d41Oracle =
+    s"""WITH $jaccardCtes
+      |SELECT p.id_a AS doc_a, p.id_b AS doc_b, p.inter AS inter,
+      |  ROUND(p.inter / least(sa.n, sb.n), 6) AS containment
+      |FROM p
+      |JOIN sizes sa ON p.id_a = sa.doc_id
+      |JOIN sizes sb ON p.id_b = sb.doc_id
+      |WHERE ROUND(p.inter / least(sa.n, sb.n), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- d11: near-dup GROUPS — connected components over the d6 pairs,
   // every document mapped to its cluster's surviving (minimum) id. The
   // oracle replays the pair derivation and closes it transitively with a
@@ -1365,6 +1387,7 @@ object PipelineQueries {
     QueryDef("d4_quality_score", d4, Some(d4Oracle)),
     QueryDef("d5_fingerprint", d5, Some(d5Oracle)),
     QueryDef("d6_jaccard_pairs", d6, Some(d6Oracle)),
+    QueryDef("d41_containment_pairs", d41, Some(d41Oracle)),
     QueryDef("d7_minhash_pairs", d7, None),
     QueryDef("d8_simhash_pairs", d8, None),
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),

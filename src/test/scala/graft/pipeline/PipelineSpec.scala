@@ -43,6 +43,27 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size <= exact.size * 3 + 10)
   }
 
+  test("containment pairs: a short doc quoted inside a long one scores " +
+    "~1.0 where jaccard misses it") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = ("one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen " + short +
+      " seventeen eighteen nineteen twenty twentyone twentytwo " +
+      "twentythree twentyfour twentyfive twentysix twentyseven")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "text", "doc_id",
+      k = 5, threshold = 0.8, maxDf = 100).collect()
+    assert(cont.length === 1)
+    assert(cont(0).getLong(0) === 1L && cont(0).getLong(1) === 2L)
+    assert(cont(0).getDouble(3) === 1.0) // every short-doc shingle contained
+    // the same pair is INVISIBLE to symmetric jaccard at any useful bar
+    val jac = Dedup.jaccardPairs(df, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100).collect()
+    assert(jac.isEmpty)
+  }
+
   test("nearDupPipeline (production xxhash64 path) composes candidates→verify→components→survivors") {
     // Survivors from the composed pipeline must agree with the reference
     // composition computed the long way: exact Jaccard restricted to the
