@@ -1069,6 +1069,84 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, psim, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e16: hybrid retrieval — the RAG serving composition: BM25
+  // lexical retrieval (d25's scorer, top-20 shortlist) re-ranked by
+  // embedding cosine against a PSEUDO-RELEVANCE query vector (Rocchio:
+  // the dimension-wise mean of the top-3 lexical hits' embeddings,
+  // folded in ascending doc_id order and rounded to 9 dp — the e13
+  // centroid contract — since the text query itself has no embedding in
+  // an offline fixture). Final top-5 by exact cosine. The oracle
+  // replays the whole chain: BM25 (d25's dyadic-constants argument),
+  // the shortlist join to embeddings, the top-3 mean, and the re-rank.
+  // 100 TB shape: BM25's stats ride one broadcast row; the re-rank
+  // touches 20 vectors; the only corpus-wide work is d25's scan. ----
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    val bm = Curation.bm25Rank(docs(s, dir), "text", "doc_id",
+        Seq("spark", "window", "merge"), topK = 20)
+      .select(col("id").as("doc_id"), col("score").as("bm25"))
+    val vecs = emb(s, dir).select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val short = bm.join(vecs, Seq("doc_id"))
+    val qvec = short.orderBy(col("bm25").desc, col("doc_id")).limit(3)
+      .agg(collect_list(struct(col("doc_id"), col("v"))).as("lv"),
+        count(lit(1)).as("m"))
+      .select(transform(sequence(lit(1), lit(64)), d =>
+        round(aggregate(array_sort(col("lv")), lit(0.0), (acc, x) =>
+          acc + element_at(x.getField("v"), d)) / col("m"), 9)).as("qv"))
+    short.crossJoin(broadcast(qvec))
+      .withColumn("sim",
+        round(Similarity.cosineFast(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("bm25"), col("sim"))
+      .orderBy("rank")
+  }
+
+  private val e16Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |st AS (SELECT doc_id,
+      |  CAST(len(ws) AS DOUBLE) AS dl,
+      |  CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |  CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf1,
+      |  CAST(len(list_filter(ws, x -> x = 'merge')) AS DOUBLE) AS tf2
+      |  FROM d),
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+      |  CAST(COUNT(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+      |  CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+      |  CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+      |  FROM st),
+      |sc AS (SELECT doc_id, ROUND(
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.25
+      |      / (tf0 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.25
+      |      / (tf1 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.25
+      |      / (tf2 + 1.25 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+      |  FROM st CROSS JOIN g),
+      |bm AS (SELECT doc_id, score AS bm25 FROM sc WHERE score > 0
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |short AS (
+      |  SELECT bm.doc_id, bm.bm25, e.v FROM bm JOIN e ON e.vec_id = bm.doc_id),
+      |t3 AS (SELECT doc_id, v FROM short ORDER BY bm25 DESC, doc_id LIMIT 3),
+      |qv AS (
+      |  SELECT list_transform(generate_series(1, 64),
+      |    dd -> ROUND(list_sum(list_transform(lv, x -> x[dd])) / m, 9)) AS q
+      |  FROM (SELECT list(v ORDER BY doc_id) AS lv, COUNT(*) AS m FROM t3)),
+      |rr AS (
+      |  SELECT s.doc_id, s.bm25,
+      |    ROUND(list_dot_product(qv.q, s.v) /
+      |      (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+      |  FROM short s CROSS JOIN qv),
+      |r AS (
+      |  SELECT doc_id, bm25, sim,
+      |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+      |  FROM rr)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, bm25, sim
+      |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1409,6 +1487,7 @@ object PipelineQueries {
     QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
     QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),
     QueryDef("e15_matryoshka_rerank", e15, Some(e15Oracle)),
+    QueryDef("e16_hybrid_retrieval", e16, Some(e16Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),
