@@ -147,6 +147,38 @@ object Multimodal {
         count(lit(1)).as("n_frames"))
   }
 
+  /** Scene-cut detection over per-frame energies (the frame-differencing
+    * shape every video curation pipeline runs before per-scene sampling):
+    * a new scene starts where the absolute energy DELTA between
+    * consecutive frames reaches `cutPm` — segmentation on CHANGE, where
+    * [[audioSegments]] segments on LEVEL. Input is any per-frame energy
+    * table (here [[sampleAudioFrames]]'s byte-window framing stands in
+    * for decoded frame luminance; the windowing/energy plumbing is
+    * modality-generic). Returns one row per scene:
+    * (doc_id, scene_id, start_idx, end_idx, n_frames, mean_pm — integer
+    * `div` mean, exact in both engines).
+    *
+    * 100 TB shape: one lag + one running sum + one rollup, all inside a
+    * single per-video window partition — frames shuffle once on doc_id,
+    * payloads never shuffle at all. */
+  def sceneCuts(frames: DataFrame, cutPm: Long = 25L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("energy_pm"), 1).over(ord)
+    frames
+      .withColumn("_cut",
+        when(prev.isNull || abs(col("energy_pm") - prev) >= cutPm, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("_cut")).over(run))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).cast("long").as("start_idx"),
+        max(col("frame_idx")).cast("long").as("end_idx"),
+        count(lit(1)).as("n_frames"),
+        expr("sum(energy_pm) div count(1)").as("mean_pm"))
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
       features: Array[Float])
 

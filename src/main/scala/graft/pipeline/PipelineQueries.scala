@@ -1421,6 +1421,59 @@ object PipelineQueries {
       .orderBy("doc_id", "seg_id")
   }
 
+  // ---- mm5: video scene-cut detection — segmentation on energy CHANGE
+  // (frame differencing), where mm4 segments on LEVEL. Same 16-byte
+  // stub framing; a new scene starts where |Δ energy_pm| >= 25 (the
+  // fixture's delta distribution spreads 0–40+, so the threshold
+  // genuinely segments: ~23% of frames open a scene). The oracle
+  // replays frames, deltas, the cut running sum, and the per-scene
+  // rollup including the integer-div mean. ----
+  private def mm5(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sceneCuts(
+        Multimodal.sampleAudioFrames(media, frameBytes = 16).toDF(),
+        cutPm = 25L)
+      .select(col("doc_id"), col("scene_id"), col("start_idx"),
+        col("end_idx"), col("n_frames"), col("mean_pm"))
+      .orderBy("doc_id", "scene_id")
+  }
+
+  private val mm5Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(generate_series(0, (n + 15) // 16 - 1)) AS fi
+      |  FROM d),
+      |e AS (
+      |  SELECT doc_id, fi,
+      |    (list_sum(list_transform(
+      |      generate_series(fi * 16 + 1, least(fi * 16 + 16, n)),
+      |      p -> ord(substr(text, CAST(p AS INT), 1)))) * 1000)
+      |      // (255 * (least(fi * 16 + 16, n) - fi * 16)) AS epm
+      |  FROM f),
+      |b AS (
+      |  SELECT doc_id, fi, epm,
+      |    CASE WHEN LAG(epm) OVER w IS NULL
+      |           OR abs(epm - LAG(epm) OVER w) >= 25 THEN 1 ELSE 0 END AS cut
+      |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      |g AS (
+      |  SELECT doc_id, fi, epm,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+      |      ROWS UNBOUNDED PRECEDING) AS scene
+      |  FROM b)
+      |SELECT doc_id, CAST(scene AS BIGINT) AS scene_id,
+      |  CAST(MIN(fi) AS BIGINT) AS start_idx,
+      |  CAST(MAX(fi) AS BIGINT) AS end_idx,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(epm) // COUNT(*) AS BIGINT) AS mean_pm
+      |FROM g GROUP BY doc_id, scene
+      |ORDER BY doc_id, scene_id""".stripMargin
+
   private val mm4Oracle =
     """WITH d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
@@ -1495,6 +1548,7 @@ object PipelineQueries {
     QueryDef("mm2_frame_sample", mm2, Some(mm2Oracle)),
     QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
     QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
+    QueryDef("mm5_scene_cuts", mm5, Some(mm5Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),
