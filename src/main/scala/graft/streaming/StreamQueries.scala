@@ -350,7 +350,53 @@ object StreamQueries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  // ---- s11: exactly-once event dedup under the gate — a real stream
+  // fed DOUBLED events (every event twice, the at-least-once delivery
+  // model) runs dropDuplicatesWithinWatermark on event_id with a
+  // watermark on ts; the drained per-type aggregate must equal the
+  // batch DISTINCT oracle over the ORIGINAL events. State is bounded by
+  // the watermark horizon (the production contract vs unbounded
+  // dropDuplicates); duplicates arrive inside one micro-batch here, so
+  // every copy is inside any horizon — what the row certifies is the
+  // builtin's dedup-then-aggregate composition end to end. ----
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = events(s, dir).select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long, Long)].collect()
+    val doubled = base.flatMap(e => Seq(e, e))
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val sink = s"s11_dedup_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val deduped = input.toDF()
+      .toDF("event_id", "event_type", "cents", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      feedInTerciles(input, q, doubled.toSeq,
+        (e: (Long, String, Long, Long)) => e._4)
+    } finally q.stop()
+    drainSink(s, sink)(
+      _.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .orderBy("event_type"))
+  }
+
+  private val s11Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s11_stream_dedup", s11, Some(s11Oracle)),
     QueryDef("s10_stream_static_join", s10, Some(s10Oracle)),
     QueryDef("s9_stream_topk", s9,
       Some(graft.pipeline.PipelineQueries.d30Oracle)),
