@@ -653,4 +653,82 @@ object Curation {
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= maxDist && col("tok_a") =!= col("tok_b"))
   }
+
+  /** DSIR data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every
+    * document by how target-like its hashed-bigram distribution is and
+    * select the `topN` highest scorers. `targetPred` marks the in-domain
+    * exemplar slice (an eval benchmark, a curated wiki dump); every
+    * document — target or not — is scored against the importance weights
+    *
+    *   log w(x) = Σ_b c_x[b] · (log p̂_target[b] − log p̂_raw[b])
+    *
+    * where c_x are the document's hashed-bigram bucket counts and both
+    * p̂ distributions are add-one-smoothed bucket frequencies (target
+    * slice vs whole corpus). Returns one row per document:
+    * (id, n_tokens, n_bigrams, dsir_unats, selected).
+    *
+    * Deterministic face: the paper resamples from the weight softmax;
+    * this gate query takes the temperature→0 limit — top-N by
+    * (score desc, id) — so two engines agree bit-for-bit. A seeded
+    * Gumbel-top-k is a one-line extension where sampling noise is wanted.
+    *
+    * Cross-engine exactness (the d33 cookbook): bucket ids are the first
+    * 8 hex chars of sha256 mod `buckets` (both engines parse the same
+    * prefix); each bucket's two log-frequencies are INDIVIDUALLY rounded
+    * to integer micro-nats before subtracting, so the single ln ulp is
+    * washed per term and everything downstream — per-document sums, the
+    * top-N cutoff — is exact BIGINT arithmetic with no fold-order
+    * sensitivity.
+    *
+    * 100 TB shape: one narrow bigram scan (id, is_target, bucket — text
+    * never shuffles); ONE bucket-keyed count shuffle bounded by
+    * `buckets` rows regardless of corpus size; the weight table is
+    * broadcastable by construction (≤ `buckets` rows) so scoring is a
+    * map-side hash join; the per-document score is one id-keyed integer
+    * aggregation; top-N is sort+limit (TakeOrdered — distributed, never
+    * a global window) and rejoins as a broadcast semi flag. */
+  def dsirSelect(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 512, topN: Int = 100,
+      seed: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val base = df.select(col(idCol).as("id"), targetPred.as("is_target"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val bi = base
+      .select(col("id"), col("is_target"), col("ws"),
+        explode(when(size(col("ws")) >= 2,
+            sequence(lit(1), size(col("ws")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), col("is_target"),
+        pmod(
+          conv(substring(sha2(concat(lit(s"$seed:"),
+            element_at(col("ws"), col("i")), lit(" "),
+            element_at(col("ws"), col("i") + 1)), 256), 1, 8), 16, 10)
+            .cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+    val counts = bi.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(log((col("ct") + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) * 1e6).cast("long") -
+         round(log((col("cr") + 1).cast("double") /
+            (col("tr") + buckets).cast("double")) * 1e6).cast("long"))
+          .as("lw"))
+    val scored = bi.join(broadcast(weights), "bucket")
+      .groupBy("id")
+      .agg(sum(col("lw")).as("dsir_unats"), count(lit(1)).as("n_bigrams"))
+    val top = scored.orderBy(col("dsir_unats").desc, col("id")).limit(topN)
+      .select(col("id").as("_sel"))
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(scored, Seq("id"), "left")
+      .join(broadcast(top), col("id") === col("_sel"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("dsir_unats"),
+        when(col("_sel").isNotNull, 1).otherwise(0).as("selected"))
+  }
 }

@@ -860,6 +860,57 @@ object CurationQueries {
       |FROM b GROUP BY ROLLUP (source)
       |ORDER BY COALESCE(source, 'TOTAL')""".stripMargin
 
+  // ---- d42: DSIR importance-weighted data selection (Xie et al. 2023).
+  // Target slice = the English documents (the "curated in-domain
+  // exemplar"); every document scores under the hashed-bigram log-ratio
+  // weights and the top 120 are selected. The oracle replays the bucket
+  // hash (same 8-hex-char sha256 prefix as d35), the add-one-smoothed
+  // per-bucket micro-nat weights, the exact BIGINT per-document sums,
+  // and the (score desc, id) top-N cutoff. DuckDB SUM(BIGINT) widens to
+  // HUGEINT, so the oracle casts the sum back (the d33 precedent). ----
+  private def d42(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirSelect(docs(s, dir), "text", "doc_id",
+        col("lang") === "en", buckets = 512, topN = 120)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("dsir_unats"), col("selected"))
+      .orderBy("doc_id")
+
+  private val d42Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, (lang = 'en') AS is_target,
+      |    regexp_extract_all(text, '\S+') AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, is_target,
+      |    ('0x' || substr(sha256('dsir:' || ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT
+      |      % 512 AS bucket
+      |  FROM (SELECT doc_id, is_target, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM d WHERE len(ws) >= 2)),
+      |c AS (
+      |  SELECT bucket, COUNT(*) AS cr,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM c),
+      |w AS (
+      |  SELECT bucket,
+      |    CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE)) * 1e6)
+      |      AS BIGINT)
+      |  - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 512 AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS lw
+      |  FROM c CROSS JOIN t),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(lw) AS BIGINT) AS dsir_unats,
+      |    COUNT(*) AS n_bigrams
+      |  FROM b JOIN w USING (bucket) GROUP BY doc_id),
+      |top AS (SELECT doc_id FROM s ORDER BY dsir_unats DESC, doc_id LIMIT 120)
+      |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  s.dsir_unats,
+      |  CASE WHEN top.doc_id IS NOT NULL THEN 1 ELSE 0 END AS selected
+      |FROM d LEFT JOIN s USING (doc_id) LEFT JOIN top USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
@@ -881,5 +932,6 @@ object CurationQueries {
     QueryDef("d37_nfc_normalize", d37, Some(d37Oracle)),
     QueryDef("d38_url_filter", d38, Some(d38Oracle)),
     QueryDef("d39_c4_line_filter", d39, Some(d39Oracle)),
-    QueryDef("d40_corpus_report", d40, Some(d40Oracle)))
+    QueryDef("d40_corpus_report", d40, Some(d40Oracle)),
+    QueryDef("d42_dsir_select", d42, Some(d42Oracle)))
 }

@@ -393,4 +393,33 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) === ((6L, 0L, "m n o dd ee ff")))
     assert(out(5L) === ((2L, 0L, "aa bb")))
   }
+
+  test("dsirSelect ranks target-like documents above unrelated ones") {
+    import spark.implicits._
+    // Target slice (is_target): documents about "the solar panel".
+    // Doc 10 reuses the target's bigrams verbatim; doc 11 shares the
+    // vocabulary but no bigram; doc 12 is token-less.
+    val d = Seq(
+      (1L, true,  "the solar panel array powers the solar grid"),
+      (2L, true,  "a solar panel on the roof feeds the solar grid"),
+      (10L, false, "install the solar panel near the solar grid"),
+      (11L, false, "panel the grid solar a powers roof the on"),
+      (12L, false, " ")).toDF("doc_id", "is_target", "text")
+    val out = Curation.dsirSelect(d, "text", "doc_id", col("is_target"),
+        buckets = 64, topN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4)))).toMap
+    // the verbatim-bigram doc must outscore the shuffled-vocabulary doc
+    val score10 = out(10L)._3.get
+    val score11 = out(11L)._3.get
+    assert(score10 > score11,
+      s"target-like doc scored $score10, shuffled doc $score11")
+    // token-less doc: zero bigrams, NULL score, never selected
+    assert(out(12L) === ((0L, 0L, None, 0)))
+    // top-3 cutoff flags exactly 3 of the 4 scorable documents
+    assert(out.values.map(_._4).sum === 3)
+    assert(out(11L)._4 === 0, "the lowest scorer must not be selected")
+  }
 }
