@@ -1147,6 +1147,53 @@ object PipelineQueries {
       |SELECT doc_id, CAST(rank AS INT) AS rank, bm25, sim
       |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
 
+  // ---- e17: FaceNet triplet mining — per anchor, the hardest positive
+  // (most-similar same-label) and hardest negative (most-similar
+  // different-label), with the α-band semi-hard flag trainers batch on.
+  // Margin is a DIFFERENCE OF INTEGER micro-units (each cosine
+  // independently ROUND(·1e6)::BIGINT — the d33 one-rounding-layer
+  // rule), so no derived-double re-round exists anywhere. ----
+  private def e17(s: SparkSession, dir: String): DataFrame =
+    Similarity.tripletMine(emb(s, dir), "vec_id", "embedding", "label",
+        _ < 20, alphaU = 50000L)
+      .orderBy("q_id")
+
+  private val e17Oracle =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, q.label, e.vec_id AS nn_id,
+      |    e.label AS nn_label,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim,
+      |    CAST(ROUND(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) * 1e6)
+      |      AS BIGINT) AS sim_u
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |pos AS (
+      |  SELECT q_id, nn_id AS pos_id, sim AS pos_sim, sim_u AS pos_u
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |          ORDER BY sim DESC, nn_id) AS rn
+      |        FROM s WHERE label = nn_label)
+      |  WHERE rn = 1),
+      |neg AS (
+      |  SELECT q_id, nn_id AS neg_id, sim AS neg_sim, sim_u AS neg_u
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |          ORDER BY sim DESC, nn_id) AS rn
+      |        FROM s WHERE label <> nn_label)
+      |  WHERE rn = 1)
+      |SELECT q.vec_id AS q_id, q.label, pos.pos_id, pos.pos_sim,
+      |  neg.neg_id, neg.neg_sim,
+      |  pos.pos_u - neg.neg_u AS margin_u,
+      |  CASE WHEN pos.pos_u - neg.neg_u > 0
+      |        AND pos.pos_u - neg.neg_u <= 50000 THEN 1 ELSE 0 END AS semi_hard,
+      |  CASE WHEN pos.pos_u - neg.neg_u <= 0 THEN 1 ELSE 0 END AS violation
+      |FROM q LEFT JOIN pos ON pos.q_id = q.vec_id
+      |  LEFT JOIN neg ON neg.q_id = q.vec_id
+      |ORDER BY q_id""".stripMargin
+
   // ---- e6: top-k over int8-quantized storage (4× smaller vectors). The
   // roundtrip runs as the fused codegen kernel (QuantizeRoundtripExpr) —
   // the interpreted HOF composition was re-evaluated inside the join's
@@ -1541,6 +1588,7 @@ object PipelineQueries {
     QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),
     QueryDef("e15_matryoshka_rerank", e15, Some(e15Oracle)),
     QueryDef("e16_hybrid_retrieval", e16, Some(e16Oracle)),
+    QueryDef("e17_triplet_mine", e17, Some(e17Oracle)),
     QueryDef("e6_quantized_topk", e6, Some(e6Oracle)),
     QueryDef("e4_cosine_neardup", e4, Some(e4Oracle)),
     QueryDef("e10_semantic_dedup", e10, Some(e10Oracle)),

@@ -786,4 +786,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
   }
+
+  /** Triplet mining for contrastive training (Schroff et al., FaceNet,
+    * CVPR 2015): for every anchor (filtered by `queryPred`), the hardest
+    * POSITIVE (most-similar same-label vector — the pair the model must
+    * hold together) and the hardest NEGATIVE (most-similar
+    * different-label vector — the pair most likely to confuse it).
+    * Returns one row per anchor:
+    * (q_id, label, pos_id, pos_sim, neg_id, neg_sim, margin_u,
+    * semi_hard, violation) — `margin_u` is pos−neg similarity in integer
+    * micro-units, `violation` flags margin ≤ 0 (the negative is closer
+    * than the positive), `semi_hard` flags 0 < margin ≤ `alphaU` (inside
+    * the FaceNet α-band: satisfied but not by enough — the triplets a
+    * trainer actually wants). Anchors whose label has no other member
+    * keep a NULL positive side and never flag.
+    *
+    * Determinism: candidate ranking orders by the 6-dp-rounded cosine
+    * then nn_id (the e1 contract); the margin is a DIFFERENCE OF
+    * INTEGERS — each side's cosine is independently rounded to micro
+    * units (ROUND(cos·10⁶) → BIGINT) so no derived-double re-round can
+    * straddle a half-ulp boundary (the d33 lesson).
+    *
+    * 100 TB shape: this face is the brute-force miner — anchors
+    * broadcast, corpus scanned once, two per-anchor windows over the
+    * broadcast-join output (partitioned by q_id, never a corpus
+    * shuffle). In production the same pos/neg split + margin composes
+    * against any shortlist the ANN stack emits ([[pqRerankTopK]],
+    * [[ivfPqTopK]]) — mine hard negatives from the top-`shortlist`
+    * candidates instead of the full corpus, which is exactly how
+    * billion-scale contrastive batches are built. */
+  def tripletMine(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column => Column,
+      alphaU: Long = 50000L): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      col(labelCol).as("nn_label"), asDouble(col(vecCol)).as("nn_vec"))
+    val anchors = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_label").as("label"),
+        col("nn_vec").as("q_vec"))
+    val scored = broadcast(anchors)
+      .join(corpus, col("q_id") =!= col("nn_id"))
+      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("sim_u",
+        round(cosineFast(col("q_vec"), col("nn_vec")) * 1e6).cast("long"))
+    def hardest(sameLabel: Boolean, prefix: String): DataFrame = {
+      val side = if (sameLabel) col("label") === col("nn_label")
+        else col("label") =!= col("nn_label")
+      scored.filter(side)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("sim").desc, col("nn_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"),
+          col("nn_id").as(s"${prefix}_id"),
+          col("sim").as(s"${prefix}_sim"),
+          col("sim_u").as(s"${prefix}_u"))
+    }
+    anchors.select(col("q_id"), col("label"))
+      .join(hardest(sameLabel = true, "pos"), Seq("q_id"), "left")
+      .join(hardest(sameLabel = false, "neg"), Seq("q_id"), "left")
+      .withColumn("margin_u", col("pos_u") - col("neg_u"))
+      .select(col("q_id"), col("label"),
+        col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"),
+        col("margin_u"),
+        when(col("margin_u") > 0 && col("margin_u") <= alphaU, 1)
+          .otherwise(0).as("semi_hard"),
+        when(col("margin_u") <= 0, 1).otherwise(0).as("violation"))
+  }
 }

@@ -618,4 +618,33 @@ class PipelineSpec extends SparkSpec {
     val rows = q.agg(min("q"), max("q")).collect()(0)
     assert(rows.getDouble(0) >= 0.0 && rows.getDouble(1) <= 1.0000001)
   }
+
+  test("tripletMine: hand-built geometry, semi-hard band, singleton label") {
+    import spark.implicits._
+    // 2-D geometry around anchor 1 = (1, 0), label 0:
+    //   id 2 label 0 at  0°  → cos 1.0        (hardest positive)
+    //   id 3 label 1 at 30°  → cos ≈ 0.866025 (hardest negative)
+    //   id 4 label 1 at 90°  → cos 0          (easy negative, ignored)
+    //   id 5 label 9 is a singleton → NULL positive side, no flags
+    val e = Seq(
+      (1L, Seq(1.0, 0.0), 0L),
+      (2L, Seq(1.0, 0.0), 0L),
+      (3L, Seq(math.sqrt(3) / 2, 0.5), 1L),
+      (4L, Seq(0.0, 1.0), 1L),
+      (5L, Seq(-1.0, 0.0), 9L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMine(e, "vec_id", "embedding", "label",
+        id => id === 1 || id === 5, alphaU = 200000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a1 = out(1L)
+    assert(a1.getLong(2) === 2L && a1.getDouble(3) === 1.0)     // pos
+    assert(a1.getLong(4) === 3L && a1.getDouble(5) === 0.866025) // neg
+    assert(a1.getLong(6) === 1000000L - 866025L)                 // margin_u
+    // margin 133975 ≤ α=200000 → semi-hard, not a violation
+    assert(a1.getInt(7) === 1 && a1.getInt(8) === 0)
+    // singleton label: positive side NULL, both flags 0
+    val a5 = out(5L)
+    assert(a5.isNullAt(2) && a5.isNullAt(3) && a5.isNullAt(6))
+    assert(!a5.isNullAt(4), "negatives exist for the singleton")
+    assert(a5.getInt(7) === 0 && a5.getInt(8) === 0)
+  }
 }
