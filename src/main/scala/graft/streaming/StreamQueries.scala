@@ -395,7 +395,80 @@ object StreamQueries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- s12: a REAL stream-stream interval join under the gate — the
+  // streaming twin of s5's batch attribution join. Clicks and views run
+  // as two MemoryStreams, BOTH watermarked (12 h), joined on user with
+  // the event-time band view_ts ∈ [click_ts − 6 h, click_ts]; the time
+  // bound is what lets Spark derive a state-eviction horizon on both
+  // sides (an unbounded stream-stream join would buffer forever — the
+  // 100 TB non-negotiable). Feeding advances both sources through the
+  // SAME global-time terciles, so the min-across-sources watermark
+  // trails each chunk boundary by the full 12 h horizon and no
+  // qualifying pair can be late-dropped (chunk k+1 rows sit at or after
+  // the cut; the post-chunk-k watermark sits 12 h below it). The drained
+  // append-mode pairs aggregate per user and must hash-match the batch
+  // join — certifying inner-join completeness across micro-batch
+  // boundaries, not just within one batch. ----
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click").map(e => (e._1, e._2, e._4))
+    val views = ev.filter(_._3 == "view").map(e => (e._1, e._2, e._4))
+    val cIn = MemoryStream[(Long, Long, Long)]
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val cDf = cIn.toDF().toDF("click_id", "user_id", "c_us")
+      .withColumn("click_ts", timestamp_micros(col("c_us")))
+      .withWatermark("click_ts", "12 hours")
+    val vDf = vIn.toDF().toDF("view_id", "v_user", "v_us")
+      .withColumn("view_ts", timestamp_micros(col("v_us")))
+      .withWatermark("view_ts", "12 hours")
+    val joined = cDf.join(vDf,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+    val sink = s"s12_ssjoin_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // global-time terciles over the UNION timeline, fed to both
+      // sources per chunk so neither side's watermark races ahead
+      val cuts = ev.map(_._4).distinct.sorted
+      val chunk = math.max(1, (cuts.length + 2) / 3)
+      val batchOf = cuts.zipWithIndex.map { case (t, i) => t -> i / chunk }
+        .toMap
+      (0 until 3).foreach { b =>
+        val cs = clicks.filter(r => batchOf(r._3) == b)
+        val vs = views.filter(r => batchOf(r._3) == b)
+        if (cs.nonEmpty) cIn.addData(cs.toIndexedSeq: _*)
+        if (vs.nonEmpty) vIn.addData(vs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    drainSink(s, sink)(
+      _.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(col("view_id")).as("n_views"))
+        .orderBy("user_id"))
+  }
+
+  private val s12Oracle =
+    """SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT c.event_id) AS n_clicks,
+      |  COUNT(DISTINCT v.event_id) AS n_views
+      |FROM events c JOIN events v ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s12_stream_stream_join", s12, Some(s12Oracle)),
     QueryDef("s11_stream_dedup", s11, Some(s11Oracle)),
     QueryDef("s10_stream_static_join", s10, Some(s10Oracle)),
     QueryDef("s9_stream_topk", s9,

@@ -236,6 +236,39 @@ class StreamingSpec extends SparkSpec {
       (1L, 101L, 202L), (1L, 102L, 203L), (2L, 103L, 205L)))
   }
 
+  test("stream-stream join pairs rows across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000)
+    val vin = MemoryStream[(Long, Long, Timestamp)]
+    val cin = MemoryStream[(Long, Long, Timestamp)]
+    val vDf = vin.toDF().toDF("v_user", "view_id", "view_ts")
+      .withWatermark("view_ts", "2 hours")
+    val cDf = cin.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "2 hours")
+    val joined = cDf.join(vDf,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select("user_id", "click_id", "view_id")
+    val q = joined.writeStream.format("memory").queryName("xbatch")
+      .outputMode("append").start()
+    try {
+      // batch 1: the view only — buffered in join state, nothing emits
+      vin.addData((1L, 200L, ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("xbatch").count() === 0)
+      // batch 2: the click, 30 min later — must pair with the BUFFERED
+      // view from batch 1 (inside the 1 h band and the 2 h horizon)
+      cin.addData((1L, 100L, ts(30)))
+      q.processAllAvailable()
+      val got = spark.table("xbatch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store: session state evicts under watermark advance (metrics-asserted)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
