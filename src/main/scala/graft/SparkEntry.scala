@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.meter.{GenConfig, MeterGen, MeterQueries, Rollups}
 import graft.pipeline.{CurationQueries, PipelineQueries}
-import graft.queries.{InfraQueries, Relational, Relational2, TimeSeriesQueries}
+import graft.queries.{GraphQueries, InfraQueries, Relational, Relational2, TimeSeriesQueries}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     MeterQueries.all ++ Relational.all ++ Relational2.all ++
-      InfraQueries.all ++ TimeSeriesQueries.all ++ PipelineQueries.all ++
+      InfraQueries.all ++ TimeSeriesQueries.all ++ GraphQueries.all ++
+      PipelineQueries.all ++
       CurationQueries.all ++ StreamQueries.all
 
   /** Flagship query: the reference's core pipeline end-to-end — generate

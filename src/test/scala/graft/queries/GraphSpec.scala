@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph family: integer-exact PageRank power iteration and the
+  * co-occurrence edge derivation feeding it. */
+class GraphSpec extends SparkSpec {
+
+  test("pageRankInt: hand-computed ranks on a 3-node chain with a sink") {
+    import spark.implicits._
+    // 1 -> 2, 1 -> 3, 2 -> 3; node 3 is dangling (mass sink).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Graph.pageRankInt(edges, nodes, iters = 2)
+      .orderBy("id")
+      .select("id", "deg_out", "pr1", "pr2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // Iter 1 from r0 = 1_000_000 everywhere:
+    //   node1: 125000 (nothing points at it)
+    //   node2: 125000 + (1e6*7) div (8*2)          = 125000 + 437500
+    //   node3: 125000 + (1e6*7) div (8*2)  [from 1]
+    //                 + (1e6*7) div (8*1)  [from 2] = 125000 + 437500 + 875000
+    // Iter 2 from (125000, 562500, 1437500):
+    //   node1: 125000
+    //   node2: 125000 + (125000*7) div 16           = 125000 + 54687
+    //   node3: 125000 + (125000*7) div 16 + (562500*7) div 8
+    //        = 125000 + 54687 + 492187
+    assert(out === Seq(
+      (1L, 2L, 125000L, 125000L),
+      (2L, 1L, 562500L, 179687L),
+      (3L, 0L, 1437500L, 671874L)))
+  }
+
+  test("pageRankInt: total mass is conserved up to the stated div leak") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r = Graph.pageRankInt(edges, nodes, iters = 1)
+    val total = r.agg(sum("pr1")).head.getLong(0)
+    // Exact damping would give n*125000 + sum(r0)*7/8 = 375000 + 2625000;
+    // truncating div leaks < 8*deg micro-units per edge.
+    val exact = 375000L + 2625000L
+    assert(total <= exact && total > exact - 4 * 16)
+  }
+
+  test("pageRankInt: node with no edges at all holds exactly the base") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 99L).toDF("id")
+    val out = Graph.pageRankInt(edges, nodes, iters = 2)
+      .where(col("id") === 99L).select("deg_out", "pr1", "pr2")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((0L, 125000L, 125000L)))
+  }
+
+  test("userCoEdges: symmetric, irreflexive, bucket-scoped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-01 10:55:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-01 10:56:00"), "view"), // dup pair
+      (3L, Timestamp.valueOf("2024-01-01 10:05:00"), "click"), // other type
+      (4L, Timestamp.valueOf("2024-01-01 11:05:00"), "view")) // other hour
+      .toDF("user_id", "ts", "event_type")
+    val got = Graph.userCoEdges(ev)
+      .as[(Long, Long)].collect().toSet
+    // Only 1 and 2 share (hour, type); both directions, once each.
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+}
