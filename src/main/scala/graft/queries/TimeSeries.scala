@@ -125,6 +125,66 @@ object TimeSeries {
       .drop(tsCol)
   }
 
+  /** Integer-exact EWMA smoothing — the telemetry/monitoring smoother
+    * (and the "recurrence" shape window functions cannot express): per
+    * entity, per hourly observation x_t,
+    *
+    *   s_1 = x_1
+    *   s_t = s_{t−1} + sign(d)·⌊|d| / 2^shift⌋,   d = x_t − s_{t−1}
+    *
+    * i.e. exponential smoothing with dyadic α = 2^−shift kept entirely
+    * in BIGINT: the step magnitude divides by a POWER OF TWO, so the
+    * double division inside `floor` is exact (integers < 2^53 divided
+    * by 2^k round to themselves), and the sign/abs split makes
+    * truncation direction explicit — no floor-vs-trunc ambiguity
+    * between engines on negative deltas. DuckDB replays the recurrence
+    * with a recursive CTE and matches bit-for-bit.
+    *
+    * The recurrence is inherently sequential per entity, so it runs as
+    * a sorted-struct fold (`sort_array(collect_list)` + `aggregate` —
+    * the d28/d33 pattern): one shuffle keyed on the entity, then a
+    * linear in-memory pass per entity. State is the entity's own
+    * series; the append-per-step output array makes the fold O(n²) in
+    * the entity's OBSERVATION COUNT (not the corpus) — bounded by the
+    * retention window in production (a year of hours is 8.8k steps),
+    * never by corpus size, and no cross-entity structure ever exists.
+    *
+    * Returns (entityCol, hour, v, ewma), one row per observed hour. */
+  def ewmaSmooth(df: DataFrame, entityCol: String, tsCol: String,
+      metric: Column, shift: Int = 2): DataFrame = {
+    require(shift >= 1 && shift <= 20,
+      s"dyadic alpha wants shift in 1..20, got $shift")
+    val pow = (1L << shift).toDouble // exact in double
+    val series = df
+      .groupBy(col(entityCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(metric.as("v"))
+    val elemT = "array<struct<hour:timestamp,v:bigint,s:bigint>>"
+    val zero = struct(
+      lit(null).cast("long").as("prev"),
+      array().cast(elemT).as("out"))
+    series
+      .groupBy(entityCol)
+      .agg(sort_array(collect_list(struct(col("hour"), col("v")))).as("xs"))
+      .select(col(entityCol),
+        explode(aggregate(col("xs"), zero,
+          (acc, x) => {
+            val prev = acc.getField("prev")
+            val d = x.getField("v") - prev
+            val s = when(prev.isNull, x.getField("v"))
+              .otherwise(prev +
+                when(d < 0, lit(-1L)).otherwise(lit(1L)) *
+                  floor(abs(d) / lit(pow)).cast("long"))
+            struct(s.as("prev"),
+              concat(acc.getField("out"),
+                array(struct(x.getField("hour").as("hour"),
+                  x.getField("v").as("v"), s.as("s"))).cast(elemT))
+                .as("out"))
+          },
+          acc => acc.getField("out"))).as("pt"))
+      .select(col(entityCol), col("pt.hour").as("hour"),
+        col("pt.v").as("v"), col("pt.s").as("ewma"))
+  }
+
   /** Gap-based sessionization: events of one entity belong to the same
     * session while consecutive gaps stay within `gapUs` microseconds
     * (the classic web-analytics session definition; the streaming twin
@@ -311,9 +371,43 @@ object TimeSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
       |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin
 
+  // ---- q52: integer-exact EWMA smoothing over the q46 entity subset
+  // and exact-cents metric. α = ¼ (shift 2); every smoothed value is a
+  // BIGINT by construction, and the oracle replays the per-entity
+  // recurrence with a recursive CTE over row-numbered observations —
+  // the sign/abs split in both engines pins truncation toward zero on
+  // negative deltas (DuckDB's // floors, so it is deliberately NOT
+  // used). ----
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaSmooth(
+        events(s, dir).filter(col("user_id") % 50 === 0),
+        "user_id", "ts",
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long"),
+        shift = 2)
+      .orderBy("user_id", "hour")
+
+  private val q52Oracle =
+    """WITH RECURSIVE h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('hour', ts)) AS rn
+      |  FROM events WHERE user_id % 50 = 0
+      |  GROUP BY user_id, date_trunc('hour', ts)),
+      |r AS (
+      |  SELECT user_id, rn, hour, v, v AS s FROM h WHERE rn = 1
+      |  UNION ALL
+      |  SELECT h.user_id, h.rn, h.hour, h.v,
+      |    r.s + (CASE WHEN h.v - r.s < 0 THEN -1 ELSE 1 END) *
+      |      CAST(FLOOR(ABS(h.v - r.s) / 4.0) AS BIGINT)
+      |  FROM r JOIN h ON h.user_id = r.user_id AND h.rn = r.rn + 1)
+      |SELECT user_id, hour, v, s AS ewma
+      |FROM r ORDER BY user_id, hour""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
     QueryDef("q47_sessionize", q47, Some(q47Oracle)),
     QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)),
-    QueryDef("q50_scd2_intervals", q50, Some(q50Oracle)))
+    QueryDef("q50_scd2_intervals", q50, Some(q50Oracle)),
+    QueryDef("q52_ewma_smooth", q52, Some(q52Oracle)))
 }

@@ -131,4 +131,40 @@ class TimeSeriesSpec extends SparkSpec {
       .agg(sum("is_current").as("n_cur")).collect()
     assert(cur.forall(_.getAs[Long]("n_cur") == 1L))
   }
+
+  test("ewmaSmooth: hand-computed recurrence, truncation toward zero " +
+      "on a negative delta") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 100L),
+      (1L, ts("2024-01-01 01:05:00"), 200L), // d=+100 → s=100+25=125
+      (1L, ts("2024-01-01 02:05:00"), 22L),  // d=-103 → s=125-25=100
+      (1L, ts("2024-01-01 03:05:00"), 99L),  // d=-1   → s=100-0=100
+      (2L, ts("2024-01-01 00:05:00"), 7L))   // singleton: s=x1
+      .toDF("user_id", "ts", "v")
+    val out = TimeSeries.ewmaSmooth(ev, "user_id", "ts",
+        sum(col("v")).cast("long"), shift = 2)
+      .orderBy("user_id", "hour")
+      .select("user_id", "v", "ewma")
+      .as[(Long, Long, Long)].collect().toSeq
+    // -103/4 floors to -26 but truncates to -25: the sign/abs contract.
+    assert(out === Seq(
+      (1L, 100L, 100L), (1L, 200L, 125L), (1L, 22L, 100L),
+      (1L, 99L, 100L), (2L, 7L, 7L)))
+  }
+
+  test("ewmaSmooth: two observations in one hour aggregate before " +
+      "smoothing; output has one row per observed hour") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 30L),
+      (1L, ts("2024-01-01 00:45:00"), 70L), // same hour: v=100
+      (1L, ts("2024-01-01 05:05:00"), 180L)) // gap hours absent
+      .toDF("user_id", "ts", "v")
+    val out = TimeSeries.ewmaSmooth(ev, "user_id", "ts",
+        sum(col("v")).cast("long"), shift = 2)
+      .orderBy("hour")
+      .select("v", "ewma").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((100L, 100L), (180L, 120L)))
+  }
 }
