@@ -1558,7 +1558,42 @@ object PipelineQueries {
       |FROM g GROUP BY doc_id, seg, active
       |ORDER BY doc_id, seg_id""".stripMargin
 
+  // ---- d43: cluster-balanced subsample — e5's literal quantizer routes
+  // every embedding to a cell, then a per-cell cap keeps the sha-ordered
+  // first 25 (DataComp's cluster sampling / the balancing half of
+  // SemDeDup). The oracle replays assignment (the e5 CTE chain verbatim)
+  // plus the per-cell COUNT/ROW_NUMBER windows; both kept and rejected
+  // rows are certified. ----
+  private def d43(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
+        nlist = 16, cap = 25)
+      .orderBy("id")
+
+  private val d43Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents c),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |ranked AS (
+      |  SELECT vec_id, cell,
+      |    COUNT(*) OVER (PARTITION BY cell) AS cell_n,
+      |    ROW_NUMBER() OVER (PARTITION BY cell
+      |      ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |  FROM cells)
+      |SELECT vec_id AS id, cell, cell_n::BIGINT AS cell_n, rn::BIGINT AS rn,
+      |  (CASE WHEN rn <= 25 THEN 1 ELSE 0 END)::BIGINT AS kept
+      |FROM ranked ORDER BY id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d43_cluster_sample", d43, Some(d43Oracle)),
     QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),
     QueryDef("d2_token_stats", d2, Some(d2Oracle)),
     QueryDef("d3_lang_id", d3, Some(d3Oracle)),

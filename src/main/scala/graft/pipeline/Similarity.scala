@@ -231,6 +231,48 @@ object Similarity {
     (l, p)
   }
 
+  /** Cluster-balanced subsample — the embedding-space diversity cap the
+    * curation stacks run between dedup and mixing (DataComp's cluster
+    * sampling; the balancing half of SemDeDup): assign every vector to
+    * its nearest of `nlist` centroids (EXACTLY the e5 literal-path
+    * quantizer — sha-ordered deterministic sample, argmax 9-dp cosine,
+    * larger centroid id on ties), then keep at most `cap` members per
+    * cell, chosen by the sha256(id) order the exact samplers already
+    * use ([[Sampling]]) so the within-cell choice is unbiased w.r.t.
+    * insertion order and replayable in SQL. Returns one row per vector:
+    * (id, cell, cell_n, rn, kept) — callers filter `kept = 1`; the full
+    * frame is emitted so the gate certifies the REJECTED side too.
+    *
+    * 100 TB shape: assignment is a shuffle-free codegen'd projection
+    * (nlist literal centroids); the cap is one cell-keyed window over
+    * (id, cell) — 8-byte rows, vectors never shuffle. Cells are
+    * ~corpus/nlist; if one cell exceeds executor memory the nlist
+    * knob (or the two-level kernel) splits it — same scaling story as
+    * the IVF index build itself. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, cap: Int = 40): DataFrame = {
+    require(nlist >= 1 && nlist <= 64,
+      s"literal-centroid path wants nlist in 1..64, got $nlist")
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val centRows = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist).collect()
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val (listed, _) =
+      literalCells(corpus, _ => lit(false), cents,
+        centRows.map(_.get(0)).toSeq, nprobe = 1)
+    val byCell = Window.partitionBy(col("cell"))
+    val ord = byCell.orderBy(sha2(col("id").cast("string"), 256),
+      col("id"))
+    listed
+      .select(col("nn_id").as("id"), col("cell"))
+      .withColumn("cell_n", count(lit(1)).over(byCell))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("kept", (col("rn") <= cap).cast("long"))
+  }
+
   /** Inverted-list scan + per-query top-k shared by every IVF face:
     * broadcast the (tiny) probe set, hash-join on cell, rank rounded
     * cosines within each query. */

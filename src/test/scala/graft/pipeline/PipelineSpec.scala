@@ -647,4 +647,33 @@ class PipelineSpec extends SparkSpec {
     assert(!a5.isNullAt(4), "negatives exist for the singleton")
     assert(a5.getInt(7) === 0 && a5.getInt(8) === 0)
   }
+
+  test("clusterBalancedSample: partition of the corpus, cap honored, " +
+      "kept = min(cap, cell_n) per cell") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val n = e.count()
+    val out = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+      nlist = 8, cap = 30).cache()
+    try {
+      // every vector appears exactly once (the cells partition the corpus)
+      assert(out.count() === n)
+      assert(out.select("id").distinct().count() === n)
+      val perCell = out.groupBy("cell")
+        .agg(count(lit(1)).as("m"), max("cell_n").as("cn"),
+          min("cell_n").as("cn2"), sum("kept").as("k"))
+        .collect()
+      assert(perCell.length <= 8)
+      perCell.foreach { r =>
+        val (m, cn, cn2, k) = (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+        assert(cn === m && cn2 === m, "cell_n is the true cell size")
+        assert(k === math.min(30L, m), "kept = min(cap, cell_n)")
+      }
+      // deterministic: a second run keeps the identical id set
+      val again = Similarity.clusterBalancedSample(e, "vec_id",
+        "embedding", nlist = 8, cap = 30)
+      assert(out.filter(col("kept") === 1).select("id")
+        .except(again.filter(col("kept") === 1).select("id")).count() === 0)
+    } finally out.unpersist()
+  }
 }
