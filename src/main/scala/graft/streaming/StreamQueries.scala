@@ -395,6 +395,84 @@ object StreamQueries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- s13: LEFT OUTER stream-stream join — s12's join with the outer
+  // semantics that make watermarks load-bearing for CORRECTNESS, not
+  // just for state size: a click with no view in its 6 h band can only
+  // emit its null-padded row once BOTH watermarks prove no matching
+  // view can still arrive (Spark holds outer candidates in state until
+  // the event-time horizon passes). The real fixture rows advance in
+  // global-time terciles like s12; a final sentinel pair (users −1/−2,
+  // ts = max + 48 h, matching nothing and filtered from the aggregate)
+  // pushes both watermarks past every real click so ALL outer rows
+  // flush deterministically before the drain — without it the last
+  // 12 h of unmatched clicks would sit in state forever and the gate
+  // would under-count. Certifies outer-row completeness + null padding
+  // across micro-batch boundaries against the batch LEFT JOIN oracle. ----
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click").map(e => (e._1, e._2, e._4))
+    val views = ev.filter(_._3 == "view").map(e => (e._1, e._2, e._4))
+    val sentinelUs = ev.map(_._4).max + 48L * 3600 * 1000000
+    val cIn = MemoryStream[(Long, Long, Long)]
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val cDf = cIn.toDF().toDF("click_id", "user_id", "c_us")
+      .withColumn("click_ts", timestamp_micros(col("c_us")))
+      .withWatermark("click_ts", "12 hours")
+    val vDf = vIn.toDF().toDF("view_id", "v_user", "v_us")
+      .withColumn("view_ts", timestamp_micros(col("v_us")))
+      .withWatermark("view_ts", "12 hours")
+    val joined = cDf.join(vDf,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+          col("view_ts") <= col("click_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("view_id"))
+    val sink = s"s13_ssouter_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val cuts = ev.map(_._4).distinct.sorted
+      val chunk = math.max(1, (cuts.length + 2) / 3)
+      val batchOf = cuts.zipWithIndex.map { case (t, i) => t -> i / chunk }
+        .toMap
+      (0 until 3).foreach { b =>
+        val cs = clicks.filter(r => batchOf(r._3) == b)
+        val vs = views.filter(r => batchOf(r._3) == b)
+        if (cs.nonEmpty) cIn.addData(cs.toIndexedSeq: _*)
+        if (vs.nonEmpty) vIn.addData(vs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // watermark flush: one far-future row per side, matching nothing
+      cIn.addData((-1L, -1L, sentinelUs))
+      vIn.addData((-1L, -2L, sentinelUs))
+      q.processAllAvailable()
+    } finally q.stop()
+    drainSink(s, sink)(
+      _.filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(col("view_id")).as("n_pairs"),
+          sum(col("view_id").isNull.cast("long")).as("n_unmatched"),
+          countDistinct(col("click_id")).as("n_clicks"))
+        .orderBy("user_id"))
+  }
+
+  private val s13Oracle =
+    """SELECT c.user_id, COUNT(v.event_id) AS n_pairs,
+      |  SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_unmatched,
+      |  COUNT(DISTINCT c.event_id) AS n_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      |  AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   // ---- s12: a REAL stream-stream interval join under the gate — the
   // streaming twin of s5's batch attribution join. Clicks and views run
   // as two MemoryStreams, BOTH watermarked (12 h), joined on user with
@@ -468,6 +546,7 @@ object StreamQueries {
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s13_stream_outer_join", s13, Some(s13Oracle)),
     QueryDef("s12_stream_stream_join", s12, Some(s12Oracle)),
     QueryDef("s11_stream_dedup", s11, Some(s11Oracle)),
     QueryDef("s10_stream_static_join", s10, Some(s10Oracle)),
