@@ -523,7 +523,59 @@ object Relational2 {
     """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
       |FROM lineitem WHERE l_orderkey < 500""".stripMargin
 
+  // ---- q53: FULL OUTER join — the one join type not yet under the gate
+  // (equi/broadcast/semi/anti/range/as-of/cross are q3–q5, q23, q18, m1;
+  // streaming left-outer is s13). The reconciliation-report shape: daily
+  // order intake vs daily shipments, full-outer on the calendar day so
+  // days with only intake, only shipments, or both all survive, with
+  // presence flags taken BEFORE the COALESCE fill. Both sides pre-
+  // aggregate to day grain first, so the outer join runs at day
+  // cardinality — broadcastable, never a row-level outer shuffle. ----
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("ordered_cents"))
+    val l = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_ship"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("shipped_cents"))
+    o.join(l, Seq("d"), "full_outer")
+      .select(col("d"),
+        col("n_orders").isNotNull.cast("long").as("has_orders"),
+        col("n_ship").isNotNull.cast("long").as("has_ship"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("ordered_cents"), lit(0L)).as("ordered_cents"),
+        coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+        coalesce(col("shipped_cents"), lit(0L)).as("shipped_cents"))
+      .orderBy("d")
+  }
+
+  private val q53Oracle =
+    """WITH o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS ordered_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, COUNT(*) AS n_ship,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS shipped_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(o.d, l.d) AS d,
+      |  (o.d IS NOT NULL)::BIGINT AS has_orders,
+      |  (l.d IS NOT NULL)::BIGINT AS has_ship,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(ordered_cents, 0) AS ordered_cents,
+      |  COALESCE(n_ship, 0) AS n_ship,
+      |  COALESCE(shipped_cents, 0) AS shipped_cents
+      |FROM o FULL JOIN l ON o.d = l.d
+      |ORDER BY d""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q53_full_outer", q53, Some(q53Oracle)),
     QueryDef("q41_zorder_layout", q41, Some(q41Oracle)),
     QueryDef("q40_bloom_pruned_join", q40, Some(q40Oracle)),
     QueryDef("q39_approx_percentile", q39, Some(q39Oracle)),
