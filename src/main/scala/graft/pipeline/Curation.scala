@@ -731,4 +731,54 @@ object Curation {
         col("dsir_unats"),
         when(col("_sel").isNotNull, 1).otherwise(0).as("selected"))
   }
+
+  /** Token–label PMI mining — the quality-signal inspection step behind
+    * classifier-based curation (which n-grams actually separate the
+    * target slice from the rest; the feature audit run before trusting
+    * a [[linearQualityScore]]-style model). Document-frequency PMI of
+    * each token against `targetPred`, add-one smoothed:
+    *
+    *   pmi(t) = ln(n_t1 + 1) + ln(N + 2) − ln(n_t + 2) − ln(N_1 + 1)
+    *
+    * where n_t1 = target docs containing t, n_t = all docs containing
+    * t, N_1 = target docs, N = all docs. Each ln term is INDIVIDUALLY
+    * rounded to integer micro-nats before combining (the d33 cookbook),
+    * so the score is an exact BIGINT sum and the single per-term ln ulp
+    * is washed by the rounding on both engines. Tokens below `minDf`
+    * document frequency are dropped (hapax PMI is noise by
+    * construction). Returns the `topN` tokens by (pmi desc, token):
+    * (token, df_t, df_nt, pmi_unats).
+    *
+    * 100 TB shape: one narrow (id, y, token) explode — text never
+    * shuffles, DISTINCT per document bounds each doc's contribution by
+    * its vocabulary; ONE token-keyed count shuffle; the two corpus
+    * totals ride as driver literals (one 1-row aggregate); top-N is
+    * sort+limit (TakeOrdered, never a global window). */
+  def tokenLabelPmi(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, minDf: Int = 3, topN: Int = 50): DataFrame = {
+    require(minDf >= 1, s"minDf must be positive, got $minDf")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val base = df.select(col(idCol).as("id"),
+      targetPred.cast("int").as("y"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val tot = base.agg(sum(col("y")).cast("long"), count(lit(1))).head
+    val (nTarget, nDocs) = (tot.getLong(0), tot.getLong(1))
+    def unats(c: Column): Column = round(log(c.cast("double")) * 1e6)
+      .cast("long")
+    val constUnats = math.round(math.log(nDocs + 2.0) * 1e6) -
+      math.round(math.log(nTarget + 1.0) * 1e6)
+    base
+      .select(col("id"), col("y"),
+        explode(array_distinct(col("ws"))).as("token"))
+      .groupBy("token")
+      .agg(sum(col("y")).cast("long").as("df_t"),
+        count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df_t"),
+        (col("df") - col("df_t")).as("df_nt"),
+        (unats(col("df_t") + 1) - unats(col("df") + 2) + lit(constUnats))
+          .as("pmi_unats"))
+      .orderBy(col("pmi_unats").desc, col("token"))
+      .limit(topN)
+  }
 }

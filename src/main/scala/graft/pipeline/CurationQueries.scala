@@ -911,7 +911,38 @@ object CurationQueries {
       |FROM d LEFT JOIN s USING (doc_id) LEFT JOIN top USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- d44: token–label PMI mining — which tokens separate the English
+  // slice from the rest (the feature audit behind d27's classifier).
+  // Document-frequency PMI, add-one smoothed, every ln term individually
+  // rounded to micro-nats (the d33 cookbook) so the score is an exact
+  // BIGINT; corpus totals ride as driver/SQL-CTE constants computed the
+  // same way on both engines. ----
+  private def d44(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenLabelPmi(docs(s, dir), "text", "doc_id",
+        col("lang") === "en", minDf = 3, topN = 50)
+      .orderBy(col("pmi_unats").desc, col("token"))
+
+  private val d44Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+      |    regexp_extract_all(text, '\S+') AS ws
+      |  FROM documents),
+      |tot AS (SELECT SUM(y)::BIGINT AS n1, COUNT(*)::BIGINT AS n FROM d),
+      |tok AS (
+      |  SELECT doc_id, y, unnest(list_distinct(ws)) AS token FROM d),
+      |cnt AS (
+      |  SELECT token, SUM(y)::BIGINT AS df_t, COUNT(*)::BIGINT AS df
+      |  FROM tok GROUP BY token HAVING COUNT(*) >= 3)
+      |SELECT token, df_t, (df - df_t) AS df_nt,
+      |  (CAST(ROUND(LN(df_t + 1) * 1000000) AS BIGINT)
+      |   - CAST(ROUND(LN(df + 2) * 1000000) AS BIGINT)
+      |   + CAST(ROUND(LN(n + 2) * 1000000) AS BIGINT)
+      |   - CAST(ROUND(LN(n1 + 1) * 1000000) AS BIGINT)) AS pmi_unats
+      |FROM cnt, tot
+      |ORDER BY pmi_unats DESC, token LIMIT 50""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d44_token_pmi", d44, Some(d44Oracle)),
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),
     QueryDef("d18_source_quota", d18, Some(d18Oracle)),
