@@ -293,10 +293,62 @@ object ScaleProbe {
     probe(s"${times}x", corpus(times))
   }
 
+  /** Graph family at scale, two deliberately different replications of
+    * the events table, both with DISJOINT user-id spaces per replica:
+    *
+    *   - `sparse`: each replica's timestamps are also shifted by i×10
+    *     years, so replicas share no (hour, type) buckets — the graph
+    *     is `times` disjoint copies and |E| must grow EXACTLY linearly.
+    *     This is the corpus-growth axis (more tenants/days of data).
+    *   - `dense`: timestamps unshifted, so all replicas' users land in
+    *     the SAME buckets — bucket density ×times drives |E| ≈ ×times²,
+    *     the Σ k_b² worst case `userCoEdges` documents. This is the
+    *     bucket-densification axis; the probe certifies wall grows
+    *     SUBLINEARLY in |E| (the pipeline is edge-bound, not worse).
+    *
+    * Each variant times the q51 shape: edge derivation, then 2 unrolled
+    * integer PageRank iterations (per iteration one src-keyed join +
+    * one dst-keyed BIGINT sum). */
+  private def graphProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_type")
+    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val decadeUs = 10L * 366 * 24 * 3600 * 1000000
+    def corpus(t: Int, shiftTime: Boolean) = (0 until t).map { i =>
+      ev.select((col("user_id") + lit(i * maxU)).as("user_id"),
+        (if (shiftTime)
+           timestamp_micros(unix_micros(col("ts")) + lit(i * decadeUs))
+         else col("ts")).as("ts"),
+        col("event_type"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val edges = queries.Graph.userCoEdges(c).localCheckpoint(true)
+      val ne = edges.count()
+      val tEdge = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val agg = queries.Graph
+        .pageRankInt(edges, c.select(col("user_id").as("id")), iters = 2)
+        .agg(count(lit(1)), sum("pr2")).head
+      val tPr = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] graph/$tag%-4s edges=$ne nodes=${agg.getLong(0)} " +
+        f"mass2=${agg.getLong(1)} edge_s=$tEdge%6.2f pr_s=$tPr%6.2f")
+    }
+    probe("1x", corpus(1, shiftTime = false))
+    probe(s"${times}x-sparse", corpus(times, shiftTime = true))
+    probe(s"${times}x-dense", corpus(times, shiftTime = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("graph")) {
+      graphProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("substr")) {
       substrProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(20))
       spark.stop()
