@@ -1592,7 +1592,102 @@ object PipelineQueries {
       |  (CASE WHEN rn <= 25 THEN 1 ELSE 0 END)::BIGINT AS kept
       |FROM ranked ORDER BY id""".stripMargin
 
+  // ---- e18: ANN index-quality evaluation — recall@5 of the composed
+  // IVF-PQ index (e9) against exact brute-force ground truth (e1), per
+  // query. The operator every index deployment runs before trusting an
+  // approximate path; here the evaluation ITSELF is the certified
+  // query: both sides run in-engine, the join/aggregate computes hits
+  // and integer recall percent, and the oracle replays BOTH retrieval
+  // chains (e1's and e9's CTEs verbatim) plus the same evaluation
+  // arithmetic. 100*hits/k is exact in double at k=5, so the BIGINT
+  // truncation agrees on both engines. ----
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(emb(s, dir), "vec_id",
+        "embedding", _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val approx = Similarity.ivfPqTopK(emb(s, dir), "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e18Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 20),
+      |sc AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |er AS (
+      |  SELECT q_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM sc),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.v) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(s.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN samp s ON s.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |adc AS (
+      |  SELECT p.q_id, cl.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (p.qv[i] - r.rv[i]) * (p.qv[i] - r.rv[i]))), 6) AS adist
+      |  FROM probes p
+      |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
+      |  JOIN recon r ON r.vec_id = cl.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc),
+      |ex AS (SELECT q_id, nn_id FROM er WHERE rank <= 5),
+      |ap AS (SELECT q_id, nn_id FROM rk WHERE rank <= 5),
+      |h AS (
+      |  SELECT ex.q_id, COUNT(*) AS hits
+      |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.nn_id = ap.nn_id
+      |  GROUP BY ex.q_id),
+      |b AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY q_id)
+      |SELECT b.q_id, COALESCE(h.hits, 0)::BIGINT AS hits, b.k::BIGINT AS k,
+      |  CAST(COALESCE(h.hits, 0) * 100 / b.k AS BIGINT) AS recall_pct
+      |FROM b LEFT JOIN h ON h.q_id = b.q_id
+      |ORDER BY b.q_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e18_ann_recall", e18, Some(e18Oracle)),
     QueryDef("d43_cluster_sample", d43, Some(d43Oracle)),
     QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),
     QueryDef("d2_token_stats", d2, Some(d2Oracle)),
