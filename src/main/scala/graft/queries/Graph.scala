@@ -96,9 +96,12 @@ object GraphQueries {
   // BIGINT by construction (dyadic 7/8 damping + truncating div), so
   // the oracle replays the recurrence exactly — including the stated
   // truncation-leak contract. DuckDB SUM(BIGINT)→HUGEINT casts back
-  // (the d33 precedent). ----
+  // (the d33 precedent). The gate runs a deterministic user subset
+  // (id % 2 — co-occurrence edges grow quadratically in bucket density,
+  // so the half-user graph is a quarter the edges; the FULL graph and
+  // both scaling axes are measured in BASELINE.md's graph probe). ----
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
     Graph.pageRankInt(Graph.userCoEdges(ev),
         ev.select(col("user_id").as("id")), iters = 2)
       .select(col("id").as("user_id"), col("deg_out"),
@@ -110,8 +113,9 @@ object GraphQueries {
   private val q51Oracle =
     """WITH ev AS (
       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
-      |  FROM events),
-      |nodes AS (SELECT DISTINCT user_id AS id FROM events),
+      |  FROM events WHERE user_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT user_id AS id FROM events
+      |  WHERE user_id % 2 = 0),
       |e AS (
       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
       |  FROM ev a JOIN ev b USING (h, event_type)
