@@ -36,6 +36,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: the JVM-wide LRU of compiled
+      // whole-stage-codegen classes. 141 registry queries × several
+      // codegen stages each means the default evicts every warm-up
+      // compile before its timed rep runs — each rep then re-pays
+      // janino compilation (~50-200 ms/stage), which is exactly the
+      // uniform "residency drift" the core82 subtotal kept showing as
+      // the registry grew (31 -> 43 s with zero code changes). Sized
+      // to hold every stage of the full registry at once.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def sweep(): Unit = {
