@@ -781,4 +781,94 @@ object Curation {
       .orderBy(col("pmi_unats").desc, col("token"))
       .limit(topN)
   }
+
+  /** Zipf-law fit of the token frequency distribution — the standard
+    * corpus health diagnostic (natural text shows log(count) ≈
+    * a + s·log(rank) with s ≈ −1; a flat or cliff-shaped curve flags
+    * boilerplate floods or truncated vocabularies). Least-squares over
+    * the `topN` tokens by count, on integer micro-nat coordinates
+    * (x = round(ln rank · 1e6), y = round(ln count · 1e6) — the d33
+    * cookbook), so the normal-equation sums are exact BIGINTs on both
+    * engines. Returns ONE row (n_fit, slope_num, slope_den, slope):
+    * slope = num/den with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    * emitted exactly plus as one 6-decimal-rounded double division.
+    *
+    * Overflow headroom: |x| ≤ ln(topN)·1e6, |y| ≤ ln(total tokens)·1e6
+    * ≤ ~46e6 even at 100 T tokens, so n·Σxy ≤ topN²·x·y ≤ 8.7e17 at
+    * topN = 200 — comfortably inside BIGINT for any corpus this engine
+    * can hold.
+    *
+    * 100 TB shape: one token-keyed count shuffle over the corpus (the
+    * same aggregate every frequency query pays); top-N is sort+limit
+    * (TakeOrdered — never a global window over the vocabulary); the
+    * rank window and the fit run on exactly `topN` rows. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"need at least 2 points to fit, got $topN")
+    val top = df
+      .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+    def unats(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    // The rank window runs on the topN-row result of the sort+limit —
+    // a single bounded partition by construction, not a corpus sort.
+    val ranked = top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(unats(col("rnk")).as("x"), unats(col("cnt")).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_fit"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope",
+        round(col("slope_num").cast("double") / col("slope_den"), 6))
+  }
+
+  /** Cross-source contamination matrix: for every unordered pair of
+    * values of `srcCol`, the number of distinct word-k-shingles the two
+    * slices share, both slice sizes, and the Jaccard similarity in ppm
+    * (integer floor division — exact on both engines for non-negative
+    * operands). Zero-overlap pairs are kept (n_common = 0): the report
+    * is the full matrix, and "these two crawls share nothing" is a
+    * finding, not a missing row. The d16 contamination check guards
+    * train vs eval; THIS guards train vs train — mirrored crawls and
+    * re-scraped mixes inflate effective epochs exactly like document
+    * duplicates do.
+    *
+    * 100 TB shape: text collapses to distinct (source, 8-byte shingle
+    * hash) rows in one codegen span ([[TextAnalysis.hashedShingleRows]]
+    * — production would use it; here the sha variant keeps the DuckDB
+    * gate). The self-join keys on the shingle hash, and its per-key
+    * fan-out is bounded by the SOURCE count (each shingle appears at
+    * most once per source after the distinct), so the pair stream is
+    * ≤ |sources|²/2 per shingle — never corpus-quadratic. Pair counts
+    * shuffle on (src_a, src_b): |sources|² rows, a driver-size result
+    * for any real mixture list. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+      k: Int = 5): DataFrame = {
+    val sh = TextAnalysis
+      .shaShingleRows(df.select(col(srcCol).as("src"), col(textCol)),
+        textCol, "src", k)
+      .select(col("id").as("src"), col("shingle")).distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // Full matrix: every unordered source pair, zero-overlap included.
+    // The sizes frame is |sources| rows — both sides of the pair grid
+    // are broadcast-size by construction.
+    val a = sizes.select(col("src").as("src_a"), col("n").as("n_a"))
+    val b = sizes.select(col("src").as("src_b"), col("n").as("n_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
 }

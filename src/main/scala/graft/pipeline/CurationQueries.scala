@@ -941,7 +941,73 @@ object CurationQueries {
       |FROM cnt, tot
       |ORDER BY pmi_unats DESC, token LIMIT 50""".stripMargin
 
+  // ---- d45: Zipf-law fit of the token frequency curve — corpus health
+  // diagnostic (natural text fits slope ≈ −1 in log-log; boilerplate
+  // floods flatten it). Least squares on integer micro-nat coordinates
+  // (the d33 cookbook): the normal-equation sums are exact BIGINTs, the
+  // one double division is 6-decimal rounded on both engines. ----
+  private def d45(s: SparkSession, dir: String): DataFrame =
+    Curation.zipfFit(docs(s, dir), "text", topN = 200)
+
+  private val d45Oracle =
+    """WITH w AS (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM w GROUP BY tok),
+      |t AS (SELECT cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM c),
+      |l AS (SELECT CAST(ROUND(LN(rnk) * 1000000) AS BIGINT) AS x,
+      |    CAST(ROUND(LN(cnt) * 1000000) AS BIGINT) AS y
+      |  FROM t WHERE rnk <= 200),
+      |a AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+      |    SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+      |    SUM(x*x)::BIGINT AS sxx FROM l)
+      |SELECT n AS n_fit, (n*sxy - sx*sy) AS slope_num,
+      |  (n*sxx - sx*sx) AS slope_den,
+      |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 6) AS slope
+      |FROM a""".stripMargin
+
+  // ---- d46: cross-source contamination matrix — distinct-5-shingle
+  // Jaccard for every unordered source pair, zero-overlap pairs kept.
+  // d16 guards train-vs-eval; this guards train-vs-train (mirrored
+  // crawls inflate effective epochs exactly like document dups). ----
+  private def d46(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlap(docs(s, dir), "text", "source", k = 5)
+      .orderBy("src_a", "src_b")
+
+  private val d46Oracle =
+    """WITH w AS (
+      |  SELECT source, regexp_extract_all(text, '\S+') AS ws
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT source, unnest(
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_transform(generate_series(1, len(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |             ws[i+3] || ' ' || ws[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      |  FROM w),
+      |sh AS (SELECT DISTINCT source,
+      |    ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS h
+      |  FROM sh0),
+      |sz AS (SELECT source, COUNT(*)::BIGINT AS n FROM sh GROUP BY source),
+      |cm AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*)::BIGINT AS n_common
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa.source AS src_a, sb.source AS src_b,
+      |  COALESCE(cm.n_common, 0)::BIGINT AS n_common,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  (1000000 * COALESCE(cm.n_common, 0))
+      |    // (sa.n + sb.n - COALESCE(cm.n_common, 0)) AS jaccard_ppm
+      |FROM sz sa JOIN sz sb ON sa.source < sb.source
+      |LEFT JOIN cm ON cm.src_a = sa.source AND cm.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
+    QueryDef("d46_source_overlap", d46, Some(d46Oracle)),
     QueryDef("d44_token_pmi", d44, Some(d44Oracle)),
     QueryDef("d16_contamination", d16, Some(d16Oracle)),
     QueryDef("d17_repetition_quality", d17, Some(d17Oracle)),

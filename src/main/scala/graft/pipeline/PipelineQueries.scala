@@ -1686,7 +1686,45 @@ object PipelineQueries {
       |FROM b LEFT JOIN h ON h.q_id = b.q_id
       |ORDER BY b.q_id""".stripMargin
 
+  // ---- e19: per-cluster embedding outliers — the farthest-from-centroid
+  // sweep over each label group (mislabeled/off-distribution candidates).
+  // Integer-exact: coordinates scaled to round(v·1e5) BIGINT, score is
+  // n²·‖x − centroid‖² = Σ(n·x_d − S_d)² computed wholly in BIGINT —
+  // no float-summation-order hazard (integer sums are order-free on
+  // both engines). DuckDB SUM(BIGINT)→HUGEINT casts back (d33
+  // precedent). ----
+  private def e19(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(emb(s, dir), "vec_id", "embedding",
+        "label", topK = 5)
+      .orderBy("label", "rank")
+
+  private val e19Oracle =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CAST(ROUND(v * 100000) AS BIGINT))) AS x,
+      |    generate_subscripts(embedding, 1) AS d
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, d, SUM(x)::BIGINT AS s, COUNT(*)::BIGINT AS n
+      |  FROM x GROUP BY label, d),
+      |dist AS (
+      |  SELECT x.vec_id, x.label,
+      |    CAST(SUM((c.n * x.x - c.s) * (c.n * x.x - c.s)) AS BIGINT)
+      |      AS dist2_q,
+      |    MAX(c.n) AS n
+      |  FROM x JOIN c ON x.label = c.label AND x.d = c.d
+      |  GROUP BY x.vec_id, x.label),
+      |r AS (
+      |  SELECT label, vec_id, dist2_q, n,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY dist2_q DESC, vec_id) AS rank
+      |  FROM dist)
+      |SELECT label, CAST(rank AS INT) AS rank, vec_id, dist2_q, n
+      |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e19_centroid_outliers", e19, Some(e19Oracle)),
     QueryDef("e18_ann_recall", e18, Some(e18Oracle)),
     QueryDef("d43_cluster_sample", d43, Some(d43Oracle)),
     QueryDef("d1_exact_dedup", d1, Some(d1Oracle)),

@@ -894,4 +894,52 @@ object Similarity {
           .otherwise(0).as("semi_hard"),
         when(col("margin_u") <= 0, 1).otherwise(0).as("violation"))
   }
+
+  /** Per-group embedding outliers: the `topK` vectors farthest from
+    * their group's centroid — the mislabeled-example / off-distribution
+    * sweep every embedding-clustered corpus runs before training on the
+    * cluster assignments. Integer-exact: each coordinate is scaled to
+    * round(v·10⁵) BIGINT; with S_d = Σ x_d and n the group size, the
+    * reported score is n²·‖x − S/n‖² = Σ_d (n·x_d − S_d)² — computed
+    * entirely in BIGINT, so both engines rank identically with no
+    * float-summation-order hazard (the group SUM is the only
+    * cross-row reduction, and integer sums are order-free). Returns
+    * (label, vec_id, dist2_q, n) for the topK per group, farthest
+    * first. Magnitude bound: Σ_d (2·n·10⁵·vmax)² ≤ dims·4e10·(n·vmax)²
+    * stays inside BIGINT while n·vmax ≤ ~1.9e3, i.e. group sizes to
+    * ~2k unit-normalized vectors; beyond that, drop the scale a decade
+    * per decade of n (the score is scale-invariant for ranking).
+    *
+    * 100 TB shape: centroids are |groups|·dims rows aggregated in one
+    * narrow shuffle, reassembled to |groups| array rows, and BROADCAST
+    * back — the corpus side computes its distance map-side in a single
+    * codegen span over the array (no per-vector explode ever reaches a
+    * shuffle), and only the per-group topK window shuffles (group,
+    * dist2, id) triples, partitioned by group. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5, scale: Long = 100000L): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val xs = transform(asDouble(col(vecCol)),
+      v => round(v * scale).cast("long"))
+    val base = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).as("label"), xs.as("xs"))
+    val centroids = base
+      .select(col("label"), posexplode(col("xs")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("s"))))
+          .getField("s").as("ss"),
+        max("n").as("n"))
+    base.join(broadcast(centroids), "label")
+      .select(col("label"), col("vec_id"), col("n"),
+        aggregate(
+          zip_with(col("xs"), col("ss"),
+            (x, sd) => col("n") * x - sd),
+          lit(0L), (acc, t) => acc + t * t).as("dist2_q"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("dist2_q").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("label"), col("rn").as("rank"), col("vec_id"),
+        col("dist2_q"), col("n"))
+  }
 }

@@ -422,4 +422,51 @@ class CurationSpec extends SparkSpec {
     assert(out.values.map(_._4).sum === 3)
     assert(out(11L)._4 === 0, "the lowest scorer must not be selected")
   }
+
+  test("zipfFit: exact normal-equation sums on a hand-built frequency curve") {
+    import spark.implicits._
+    // token counts by construction: a=8, b=4, c=2, d=1 → ranks 1..4
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Curation.zipfFit(df, "text", topN = 4).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // replicate the integer micro-nat fit exactly
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (rk, c) =>
+      (math.round(math.log(rk) * 1e6), math.round(math.log(c) * 1e6))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === num)
+    assert(r.getLong(2) === den)
+    // slope ≈ −1.5 for counts halving over ranks 1..4; pin the exact
+    // 6-decimal HALF_UP rounding Spark's round() applies
+    val slope = BigDecimal(num.toDouble / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === slope)
+    assert(slope < -1.0 && slope > -2.0, s"implausible Zipf slope $slope")
+  }
+
+  test("sourceOverlap: planted shingle overlap, full matrix with zero rows") {
+    import spark.implicits._
+    val df = Seq(
+      // A and B share exactly the 2 shingles of "v w x y z a"
+      ("A", 1L, "v w x y z a b c d"),   // 5 distinct shingles
+      ("B", 2L, "p q r s t v w x y z a"), // 7 distinct shingles
+      ("C", 3L, "one two three four five six")) // 2, disjoint
+      .toDF("source", "doc_id", "text")
+    val out = Curation.sourceOverlap(df, "text", "source", k = 5)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L, 5L, 7L, 1000000L * 2 / (5 + 7 - 2)),
+      ("A", "C", 0L, 5L, 2L, 0L),
+      ("B", "C", 0L, 7L, 2L, 0L)))
+  }
 }

@@ -676,4 +676,36 @@ class PipelineSpec extends SparkSpec {
         .except(again.filter(col("kept") === 1).select("id")).count() === 0)
     } finally out.unpersist()
   }
+
+  test("centroidOutliers: exact integer scores, per-group ranking, " +
+      "centroid side broadcast") {
+    import spark.implicits._
+    // label 0: three vectors at the origin, one at (0.3, 0) — the
+    // planted outlier. n=4, S=(30000, 0) at scale 1e5.
+    // label 1: two identical vectors — every distance is the same (0).
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f), 0),
+      (4L, Array(0.3f, 0.0f), 0),
+      (10L, Array(0.5f, 0.5f), 1),
+      (11L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val res = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      "label", topK = 2)
+    // dist²·n² : origin rows (4·0 − 30000)² = 9e8; outlier
+    // (4·30000 − 30000)² = 8.1e9
+    val out = res.orderBy("label", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0, 1, 4L, 8100000000L, 4L),
+      (0, 2, 1L, 900000000L, 4L), // ties below rank 1 break by vec_id asc
+      (1, 1, 10L, 0L, 2L),
+      (1, 2, 11L, 0L, 2L)))
+    // the centroid table must come back as a broadcast join — the
+    // corpus side computes its distance map-side
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast centroid join, got:\n$plan")
+  }
 }
