@@ -1005,7 +1005,63 @@ object CurationQueries {
       |LEFT JOIN cm ON cm.src_a = sa.source AND cm.src_b = sb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---- d47: BPE merge learning — the first 3 tokenizer-training merges,
+  // each iteration's argmax + corpus rewrite fully in-plan. The
+  // two-space symbol encoding makes the merge a literal global
+  // regexp_replace with identical left-to-right semantics on both
+  // engines (TextAnalysis.learnBpeMerges scaladoc); the oracle unrolls
+  // the same three count→argmax→rewrite rounds as CTEs. ----
+  private def d47(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.learnBpeMerges(docs(s, dir), "text", steps = 3)
+      .orderBy("step")
+
+  private val d47Oracle =
+    """WITH t AS (
+      |  SELECT lower(unnest(regexp_extract_all(text, '\S+'))) AS w
+      |  FROM documents),
+      |w0 AS (
+      |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
+      |      AS s,
+      |    COUNT(*)::BIGINT AS cnt
+      |  FROM t WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1),
+      |p1 AS (
+      |  SELECT p, SUM(cnt)::BIGINT AS c FROM (
+      |    SELECT cnt, unnest(list_transform(
+      |      generate_series(1, len(sy) - 1),
+      |      i -> sy[i] || ' ' || sy[i+1])) AS p
+      |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w0))
+      |  GROUP BY p ORDER BY c DESC, p LIMIT 1),
+      |w1 AS (
+      |  SELECT regexp_replace(s,
+      |      ' ' || replace(p, ' ', '  ') || ' ',
+      |      ' ' || replace(p, ' ', '') || ' ', 'g') AS s, cnt
+      |  FROM w0, p1),
+      |p2 AS (
+      |  SELECT p, SUM(cnt)::BIGINT AS c FROM (
+      |    SELECT cnt, unnest(list_transform(
+      |      generate_series(1, len(sy) - 1),
+      |      i -> sy[i] || ' ' || sy[i+1])) AS p
+      |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w1))
+      |  GROUP BY p ORDER BY c DESC, p LIMIT 1),
+      |w2 AS (
+      |  SELECT regexp_replace(s,
+      |      ' ' || replace(p, ' ', '  ') || ' ',
+      |      ' ' || replace(p, ' ', '') || ' ', 'g') AS s, cnt
+      |  FROM w1, p2),
+      |p3 AS (
+      |  SELECT p, SUM(cnt)::BIGINT AS c FROM (
+      |    SELECT cnt, unnest(list_transform(
+      |      generate_series(1, len(sy) - 1),
+      |      i -> sy[i] || ' ' || sy[i+1])) AS p
+      |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w2))
+      |  GROUP BY p ORDER BY c DESC, p LIMIT 1)
+      |SELECT 1 AS step, p AS pair, c AS cnt FROM p1
+      |UNION ALL SELECT 2, p, c FROM p2
+      |UNION ALL SELECT 3, p, c FROM p3
+      |ORDER BY step""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),
     QueryDef("d44_token_pmi", d44, Some(d44Oracle)),

@@ -132,4 +132,65 @@ object TextAnalysis {
       aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L))))
       .otherwise(lit(0L))
   }
+
+  /** BPE merge learning — the first `steps` merges of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016), each iteration fully
+    * in-plan: count adjacent symbol pairs over the (distinct word,
+    * count) vocabulary, take the argmax pair (count desc, pair asc —
+    * deterministic), apply the merge corpus-wide, recount. Returns one
+    * row per learned merge: (step, pair, cnt).
+    *
+    * The corpus is restricted to lowercase alphabetic words (regex-safe
+    * symbols by construction: every learned pair is [a-z]+ [a-z]+, so
+    * the merge pattern needs no escaping on either engine). Words are
+    * encoded as TWO-space-separated symbol strings with single-space
+    * sentinels (" h  e  l  l  o "): a merge rewrite of pair (A,B) is
+    * then the literal global replace of " A  B " with " AB " — each
+    * match consumes one of the two separator spaces on each side, so
+    * ADJACENT occurrences (" a  b  a  b ") both merge in one
+    * left-to-right pass, exactly the single-space encoding's failure
+    * case. Both engines' regexp_replace scan left-to-right over
+    * non-overlapping matches, so the rewrite — and therefore the next
+    * iteration's counts — is bit-identical.
+    *
+    * 100 TB shape: pair counting shuffles (pair, count) over the
+    * DISTINCT-word vocabulary (corpus text collapses to word counts in
+    * the first aggregate — Heaps'-law bounded, orders of magnitude below
+    * the corpus); the argmax is a 1-row sort+limit broadcast back into
+    * the rewrite's crossJoin — the d25 broadcast-stats-row pattern, one
+    * narrow shuffle + one map stage per learned merge. */
+  def learnBpeMerges(df: DataFrame, textCol: String,
+      steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 5,
+      s"unrolled merge learning wants 1..5 steps, got $steps")
+    val vocab = df
+      .select(explode(words(col(textCol))).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+          trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("s"),
+        col("cnt"))
+    var cur = vocab
+    val merges = (1 to steps).map { step =>
+      val syms = split(trim(col("s")), "  ")
+      val best = cur
+        .select(col("cnt"), explode(
+          when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => concat(element_at(syms, i), lit(" "),
+                element_at(syms, i + lit(1)))))
+            .otherwise(array().cast("array<string>"))).as("p"))
+        .groupBy("p").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+      cur = cur.crossJoin(broadcast(best))
+        .select(regexp_replace(col("s"),
+            concat(lit(" "), regexp_replace(col("p"), " ", "  "), lit(" ")),
+            concat(lit(" "), regexp_replace(col("p"), " ", ""), lit(" ")))
+          .as("s"), col("cnt"))
+      best.select(lit(step).as("step"), col("p").as("pair"),
+        col("c").as("cnt"))
+    }
+    merges.reduce(_ unionAll _)
+  }
 }

@@ -210,6 +210,45 @@ object TimeSeries {
       .withColumn("session_id", sum(col("_brk")).over(run))
       .drop("_brk")
   }
+
+  /** Ordered-funnel analysis: per entity, the earliest time of stage 1,
+    * the earliest stage-2 event STRICTLY AFTER that, the earliest
+    * stage-3 event strictly after THAT, and the stage reached (1..3; 0
+    * when stage 1 never fired). The "strictly after the previous
+    * stage's first completion" semantics is the standard ordered funnel
+    * (a purchase before any view does not convert). Returns
+    * (id, s1_us, s2_us, s3_us, stage) with BIGINT epoch-µs stage times
+    * (NULL where unreached) — µs integers, not timestamps, so two
+    * engines compare representation-free.
+    *
+    * 100 TB shape: three chained conditional min-aggregations, each one
+    * narrow (id, ts) shuffle keyed by entity — no per-entity event list
+    * is ever collected, no window sorts the full event stream; the
+    * stage-k frame is entity-cardinality and joins map-side under AQE
+    * once it fits broadcast. */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, s"ordered funnel wants 3 stages, got $stages")
+    val ev = events.select(col(entityCol).as("id"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    val s1 = ev.filter(col("et") === stages.head)
+      .groupBy("id").agg(min("us").as("s1_us"))
+    val s2 = ev.filter(col("et") === stages(1))
+      .join(s1, "id").filter(col("us") > col("s1_us"))
+      .groupBy("id").agg(min("us").as("s2_us"))
+    val s3 = ev.filter(col("et") === stages(2))
+      .join(s2, "id").filter(col("us") > col("s2_us"))
+      .groupBy("id").agg(min("us").as("s3_us"))
+    ev.select("id").distinct()
+      .join(s1, Seq("id"), "left")
+      .join(s2, Seq("id"), "left")
+      .join(s3, Seq("id"), "left")
+      .withColumn("stage",
+        when(col("s3_us").isNotNull, 3)
+          .when(col("s2_us").isNotNull, 2)
+          .when(col("s1_us").isNotNull, 1)
+          .otherwise(0))
+  }
 }
 
 /** Gate queries for [[TimeSeries]]. */
@@ -404,7 +443,37 @@ object TimeSeriesQueries {
       |SELECT user_id, hour, v, s AS ewma
       |FROM r ORDER BY user_id, hour""".stripMargin
 
+  // ---- q54: ordered funnel view → click → purchase per user. Strict
+  // after-the-previous-stage ordering; stage times as BIGINT epoch-µs
+  // (representation-free across engines); every user appears with the
+  // stage reached, including stage 0. ----
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("id")
+
+  private val q54Oracle =
+    """WITH ev AS (
+      |  SELECT user_id AS id, epoch_us(ts) AS us, event_type AS et
+      |  FROM events),
+      |s1 AS (SELECT id, MIN(us) AS s1_us FROM ev
+      |  WHERE et = 'view' GROUP BY id),
+      |s2 AS (SELECT ev.id, MIN(us) AS s2_us FROM ev
+      |  JOIN s1 USING (id) WHERE et = 'click' AND us > s1_us GROUP BY ev.id),
+      |s3 AS (SELECT ev.id, MIN(us) AS s3_us FROM ev
+      |  JOIN s2 USING (id) WHERE et = 'purchase' AND us > s2_us
+      |  GROUP BY ev.id)
+      |SELECT u.id, s1.s1_us, s2.s2_us, s3.s3_us,
+      |  CASE WHEN s3.s3_us IS NOT NULL THEN 3
+      |       WHEN s2.s2_us IS NOT NULL THEN 2
+      |       WHEN s1.s1_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM (SELECT DISTINCT id FROM ev) u
+      |LEFT JOIN s1 USING (id) LEFT JOIN s2 USING (id)
+      |LEFT JOIN s3 USING (id)
+      |ORDER BY u.id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q54_funnel", q54, Some(q54Oracle)),
     QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
     QueryDef("q47_sessionize", q47, Some(q47Oracle)),
     QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)),

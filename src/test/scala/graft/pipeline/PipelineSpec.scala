@@ -708,4 +708,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast centroid join, got:\n$plan")
   }
+
+  test("learnBpeMerges: hand-traced merges; adjacent occurrences both " +
+      "rewrite (the two-space encoding contract)") {
+    import spark.implicits._
+    // vocab: abab×3, ab×2 (+1 via lowercased AB), cd×5; "x9" filtered.
+    // iter1: (a,b) = 2·3 + 1·3 = 9  beats (b,a)=3, (c,d)=5 → merge
+    // iter2: (ab,ab) = 3 < (c,d) = 5 → merge (c,d)
+    // iter3: (ab,ab) = 3 — ONLY exists if both (a,b) pairs inside
+    //        "abab" merged in one pass
+    val df = Seq(
+      (1L, "abab abab abab ab ab AB x9 cd cd cd cd cd"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.learnBpeMerges(df, "text", steps = 3)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1, "a b", 9L), (2, "c d", 5L), (3, "ab ab", 3L)))
+  }
 }

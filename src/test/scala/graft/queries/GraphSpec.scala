@@ -72,4 +72,27 @@ class GraphSpec extends SparkSpec {
     // Only 1 and 2 share (hour, type); both directions, once each.
     assert(got === Set((1L, 2L), (2L, 1L)))
   }
+
+  test("triangleCensus: hand-built graph — one triangle plus a pendant") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus pendant edge 3–4: 4 nodes, 4 edges,
+    // wedges = Σ d(d−1)/2 = 1+1+3+0 = 5, triangles = 1,
+    // cc = 3·1/5 = 0.6 → 600000 ppm
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.triangleCensus(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 4L, 5L, 1L, 600000L)))
+  }
+
+  test("triangleCensus: triangle-free bipartite graph counts zero") {
+    import spark.implicits._
+    // complete bipartite K2,2: 4 wedges... actually d=2 for all →
+    // wedges = 4·1 = 4, triangles = 0
+    val und = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.triangleCensus(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 4L, 4L, 0L, 0L)))
+  }
 }

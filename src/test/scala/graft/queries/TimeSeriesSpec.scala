@@ -167,4 +167,33 @@ class TimeSeriesSpec extends SparkSpec {
       .select("v", "ewma").as[(Long, Long)].collect().toSeq
     assert(out === Seq((100L, 100L), (180L, 120L)))
   }
+
+  test("funnel: strict ordering — out-of-order stages do not convert") {
+    import spark.implicits._
+    val us = (m: Int) => ts(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, us(1), "view"), (1L, us(2), "click"), (1L, us(3), "purchase"),
+      // user 2: purchase BEFORE click → stage 2 only
+      (2L, us(1), "view"), (2L, us(2), "purchase"), (2L, us(3), "click"),
+      // user 3: click with no view → stage 0
+      (3L, us(1), "click"), (3L, us(2), "purchase"),
+      // user 4: simultaneous view+click (strict > rejects) then a later
+      // click → stages use the LATER click
+      (4L, us(5), "view"), (4L, us(5), "click"), (4L, us(9), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    def u(m: Int): Long = us(m).getTime * 1000L
+    assert(out.toSeq === Seq(
+      (1L, u(1), u(2), u(3), 3),
+      (2L, u(1), u(3), -1L, 2),
+      (3L, -1L, -1L, -1L, 0),
+      (4L, u(5), u(9), -1L, 2)))
+  }
 }
