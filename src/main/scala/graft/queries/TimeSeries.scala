@@ -249,6 +249,31 @@ object TimeSeries {
           .when(col("s1_us").isNotNull, 1)
           .otherwise(0))
   }
+
+  /** Cohort retention matrix: users grouped by their first-activity day
+    * (the cohort), counted on each later day they act again. Output
+    * (cohort_day, day_offset, n_users) — the cohort day as a formatted
+    * yyyy-MM-dd string (DATE stringifies differently across engines),
+    * the offset in whole days, exact BIGINT user counts.
+    *
+    * 100 TB shape: activity reduces to distinct (user, day) FIRST, so
+    * everything downstream scales with users × active-days, not event
+    * volume; the cohort frame is user-cardinality and joins on the same
+    * user key the distinct just shuffled on (co-partitioned, broadcast
+    * when it fits); the final count is a plain integer groupBy at
+    * matrix cardinality. No window ever sorts the event stream, and
+    * the distinct (user, day) grain makes count(*) per cell an exact
+    * distinct-user count — no count-distinct shuffle needed. */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val act = events.select(col(entityCol).as("id"),
+      date_trunc("day", col(tsCol)).cast("date").as("d")).distinct()
+    val cohort = act.groupBy("id").agg(min("d").as("d0"))
+    act.join(cohort, "id")
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
 
 /** Gate queries for [[TimeSeries]]. */
@@ -472,8 +497,30 @@ object TimeSeriesQueries {
       |LEFT JOIN s3 USING (id)
       |ORDER BY u.id""".stripMargin
 
+  // ---- q56: cohort retention matrix over the events table. Distinct
+  // (user, day) grain first, cohort = per-user min day; day keys emitted
+  // as formatted strings (DuckDB DATE stringifies with a time component
+  // through pandas), offsets and counts as BIGINT — representation-free
+  // on both engines. ----
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cohortRetention(events(s, dir), "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+
+  private val q56Oracle =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id AS id, date_trunc('day', ts) AS d
+      |  FROM events),
+      |cohort AS (SELECT id, MIN(d) AS d0 FROM act GROUP BY id)
+      |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', d0, d)::BIGINT AS day_offset,
+      |  COUNT(*)::BIGINT AS n_users
+      |FROM act JOIN cohort USING (id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q54_funnel", q54, Some(q54Oracle)),
+    QueryDef("q56_cohort_retention", q56, Some(q56Oracle)),
     QueryDef("q46_gapfill_ffill", q46, Some(q46Oracle)),
     QueryDef("q47_sessionize", q47, Some(q47Oracle)),
     QueryDef("q48_gapfill_interp", q48, Some(q48Oracle)),

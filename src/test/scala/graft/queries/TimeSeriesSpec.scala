@@ -196,4 +196,28 @@ class TimeSeriesSpec extends SparkSpec {
       (3L, -1L, -1L, -1L, 0),
       (4L, u(5), u(9), -1L, 2)))
   }
+
+  test("cohortRetention: hand-computed matrix — cohorts split by first " +
+      "day, gaps keep later offsets, multiple same-day events count once") {
+    import spark.implicits._
+    val ev = Seq(
+      // users 1,2 first seen Jan 1 (cohort A); user 1 returns on Jan 2
+      // and (after a gap) Jan 4; user 2 never returns. Two events for
+      // user 1 on Jan 1 must count once.
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")),
+      (1L, ts("2024-01-02 08:00:00")), (1L, ts("2024-01-04 23:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      // user 3 first seen Jan 2 (cohort B), returns Jan 3
+      (3L, ts("2024-01-02 10:00:00")), (3L, ts("2024-01-03 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = TimeSeries.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0L, 2L),   // both cohort-A users on day 0
+      ("2024-01-01", 1L, 1L),   // only user 1 returns day 1
+      ("2024-01-01", 3L, 1L),   // ...and day 3 (day 2 absent, no row)
+      ("2024-01-02", 0L, 1L),
+      ("2024-01-02", 1L, 1L)))
+  }
 }
