@@ -95,4 +95,28 @@ class GraphSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) === ((4L, 4L, 4L, 0L, 0L)))
   }
+
+  test("degreeAssortativity: a star is exactly −1, moments exact") {
+    import spark.implicits._
+    // S3: hub 0 with leaves 1..3. Directed pairs (3,1)×3 and (1,3)×3:
+    // m2=6, sx=12, sxx=30, sxy=18 → r = (6·18−144)/(6·30−144) = −1.
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((3L, 12L, 30L, 18L, -1.0)))
+  }
+
+  test("degreeAssortativity: barbell (two triangles bridged) hand value") {
+    import spark.implicits._
+    // Triangles {a,b,c}, {d,e,f} bridged by c–d. Degrees: a,b,e,f = 2;
+    // c,d = 3. m2=14, sx=34, sxx=86, sxy=82 →
+    // r = (14·82 − 34²)/(14·86 − 34²) = −8/48 = −0.166667 (6 dp).
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((7L, 34L, 86L, 82L, -0.166667)))
+  }
 }
