@@ -1723,7 +1723,99 @@ object PipelineQueries {
       |SELECT label, CAST(rank AS INT) AS rank, vec_id, dist2_q, n
       |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin
 
+  // ---- d48: MinHash index-quality evaluation — the dedup twin of e18's
+  // ANN recall row. For every LSH candidate pair (the sha-certified d14
+  // family), report the signature ESTIMATE next to the EXACT shingle-set
+  // Jaccard, so the gate certifies the estimator's error itself, not just
+  // the candidate set. Exact Jaccard runs over the 32-bit sha shingle
+  // hashes on BOTH engines (any truncation collision is shared, so the
+  // comparison stays exact), restricted to candidate documents — the
+  // d15 slice argument: the quadratic-ish stage never sees the corpus.
+  // est_jaccard is agreement/64 (the certified d14 double); exact is
+  // integer ppm via truncating division. ----
+  private def d48(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cands = MinHashLSH.candidatePairs(d, "text", "doc_id",
+      k = 5, numHashes = 64, bands = 16, estThreshold = 0.5,
+      maxBucket = Int.MaxValue, shingleRows = TextAnalysis.shaShingleRows)
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct()
+    val shing = TextAnalysis.shaShingleRows(d, "text", "doc_id", 5)
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("shingle").as("h")).distinct()
+    val sizes = shing.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = shing.as("x").join(shing.as("y"), "h")
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cands.select("doc_a", "doc_b", "est_jaccard")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnsRenamed(Map("id" -> "doc_a", "n" -> "na")),
+        "doc_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "doc_b", "n" -> "nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"))
+      .withColumn("exact_ppm",
+        expr("(1000000 * n_inter) div n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d48Oracle: String = {
+    val mod = MinHashLSH.Modulus
+    val ps = MinHashLSH.perms(64)
+    val minExprs = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $mod) AS m$i"
+    }.mkString(", ")
+    val bandEq = (0 until 16).map { b =>
+      (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val agree = (0 until 64)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 5 THEN
+       |      list_transform(generate_series(1, len(ws) - 4),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+       |    ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM w),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h FROM u),
+       |sig AS (
+       |  SELECT doc_id, $minExprs
+       |  FROM hs GROUP BY doc_id),
+       |pf AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ROUND(($agree) / 64.0, 6) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ($bandEq) AND ROUND(($agree) / 64.0, 6) >= 0.5),
+       |cd AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pf UNION ALL SELECT doc_b FROM pf)),
+       |ch AS (SELECT hs.doc_id, hs.h FROM hs JOIN cd USING (doc_id)),
+       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM ch GROUP BY doc_id),
+       |iv AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
+       |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT pf.doc_a, pf.doc_b, pf.est_jaccard,
+       |  COALESCE(iv.n_inter, 0)::BIGINT AS n_inter,
+       |  (sa.n + sb.n - COALESCE(iv.n_inter, 0))::BIGINT AS n_union,
+       |  ((1000000 * COALESCE(iv.n_inter, 0))
+       |    // (sa.n + sb.n - COALESCE(iv.n_inter, 0)))::BIGINT AS exact_ppm
+       |FROM pf
+       |JOIN sz sa ON sa.doc_id = pf.doc_a
+       |JOIN sz sb ON sb.doc_id = pf.doc_b
+       |LEFT JOIN iv ON iv.doc_a = pf.doc_a AND iv.doc_b = pf.doc_b
+       |ORDER BY pf.doc_a, pf.doc_b""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),
     QueryDef("e19_centroid_outliers", e19, Some(e19Oracle)),
     QueryDef("e18_ann_recall", e18, Some(e18Oracle)),
     QueryDef("d43_cluster_sample", d43, Some(d43Oracle)),

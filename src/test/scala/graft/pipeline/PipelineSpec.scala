@@ -726,4 +726,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1, "a b", 9L), (2, "c d", 5L), (3, "ab ab", 3L)))
   }
+
+  test("d48 accuracy shape: identical docs estimate 1.0 and exact " +
+      "1000000; unrelated doc produces no pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words about other topics entirely here"))
+      .toDF("doc_id", "text")
+    val cands = MinHashLSH.candidatePairs(df, "text", "doc_id",
+      k = 5, numHashes = 64, bands = 16, estThreshold = 0.5,
+      maxBucket = Int.MaxValue, shingleRows = TextAnalysis.shaShingleRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.toSeq === Seq((1L, 2L, 1.0)))
+    val shing = TextAnalysis.shaShingleRows(df, "text", "doc_id", 5)
+      .select(col("id"), col("shingle")).distinct()
+    val n1 = shing.filter(col("id") === 1L).count()
+    val common = shing.filter(col("id") === 1L).select("shingle")
+      .intersect(shing.filter(col("id") === 2L).select("shingle")).count()
+    // identical text → identical shingle sets → exact Jaccard 1
+    assert(n1 === 5L && common === n1)
+  }
 }
