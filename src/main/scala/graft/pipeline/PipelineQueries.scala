@@ -1814,7 +1814,85 @@ object PipelineQueries {
        |ORDER BY pf.doc_a, pf.doc_b""".stripMargin
   }
 
+  // ---- e20: reciprocal rank fusion — the OTHER canonical hybrid
+  // combiner next to e16's rerank: BM25 lexical ranks (d25's scorer,
+  // top-20) fused with more-like-this cosine ranks (top-20 vs doc 0's
+  // embedding — query-by-example) via Similarity.rrfFuse. Every fused
+  // score is an exact BIGINT sum of 1000000 div (60 + rank) terms, so
+  // the gate certifies the fusion arithmetic bit-for-bit; a document
+  // needs only one list to surface (FULL OUTER — q53's join face doing
+  // retrieval work). ----
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val lex = Curation.bm25Rank(docs(s, dir), "text", "doc_id",
+        Seq("spark", "window", "merge"), topK = 20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .select(col("id").as("doc_id"), col("lex_rank"))
+    val vecs = emb(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qv = vecs.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val sem = vecs.crossJoin(broadcast(qv))
+      .withColumn("sim",
+        round(Similarity.cosineFast(col("qv"), col("v")), 6))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("sem_rank") <= 20)
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    Similarity.rrfFuse(lex, sem, k = 60, topN = 10).orderBy("rank")
+  }
+
+  private val e20Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |st AS (SELECT doc_id,
+      |  CAST(len(ws) AS DOUBLE) AS dl,
+      |  CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |  CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf1,
+      |  CAST(len(list_filter(ws, x -> x = 'merge')) AS DOUBLE) AS tf2
+      |  FROM d),
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+      |  CAST(COUNT(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+      |  CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+      |  CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+      |  FROM st),
+      |sc AS (SELECT doc_id, ROUND(
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.25
+      |      / (tf0 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.25
+      |      / (tf1 + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.25
+      |      / (tf2 + 1.25 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+      |  FROM st CROSS JOIN g),
+      |bm AS (SELECT doc_id, score FROM sc WHERE score > 0
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM bm),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT e.vec_id,
+      |    ROUND(list_dot_product(q, v) /
+      |      (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 6) AS sim
+      |  FROM e CROSS JOIN qv),
+      |sem AS (SELECT vec_id AS doc_id, CAST(rn AS INT) AS sem_rank FROM (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+      |  FROM sims) WHERE rn <= 20),
+      |f AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex_rank, sem_rank,
+      |    (COALESCE(1000000 // (60 + lex_rank), 0)
+      |     + COALESCE(1000000 // (60 + sem_rank), 0))::BIGINT AS rrf_u
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+      |r AS (
+      |  SELECT doc_id, lex_rank, sem_rank, rrf_u,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS INT)
+      |      AS rank
+      |  FROM f)
+      |SELECT doc_id, rank, lex_rank, sem_rank, rrf_u
+      |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),
     QueryDef("e19_centroid_outliers", e19, Some(e19Oracle)),
     QueryDef("e18_ann_recall", e18, Some(e18Oracle)),

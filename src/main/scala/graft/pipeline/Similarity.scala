@@ -942,4 +942,32 @@ object Similarity {
       .select(col("label"), col("rn").as("rank"), col("vec_id"),
         col("dist2_q"), col("n"))
   }
+
+  /** Reciprocal rank fusion (Cormack et al. 2009) — THE standard
+    * hybrid-retrieval combiner: each ranked list contributes
+    * 1/(k + rank) per document and the fused score is the sum. Here the
+    * contribution is the exact integer `1000000 div (k + rank)` so the
+    * fused score is a BIGINT — identical on any engine, no float sums.
+    * Inputs are two rank frames (doc_id, <rankCol>); documents missing
+    * from a list contribute 0 (the FULL OUTER join is the fusion's
+    * defining property: a doc needs only ONE list to surface).
+    *
+    * 100 TB shape: rank lists are top-N by construction (tiny); the
+    * fusion is a full-outer join + one global row_number over ≤ 2N
+    * rows — the corpus is never touched here at all. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(k >= 1 && topN >= 1, s"bad rrf params k=$k topN=$topN")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"cast(1000000 div ($k + lex_rank) as bigint)"),
+          lit(0L)) +
+        coalesce(expr(s"cast(1000000 div ($k + sem_rank) as bigint)"),
+          lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_u").desc, col("doc_id"))))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("lex_rank"),
+        col("sem_rank"), col("rrf_u"))
+  }
 }

@@ -748,4 +748,18 @@ class PipelineSpec extends SparkSpec {
     // identical text → identical shingle sets → exact Jaccard 1
     assert(n1 === 5L && common === n1)
   }
+
+  test("rrfFuse: hand-computed integer fusion, one-list docs surface, " +
+      "full-outer semantics") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "lex_rank")
+    val sem = Seq((2L, 1), (3L, 2)).toDF("doc_id", "sem_rank")
+    val out = Similarity.rrfFuse(lex, sem, k = 60, topN = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+    // doc2: 1e6 div 62 + 1e6 div 61 = 16129 + 16393; doc1: 16393 (lex
+    // only); doc3: 16129 (sem only) — both single-list docs surface.
+    assert(out.toSeq === Seq(
+      (2L, 1, 32522L), (1L, 2, 16393L), (3L, 3, 16129L)))
+  }
 }
