@@ -1739,10 +1739,13 @@ object PipelineQueries {
       k = 5, numHashes = 64, bands = 16, estThreshold = 0.5,
       maxBucket = Int.MaxValue, shingleRows = TextAnalysis.shaShingleRows)
     val candIds = cands
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
-    val shing = TextAnalysis.shaShingleRows(d, "text", "doc_id", 5)
-      .join(candIds, Seq("id"), "left_semi")
+    // Semi-join BEFORE shingling: the second sha pass (the expensive
+    // per-shingle crypto hash) runs only on the flagged slice, not the
+    // corpus — at realistic near-dup rates a few percent of the data.
+    val flagged = d.join(candIds, col("doc_id") === col("cid"), "left_semi")
+    val shing = TextAnalysis.shaShingleRows(flagged, "text", "doc_id", 5)
       .select(col("id"), col("shingle").as("h")).distinct()
     val sizes = shing.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = shing.as("x").join(shing.as("y"), "h")
