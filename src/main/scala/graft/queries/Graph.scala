@@ -133,6 +133,69 @@ object Graph {
         expr("(3000000 * n_triangles) div n_wedges").as("global_cc_ppm"))
   }
 
+  /** Common-neighbor link prediction: for every non-adjacent unordered
+    * node pair (u, v) that shares at least one neighbor, emit the three
+    * classic link-prediction scores — common-neighbor count `cn`,
+    * preferential attachment `deg(u)·deg(v)`, and the integer Jaccard
+    * overlap `cn·10⁶ div (deg(u)+deg(v)−cn)` in ppm. Every score is
+    * exact BIGINT arithmetic, so the ranking is engine-independent.
+    *
+    * Input is the [[userCoEdges]] shape (undirected edges given in both
+    * directions). The pair enumeration is a wedge join at the shared
+    * neighbor w — cost Σ_w deg(w)², the same bound q55's census carries
+    * (and the reason both run on the sparse minute-grain graph; a hub
+    * cap or the q55 degree-orientation trick bounds it further when a
+    * production graph has true hubs). Existing edges are removed with
+    * one anti-join; only candidate pairs, never adjacency lists,
+    * materialize. */
+  def linkPredict(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct()
+    val dir = und.unionAll(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = dir.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("dg"))
+    val cn = dir.select(col("src").as("w"), col("dst").as("u"))
+      .join(dir.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    cn.join(und, cn("u") === und("src") && cn("v") === und("dst"),
+        "left_anti")
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(col("u").as("user_a"), col("v").as("user_b"), col("cn"),
+        (col("du") * col("dv")).as("pref_attach"),
+        expr("(cn * 1000000) div (du + dv - cn)").as("jacc_ppm"))
+  }
+
+  /** Bounded ancestor closure over a FOREST edge list (child, parent) —
+    * the generic transitive-closure operator behind hierarchy rollups
+    * (BOM explosion, org charts, category trees). Returns every
+    * (desc_key, anc_key) pair including the reflexive one, by `maxDepth`
+    * unrolled frontier joins; Spark has no recursive CTE, so the closure
+    * is the iterative-join formulation of exactly what the oracle's
+    * WITH RECURSIVE computes.
+    *
+    * `edges` must be functional (at most one parent per child) — that is
+    * what makes the frontier union duplicate-free without a distinct, so
+    * the whole closure is `maxDepth` broadcast-or-shuffle equi-joins and
+    * one unionAll, nothing quadratic. Depth is a hard precondition, not
+    * a convergence loop: a 100 TB hierarchy with unknown depth would
+    * iterate `frontier.isEmpty`-checked batches instead; the fixture
+    * forests (p_partkey div 10) are ≤ 7 deep at any SF. */
+  def ancestorClosure(edges: DataFrame, nodes: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"unrolled closure wants 1..12 levels, got $maxDepth")
+    val e = edges.select(col("child"), col("parent"))
+    val self = nodes.select(col("id").as("desc_key"), col("id").as("anc_key"))
+    val frontiers = Iterator.iterate(self) { f =>
+      f.join(e, f("anc_key") === e("child"))
+        .select(col("desc_key"), col("parent").as("anc_key"))
+    }.take(maxDepth + 1).toSeq
+    frontiers.reduce(_ unionAll _)
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of the
     * endpoint degrees over every directed half-edge. Hubs-link-to-hubs
     * graphs score positive, hub-and-spoke graphs negative (a star is
@@ -312,8 +375,83 @@ object GraphQueries {
       |    (m2 * sxx - sx * sx)::DOUBLE, 6) AS assort
       |FROM s""".stripMargin
 
+  // ---- q58: common-neighbor link prediction on the minute-grain
+  // co-occurrence graph (same derived graph as q55/q57). All three
+  // scores are exact BIGINTs; top-20 under the total order
+  // (cn DESC, user_a, user_b) so the limit is deterministic. ----
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Graph.linkPredict(
+        Graph.userCoEdges(events(s, dir), grain = "minute"))
+      .orderBy(col("cn").desc, col("user_a"), col("user_b"))
+      .limit(20)
+
+  private val q58Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id < b.user_id),
+      |dir AS (
+      |  SELECT src, dst FROM und
+      |  UNION ALL SELECT dst AS src, src AS dst FROM und),
+      |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS dg FROM dir GROUP BY 1),
+      |cn AS (
+      |  SELECT a.dst AS u, b.dst AS v, COUNT(*)::BIGINT AS cn
+      |  FROM dir a JOIN dir b ON a.src = b.src
+      |  WHERE a.dst < b.dst
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT cn.* FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM und
+      |    WHERE und.src = cn.u AND und.dst = cn.v))
+      |SELECT cand.u AS user_a, cand.v AS user_b, cand.cn,
+      |  (x.dg * y.dg)::BIGINT AS pref_attach,
+      |  (cand.cn * 1000000) // (x.dg + y.dg - cand.cn) AS jacc_ppm
+      |FROM cand JOIN deg x ON x.id = cand.u JOIN deg y ON y.id = cand.v
+      |ORDER BY cand.cn DESC, user_a, user_b LIMIT 20""".stripMargin
+
+  // ---- q59: hierarchy rollup by bounded ancestor closure over the
+  // p_partkey div-10 forest (roots 0..9; depth 5 at sf0.1, ≤ 7 at any
+  // SF — maxDepth 7 covers them all). Subtree size and the INTEGER
+  // p_size sum are order-free exact aggregates; the oracle is the same
+  // closure as a recursive CTE. Top-20 under (n_desc DESC, anc_key). ----
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val closure = Graph.ancestorClosure(
+      part.filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 10").as("parent")),
+      part.select(col("p_partkey").as("id")),
+      maxDepth = 7)
+    closure
+      .join(part.select(col("p_partkey").as("desc_key"), col("p_size")),
+        "desc_key")
+      .groupBy("anc_key")
+      .agg(count(lit(1)).as("n_desc"), sum(col("p_size")).as("sum_size"))
+      .orderBy(col("n_desc").desc, col("anc_key"))
+      .limit(20)
+  }
+
+  private val q59Oracle =
+    """WITH RECURSIVE e AS (
+      |  SELECT p_partkey AS child, p_partkey // 10 AS parent
+      |  FROM part WHERE p_partkey >= 10),
+      |cl AS (
+      |  SELECT p_partkey AS desc_key, p_partkey AS anc_key FROM part
+      |  UNION ALL
+      |  SELECT cl.desc_key, e.parent FROM cl JOIN e ON e.child = cl.anc_key)
+      |SELECT cl.anc_key, COUNT(*)::BIGINT AS n_desc,
+      |  CAST(SUM(p.p_size) AS BIGINT) AS sum_size
+      |FROM cl JOIN part p ON p.p_partkey = cl.desc_key
+      |GROUP BY cl.anc_key
+      |ORDER BY n_desc DESC, cl.anc_key LIMIT 20""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
-    QueryDef("q57_assortativity", q57, Some(q57Oracle)))
+    QueryDef("q57_assortativity", q57, Some(q57Oracle)),
+    QueryDef("q58_link_predict", q58, Some(q58Oracle)),
+    QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)))
 }
