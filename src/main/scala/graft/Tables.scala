@@ -16,19 +16,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects unless nanosAsLong is set. The engine's
-      // session builders set it at build time; the guard below only covers
-      // foreign sessions (set once, not on every load), truncating to
-      // microseconds — matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation
-      // on the oracle side.
+      // The fixture generator has shipped `ts` two ways across rounds:
+      // INT64 TIMESTAMP(NANOS) (rejected by Spark's parquet reader unless
+      // nanosAsLong is set, then surfaced as a raw long) and plain
+      // TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Normalize both to
+      // session-zoned TIMESTAMP at microsecond precision so every
+      // downstream query sees one schema. The session timezone is UTC
+      // everywhere in this engine, so the NTZ cast is wall-clock identity —
+      // and matches DuckDB, which reads either encoding as naive TIMESTAMP
+      // (TIMESTAMP_NS truncates to micros) on the oracle side.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
             .contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long: truncate to micros
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (micros storage)
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -107,6 +107,50 @@ class GraphSpec extends SparkSpec {
       r.getDouble(4)) === ((3L, 12L, 30L, 18L, -1.0)))
   }
 
+  test("linkPredict: C4 cycle — both diagonals, exact scores, no adjacent pairs") {
+    import spark.implicits._
+    // Cycle 1–2–3–4–1: every vertex degree 2; adjacent pairs share no
+    // neighbor, the two diagonals share both their neighbors.
+    // cn=2, pref=2·2, jacc = 2e6 div (2+2−2) = 1000000.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 2L, 4L, 1000000L),
+      (2L, 4L, 2L, 4L, 1000000L)))
+  }
+
+  test("linkPredict: existing edges are anti-joined out even when they share neighbors") {
+    import spark.implicits._
+    // K3 {1,2,3} + pendant 3–4: all K3 pairs share a neighbor but are
+    // adjacent → excluded. Only (1,4) and (2,4) survive, via w=3.
+    // deg: 1→2, 2→2, 3→3, 4→1; jacc = 1e6 div (2+1−1) = 500000.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 1L, 2L, 500000L),
+      (2L, 4L, 1L, 2L, 500000L)))
+  }
+
+  test("ancestorClosure: 3-level forest — reflexive + all ancestor pairs, no extras past the depth") {
+    import spark.implicits._
+    // Forest: 4 → 2 → 1, 3 → 1; isolated root 5.
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("child", "parent")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val got = Graph.ancestorClosure(edges, nodes, maxDepth = 4)
+      .as[(Long, Long)].collect().toSeq
+    val expect = Set(
+      (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), // reflexive
+      (2L, 1L), (3L, 1L), (4L, 2L),                     // depth 1
+      (4L, 1L))                                         // depth 2
+    // Exact set AND no duplicate pairs (the functional-edges contract
+    // is what makes the unrolled union duplicate-free).
+    assert(got.size === expect.size && got.toSet === expect)
+  }
+
   test("degreeAssortativity: barbell (two triangles bridged) hand value") {
     import spark.implicits._
     // Triangles {a,b,c}, {d,e,f} bridged by c–d. Degrees: a,b,e,f = 2;
