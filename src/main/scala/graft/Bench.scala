@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point (driver contract: prints ONE JSON line).
   *
@@ -29,22 +28,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The shared front-door builder (Graft.sessionBuilder) carries the
+    // engine confs the bench must inherit — notably the codegen-cache
+    // sizing root-caused in round 9 (the default 100-entry LRU thrashes
+    // at 153 registry queries and re-pays janino compilation per rep;
+    // rationale at the builder).
+    val spark = Graft.sessionBuilder("graft-bench", s"local[$cpus]",
+        cpus.toInt)
       .config("spark.ui.enabled", "false")
-      // Static conf, default 100: the JVM-wide LRU of compiled
-      // whole-stage-codegen classes. 141 registry queries × several
-      // codegen stages each means the default evicts every warm-up
-      // compile before its timed rep runs — each rep then re-pays
-      // janino compilation (~50-200 ms/stage), which is exactly the
-      // uniform "residency drift" the core82 subtotal kept showing as
-      // the registry grew (31 -> 43 s with zero code changes). Sized
-      // to hold every stage of the full registry at once.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def sweep(): Unit = {
@@ -96,6 +87,70 @@ object Bench {
       "q5_semi_anti", "q6_window_topk", "q7_window_running", "q8_setops",
       "q9_rollup", "s1_event_deltas", "s2_tumbling_hour", "s3_sliding_2h1h",
       "s4_session_window", "s5_interval_join", "s6_gap_detect")
+    // Frozen round-9 registry membership (153 queries) — the second
+    // freeze, cut the same way core82 froze at round 7: rounds 12+ get a
+    // recent comparable subset whose delta is a real performance delta
+    // while the registry keeps growing past it.
+    val core153: Set[String] = Set(
+      "d10_hash_split", "d11_neardup_groups", "d12_stratified_sample",
+      "d13_simhash_sha", "d14_minhash_sha", "d15_neardup_pipeline",
+      "d16_contamination", "d17_repetition_quality", "d18_source_quota",
+      "d19_weighted_mix", "d1_exact_dedup", "d20_dup_shingles",
+      "d21_incremental_dedup", "d22_token_budget", "d23_pii_redact",
+      "d24_line_dedup", "d25_bm25_rank", "d26_fuzzy_join",
+      "d27_quality_model", "d28_unigram_surprisal", "d29_sequence_pack",
+      "d2_token_stats", "d30_heavy_hitters", "d31_curation_pipeline",
+      "d32_substr_dedup", "d33_bigram_surprisal", "d34_leakage_safe_split",
+      "d35_cms_estimates", "d36_weighted_sample", "d37_nfc_normalize",
+      "d38_url_filter", "d39_c4_line_filter", "d3_lang_id",
+      "d40_corpus_report", "d41_containment_pairs", "d42_dsir_select",
+      "d43_cluster_sample", "d44_token_pmi", "d45_zipf_fit",
+      "d46_source_overlap", "d47_bpe_merges", "d48_minhash_accuracy",
+      "d4_quality_score", "d5_fingerprint", "d6_jaccard_pairs",
+      "d7_minhash_pairs", "d8_simhash_pairs", "d9_bpe_tokens",
+      "e10_semantic_dedup", "e11_pq_rerank", "e12_ivfpq_residual",
+      "e13_kmeans_refined_ann", "e14_hamming_rerank",
+      "e15_matryoshka_rerank", "e16_hybrid_retrieval", "e17_triplet_mine",
+      "e18_ann_recall", "e19_centroid_outliers", "e1_cosine_topk",
+      "e20_rrf_fusion", "e2_knn_classify", "e3_lsh_ann", "e4_cosine_neardup",
+      "e5_ivf_ann", "e6_quantized_topk", "e7_ivf2_ann", "e8_pq_adc_ann",
+      "e9_ivfpq_ann", "m1_gen_raw", "m2_gen_second", "m3_rollup_minute",
+      "m4_rollup_hour", "m5_rollup_day", "m6_said_seed", "m7_dedup_rollup",
+      "m8_routed_report", "mm1_multimodal_meta", "mm2_frame_sample",
+      "mm3_visual_topk", "mm4_audio_segments", "mm5_scene_cuts", "q10_cube",
+      "q11_distinct", "q12_topk_global", "q13_conditional", "q14_strings",
+      "q15_datetime", "q16_json", "q17_scalar_stats", "q18_asof_join",
+      "q19_ranking", "q1_agg", "q20_correlated_avg", "q21_sql_entry",
+      "q22_array_agg", "q23_range_join", "q24_map_functions",
+      "q25_multiset_ops", "q26_typed_agg", "q27_approx_distinct",
+      "q28_explode_words", "q29_pivot", "q2_selective_filter",
+      "q30_lateral_topn", "q31_range_frame", "q32_grouping_sets",
+      "q33_unpivot", "q34_from_json", "q35_clustered_layout",
+      "q36_window_extras", "q37_sketch_rollup", "q38_corr_moments",
+      "q39_approx_percentile", "q3_join_topk", "q40_bloom_pruned_join",
+      "q41_zorder_layout", "q42_bucketed_join", "q43_salted_sum",
+      "q44_text_roundtrip", "q45_orc_roundtrip", "q46_gapfill_ffill",
+      "q47_sessionize", "q48_gapfill_interp", "q49_dpp_join",
+      "q4_star_broadcast", "q50_scd2_intervals", "q51_pagerank",
+      "q52_ewma_smooth", "q53_full_outer", "q54_funnel",
+      "q55_triangle_census", "q56_cohort_retention", "q57_assortativity",
+      "q58_link_predict", "q59_hierarchy_rollup", "q5_semi_anti",
+      "q6_window_topk", "q7_window_running", "q8_setops", "q9_rollup",
+      "s10_stream_static_join", "s11_stream_dedup", "s12_stream_stream_join",
+      "s13_stream_outer_join", "s1_event_deltas", "s2_tumbling_hour",
+      "s3_sliding_2h1h", "s4_session_window", "s5_interval_join",
+      "s6_gap_detect", "s7_stream_incr_dedup", "s8_stream_ffill",
+      "s9_stream_topk")
+    // The REAL-Structured-Streaming gate rows (s7–s13): each runs actual
+    // micro-batches with checkpointed state, whose per-batch incremental
+    // planning sets a ~0.9 s/batch floor that is certification cost, not
+    // engine throughput. The artifact reports their subtotal so the
+    // headline decomposes into engine cost vs stream-certification cost
+    // — and so nobody "optimizes" certified semantics to win bench
+    // seconds.
+    val streamRows: Set[String] = Set("s7_stream_incr_dedup",
+      "s8_stream_ffill", "s9_stream_topk", "s10_stream_static_join",
+      "s11_stream_dedup", "s12_stream_stream_join", "s13_stream_outer_join")
     // Queries whose first execution pays a one-time physical-layout build
     // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
     // For these the artifact carries `build_s` = rep-1 time minus the
@@ -155,6 +210,12 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core82Total = core82Times.sum
     val core82N = core82Times.size
+    val core153Times = results.filter(r => core153(r._1))
+      .map(_._2).filter(_ >= 0)
+    val core153Total = core153Times.sum
+    val core153N = core153Times.size
+    val streamOverhead = results.filter(r => streamRows(r._1))
+      .map(_._2).filter(_ >= 0).sum
     // build_s: samples are prepended per rep, so .last is the rep-1
     // (chronologically first) run — the one that pays any build-once
     // cost. Attributable ONLY when every rep succeeded: if rep 1 threw,
@@ -167,7 +228,7 @@ object Bench {
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"stream_overhead_s":$streamOverhead,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${

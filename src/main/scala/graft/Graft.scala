@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   *    instead of hand-tuned per-query hints.
   *  - UTC session timezone: all reference timestamps are UTC
   *    (core.clj:63-66); oracle parity requires it.
+  *  - codegen cache sized to the query surface: the default
+  *    `spark.sql.codegen.cache.maxEntries` (100, a static JVM-wide LRU
+  *    of compiled whole-stage-codegen classes) thrashes once a session
+  *    serves ~dozens of distinct queries × several codegen stages each —
+  *    every re-run then re-pays janino compilation (~50-200 ms/stage).
+  *    Root-caused in round 9 (BASELINE.md): raising it took the full
+  *    153-query bench 102.3 → 68.9 s. A production session serving a
+  *    large query surface needs this on the FRONT DOOR, not just in the
+  *    benchmark harness. Sized to hold every stage of a large registry.
   */
 object Graft {
   def sessionBuilder(appName: String = "graft",
@@ -32,6 +41,7 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
 
   /** JSON string literal (quotes included): escapes backslash, quote, and
     * ALL control chars < 0x20 — a tab or CR in an exception message or in

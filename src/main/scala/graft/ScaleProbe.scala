@@ -322,9 +322,10 @@ object ScaleProbe {
          else col("ts")).as("ts"),
         col("event_type"))
     }.reduce(_ unionAll _).localCheckpoint(true)
-    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame,
+        cap: Int = 64): Unit = {
       val t0 = System.nanoTime()
-      val edges = queries.Graph.userCoEdges(c).localCheckpoint(true)
+      val edges = queries.Graph.userCoEdges(c, cap = cap).localCheckpoint(true)
       val ne = edges.count()
       val tEdge = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
@@ -337,7 +338,14 @@ object ScaleProbe {
     }
     probe("1x", corpus(1, shiftTime = false))
     probe(s"${times}x-sparse", corpus(times, shiftTime = true))
+    // The dense axis is the hot-bucket worst case the round-9 verdict
+    // flagged: ×times replicas land in the SAME (hour, type) buckets, so
+    // uncapped |E| grows ≈ ×times² (measured 23× wall in round 9). The
+    // capped default must hold edge count AND wall roughly flat vs 1x —
+    // that contrast is the enforcement evidence.
     probe(s"${times}x-dense", corpus(times, shiftTime = false))
+    probe(s"${times}x-dense-nocap", corpus(times, shiftTime = false),
+      cap = Int.MaxValue)
   }
 
   def main(args: Array[String]): Unit = {

@@ -37,6 +37,100 @@ object Scratch {
       s32.stop()
       return
     }
+    // Decomposed ANN marginal-cost experiment (round 10): at `times`×
+    // corpus and nq queries, materialize the encoded index ONCE, then
+    // time each stage of the candidate pipeline separately for three
+    // scoring kernels — hoisted-LUT ADC, direct ADC, and the two-level
+    // family's cosine — so "which part of the 2× IVF-PQ-vs-IVF2 gap is
+    // scoring" stops being a hypothesis. join* = scored pairs counted,
+    // no window; full* = + top-k window.
+    if (args.headOption.contains("annparts")) {
+      val t = args.lift(1).map(_.toInt).getOrElse(500)
+      val nq = args.lift(2).map(_.toLong).getOrElse(500L)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val n = emb.count()
+      val corpus = emb.crossJoin(
+          spark.range(t.toLong).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * n).as("nn_id"),
+          col("embedding").cast("array<double>").as("nn_vec"))
+        .localCheckpoint(true)
+      val (nlist, nprobe, m, ksub, dim) = (16, 4, 8, 16, 64)
+      val sub = dim / m
+      val sample = corpus
+        .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+        .limit(math.max(nlist, ksub)).collect()
+      val centIds = sample.take(nlist).map(_.get(0))
+      val cents = sample.take(nlist).map(_.getSeq[Double](1).toArray)
+      val cb = Array.tabulate(m, ksub)((j, c) =>
+        sample(c).getSeq[Double](1).slice(j * sub, (j + 1) * sub).toArray)
+      def centLit(i: Int) = array(cents(i).map(lit): _*)
+      def cos(v: org.apache.spark.sql.Column, i: Int) =
+        round(functions.CosineSim.cosine_sim(v, centLit(i)), 9)
+      import functions.PqAdc.{pq_adc, pq_encode, pq_lut, pq_lut_adc}
+      val listed = corpus.withColumn("cell",
+          greatest((0 until nlist).map(i =>
+            struct(cos(col("nn_vec"), i).as("s"),
+              lit(centIds(i)).as("c"))): _*).getField("c"))
+        .select(col("cell"), col("nn_id"),
+          pq_encode(col("nn_vec"), cb, dim).as("codes"),
+          col("nn_vec"))
+        .localCheckpoint(true)   // index build EXCLUDED from all timings
+      val probes = corpus.filter(col("nn_id") < nq)
+        .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+          explode(slice(sort_array(array((0 until nlist).map(i =>
+            struct(cos(col("nn_vec"), i).as("s"),
+              lit(centIds(i)).as("c"))): _*), asc = false),
+            1, nprobe)).as("pc"))
+        .select(col("q_id"), col("q_vec"),
+          pq_lut(col("q_vec"), cb, dim).as("q_lut"),
+          col("pc.c").as("cell"))
+        .localCheckpoint(true)
+      def joined = broadcast(probes).join(listed, Seq("cell"))
+        .filter(col("q_id") =!= col("nn_id"))
+      def topk(scored: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("adist"), col("nn_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+      }
+      def lutScored = joined.select(col("q_id"), col("nn_id"),
+        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist"))
+      def adcScored = joined.select(col("q_id"), col("nn_id"),
+        round(pq_adc(col("q_vec"), col("codes"), cb, dim), 6).as("adist"))
+      def cosScored = joined.select(col("q_id"), col("nn_id"),
+        round(functions.CosineSim.cosine_sim(col("q_vec"), col("nn_vec")), 6)
+          .as("adist"))
+      time("pairs only")(joined.select(col("q_id")).count())
+      time("join+LUT adc")(lutScored.count())
+      time("join+direct adc")(adcScored.count())
+      time("join+cosine")(cosScored.count())
+      time("full LUT")(topk(lutScored).count())
+      time("full direct")(topk(adcScored).count())
+      time("full cosine")(topk(cosScored).count())
+      time("full LUT (rep2)")(topk(lutScored).count())
+      spark.stop()
+      return
+    }
+    // Physical-plan dump for the ANN candidate→window pipelines: what
+    // actually rides the window exchange (the round-10 ADC-hoisting
+    // question: does the per-query LUT/vector column get pruned below
+    // the rank window or does it ship per candidate row?).
+    if (args.headOption.contains("plan")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val df = args.lift(1).getOrElse("ivfpq") match {
+        case "ivfpq" =>
+          pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, 5)
+        case "ivf2" =>
+          pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+            nlist = 256, nprobe = 64, superProbe = 4)
+        case "pq" =>
+          pipeline.Similarity.pqTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      }
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
     time("warm scan")(docs.count())
     val hashed = pipeline.TextAnalysis.hashedShingleRows(docs, "text", "doc_id", 5)
     time("hashed shingle rows")(hashed.count())

@@ -30,13 +30,27 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
         case LongType => // nanos-as-long: truncate to micros
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case TimestampType => raw
-        case _ => // TIMESTAMP_NTZ (micros storage)
+        case TimestampNTZType =>
+          // The NTZ→TIMESTAMP cast is wall-clock identity ONLY under a
+          // UTC session (the oracle reads the same file as naive
+          // TIMESTAMP); a foreign session with another zone would shift
+          // instants silently, so fail loudly instead (ADVICE r9).
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; casting under session timezone " +
+              s"'$tz' would shift instants — set spark.sql.session.timeZone=UTC " +
+              "(Graft.sessionBuilder does)")
           raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          // A third encoding from the fixture generator must fail fast,
+          // not silently cast to nulls (ADVICE r9).
+          throw new IllegalStateException(
+            s"events.ts: unexpected parquet type $other — fixture schema drift")
       }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")

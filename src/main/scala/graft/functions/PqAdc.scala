@@ -110,9 +110,16 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Double],
 }
 
 /** Asymmetric distance: L2² between an exact query vector (left) and the
-  * codebook reconstruction of a code array (right). Accumulates over the
-  * full dimension in flattened array order — bit-identical to folding
-  * (q − recon)² over the reconstructed 64-dim array. */
+  * codebook reconstruction of a code array (right).
+  *
+  * Numeric contract (round-10 revision): the distance is the sum, over
+  * subspaces j ascending, of per-subspace partial sums Σ_i (q−cb)² (each
+  * folded i ascending). This per-subspace parenthesization is EXACTLY
+  * what [[PqLutAdcExpr]] computes from a hoisted [[PqLutExpr]] table —
+  * the direct kernel, the LUT path, the HOF reference form
+  * (`Similarity.pqAdcHof`), and the DuckDB oracles (e8/e9/e11/e12) all
+  * share this fold, so direct ≡ LUT is bit-identical (spec-asserted),
+  * not merely 6-dp-equal. */
 case class PqAdcExpr(left: Expression, right: Expression,
     codebook: Array[Double], dim: Int, m: Int, ksub: Int)
     extends BinaryExpression {
@@ -136,12 +143,14 @@ case class PqAdcExpr(left: Expression, right: Expression,
     var j = 0
     while (j < m) {
       val off = ((j * ksub) + cd.getInt(j)) * sub
+      var d = 0.0
       var i = 0
       while (i < sub) {
         val t = v.getDouble(j * sub + i) - codebook(off + i)
-        acc += t * t
+        d += t * t
         i += 1
       }
+      acc += d
       j += 1
     }
     acc
@@ -151,6 +160,7 @@ case class PqAdcExpr(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
       val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
@@ -164,10 +174,12 @@ case class PqAdcExpr(left: Expression, right: Expression,
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
          |  int $off = (($j * $ksub) + $b.getInt($j)) * $sub;
+         |  double $d = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    double $t = $a.getDouble($j * $sub + $i) - $cbRef[$off + $i];
-         |    $acc += $t * $t;
+         |    $d += $t * $t;
          |  }
+         |  $acc += $d;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -175,6 +187,144 @@ case class PqAdcExpr(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query ADC lookup table — the table-hoisting half of the classic
+  * PQ serving optimization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", §IV-A): for ONE query vector, precompute
+  * LUT[j·ksub + c] = Σ_i (q[j·sub+i] − codebook[j][c][i])² for every
+  * (subspace j, code c). Cost is m·ksub·sub = dim·ksub fused
+  * multiply-adds — paid ONCE PER QUERY ROW (the column is computed on
+  * the broadcast probe side BEFORE the candidate join), after which
+  * every candidate costs only m array reads ([[PqLutAdcExpr]]) instead
+  * of dim FMAs. At c candidates/query the flop count drops from c·dim
+  * to dim·ksub + c·m — for the e9 shape (dim 64, m 8, ksub 16) an 8×
+  * per-candidate reduction, repaid once c > ksub·m/(m−1) ≈ 18.
+  *
+  * Each LUT entry folds i ascending — identical to the inner loop of
+  * [[PqAdcExpr]], so the LUT path reproduces the direct kernel
+  * bit-for-bit. Output layout is j-major: entry (j, c) at j·ksub + c. */
+case class PqLutExpr(child: Expression, codebook: Array[Double],
+    dim: Int, m: Int, ksub: Int) extends UnaryExpression {
+
+  require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+  private def sub: Int = dim / m
+  require(codebook.length == m * ksub * sub,
+    s"codebook ${codebook.length} != m $m × ksub $ksub × sub $sub")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"pq_lut: expected array of exactly $dim elements, got ${v.numElements()}")
+    }
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val off = ((j * ksub) + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val t = v.getDouble(j * sub + i) - codebook(off + i)
+          d += t * t
+          i += 1
+        }
+        out(j * ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val off = ctx.freshName("off")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_lut: expected array of exactly $dim elements, got " + $a.numElements());
+         |}
+         |double[] $out = new double[${m * ksub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    int $off = (($j * $ksub) + $c) * $sub;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $t = $a.getDouble($j * $sub + $i) - $cbRef[$off + $i];
+         |      $d += $t * $t;
+         |    }
+         |    $out[$j * $ksub + $c] = $d;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqLutExpr = copy(child = newChild)
+}
+
+/** ADC from a hoisted lookup table: Σ_j LUT[j·ksub + codes[j]], folded
+  * j ascending — m array reads and adds per candidate, no codebook, no
+  * floating-point subtractions. Bit-identical to [[PqAdcExpr]] on the
+  * same (query, codes) pair because each LUT entry IS the direct
+  * kernel's per-subspace partial sum and both fold those partials in
+  * the same order (spec-asserted in PipelineSpec). */
+case class PqLutAdcExpr(left: Expression, right: Expression,
+    m: Int, ksub: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(lut: Any, codes: Any): Any = {
+    val l = lut.asInstanceOf[ArrayData]
+    val cd = codes.asInstanceOf[ArrayData]
+    if (l.numElements() != m * ksub || cd.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"pq_lut_adc: expected lut[${m * ksub}] and codes[$m], got " +
+          s"${l.numElements()} and ${cd.numElements()}")
+    }
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += l.getDouble(j * ksub + cd.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($a.numElements() != ${m * ksub} || $b.numElements() != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_lut_adc: expected lut[${m * ksub}] and codes[$m], got " +
+         |    $a.numElements() + " and " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $a.getDouble($j * $ksub + $b.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqLutAdcExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -191,4 +341,13 @@ object PqAdc {
       dim: Int): Column =
     bridge.column(PqAdcExpr(bridge.expression(q), bridge.expression(codes),
       flat(cb), dim, cb.length, cb.head.length))
+
+  def pq_lut(q: Column, cb: Array[Array[Array[Double]]], dim: Int): Column =
+    bridge.column(PqLutExpr(bridge.expression(q), flat(cb),
+      dim, cb.length, cb.head.length))
+
+  def pq_lut_adc(lut: Column, codes: Column,
+      cb: Array[Array[Array[Double]]]): Column =
+    bridge.column(PqLutAdcExpr(bridge.expression(lut),
+      bridge.expression(codes), cb.length, cb.head.length))
 }

@@ -689,7 +689,9 @@ object PipelineQueries {
   // encoding (UNROUNDED sub-distance argmin, ties to the smaller code —
   // both engines compute the identical fold, the e7 precedent),
   // reconstruction (flatten of codebook slices in subspace order), and
-  // the full-dimension ADC fold. Kernel ≡ HOF reference forms and
+  // the per-subspace ADC fold (the hoisted-LUT parenthesization — the
+  // Spark side computes the query's m×ksub table once per query and the
+  // per-candidate distance is m table reads). Kernel ≡ HOF reference forms and
   // shortlist recall vs exact L2 asserted in PipelineSpec. ----
   private def e8(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(emb(s, dir), "vec_id", "embedding", _ < 20, k = 5)
@@ -720,8 +722,10 @@ object PipelineQueries {
       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
       |adc AS (
       |  SELECT q.q_id, r.vec_id AS nn_id,
-      |    ROUND(list_sum(list_transform(generate_series(1, 64),
-      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))), 6) AS adist
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (q.qv[j*8+i] - r.rv[j*8+i])
+      |             * (q.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
       |  FROM q JOIN recon r ON q.q_id <> r.vec_id),
       |rk AS (
       |  SELECT q_id, nn_id, adist,
@@ -778,8 +782,10 @@ object PipelineQueries {
       |  GROUP BY enc.vec_id),
       |adc AS (
       |  SELECT p.q_id, cl.vec_id AS nn_id,
-      |    ROUND(list_sum(list_transform(generate_series(1, 64),
-      |      i -> (p.qv[i] - r.rv[i]) * (p.qv[i] - r.rv[i]))), 6) AS adist
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (p.qv[j*8+i] - r.rv[j*8+i])
+      |             * (p.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
       |  FROM probes p
       |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
       |  JOIN recon r ON r.vec_id = cl.vec_id),
@@ -826,8 +832,10 @@ object PipelineQueries {
       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
       |adc AS (
       |  SELECT q.q_id, r.vec_id AS nn_id,
-      |    ROUND(list_sum(list_transform(generate_series(1, 64),
-      |      i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))), 6) AS adist
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (q.qv[j*8+i] - r.rv[j*8+i])
+      |             * (q.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
       |  FROM q JOIN recon r ON q.q_id <> r.vec_id),
       |sl AS (
       |  SELECT q_id, nn_id FROM (
@@ -898,9 +906,10 @@ object PipelineQueries {
       |  WHERE vec_id < 20 AND rn <= 4),
       |adc AS (
       |  SELECT p.q_id, res.vec_id AS nn_id,
-      |    ROUND(list_sum(list_transform(generate_series(1, 64),
-      |      i -> ((p.qv[i] - p.cv[i]) - rc.rv[i])
-      |           * ((p.qv[i] - p.cv[i]) - rc.rv[i]))), 6) AS adist
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> ((p.qv[j*8+i] - p.cv[j*8+i]) - rc.rv[j*8+i])
+      |             * ((p.qv[j*8+i] - p.cv[j*8+i]) - rc.rv[j*8+i]))))), 6) AS adist
       |  FROM probes p
       |  JOIN res ON res.cell = p.cid AND res.vec_id <> p.q_id
       |  JOIN recon rc ON rc.vec_id = res.vec_id),
@@ -1665,8 +1674,10 @@ object PipelineQueries {
       |  GROUP BY enc.vec_id),
       |adc AS (
       |  SELECT p.q_id, cl.vec_id AS nn_id,
-      |    ROUND(list_sum(list_transform(generate_series(1, 64),
-      |      i -> (p.qv[i] - r.rv[i]) * (p.qv[i] - r.rv[i]))), 6) AS adist
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (p.qv[j*8+i] - r.rv[j*8+i])
+      |             * (p.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
       |  FROM probes p
       |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
       |  JOIN recon r ON r.vec_id = cl.vec_id),

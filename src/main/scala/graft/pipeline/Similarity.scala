@@ -353,16 +353,21 @@ object Similarity {
     // bit-identical to the HOF forms below (spec-asserted), ~an order of
     // magnitude less per-row overhead (no struct argmin chains, no
     // flatten allocation per candidate)
-    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    import graft.functions.PqAdc.{pq_encode, pq_lut, pq_lut_adc}
     val encoded = corpus.select(col("nn_id"),
       pq_encode(col("nn_vec"), cb, dim).as("codes"))
+    // table-hoisted ADC: the query's m×ksub distance table is computed
+    // ONCE per query row on the broadcast side; per candidate the scored
+    // join does m array reads instead of dim FMAs (8× here) — the Jégou
+    // ADC serving layout, bit-identical to pq_adc (spec-asserted)
     val queries = corpus.filter(queryPred(col("nn_id")))
-      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+      .select(col("nn_id").as("q_id"),
+        pq_lut(col("nn_vec"), cb, dim).as("q_lut"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("nn_id"))
     broadcast(queries).join(encoded, col("q_id") =!= col("nn_id"))
       .withColumn("adist",
-        round(pq_adc(col("q_vec"), col("codes"), cb, dim), 6))
+        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
@@ -417,7 +422,7 @@ object Similarity {
     def cellScores(v: Column): Column = array((0 until nlist).map(i =>
       struct(round(cosineFast(v, centLit(i)), 9).as("s"),
         lit(centIds(i)).as("c"))): _*)
-    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    import graft.functions.PqAdc.{pq_encode, pq_lut, pq_lut_adc}
     // the stored index: routing cell + codes, vectors dropped
     val listed = corpus.withColumn("cell",
         greatest((0 until nlist).map(i =>
@@ -425,17 +430,21 @@ object Similarity {
             lit(centIds(i)).as("c"))): _*).getField("c"))
       .select(col("cell"), col("nn_id"),
         pq_encode(col("nn_vec"), cb, dim).as("codes"))
+    // table-hoisted ADC: LUT computed once per QUERY (before the nprobe
+    // explode — the probed cells share it); the cell-joined scan then
+    // pays m array reads per candidate instead of dim FMAs
     val probes = corpus.filter(queryPred(col("nn_id")))
-      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+      .select(col("nn_id").as("q_id"),
+        pq_lut(col("nn_vec"), cb, dim).as("q_lut"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+      .select(col("q_id"), col("q_lut"), col("pc.c").as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("nn_id"))
     broadcast(probes).join(listed, Seq("cell"))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("adist",
-        round(pq_adc(col("q_vec"), col("codes"), cb, dim), 6))
+        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
@@ -503,26 +512,28 @@ object Similarity {
       s"corpus smaller than nlist=$nlist + ksub=$ksub")
     val cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub)((j, c) =>
       cbRows(c).getSeq[Double](0).slice(j * sub, (j + 1) * sub).toArray)
-    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    import graft.functions.PqAdc.{pq_encode, pq_lut, pq_lut_adc}
     val listed = withRes.select(col("cell"), col("nn_id"),
       pq_encode(col("res"), cb, dim).as("codes"))
-    // query residual computed ONCE per (query, probed cell) — q×nprobe
-    // rows — BEFORE the candidate join; carrying it through the join
-    // instead of recomputing per candidate keeps the per-pair work at
-    // exactly one ADC kernel call
+    // query residual — and its hoisted ADC lookup table — computed ONCE
+    // per (query, probed cell) — q×nprobe rows — BEFORE the candidate
+    // join (residuals are cell-dependent, so unlike ivfPqTopK the LUT
+    // cannot hoist above the explode); per candidate the scored join
+    // pays m array reads instead of dim FMAs
     val probes = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
-      .withColumn("q_res", residual(col("q_vec"), col("cell")))
-      .select(col("q_id"), col("cell"), col("q_res"))
+      .withColumn("q_lut",
+        pq_lut(residual(col("q_vec"), col("cell")), cb, dim))
+      .select(col("q_id"), col("cell"), col("q_lut"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("nn_id"))
     broadcast(probes).join(listed, Seq("cell"))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("adist",
-        round(pq_adc(col("q_res"), col("codes"), cb, dim), 6))
+        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
@@ -666,8 +677,10 @@ object Similarity {
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin
     * UNROUNDED sub-distance, ties to the smaller code (both engines
     * compute the identical fold, so no rounding is needed for oracle
-    * stability — the e7 precedent). ADC: fold (q − reconstruction)²
-    * over the full dimension in array order. */
+    * stability — the e7 precedent). ADC: sum over subspaces j ascending
+    * of per-subspace partials Σ_i (q − reconstruction)² (each folded i
+    * ascending) — the parenthesization a hoisted lookup table produces,
+    * shared by PqAdcExpr, the LUT path, and the DuckDB oracles. */
   private[pipeline] def pqEncodeHof(v: Column,
       cb: Array[Array[Array[Double]]]): Column = {
     val m = cb.length
@@ -686,11 +699,13 @@ object Similarity {
       cb: Array[Array[Array[Double]]]): Column = {
     val m = cb.length
     val ksub = cb.head.length
+    val sub = cb.head.head.length
     def cbLit(j: Int, c: Int): Column = array(cb(j)(c).map(lit): _*)
     def cbAll(j: Int): Column = array((0 until ksub).map(cbLit(j, _)): _*)
-    val recon = flatten(array((0 until m).map(j =>
-      element_at(cbAll(j), codes.getItem(j) + 1)): _*))
-    pqSqDist(q, recon)
+    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + pqSqDist(slice(q, j * sub + 1, sub),
+        element_at(cbAll(j), codes.getItem(j) + 1))
+    }
   }
 
   private[pipeline] def pqSqDist(a: Column, b: Column): Column =

@@ -68,14 +68,37 @@ object Graph {
 
   /** Co-occurrence edge derivation over the events fixture: users active
     * in the same (hour, event_type) bucket are linked both ways. The
-    * self-join is keyed on the bucket, so cost is Σ k_b² over bucket
-    * sizes — bounded by the bucket grain, never corpus-quadratic; the
-    * DISTINCT collapses repeat co-occurrence. */
-  def userCoEdges(events: DataFrame, grain: String = "hour"): DataFrame = {
+    * self-join is keyed on the bucket, so cost is Σ min(k_b, cap)² over
+    * bucket sizes — and since round 10 that bound is ENFORCED, not
+    * advisory: each bucket contributes at most its `cap` first members
+    * in deterministic sha-order (the d43 window pattern — an unbiased
+    * deterministic sample, not an id-biased one), so one hot
+    * (grain, type) bucket can no longer create a quadratic task (the
+    * dense-axis probe in BASELINE.md measured exactly the predicted
+    * ×k² edge blow-up before the cap). The fixture buckets peak at 6
+    * members (minute grain) / 51 (hour, sf0.1), so the default cap = 64
+    * is result-IDENTICAL to the uncapped semantics on every gate query
+    * (spec-asserted in GraphSpec) while bounding the worst case; pass a
+    * smaller cap to trade recall of intra-bucket edges for a hard
+    * per-bucket budget (q60 gate-certifies the biting cap against an
+    * oracle replaying the same sha-ordered window).
+    *
+    * The cap window partitions by the SAME (h, event_type) key the
+    * self-join shuffles on, so the exchange is shared; the DISTINCT
+    * collapses repeat co-occurrence. */
+  def userCoEdges(events: DataFrame, grain: String = "hour",
+      cap: Int = 64): DataFrame = {
+    require(cap >= 2, s"cap=$cap cannot produce any co-occurrence pair")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("event_type"))
+      .orderBy(sha2(col("user_id").cast("string"), 256), col("user_id"))
     val ev = events
       .select(col("user_id"), date_trunc(grain, col("ts")).as("h"),
         col("event_type"))
       .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
     ev.as("a").join(ev.as("b"),
         col("a.h") === col("b.h") &&
           col("a.event_type") === col("b.event_type") &&
@@ -448,10 +471,44 @@ object GraphQueries {
       |GROUP BY cl.anc_key
       |ORDER BY n_desc DESC, cl.anc_key LIMIT 20""".stripMargin
 
+  // ---- q60: the ENFORCED hot-bucket cap, biting — minute-grain
+  // co-occurrence with cap = 4 (fixture buckets reach 6 at sf0.1 / 3 at
+  // sf0.01, so real trimming happens at the bench SF), summarized as the
+  // top-20 capped degrees. The oracle replays the cap mechanism itself:
+  // the same sha-ordered ROW_NUMBER window over (minute, type) buckets
+  // (sha256-hex ordering is identical in both engines — the e5/e8
+  // codebook precedent), then the same join/distinct/degree. Equivalence
+  // of the DEFAULT cap (64) to uncapped semantics on the fixture is
+  // spec-asserted in GraphSpec; this row certifies the trimming path. ----
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    Graph.userCoEdges(events(s, dir), grain = "minute", cap = 4)
+      .groupBy(col("src").as("user_id"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("user_id"))
+      .limit(20)
+
+  private val q60Oracle =
+    """WITH ev0 AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |ev AS (
+      |  SELECT user_id, h, event_type FROM (
+      |    SELECT user_id, h, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY h, event_type
+      |        ORDER BY sha256(CAST(user_id AS VARCHAR)), user_id) AS rn
+      |    FROM ev0) WHERE rn <= 4),
+      |e AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id <> b.user_id)
+      |SELECT src AS user_id, COUNT(*)::BIGINT AS deg
+      |FROM e GROUP BY 1 ORDER BY deg DESC, user_id LIMIT 20""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
     QueryDef("q57_assortativity", q57, Some(q57Oracle)),
     QueryDef("q58_link_predict", q58, Some(q58Oracle)),
-    QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)))
+    QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)),
+    QueryDef("q60_capped_coedges", q60, Some(q60Oracle)))
 }

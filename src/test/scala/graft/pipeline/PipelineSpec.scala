@@ -193,7 +193,7 @@ class PipelineSpec extends SparkSpec {
       col("vec_id")).limit(16).collect()
     val cb = Array.tabulate(8, 16)((j, c) =>
       cbRows(c).getSeq[Double](1).slice(j * 8, (j + 1) * 8).toArray)
-    import graft.functions.PqAdc.{pq_adc, pq_encode}
+    import graft.functions.PqAdc.{pq_adc, pq_encode, pq_lut, pq_lut_adc}
     val enc = emb.select(col("vec_id"), col("v"),
       pq_encode(col("v"), cb, 64).cast("array<int>").as("k"),
       Similarity.pqEncodeHof(col("v"), cb).cast("array<int>").as("h"))
@@ -202,9 +202,15 @@ class PipelineSpec extends SparkSpec {
     val adc = enc.select(col("v"), col("k"))
       .withColumn("dk", pq_adc(col("v"), col("k"), cb, 64))
       .withColumn("dh", Similarity.pqAdcHof(col("v"), col("k"), cb))
+      .withColumn("dl", pq_lut_adc(pq_lut(col("v"), cb, 64), col("k"), cb))
     // bit-exact, not approximately equal: same fold order by design
     assert(adc.filter(col("dk") =!= col("dh")).count() === 0,
       "fused ADC diverged from the HOF fold")
+    // the hoisted-LUT path (the serving layout the operators use) must
+    // reproduce the direct kernel bit-for-bit: each LUT entry IS the
+    // per-subspace partial, both fold partials j-ascending
+    assert(adc.filter(col("dl") =!= col("dk")).count() === 0,
+      "hoisted-LUT ADC diverged from the direct kernel")
   }
 
   test("pq ann: recall@5 vs exact L2 is nontrivial, contract holds") {

@@ -73,6 +73,42 @@ class GraphSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("userCoEdges: default cap is result-identical to uncapped on the fixture") {
+    // The enforced hot-bucket contract's equivalence face: fixture
+    // buckets peak well below 64 members at either grain, so cap = 64
+    // (the default every gate query runs under) must reproduce the
+    // uncapped edge set exactly — the cap only ever bites on a true hot
+    // bucket. Int.MaxValue disables trimming without a second code path.
+    val ev = graft.Tables.load(spark, sf(), "events")
+    for (grain <- Seq("minute", "hour")) {
+      val capped = Graph.userCoEdges(ev, grain)
+      val uncapped = Graph.userCoEdges(ev, grain, cap = Int.MaxValue)
+      assert(capped.exceptAll(uncapped).isEmpty &&
+        uncapped.exceptAll(capped).isEmpty,
+        s"cap=64 changed the $grain-grain edge set on the fixture")
+    }
+  }
+
+  test("userCoEdges: a hot bucket is trimmed to the sha-ordered cap members") {
+    import spark.implicits._
+    // 50 users all in ONE (hour, type) bucket — uncapped this is
+    // 50·49 = 2450 directed edges; cap = 8 must keep exactly the 8
+    // sha-first members and emit 8·7 = 56 edges over precisely them.
+    val ev = (1L to 50L)
+      .map(u => (u, Timestamp.valueOf("2024-01-01 10:05:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val edges = Graph.userCoEdges(ev, cap = 8)
+      .as[(Long, Long)].collect().toSeq
+    val expectedMembers = (1L to 50L)
+      .sortBy(u => (java.security.MessageDigest.getInstance("SHA-256")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, u))
+      .take(8).toSet
+    assert(edges.size === 8 * 7)
+    assert(edges.flatMap(e => Seq(e._1, e._2)).toSet === expectedMembers)
+    assert(Graph.userCoEdges(ev, cap = Int.MaxValue).count() === 50L * 49L)
+  }
+
   test("triangleCensus: hand-built graph — one triangle plus a pendant") {
     import spark.implicits._
     // K3 on {1,2,3} plus pendant edge 3–4: 4 nodes, 4 edges,
