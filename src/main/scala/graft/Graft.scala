@@ -42,6 +42,14 @@ object Graft {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // The ANN ladder's per-query top-k runs as an ObjectHashAggregate
+      // (graft.functions.TopKPairsAgg); past this many groups per task
+      // Spark silently falls back to SORT-BASED aggregation, which
+      // reintroduces the exact 125M-row candidate sort the aggregate
+      // exists to avoid (BASELINE.md round-10 ANN decomposition).
+      // Buffers are ~16·k bytes, so 65536 live groups is tens of MB.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
 
   /** JSON string literal (quotes included): escapes backslash, quote, and
     * ALL control chars < 0x20 — a tab or CR in an exception message or in

@@ -25,6 +25,26 @@ object Multimodal {
   case class DecodedRow(doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, features: Array[Float])
 
+  /** The decoder seam (round-10): a real codec (ImageIO, a JNI binding,
+    * an Arrow-batched native lib) drops in by implementing this ONE
+    * method; every downstream contract — schema, mapPartitions batch
+    * shape, map-side-only placement, feature-array sizing — is
+    * decoder-agnostic and stays certified as-is (mm1–mm3 run against
+    * whatever decoder is passed; the gate pins the stub). Instances ship
+    * inside task closures, hence Serializable; implementations must be
+    * thread-safe (one instance serves a whole executor). */
+  trait ImageDecoder extends Serializable {
+    /** payload bytes → (width, height, feature vector). */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float])
+  }
+
+  /** The environment-bound default: this container has no image
+    * libraries, so the stub below stands in. */
+  object StubImageDecoder extends ImageDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+      decodeStub(payload)
+  }
+
   /** STUB decoder — deterministic fake standing in for an image codec.
     * Real implementation would parse the container format here. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -49,23 +69,25 @@ object Multimodal {
 
   /** Batch decode via mapPartitions: one JVM-side pass per partition,
     * mirroring an Arrow-batched UDF's shape (iterator in → iterator out). */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def decode(media: Dataset[MediaRow],
+      decoder: ImageDecoder = StubImageDecoder): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h, feats) = decodeStub(r.payload)
+        val (w, h, feats) = decoder.decode(r.payload)
         DecodedRow(r.doc_id, r.media_type, r.payload.length, w, h, feats)
       }
     }
   }
 
   /** End-to-end: documents → payload → decode → features table. */
-  def featureTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def featureTable(spark: SparkSession, docs: DataFrame,
+      decoder: ImageDecoder = StubImageDecoder): DataFrame = {
     import spark.implicits._
     val media = withPayload(docs, "text")
       .select(col("doc_id"), col("payload"), col("media_type"))
       .as[MediaRow]
-    decode(media).toDF()
+    decode(media, decoder).toDF()
   }
 
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
@@ -75,11 +97,12 @@ object Multimodal {
     * deterministic out_w×out_h grid from the fake decode. The Spark
     * contract it exercises is the real one: fat rows in, bounded-size rows
     * out, map-side only (payloads never shuffle). */
-  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int,
+      decoder: ImageDecoder = StubImageDecoder): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h, feats) = decodeStub(r.payload)
+        val (w, h, feats) = decoder.decode(r.payload)
         val px = Array.tabulate(outW * outH) { i =>
           feats(i % feats.length) * ((i / feats.length + 1).toFloat /
             (outW * outH / feats.length + 1))

@@ -45,22 +45,39 @@ object Similarity {
           "null/empty first vector); pass dim explicitly")
     }
 
+  /** Per-query bounded top-k over a scored candidate frame
+    * (q_id, nn_id, `valCol`) — as an AGGREGATE ([[graft.functions.TopKPairsAgg]]),
+    * not a sort+window. The round-10 decomposition (BASELINE.md) measured
+    * the `row_number` window at >99% of ANN marginal query cost (the
+    * plan sorts every partition's full candidate slice); the k-bounded
+    * buffer pays one compare per candidate instead and ships only
+    * k rows per (task, query) across the shuffle. The (val, nn_id)
+    * total order is EXACTLY the window formulation's, so results are
+    * row-for-row identical (spec-asserted). */
+  private def aggTopK(scored: DataFrame, k: Int, valCol: String,
+      asc: Boolean): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topk_pairs(col(valCol), col("nn_id"), k,
+        asc).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nn_id"), col("col.ord").as(valCol))
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred` on the id column), the k nearest other vectors.
     * The query side is broadcast — the corpus is scanned exactly once with
-    * no shuffle before the per-query top-k window. */
+    * no shuffle before the per-query bounded top-k aggregation. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec"))
     val queries = emb.filter(queryPred(col(idCol)))
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
-    broadcast(queries).join(corpus, col("q_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+    val scored = broadcast(queries)
+      .join(corpus, col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim"))
+    aggTopK(scored, k, "sim", asc = false)
   }
 
   /** k-NN majority-vote label prediction from a top-k result (ties → smaller
@@ -277,17 +294,14 @@ object Similarity {
     * broadcast the (tiny) probe set, hash-join on cell, rank rounded
     * cosines within each query. */
   private def probedTopK(listed: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
-    broadcast(probes)
-      .join(listed, Seq("cell"))
-      .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
-  }
+      k: Int): DataFrame =
+    aggTopK(
+      broadcast(probes)
+        .join(listed, Seq("cell"))
+        .filter(col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim")),
+      k, "sim", asc = false)
 
   /** IVF top-k against INJECTED centroids — the refined-quantizer face:
     * [[kmeansRefine]]/[[kmeansRefineExact]] produce centroids, this
@@ -363,14 +377,11 @@ object Similarity {
     val queries = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"),
         pq_lut(col("nn_vec"), cb, dim).as("q_lut"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist"), col("nn_id"))
-    broadcast(queries).join(encoded, col("q_id") =!= col("nn_id"))
-      .withColumn("adist",
-        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+    aggTopK(
+      broadcast(queries).join(encoded, col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
+      k, "adist", asc = true)
   }
 
   /** IVF-PQ ANN top-k — the composed layout the two halves were built
@@ -439,15 +450,12 @@ object Similarity {
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_lut"), col("pc.c").as("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist"), col("nn_id"))
-    broadcast(probes).join(listed, Seq("cell"))
-      .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("adist",
-        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+    aggTopK(
+      broadcast(probes).join(listed, Seq("cell"))
+        .filter(col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
+      k, "adist", asc = true)
   }
 
   /** Residual IVF-PQ ANN top-k — the classic refinement over
@@ -528,15 +536,12 @@ object Similarity {
       .withColumn("q_lut",
         pq_lut(residual(col("q_vec"), col("cell")), cb, dim))
       .select(col("q_id"), col("cell"), col("q_lut"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist"), col("nn_id"))
-    broadcast(probes).join(listed, Seq("cell"))
-      .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("adist",
-        round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("adist"))
+    aggTopK(
+      broadcast(probes).join(listed, Seq("cell"))
+        .filter(col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
+      k, "adist", asc = true)
   }
 
   /** PQ shortlist → exact re-rank — how IVF-PQ deployments actually
@@ -602,16 +607,18 @@ object Similarity {
       signWord(col(vecCol), 0).as("lo"), signWord(col(vecCol), 32).as("hi"))
     val qsigs = sigs.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
-    val sw = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming"), col("nn_id"))
-    val short = broadcast(qsigs)
-      .join(sigs, col("q_id") =!= col("nn_id"))
-      .withColumn("hamming",
-        bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
-          bit_count(col("q_hi").bitwiseXOR(col("hi"))))
-      .withColumn("srn", row_number().over(sw))
-      .filter(col("srn") <= shortlist)
-      .select(col("q_id"), col("nn_id"), col("hamming"))
+    // bounded-top-k aggregation, not a sort+window (see aggTopK); the
+    // double round-trip is exact (hamming ≤ 64 ≪ 2^53) and cast back so
+    // the e14 schema keeps its integer face
+    val short = aggTopK(
+      broadcast(qsigs)
+        .join(sigs, col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          (bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
+            bit_count(col("q_hi").bitwiseXOR(col("hi"))))
+            .cast("double").as("hamming")),
+      shortlist, "hamming", asc = true)
+      .select(col("q_id"), col("nn_id"), col("hamming").cast("int").as("hamming"))
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val queries = corpus.filter(queryPred(col("nn_id")))
@@ -651,13 +658,13 @@ object Similarity {
       slice(col("nn_vec"), 1, prefixDim).as("nn_p"))
     val qpref = pref.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_p").as("q_p"))
-    val sw = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("nn_id"))
-    val short = broadcast(qpref)
-      .join(pref, col("q_id") =!= col("nn_id"))
-      .withColumn("psim", round(cosineFast(col("q_p"), col("nn_p")), 6))
-      .withColumn("srn", row_number().over(sw))
-      .filter(col("srn") <= shortlist)
+    // bounded-top-k aggregation, not a sort+window (see aggTopK)
+    val short = aggTopK(
+      broadcast(qpref)
+        .join(pref, col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(cosineFast(col("q_p"), col("nn_p")), 6).as("psim")),
+      shortlist, "psim", asc = false)
       .select(col("q_id"), col("nn_id"), col("psim"))
     val queries = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
@@ -832,16 +839,17 @@ object Similarity {
     val probes = queries.select(col("q_id"), col("q_vec"), col("q_sig"),
       explode(array(flips: _*)).as("flip"))
       .withColumn("sig", col("q_sig").bitwiseXOR(col("flip")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
-    broadcast(probes.select(col("q_id"), col("q_vec"), col("sig")))
-      .join(sigged, Seq("sig"))
-      .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
-      .select(col("q_id"), col("nn_id"), col("sim")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+    // the distinct (a candidate can surface from several probed buckets)
+    // must stay BEFORE the bounded top-k: duplicate (sim, nn_id) rows
+    // would otherwise occupy two buffer slots
+    aggTopK(
+      broadcast(probes.select(col("q_id"), col("q_vec"), col("sig")))
+        .join(sigged, Seq("sig"))
+        .filter(col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim"))
+        .distinct(),
+      k, "sim", asc = false)
   }
 
   /** Triplet mining for contrastive training (Schroff et al., FaceNet,

@@ -185,6 +185,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3, s"prefix-shortlist recall@5 was $recall")
   }
 
+  test("bounded top-k aggregation ≡ the row_number window formulation, row-for-row") {
+    // the round-10 plan change: every ANN top-k now runs as
+    // TopKPairsAgg instead of sort+window. Same (val, nn_id) total
+    // order ⇒ identical rows — asserted here against an inline window
+    // replica of the old formulation, both directions (sim desc for the
+    // cosine faces, adist asc via the PQ operator below).
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.select(col("vec_id").as("nn_id"),
+      col("embedding").cast("array<double>").as("nn_vec"))
+    val queries = corpus.filter(col("nn_id") < 20)
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    val windowed = broadcast(queries)
+      .join(corpus, col("q_id") =!= col("nn_id"))
+      .withColumn("sim", round(Similarity.cosineFast(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+    val agged = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 7)
+    assert(agged.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(agged).isEmpty,
+      "aggregated top-k diverged from the window formulation")
+    // the plan must actually BE an aggregation — no Window/Sort node
+    // consuming the candidate join
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"),
+      "sort-based window top-k is back in the ANN plan")
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -569,6 +601,26 @@ class PipelineSpec extends SparkSpec {
     // run twice → identical (stub is deterministic)
     val again = Multimodal.featureTable(spark, docs)
     assert(feats.exceptAll(again).count() === 0)
+  }
+
+  test("multimodal decoder seam: a custom ImageDecoder flows through decode/resize") {
+    import spark.implicits._
+    // the seam contract: swapping the codec touches NOTHING else — same
+    // schema, same plumbing, decoder-determined values
+    object FixedDecoder extends Multimodal.ImageDecoder {
+      def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+        (7, 9, Array.tabulate(8)(i => i * 0.5f + payload.length))
+    }
+    val media = Multimodal.withPayload(docs.limit(5), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decode(media, FixedDecoder).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.width == 7 && r.height == 9 &&
+      r.features.length == 8 && r.features(0) == r.n_bytes.toFloat))
+    val rz = Multimodal.resize(media, 2, 2, FixedDecoder).collect()
+    assert(rz.forall(r => r.width == 7 && r.height == 9 &&
+      r.pixels.length == 4))
   }
 
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
