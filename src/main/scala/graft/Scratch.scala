@@ -101,14 +101,22 @@ object Scratch {
       def cosScored = joined.select(col("q_id"), col("nn_id"),
         round(functions.CosineSim.cosine_sim(col("q_vec"), col("nn_vec")), 6)
           .as("adist"))
+      // the round-10 bounded-top-k aggregation face (the operators' shape)
+      def aggTopk(scored: org.apache.spark.sql.DataFrame) = scored
+        .groupBy(col("q_id"))
+        .agg(functions.TopK.topk_pairs(col("adist"), col("nn_id"), 5,
+          asc = true).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
       time("pairs only")(joined.select(col("q_id")).count())
       time("join+LUT adc")(lutScored.count())
       time("join+direct adc")(adcScored.count())
       time("join+cosine")(cosScored.count())
-      time("full LUT")(topk(lutScored).count())
-      time("full direct")(topk(adcScored).count())
-      time("full cosine")(topk(cosScored).count())
-      time("full LUT (rep2)")(topk(lutScored).count())
+      time("agg LUT")(aggTopk(lutScored).count())
+      time("agg direct")(aggTopk(adcScored).count())
+      time("agg cosine")(aggTopk(cosScored).count())
+      time("agg LUT (rep2)")(aggTopk(lutScored).count())
+      time("window LUT")(topk(lutScored).count())
+      time("window cosine")(topk(cosScored).count())
       spark.stop()
       return
     }

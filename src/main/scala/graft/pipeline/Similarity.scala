@@ -73,8 +73,12 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec"))
     val queries = emb.filter(queryPred(col(idCol)))
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    // corpus.repartition: the float→double cast must evaluate once per
+    // corpus row, not once per (query, row) pair inside the fused
+    // nested-loop join (see probedTopK's note on lazy stream-side
+    // evaluation — at q queries the cast would otherwise run q× per row)
     val scored = broadcast(queries)
-      .join(corpus, col("q_id") =!= col("nn_id"))
+      .join(corpus.repartition(col("nn_id")), col("q_id") =!= col("nn_id"))
       .select(col("q_id"), col("nn_id"),
         round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim"))
     aggTopK(scored, k, "sim", asc = false)
@@ -297,7 +301,18 @@ object Similarity {
       k: Int): DataFrame =
     aggTopK(
       broadcast(probes)
-        .join(listed, Seq("cell"))
+        // The repartition is load-bearing, not cosmetic: in a fused
+        // codegen broadcast join, NON-KEY stream-side columns are
+        // evaluated lazily INSIDE the match loop — once per matched
+        // pair, not once per row. With ~q·nprobe/nlist matches per
+        // corpus row, an expensive projection (cell assignment, PQ
+        // encode, the vector cast) silently re-runs that many times
+        // (measured: the whole 2-3× IVF-PQ-vs-two-level marginal gap
+        // the round-9 verdict attributed to ADC flops — BASELINE.md
+        // round-10). The exchange forces one evaluation per row AND is
+        // the scale-correct index layout anyway: inverted lists
+        // clustered by cell.
+        .join(listed.repartition(col("cell")), Seq("cell"))
         .filter(col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim")),
@@ -377,8 +392,14 @@ object Similarity {
     val queries = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"),
         pq_lut(col("nn_vec"), cb, dim).as("q_lut"))
+    // encoded.repartition: pq_encode must run once per corpus row, not
+    // once per (query, row) pair inside the fused join (probedTopK's
+    // lazy-evaluation note; the encode is ~dim·ksub FMA — re-run q× it
+    // dwarfs the whole scoring stage)
     aggTopK(
-      broadcast(queries).join(encoded, col("q_id") =!= col("nn_id"))
+      broadcast(queries)
+        .join(encoded.repartition(col("nn_id")),
+          col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
       k, "adist", asc = true)
@@ -450,8 +471,14 @@ object Similarity {
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_lut"), col("pc.c").as("cell"))
+    // listed.repartition(cell): the cell assignment (nlist literal
+    // cosines) and pq_encode must evaluate once per corpus row, not per
+    // matched pair (probedTopK's lazy-evaluation note — this WAS the
+    // measured 2-3× IVF-PQ marginal gap); clustering the encoded index
+    // by cell is also its production layout.
     aggTopK(
-      broadcast(probes).join(listed, Seq("cell"))
+      broadcast(probes)
+        .join(listed.repartition(col("cell")), Seq("cell"))
         .filter(col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
@@ -536,8 +563,15 @@ object Similarity {
       .withColumn("q_lut",
         pq_lut(residual(col("q_vec"), col("cell")), cb, dim))
       .select(col("q_id"), col("cell"), col("q_lut"))
+    // listed.repartition(cell): explicit per-row-evaluation boundary
+    // (probedTopK's note). The residual path was incidentally protected
+    // — zip_with is CodegenFallback, which happened to break the fusion
+    // — but that is an implementation accident, not a contract; the
+    // exchange makes the boundary (and the cell-clustered index layout)
+    // deliberate.
     aggTopK(
-      broadcast(probes).join(listed, Seq("cell"))
+      broadcast(probes)
+        .join(listed.repartition(col("cell")), Seq("cell"))
         .filter(col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
@@ -612,7 +646,11 @@ object Similarity {
     // the e14 schema keeps its integer face
     val short = aggTopK(
       broadcast(qsigs)
-        .join(sigs, col("q_id") =!= col("nn_id"))
+        // repartition: the two signWord folds must run once per corpus
+        // row, not per (query, row) pair (probedTopK's lazy-evaluation
+        // note; signWord's HOF aggregate happens to be CodegenFallback
+        // today, but the boundary should be deliberate)
+        .join(sigs.repartition(col("nn_id")), col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           (bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
             bit_count(col("q_hi").bitwiseXOR(col("hi"))))
@@ -661,7 +699,11 @@ object Similarity {
     // bounded-top-k aggregation, not a sort+window (see aggTopK)
     val short = aggTopK(
       broadcast(qpref)
-        .join(pref, col("q_id") =!= col("nn_id"))
+        // repartition: the prefix slice must materialize once per corpus
+        // row, not per (query, row) pair (probedTopK's lazy-evaluation
+        // note) — and shuffling prefixes instead of full vectors is the
+        // operator's own scan-width story
+        .join(pref.repartition(col("nn_id")), col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(cosineFast(col("q_p"), col("nn_p")), 6).as("psim")),
       shortlist, "psim", asc = false)
