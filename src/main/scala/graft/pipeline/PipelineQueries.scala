@@ -1905,7 +1905,77 @@ object PipelineQueries {
       |SELECT doc_id, rank, lex_rank, sem_rank, rrf_u
       |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---- e21: graph ANN (Similarity.graphTopK) — the navigable-small-
+  // world family, the ladder rung whose per-query cost is CONSTANT in
+  // corpus size (hops × beam × degree lookups). Index: e5's literal
+  // cells, then each node keeps its 6 nearest in-cell neighbours
+  // (rounded cosine, id ties). Query: score the 16 sampled entry nodes,
+  // keep the best 8, expand neighbourhoods and re-score twice, rank the
+  // final candidate set minus self. The oracle replays the WHOLE walk:
+  // sha sample, 9-dp cell assignment (e5 tie rule), the 6-dp top-6
+  // adjacency, both unrolled hops as UNION-distinct candidate sets, and
+  // the final top-5 — candidate sets are identical by construction, so
+  // every rounded sim matches hash-exactly. ----
+  private def e21(s: SparkSession, dir: String): DataFrame =
+    Similarity.graphTopK(emb(s, dir), "vec_id", "embedding", _ < 20,
+        k = 5, nlist = 16, degree = 6, beam = 8, hops = 2)
+      .orderBy("q_id", "rank")
+
+  private val e21Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+      |adj AS (
+      |  SELECT node, nbr FROM (
+      |    SELECT x.vec_id AS node, y.vec_id AS nbr,
+      |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+      |        ${cos("x.v", "y.v")} DESC, y.vec_id) AS rn
+      |    FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+      |  WHERE rn <= 6),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |s0 AS (
+      |  SELECT q.q_id, s.cid AS nn_id, ${cos("q.qv", "s.cv")} AS sim
+      |  FROM q CROSS JOIN samp s),
+      |f0 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s0) WHERE rn <= 8),
+      |c1 AS (SELECT q_id, nn_id FROM f0
+      |  UNION SELECT f0.q_id, a.nbr FROM f0 JOIN adj a ON a.node = f0.nn_id),
+      |s1 AS (
+      |  SELECT c1.q_id, c1.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c1 JOIN q USING (q_id) JOIN e t ON t.vec_id = c1.nn_id),
+      |f1 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s1) WHERE rn <= 8),
+      |c2 AS (SELECT q_id, nn_id FROM f1
+      |  UNION SELECT f1.q_id, a.nbr FROM f1 JOIN adj a ON a.node = f1.nn_id),
+      |s2 AS (
+      |  SELECT c2.q_id, c2.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c2 JOIN q USING (q_id) JOIN e t ON t.vec_id = c2.nn_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s2 WHERE q_id <> nn_id)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),
     QueryDef("e19_centroid_outliers", e19, Some(e19Oracle)),

@@ -721,6 +721,94 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("nn_id"), col("psim"), col("sim"))
   }
 
+  /** Graph-ANN top-k — the navigable-small-world family (the layer-0
+    * core of HNSW, Malkov & Yashunin, made deterministic): the index is
+    * a bounded-degree k-NN GRAPH, and a query walks it greedily — score
+    * a fixed set of entry points, keep the best `beam`, expand their
+    * neighbourhoods, re-score, repeat `hops` times. Per-query cost is
+    * hops × beam × degree lookups + scores — CONSTANT in corpus size,
+    * the property no scan-fraction index (IVF's nprobe/nlist, PQ's
+    * compressed full scan) has; that is this family's seat in the
+    * ladder.
+    *
+    * Build (the expensive half, write-once): vectors are assigned to
+    * the e5 literal-centroid cells, and each node keeps its `degree`
+    * nearest IN-CELL neighbours by rounded cosine. Per-cell all-pairs
+    * is the Σ k_b² shape with the cell grain as the knob (the q60
+    * lesson): nlist scales with corpus so cells stay executor-sized;
+    * production graph builds replace this with NN-descent over the
+    * same adjacency schema. Entry points are the nlist sampled nodes
+    * themselves — one per cell, so the walk can enter any region
+    * without cross-cell long-range links.
+    *
+    * Determinism (gate contract): cells round to 9 dp with the e5 tie
+    * rule; every similarity rounds to 6 dp with nn_id ties; frontier
+    * candidate sets are DISTINCT (q_id, nn_id) unions, so both engines
+    * rank identical sets. Self may ride the frontier (its
+    * neighbourhood IS the answer set — that is the greedy walk working)
+    * and is excluded only from the final ranking. Recall vs brute is
+    * measured in the spec, not assumed; `k ≤ beam` because the final
+    * ranking reads the last beam neighbourhood. */
+  def graphTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      degree: Int = 6, beam: Int = 8, hops: Int = 2): DataFrame = {
+    require(nlist <= 64,
+      s"nlist=$nlist > 64: literal-centroid cells only (oracle-replayable)")
+    require(k <= beam, s"k=$k must be ≤ beam=$beam")
+    require(hops >= 1 && hops <= 4,
+      s"unrolled greedy search wants 1..4 hops, got $hops")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val sample = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist).collect()
+    require(sample.length == nlist, s"corpus smaller than nlist=$nlist")
+    val centIds = sample.map(_.get(0))
+    val cents = sample.map(_.getSeq[Double](1).toArray)
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellOf(v: Column): Column = greatest((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*).getField("c")
+    // the graph: per-row-evaluated cell projection (fix-2 boundary),
+    // in-cell pairs, top-`degree` per node
+    val listed = corpus.withColumn("cell", cellOf(col("nn_vec")))
+      .repartition(col("cell"))
+    val adj = aggTopK(
+      listed.as("x").join(listed.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.nn_id") =!= col("y.nn_id"))
+        .select(col("x.nn_id").as("q_id"), col("y.nn_id").as("nn_id"),
+          round(cosineFast(col("x.nn_vec"), col("y.nn_vec")), 6).as("nsim")),
+      degree, "nsim", asc = false)
+      .select(col("q_id").as("node"), col("nn_id").as("nbr"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    // score a (q_id, nn_id) candidate frame; candidates are tiny
+    // (≤ q·beam·(degree+1)), so they broadcast against the corpus
+    // lookup and the query side. No fix-2 boundary needed here: the
+    // stream side's lazy columns are only evaluated on a hash HIT, and
+    // total hits = the candidate count, not a fan-out.
+    def score(cand: DataFrame): DataFrame =
+      broadcast(cand.distinct())
+        .join(corpus, Seq("nn_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim"))
+    def expand(frontier: DataFrame): DataFrame =
+      frontier.unionAll(
+        frontier.join(adj, frontier("nn_id") === adj("node"))
+          .select(col("q_id"), col("nbr").as("nn_id")))
+    val entries = queries.select(col("q_id"))
+      .crossJoin(corpus.filter(col("nn_id").isInCollection(centIds))
+        .select(col("nn_id")))
+    val lastCands = (1 to hops).foldLeft(entries) { case (cands, _) =>
+      expand(aggTopK(score(cands), beam, "sim", asc = false)
+        .select(col("q_id"), col("nn_id")))
+    }
+    aggTopK(score(lastCands).filter(col("q_id") =!= col("nn_id")),
+      k, "sim", asc = false)
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin

@@ -217,6 +217,64 @@ class PipelineSpec extends SparkSpec {
       "sort-based window top-k is back in the ANN plan")
   }
 
+  test("ANN joins keep an exchange between the index projection and the join") {
+    // Guards fix 2 of the round-10 ANN work (BASELINE.md): in a fused
+    // codegen broadcast join, non-key stream-side columns evaluate
+    // lazily INSIDE the match loop — per matched pair. The encoded-index
+    // projection (cell assignment + pq_encode) must therefore sit below
+    // an Exchange so it runs once per corpus row. A refactor that drops
+    // the repartition re-fuses it silently, with a green gate and a
+    // ~30× marginal-query regression — this assertion is the tripwire.
+    val emb = Tables.load(spark, sf(), "embeddings")
+    for ((name, df) <- Seq(
+        "ivfPqTopK" -> Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, 5),
+        "pqTopK" -> Similarity.pqTopK(emb, "vec_id", "embedding", _ < 20, 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("Join")
+      val encodeBelowJoin = plan.indexOf("pqencodeexpr", joinAt)
+      val exchangeBelowJoin = plan.indexOf("Exchange", joinAt)
+      assert(joinAt >= 0 && encodeBelowJoin >= 0,
+        s"$name: expected a join above a pq_encode projection:\n$plan")
+      assert(exchangeBelowJoin >= 0 && exchangeBelowJoin < encodeBelowJoin,
+        s"$name: pq_encode projection fused into the join stage (no " +
+          s"Exchange between them) — per-match re-evaluation is back:\n$plan")
+    }
+  }
+
+  test("graph ann: walk contract holds, deterministic, recall correlated with brute") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val rows = Similarity.graphTopK(emb, "vec_id", "embedding", _ < 20, k = 5)
+      .collect()
+    // contract: exactly k per query (the final candidate set is at least
+    // the beam minus self), ranks 1..k, self excluded
+    assert(rows.length === 20 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val ranks = rows.groupBy(_.getLong(0)).values
+    assert(ranks.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
+    // deterministic: the walk re-runs bit-identically
+    val again = Similarity.graphTopK(emb, "vec_id", "embedding", _ < 20, k = 5)
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // recall vs brute force: greedy beam search over a degree-6 in-cell
+    // graph from 16 entries is approximate BY DESIGN; on uniform random
+    // 64-d vectors (ANN's worst case) the floor certifies the walk is
+    // correlated with true similarity, not that it is tight
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ga = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ga).size.toDouble / bf.size
+    assert(recall > 0.2, s"graph-ann recall@5 vs brute was $recall")
+    // beam widening can only help: beam = corpus degenerate case is not
+    // available (entries bound the reachable set), but beam 16 must do
+    // at least as well as beam 8 on the shared entry set
+    val wide = Similarity.graphTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, beam = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val wideRecall = (bf intersect wide).size.toDouble / bf.size
+    assert(wideRecall >= recall,
+      s"widening the beam reduced recall: $recall -> $wideRecall")
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
