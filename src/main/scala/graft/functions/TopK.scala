@@ -112,7 +112,15 @@ case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
     copy(ord = newChildren(0), id = newChildren(1))
 }
 
-/** k-bounded insertion-sorted (ord asc, id asc) pair buffer. */
+/** k-bounded insertion-sorted (ord asc, id asc) pair buffer.
+  *
+  * EXACT (ord, id) duplicates are collapsed on insert: a candidate that
+  * reaches the buffer from several paths (LSH multi-bucket emission is
+  * the canonical case) occupies one slot, so callers do NOT need a
+  * distinct() — and its exchange of the full scored candidate set —
+  * before the aggregation. A repeated id with a DIFFERENT ord is kept,
+  * matching the row_number-window formulation over non-deduplicated
+  * input. */
 final class TopKBuf(val k: Int) {
   val ords = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -122,13 +130,22 @@ final class TopKBuf(val k: Int) {
     o < ords(j) || (o == ords(j) && i < ids(j))
 
   def insert(o: Double, i: Long): Unit = {
-    if (size == k && !beats(o, i, k - 1)) return // common case: reject
+    if (size == k && !beats(o, i, k - 1)) {
+      // reject — unless it's not even a new pair: equal to the k-th
+      // element means duplicate (beats is strict), which is also a no-op
+      return
+    }
     var pos = if (size == k) k - 1 else size
-    if (size < k) size += 1
-    while (pos > 0 && beats(o, i, pos - 1)) {
+    // the insertion scan stops at an equal element (strict beats), so a
+    // duplicate is always the immediate left neighbour of the stop point
+    var scan = pos
+    while (scan > 0 && beats(o, i, scan - 1)) scan -= 1
+    if (scan > 0 && ords(scan - 1) == o && ids(scan - 1) == i) return
+    if (size < k) { size += 1; pos = size - 1 }
+    while (pos > scan) {
       ords(pos) = ords(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
     }
-    ords(pos) = o; ids(pos) = i
+    ords(scan) = o; ids(scan) = i
   }
 }
 

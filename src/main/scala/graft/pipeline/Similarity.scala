@@ -426,10 +426,25 @@ object Similarity {
     * ADC — replays in the DuckDB oracle (e9). For nlist ≫ 64 compose
     * [[graft.functions.IvfCellsExpr]]'s kernel routing with the same
     * encoded table, as [[ivfTopK]] does. */
-  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+  /** The materialized half of the IVF-PQ layout, reusable across the
+    * batch face ([[ivfPqTopK]], e9) and the streaming serving face
+    * (s14): the encoded table `(cell, nn_id, codes)` plus the driver-side
+    * quantizer artifacts a query side needs (centroids for routing, the
+    * codebook for the per-query LUT). `listed` carries the fix-2
+    * evaluation boundary (repartitioned by cell — also its production
+    * clustering). */
+  final case class IvfPqIndex(listed: DataFrame, centIds: Array[Any],
+      cents: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      dim: Int, nlist: Int) {
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    /** (rounded cosine, cell-label) struct array for routing a query. */
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
+  }
+
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16): IvfPqIndex = {
     require(nlist <= 64,
       s"nlist=$nlist > 64: literal-centroid routing only (kernel routing: ivfTopK)")
     val corpus = emb.select(col(idCol).as("nn_id"),
@@ -450,35 +465,44 @@ object Similarity {
     val cents = sample.take(nlist).map(_.getSeq[Double](1).toArray)
     val cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub)((j, c) =>
       sample(c).getSeq[Double](1).slice(j * sub, (j + 1) * sub).toArray)
-    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
-    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
-      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
-        lit(centIds(i)).as("c"))): _*)
-    import graft.functions.PqAdc.{pq_encode, pq_lut, pq_lut_adc}
-    // the stored index: routing cell + codes, vectors dropped
+    val idx = IvfPqIndex(null, centIds, cents, cb, dim, nlist)
+    import graft.functions.PqAdc.pq_encode
+    // the stored index: routing cell + codes, vectors dropped;
+    // repartition = fix-2 per-row-evaluation boundary + cell clustering
     val listed = corpus.withColumn("cell",
         greatest((0 until nlist).map(i =>
-          struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
+          struct(round(cosineFast(col("nn_vec"), idx.centLit(i)), 9).as("s"),
             lit(centIds(i)).as("c"))): _*).getField("c"))
       .select(col("cell"), col("nn_id"),
         pq_encode(col("nn_vec"), cb, dim).as("codes"))
+      .repartition(col("cell"))
+    idx.copy(listed = listed)
+  }
+
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val index = buildIvfPqIndex(emb, idCol, vecCol, nlist, m, ksub)
+    import graft.functions.PqAdc.{pq_lut, pq_lut_adc}
     // table-hoisted ADC: LUT computed once per QUERY (before the nprobe
     // explode — the probed cells share it); the cell-joined scan then
     // pays m array reads per candidate instead of dim FMAs
     val probes = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"),
-        pq_lut(col("nn_vec"), cb, dim).as("q_lut"),
-        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
-          1, nprobe)).as("pc"))
+        pq_lut(col("nn_vec"), index.cb, index.dim).as("q_lut"),
+        explode(slice(sort_array(index.cellScores(col("nn_vec")),
+          asc = false), 1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_lut"), col("pc.c").as("cell"))
-    // listed.repartition(cell): the cell assignment (nlist literal
-    // cosines) and pq_encode must evaluate once per corpus row, not per
-    // matched pair (probedTopK's lazy-evaluation note — this WAS the
-    // measured 2-3× IVF-PQ marginal gap); clustering the encoded index
-    // by cell is also its production layout.
+    val listed = index.listed
+    val cb = index.cb
+    // index.listed already carries the fix-2 evaluation boundary
+    // (repartitioned by cell in buildIvfPqIndex)
     aggTopK(
       broadcast(probes)
-        .join(listed.repartition(col("cell")), Seq("cell"))
+        .join(listed, Seq("cell"))
         .filter(col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
           round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
@@ -969,16 +993,18 @@ object Similarity {
     val probes = queries.select(col("q_id"), col("q_vec"), col("q_sig"),
       explode(array(flips: _*)).as("flip"))
       .withColumn("sig", col("q_sig").bitwiseXOR(col("flip")))
-    // the distinct (a candidate can surface from several probed buckets)
-    // must stay BEFORE the bounded top-k: duplicate (sim, nn_id) rows
-    // would otherwise occupy two buffer slots
+    // no distinct() needed before the top-k: a candidate surfacing from
+    // several probed buckets produces EXACT (sim, nn_id) duplicates,
+    // which TopKBuf collapses on insert — the multi-bucket emission is
+    // deduplicated inside the k-slot buffer instead of by an exchange
+    // of the full scored candidate set (which round-10 measured as
+    // LSH's whole marginal cost once the window sort was gone)
     aggTopK(
       broadcast(probes.select(col("q_id"), col("q_vec"), col("sig")))
         .join(sigged, Seq("sig"))
         .filter(col("q_id") =!= col("nn_id"))
         .select(col("q_id"), col("nn_id"),
-          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim"))
-        .distinct(),
+          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim")),
       k, "sim", asc = false)
   }
 

@@ -600,7 +600,109 @@ object StreamQueries {
       : (SparkSession, String) => DataFrame =
     (s, dir) => withStateParallelism(s, 2)(fn(s, dir))
 
+  // ---- s14: streaming ANN serving under the gate — the serving face of
+  // the whole round-10 ANN stack, composed end-to-end: query VECTORS
+  // arrive as a real stream (three q_id-tercile micro-batches) and are
+  // served against the STATIC IVF-PQ index (`Similarity.buildIvfPqIndex`
+  // — the write-once (cell, id, codes) table with its fix-2 boundary).
+  // Per batch: hoisted-LUT projection + nprobe cell explode on the
+  // stream side, stateless stream-static equi-join on cell, per-query
+  // bounded top-k via TopKPairsAgg as a COMPLETE-mode streaming
+  // aggregation (the buffer is the streaming state — k pairs per query,
+  // exactly the state a 100 TB serving tier would hold). The final
+  // complete-mode materialization is the full-history aggregate, so the
+  // oracle is e9's batch replay with the wider query set. ----
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.PqAdc.{pq_lut, pq_lut_adc}
+    import graft.functions.TopK.topk_pairs
+    val embT = Tables.load(s, dir, "embeddings")
+    val index = graft.pipeline.Similarity.buildIvfPqIndex(
+      embT, "vec_id", "embedding")
+    val qRows = embT.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val sink = s"s14_ann_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val probes = input.toDF().toDF("q_id", "q_vec")
+      .select(col("q_id"),
+        pq_lut(col("q_vec"), index.cb, index.dim).as("q_lut"),
+        explode(slice(sort_array(index.cellScores(col("q_vec")),
+          asc = false), 1, 4)).as("pc"))
+      .select(col("q_id"), col("q_lut"), col("pc.c").as("cell"))
+    val ranked = probes.join(index.listed, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        round(pq_lut_adc(col("q_lut"), col("codes"), index.cb), 6)
+          .as("adist"))
+      .groupBy(col("q_id"))
+      .agg(topk_pairs(col("adist"), col("nn_id"), 5, asc = true).as("tk"))
+    val q = ranked.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      feedInTerciles(input, q, qRows.toSeq, (e: (Long, Seq[Double])) => e._1)
+    } finally q.stop()
+    drainSink(s, sink)(
+      _.select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("nn_id"), col("col.ord").as("adist"))
+        .orderBy("q_id", "rank"))
+  }
+
+  private val s14Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.v) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign
+      |  WHERE vec_id < 30 AND rn <= 4),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(s.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN samp s ON s.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |adc AS (
+      |  SELECT p.q_id, cl.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (p.qv[j*8+i] - r.rv[j*8+i])
+      |             * (p.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
+      |  FROM probes p
+      |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
+      |  JOIN recon r ON r.vec_id = cl.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),
     QueryDef("s13_stream_outer_join", st(s13), Some(s13Oracle)),
     QueryDef("s12_stream_stream_join", st(s12), Some(s12Oracle)),
     QueryDef("s11_stream_dedup", st(s11), Some(s11Oracle)),
