@@ -269,6 +269,13 @@ object ScaleProbe {
       .ivfPqResidualTopK(big, "vec_id", "embedding", _ < m, 5))
     split("hamming")(m => pipeline.Similarity
       .hammingRerankTopK(big, "vec_id", "embedding", _ < m, 5))
+    // graph ANN: run at times=50 (100k vectors), not 500 — the literal-
+    // path build is per-cell all-pairs ((n/nlist)²·nlist at nlist ≤ 64),
+    // feasible at 100k and probe-relevant because the QUERY side is the
+    // claim: marginal cost is hops×beam×degree per query, constant in
+    // corpus size.
+    split("graphann")(m => pipeline.Similarity
+      .graphTopK(big, "vec_id", "embedding", _ < m, 5, nlist = 64))
   }
 
   /** ExactSubstr span removal at scale: replicate the documents `times`×

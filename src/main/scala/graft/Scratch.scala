@@ -107,6 +107,10 @@ object Scratch {
         .agg(functions.TopK.topk_pairs(col("adist"), col("nn_id"), 5,
           asc = true).as("tk"))
         .select(col("q_id"), posexplode(col("tk")))
+      // CAVEAT: count() legs measure the JOIN FAN-OUT ONLY — Catalyst
+      // prunes the scoring projection under count(), so "join+X" timing
+      // differences between kernels are noise. Kernel cost is only
+      // visible in the agg/window legs, whose consumer needs the score.
       time("pairs only")(joined.select(col("q_id")).count())
       time("join+LUT adc")(lutScored.count())
       time("join+direct adc")(adcScored.count())
