@@ -701,7 +701,88 @@ object StreamQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, adist
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- s15: streaming IVF-PQ index MAINTENANCE — the WRITE path whose
+  // read path is s14: embedding vectors arrive as a real three-batch
+  // stream and the persisted index grows incrementally. The quantizer
+  // artifacts (coarse centroids + PQ codebook, the deterministic
+  // sha-sample) are fixed up front — the production contract: train
+  // once, freeze, then ingestion is a PURE PROJECTION (cell assignment
+  // + pq_encode) with no state and no shuffle, appended per batch via
+  // foreachBatch. The read-back index must be row-identical to the
+  // batch-built one — the oracle replays assignment + encode in SQL —
+  // certifying the full index lifecycle: build incrementally (s15),
+  // serve (s14), batch-query (e9), all against the same artifact.
+  // Codes are emitted '-'-joined (the gate comparator cannot sort
+  // array cells). ----
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.PqAdc.pq_encode
+    val embT = Tables.load(s, dir, "embeddings")
+    val index = graft.pipeline.Similarity.buildIvfPqIndex(
+      embT, "vec_id", "embedding")
+    val rows = embT
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s15").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val enc = input.toDF().toDF("vec_id", "v")
+      .select(
+        element_at(sort_array(index.cellScores(col("v")), asc = false), 1)
+          .getField("c").as("cell"),
+        col("vec_id"),
+        array_join(pq_encode(col("v"), index.cb, index.dim)
+          .cast("array<string>"), "-").as("codes_str"))
+    val q = enc.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/idx")
+      }
+      .option("checkpointLocation", s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, rows.toSeq, (r: (Long, Seq[Double])) => r._1)
+    } finally q.stop()
+    val result = s.read.parquet(s"$out/idx")
+      .orderBy("vec_id")
+      .localCheckpoint(true)
+    rmTree(out)
+    result
+  }
+
+  private val s15Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.v) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |enc0 AS (
+      |  SELECT e.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (e.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM e CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY j) AS codes_str
+      |  FROM enc GROUP BY vec_id)
+      |SELECT cl.cell, c.vec_id, c.codes_str
+      |FROM codes c JOIN cells cl USING (vec_id)
+      |ORDER BY c.vec_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),
     QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),
     QueryDef("s13_stream_outer_join", st(s13), Some(s13Oracle)),
     QueryDef("s12_stream_stream_join", st(s12), Some(s12Oracle)),
