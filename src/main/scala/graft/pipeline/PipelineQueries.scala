@@ -1974,7 +1974,68 @@ object PipelineQueries {
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- e22: NN-descent graph refinement (Similarity.nnDescentAdj) —
+  // the production build path for e21's index: one neighbour-of-
+  // neighbour round over a TOP-2-CELL multi-assignment seed graph
+  // (overlapping cells are what let candidates cross cell borders — a
+  // disjoint-partition seed makes local-join refinement a provable
+  // no-op), candidates = current ∪ neighbours' edges, exact 6-dp
+  // rescoring, cut back to degree 6. The oracle replays the rn≤2
+  // multi-assignment, the DISTINCT seed pairs and top-6 adjacency, the
+  // DISTINCT candidate expansion (the top-k buffer's duplicate collapse
+  // matches SQL DISTINCT), rescoring, and the final per-node rank;
+  // output restricted to node < 25 to keep the row set bounded. ----
+  private def e22(s: SparkSession, dir: String): DataFrame =
+    Similarity.nnDescentAdj(emb(s, dir), "vec_id", "embedding",
+        degree = 6, rounds = 1)
+      .filter(col("node") < 25)
+      .orderBy("node", "rank")
+
+  private val e22Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, s.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM e CROSS JOIN samp s),
+      |cells2 AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn <= 2),
+      |seedp AS (
+      |  SELECT DISTINCT x.vec_id AS node, x.v AS xv, y.vec_id AS nbr, y.v AS yv
+      |  FROM cells2 x JOIN cells2 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |adj0 AS (
+      |  SELECT node, nbr FROM (
+      |    SELECT node, nbr,
+      |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY
+      |        ${cos("xv", "yv")} DESC, nbr) AS rn
+      |    FROM seedp)
+      |  WHERE rn <= 6),
+      |cand AS (
+      |  SELECT node, nbr FROM adj0
+      |  UNION
+      |  SELECT a.node, b.nbr FROM adj0 a JOIN adj0 b ON a.nbr = b.node
+      |  WHERE a.node <> b.nbr),
+      |scored AS (
+      |  SELECT c.node, c.nbr, ${cos("x.v", "y.v")} AS nsim
+      |  FROM cand c JOIN e x ON x.vec_id = c.node JOIN e y ON y.vec_id = c.nbr),
+      |rk AS (
+      |  SELECT node, nbr, nsim,
+      |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nsim DESC, nbr) AS rank
+      |  FROM scored)
+      |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
+      |FROM rk WHERE rank <= 6 AND node < 25
+      |ORDER BY node, rank""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

@@ -833,6 +833,94 @@ object Similarity {
       k, "sim", asc = false)
   }
 
+  /** NN-descent k-NN-graph refinement (Dong, Moses & Li) — the
+    * PRODUCTION build path for [[graphTopK]]'s index, closing its
+    * documented caveat: the literal-path in-cell all-pairs build is
+    * (n/nlist)²·nlist, fine when cells are executor-sized but quadratic
+    * in cell size; NN-descent instead starts from that (cheap, coarse)
+    * graph and refines it with neighbour-of-neighbour rounds — "my
+    * neighbour's neighbour is probably my neighbour". Per round, each
+    * node's candidate set is its current edges plus its neighbours'
+    * edges (≤ degree + degree² pairs per node — LINEAR in corpus size
+    * per round), scored exactly and cut back to the best `degree`.
+    *
+    * SEEDING MATTERS: a seed graph built from disjoint partitions is a
+    * trap — the local join can never produce a candidate outside the
+    * partition its edges already live in, so an EXACT single-cell seed
+    * makes refinement a provable no-op. The seed here therefore uses
+    * MULTI-ASSIGNMENT (each node joins its top-2 cells, the standard
+    * overlapping-cells trick): boundary nodes belong to two cells and
+    * act as bridges, so neighbour-of-neighbour candidates cross cell
+    * borders and the refinement can find neighbours the seed's cell
+    * horizon missed.
+    *
+    * Provable monotonicity (spec-asserted): round r+1 keeps the top-M
+    * of a SUPERSET of round r's edges, so every node's kept-edge
+    * quality is elementwise non-decreasing — refinement cannot hurt.
+    * (The classic algorithm also mixes in reverse edges and sampling;
+    * this deterministic forward-only variant keeps the gate contract
+    * exact while preserving the convergence argument.)
+    *
+    * Determinism: the e5/e21 cell/tie contract (9-dp rounded routing
+    * scores) for the seed, 6-dp rounded cosines with nbr-id ties
+    * throughout; candidate duplicates (same pair via both shared cells,
+    * or via several wedges) collapse in the top-k buffer, matching the
+    * oracle's DISTINCT. Returns (node, rank, nbr, nsim). */
+  def nnDescentAdj(emb: DataFrame, idCol: String, vecCol: String,
+      degree: Int = 6, rounds: Int = 1, nlist: Int = 16): DataFrame = {
+    require(nlist <= 64,
+      s"nlist=$nlist > 64: literal-centroid cells only (oracle-replayable)")
+    require(rounds >= 0 && rounds <= 3,
+      s"unrolled refinement wants 0..3 rounds (0 = the seed graph), got $rounds")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val sample = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist).collect()
+    require(sample.length == nlist, s"corpus smaller than nlist=$nlist")
+    val centIds = sample.map(_.get(0))
+    val cents = sample.map(_.getSeq[Double](1).toArray)
+    def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+    def cellScores(v: Column): Column = array((0 until nlist).map(i =>
+      struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+        lit(centIds(i)).as("c"))): _*)
+    // top-2 cell multi-assignment: ~2n/nlist members per cell, seed
+    // cost Σ k_b² ≈ 4·(n/nlist)²·nlist — same knob as the single-cell
+    // build, with the bridges that make refinement able to escape cells
+    val assigned = corpus
+      .select(col("nn_id"), col("nn_vec"),
+        explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
+          1, 2)).as("pc"))
+      .select(col("nn_id"), col("nn_vec"), col("pc.c").as("cell"))
+      .repartition(col("cell"))
+    val adj0 = aggTopK(
+      assigned.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.nn_id") =!= col("y.nn_id"))
+        .select(col("x.nn_id").as("q_id"), col("y.nn_id").as("nn_id"),
+          round(cosineFast(col("x.nn_vec"), col("y.nn_vec")), 6).as("nsim")),
+      degree, "nsim", asc = false)
+      .select(col("q_id").as("node"), col("rank"), col("nn_id").as("nbr"),
+        col("nsim"))
+    (1 to rounds).foldLeft(adj0) { case (adj, _) =>
+      val edges = adj.select(col("node"), col("nbr"))
+      val cand = edges.unionAll(
+          edges.as("a").join(edges.as("b"), col("a.nbr") === col("b.node"))
+            .select(col("a.node").as("node"), col("b.nbr").as("nbr")))
+        .filter(col("node") =!= col("nbr"))
+      val scored = cand
+        .join(corpus.select(col("nn_id").as("node"),
+          col("nn_vec").as("node_vec")), Seq("node"))
+        .join(corpus.select(col("nn_id").as("nbr"),
+          col("nn_vec").as("nbr_vec")), Seq("nbr"))
+        .select(col("node").as("q_id"), col("nbr").as("nn_id"),
+          round(cosineFast(col("node_vec"), col("nbr_vec")), 6).as("nsim"))
+      aggTopK(scored, degree, "nsim", asc = false)
+        .select(col("q_id").as("node"), col("rank"), col("nn_id").as("nbr"),
+          col("nsim"))
+    }
+  }
+
   /** HOF (built-in higher-order-function) forms of the PQ kernels — the
     * reference semantics the fused expressions must bit-match
     * (spec-asserted in PipelineSpec). Encode: per subspace, argmin

@@ -275,6 +275,37 @@ class PipelineSpec extends SparkSpec {
       s"widening the beam reduced recall: $recall -> $wideRecall")
   }
 
+  test("nn-descent: refinement is elementwise non-decreasing and strictly improves the seed") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    def quality(adj: org.apache.spark.sql.DataFrame) = adj
+      .select(col("node"), col("rank"), col("nsim")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val q0 = quality(Similarity.nnDescentAdj(emb, "vec_id", "embedding", rounds = 0))
+    val q1 = quality(Similarity.nnDescentAdj(emb, "vec_id", "embedding", rounds = 1))
+    val q2 = quality(Similarity.nnDescentAdj(emb, "vec_id", "embedding", rounds = 2))
+    // each round keeps the top-M of a SUPERSET of the previous edges, so
+    // every (node, rank) slot's similarity is non-decreasing — the
+    // convergence argument, checked slot by slot
+    assert(q0.forall { case (k, v) => q1.get(k).forall(_ >= v) },
+      "round 1 degraded a kept edge")
+    assert(q1.forall { case (k, v) => q2.get(k).forall(_ >= v) },
+      "round 2 degraded a kept edge")
+    // and on the fixture the refinement actually finds better
+    // neighbours, not just ties
+    assert(q1.values.sum > q0.values.sum,
+      s"round 1 found no better edges: ${q0.values.sum} -> ${q1.values.sum}")
+    // degree/ordering contract: ranks 1..degree per node, descending sims
+    val adj1 = Similarity.nnDescentAdj(emb, "vec_id", "embedding", rounds = 1)
+      .collect()
+    val byNode = adj1.groupBy(_.getLong(0))
+    assert(byNode.values.forall { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      sorted.map(_.getInt(1)).toSeq == (1 to sorted.length) &&
+        sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }
+    })
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
