@@ -355,10 +355,43 @@ object ScaleProbe {
       cap = Int.MaxValue)
   }
 
+  /** NN-descent at scale: seed-vs-refinement cost split. The claim under
+    * test is the build asymptotics — the multi-assignment seed is the
+    * quadratic-in-cell-size part (4·(n/nlist)²·nlist pairs; nlist is the
+    * knob), while each refinement round is LINEAR (≤ degree+degree²
+    * candidates per node). Measured as rounds=0 (seed only) vs rounds=1
+    * wall, plus the kept-edge quality sum showing the round actually
+    * bought something. */
+  private def nndProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val big = emb.crossJoin(
+        spark.range(times.toLong).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * n).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    println(s"[probe] nnd corpus = ${big.count()} vectors, nlist=64, degree=6")
+    def leg(tag: String, rounds: Int): Unit = {
+      val t0 = System.nanoTime()
+      val q = pipeline.Similarity
+        .nnDescentAdj(big, "vec_id", "embedding", rounds = rounds, nlist = 64)
+        .agg(count(lit(1)), sum("nsim")).head
+      println(f"[probe] nnd/$tag%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  edges=${q.getLong(0)} quality=${q.getDouble(1)}%.1f")
+    }
+    leg("seed", 0)
+    leg("round1", 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("nnd")) {
+      nndProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(50))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("graph")) {
       graphProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
