@@ -352,7 +352,7 @@ object ScaleProbe {
     // that contrast is the enforcement evidence.
     probe(s"${times}x-dense", corpus(times, shiftTime = false))
     probe(s"${times}x-dense-nocap", corpus(times, shiftTime = false),
-      cap = Int.MaxValue)
+      cap = 4096)
   }
 
   /** NN-descent at scale: seed-vs-refinement cost split. The claim under

@@ -1,12 +1,14 @@
 package graft.functions
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 
@@ -35,7 +37,19 @@ import org.apache.spark.sql.types._
   * `ord`, ties broken ascending by `id` — EXACTLY the
   * `Window.orderBy(ord, id)` / `row_number <= k` total order the ANN
   * operators used, so results are row-for-row identical (spec-asserted
-  * against the window formulation in PipelineSpec).
+  * against the window formulation in PipelineSpec) — with two
+  * documented divergences: (a) NaN ords are DROPPED in update() (a
+  * NaN similarity, i.e. a zero-vector cosine, is never a neighbour;
+  * the window face would instead sort NaN first under desc), and
+  * (b) exact (ord, id) duplicates collapse to one slot (see
+  * [[TopKBuf]]) where row_number over duplicate-bearing input keeps
+  * both. Callers needing the window's NaN placement or duplicate
+  * retention, or non-(double, long) columns, use [[TopKGenAgg]].
+  *
+  * Types are locked to `ord: DOUBLE`, `id: BIGINT` so the buffer is
+  * two primitive arrays (zero boxing on the 125M-candidate hot path);
+  * `checkInputDataTypes` rejects anything else at analysis time —
+  * [[TopKGenAgg]] is the generic face for other orderable types.
   *
   * NOTE: groups-per-task must stay under
   * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`, or
@@ -56,16 +70,30 @@ case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ord.dataType != DoubleType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs wants ord: DOUBLE, got ${ord.dataType.sql} — " +
+          "use topk_gen for other orderable types")
+    } else if (id.dataType != LongType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs wants id: BIGINT, got ${id.dataType.sql} — " +
+          "use topk_gen for other orderable types")
+    } else TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 
   override def update(b: TopKBuf, input: InternalRow): TopKBuf = {
     val o = ord.eval(input)
     val i = id.eval(input)
     if (o != null && i != null) {
-      // descending faces negate the key so the buffer logic is one
-      // ascending comparator; eval() un-negates
-      val key = if (asc) o.asInstanceOf[Double] else -o.asInstanceOf[Double]
-      b.insert(key, i.asInstanceOf[Long])
+      val d = o.asInstanceOf[Double]
+      // NaN ord (zero-vector cosine) is dropped — see ordering contract
+      if (!java.lang.Double.isNaN(d)) {
+        // descending faces negate the key so the buffer logic is one
+        // ascending comparator; eval() un-negates
+        b.insert(if (asc) d else -d, i.asInstanceOf[Long])
+      }
     }
     b
   }
@@ -149,13 +177,180 @@ final class TopKBuf(val k: Int) {
   }
 }
 
+/** Generic-typed bounded per-group top-k — the same k-bounded
+  * insertion-buffer shape as [[TopKPairsAgg]] for ANY orderable
+  * (`ord`, `id`) column types, at the cost of boxed values and an
+  * interpreted comparator per compare.
+  *
+  * Two seats in the engine:
+  *  - deterministic CAP/SAMPLE selection keyed by a hash STRING — e.g.
+  *    `userCoEdges`' per-bucket cap (first `cap` members by
+  *    `(sha2(id), id)`) and per-cell representative sampling, which a
+  *    `row_number` window would pay a full per-bucket sort for; and
+  *  - the fallback for public ANN operators called with non-(double,
+  *    long) id/score columns, where [[TopKPairsAgg]] now fails at
+  *    analysis time by design.
+  *
+  * Ordering is Spark's own interpreted ordering for the types
+  * (UTF8String = binary/ASCII-lexicographic, matching DuckDB's default
+  * VARCHAR collation on hex digests); `asc = false` REVERSES the ord
+  * comparator rather than negating values, so NaN doubles land exactly
+  * where the window face puts them (largest → first under desc).
+  * Exact (ord, id) duplicates collapse to one slot, so a preceding
+  * `distinct()` — and its full-width shuffle — is unnecessary. */
+case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKGenBuf] {
+
+  require(k >= 1 && k <= 4096, s"top-k wants 1..4096, got $k")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", ord.dataType, nullable = false),
+      StructField("id", id.dataType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!RowOrdering.isOrderable(ord.dataType)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_gen ord type ${ord.dataType.sql} is not orderable")
+    } else if (!RowOrdering.isOrderable(id.dataType)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_gen id type ${id.dataType.sql} is not orderable")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val ordCmp: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(ord.dataType)
+    if (asc) base else base.reverse
+  }
+  private lazy val idCmp: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
+  override def createAggregationBuffer(): TopKGenBuf =
+    new TopKGenBuf(k, ordCmp, idCmp)
+
+  override def update(b: TopKGenBuf, input: InternalRow): TopKGenBuf = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    // copy only on (possible) accept — input-backed UTF8Strings etc.
+    // are transient, but the common full-buffer reject needs no copy
+    if (o != null && i != null && !b.rejects(o, i)) {
+      b.insert(InternalRow.copyValue(o), InternalRow.copyValue(i))
+    }
+    b
+  }
+
+  override def merge(b: TopKGenBuf, other: TopKGenBuf): TopKGenBuf = {
+    var i = 0
+    while (i < other.size) { b.insert(other.ords(i), other.ids(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: TopKGenBuf): Any = {
+    val out = new Array[Any](b.size)
+    var i = 0
+    while (i < b.size) { out(i) = InternalRow(b.ords(i), b.ids(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private lazy val pairProj =
+    UnsafeProjection.create(Array(ord.dataType, id.dataType))
+
+  override def serialize(b: TopKGenBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      val bytes = pairProj(InternalRow(b.ords(i), b.ids(i))).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKGenBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = createAggregationBuffer()
+    val row = new UnsafeRow(2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      row.pointTo(arr, len)
+      b.insert(InternalRow.copyValue(row.get(0, ord.dataType)),
+        InternalRow.copyValue(row.get(1, id.dataType)))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKGenAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKGenAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKGenAgg =
+    copy(ord = newChildren(0), id = newChildren(1))
+}
+
+/** k-bounded insertion-sorted pair buffer over boxed values with
+  * pluggable comparators — [[TopKBuf]]'s logic, generalized. Exact
+  * (ord, id) duplicates (comparator-equal) collapse on insert. */
+final class TopKGenBuf(val k: Int, ordCmp: Ordering[Any],
+    idCmp: Ordering[Any]) {
+  val ords = new Array[Any](k)
+  val ids = new Array[Any](k)
+  var size: Int = 0
+
+  private def cmp(o: Any, i: Any, j: Int): Int = {
+    val c = ordCmp.compare(o, ords(j))
+    if (c != 0) c else idCmp.compare(i, ids(j))
+  }
+
+  /** Full buffer and (o, i) does not beat the current k-th: insert
+    * would be a no-op (covers the duplicate-of-last case too). */
+  def rejects(o: Any, i: Any): Boolean =
+    size == k && cmp(o, i, k - 1) >= 0
+
+  def insert(o: Any, i: Any): Unit = {
+    if (rejects(o, i)) return
+    var pos = if (size == k) k - 1 else size
+    // the scan stops at the first element (o, i) does not strictly
+    // beat; comparator-equal there means duplicate → no-op
+    var scan = pos
+    while (scan > 0 && cmp(o, i, scan - 1) < 0) scan -= 1
+    if (scan > 0 && cmp(o, i, scan - 1) == 0) return
+    if (size < k) { size += 1; pos = size - 1 }
+    while (pos > scan) {
+      ords(pos) = ords(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+    }
+    ords(scan) = o; ids(scan) = i
+  }
+}
+
 object TopK {
   /** `topk_pairs(ord, id, k)`: array of the k (ord, id) pairs with the
     * smallest (`asc = true`, default) or largest (`asc = false`) `ord`,
     * ties ascending by id, in rank order. Compose with `posexplode` for
-    * the (rank, id, ord) face. */
+    * the (rank, id, ord) face. Types locked to (DOUBLE, BIGINT) —
+    * analysis-time error otherwise; see [[topk_gen]]. */
   def topk_pairs(ord: Column, id: Column, k: Int,
       asc: Boolean = true): Column =
     bridge.column(TopKPairsAgg(bridge.expression(ord),
+      bridge.expression(id), k, asc).toAggregateExpression())
+
+  /** [[topk_pairs]] for any orderable (ord, id) column types (boxed,
+    * interpreted comparator — use [[topk_pairs]] on (DOUBLE, BIGINT)
+    * hot paths). */
+  def topk_gen(ord: Column, id: Column, k: Int,
+      asc: Boolean = true): Column =
+    bridge.column(TopKGenAgg(bridge.expression(ord),
       bridge.expression(id), k, asc).toAggregateExpression())
 }

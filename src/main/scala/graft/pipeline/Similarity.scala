@@ -55,14 +55,23 @@ object Similarity {
     * total order is EXACTLY the window formulation's, so results are
     * row-for-row identical (spec-asserted). */
   private def aggTopK(scored: DataFrame, k: Int, valCol: String,
-      asc: Boolean): DataFrame =
+      asc: Boolean): DataFrame = {
+    // primitive fast path on the fixture's (double score, bigint id)
+    // shape; generic ids/scores (public operators take arbitrary idCol)
+    // route through the boxed-comparator twin instead of failing
+    val fast =
+      scored.schema(valCol).dataType == org.apache.spark.sql.types.DoubleType &&
+        scored.schema("nn_id").dataType == org.apache.spark.sql.types.LongType
+    val tk =
+      if (fast) graft.functions.TopK.topk_pairs(col(valCol), col("nn_id"), k, asc)
+      else graft.functions.TopK.topk_gen(col(valCol), col("nn_id"), k, asc)
     scored
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.topk_pairs(col(valCol), col("nn_id"), k,
-        asc).as("tk"))
+      .agg(tk.as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("nn_id"), col("col.ord").as(valCol))
+  }
 
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred` on the id column), the k nearest other vectors.

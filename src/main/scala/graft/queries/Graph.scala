@@ -81,24 +81,33 @@ object Graph {
     * (spec-asserted in GraphSpec) while bounding the worst case; pass a
     * smaller cap to trade recall of intra-bucket edges for a hard
     * per-bucket budget (q60 gate-certifies the biting cap against an
-    * oracle replaying the same sha-ordered window).
+    * oracle replaying the same sha-ordered window). CALLERS ON DENSER
+    * DATA TAKE NOTE: any bucket with more than `cap` distinct members
+    * contributes only that deterministic sample's edges — pass
+    * `cap = Int.MaxValue`-adjacent values at your own quadratic peril.
     *
-    * The cap window partitions by the SAME (h, event_type) key the
-    * self-join shuffles on, so the exchange is shared; the DISTINCT
-    * collapses repeat co-occurrence. */
+    * The cap is a bounded-buffer AGGREGATION
+    * ([[graft.functions.TopKGenAgg]]: first `cap` members by
+    * (sha2(user_id), user_id), exact-duplicate collapse = the
+    * DISTINCT), not a `row_number` window: the window form sorted
+    * every bucket's full membership and taxed the whole graph family
+    * 1.2–1.4× (round-10 measurement); the buffer pays one compare per
+    * row, ships ≤ cap rows per (task, bucket), and folds the previous
+    * standalone distinct's full-width shuffle into the same exchange —
+    * one shuffle where there were two, no sort anywhere. */
   def userCoEdges(events: DataFrame, grain: String = "hour",
       cap: Int = 64): DataFrame = {
-    require(cap >= 2, s"cap=$cap cannot produce any co-occurrence pair")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h"), col("event_type"))
-      .orderBy(sha2(col("user_id").cast("string"), 256), col("user_id"))
+    require(cap >= 2 && cap <= 4096,
+      s"cap=$cap outside 2..4096 (the bounded-buffer budget)")
     val ev = events
       .select(col("user_id"), date_trunc(grain, col("ts")).as("h"),
         col("event_type"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .drop("rn")
+      .groupBy(col("h"), col("event_type"))
+      .agg(graft.functions.TopK.topk_gen(
+        sha2(col("user_id").cast("string"), 256), col("user_id"), cap)
+        .as("tk"))
+      .select(col("h"), col("event_type"), explode(col("tk")).as("m"))
+      .select(col("m.id").as("user_id"), col("h"), col("event_type"))
     ev.as("a").join(ev.as("b"),
         col("a.h") === col("b.h") &&
           col("a.event_type") === col("b.event_type") &&

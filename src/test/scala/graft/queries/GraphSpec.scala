@@ -78,11 +78,13 @@ class GraphSpec extends SparkSpec {
     // buckets peak well below 64 members at either grain, so cap = 64
     // (the default every gate query runs under) must reproduce the
     // uncapped edge set exactly — the cap only ever bites on a true hot
-    // bucket. Int.MaxValue disables trimming without a second code path.
+    // bucket. cap = 4096 (the buffer-budget maximum, far above any
+    // fixture bucket) stands in for "uncapped" without a second code
+    // path.
     val ev = graft.Tables.load(spark, sf(), "events")
     for (grain <- Seq("minute", "hour")) {
       val capped = Graph.userCoEdges(ev, grain)
-      val uncapped = Graph.userCoEdges(ev, grain, cap = Int.MaxValue)
+      val uncapped = Graph.userCoEdges(ev, grain, cap = 4096)
       assert(capped.exceptAll(uncapped).isEmpty &&
         uncapped.exceptAll(capped).isEmpty,
         s"cap=64 changed the $grain-grain edge set on the fixture")
@@ -106,7 +108,7 @@ class GraphSpec extends SparkSpec {
       .take(8).toSet
     assert(edges.size === 8 * 7)
     assert(edges.flatMap(e => Seq(e._1, e._2)).toSet === expectedMembers)
-    assert(Graph.userCoEdges(ev, cap = Int.MaxValue).count() === 50L * 49L)
+    assert(Graph.userCoEdges(ev, cap = 4096).count() === 50L * 49L)
   }
 
   test("triangleCensus: hand-built graph — one triangle plus a pendant") {
