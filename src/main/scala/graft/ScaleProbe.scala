@@ -355,32 +355,41 @@ object ScaleProbe {
       cap = 4096)
   }
 
-  /** NN-descent at scale: seed-vs-refinement cost split. The claim under
-    * test is the build asymptotics — the multi-assignment seed is the
-    * quadratic-in-cell-size part (4·(n/nlist)²·nlist pairs; nlist is the
-    * knob), while each refinement round is LINEAR (≤ degree+degree²
-    * candidates per node). Measured as rounds=0 (seed only) vs rounds=1
-    * wall, plus the kept-edge quality sum showing the round actually
-    * bought something. */
+  /** NN-descent at scale: seed-vs-refinement cost split, at TWO corpus
+    * scales. The claim under test is the round-11 build asymptotics:
+    * the sampled-representative seed is LINEAR (n·2·reps scored pairs
+    * against a broadcast rep table — the round-10 probe measured the
+    * old in-cell all-pairs seed at ~100% of build cost and Θ(n²/nlist)
+    * at fixed nlist), and each refinement round is linear too
+    * (degree-bounded forward + reverse edges, ≤ 4·degree² wedge
+    * candidates per node). Evidence wanted: seed wall and round-1
+    * MARGINAL wall both growing ~×2 when the corpus doubles — at fixed
+    * nlist, where the old seed grew ~×4. */
   private def nndProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
     val emb = Tables.load(spark, dir, "embeddings")
     val n = emb.count()
-    val big = emb.crossJoin(
-        spark.range(times.toLong).select(col("id").as("rep")))
+    def corpus(t: Int) = emb.crossJoin(
+        spark.range(t.toLong).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * n).as("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    println(s"[probe] nnd corpus = ${big.count()} vectors, nlist=64, degree=6")
-    def leg(tag: String, rounds: Int): Unit = {
+    def leg(scaleTag: String, big: org.apache.spark.sql.DataFrame,
+        rounds: Int): Unit = {
       val t0 = System.nanoTime()
       val q = pipeline.Similarity
         .nnDescentAdj(big, "vec_id", "embedding", rounds = rounds, nlist = 64)
         .agg(count(lit(1)), sum("nsim")).head
-      println(f"[probe] nnd/$tag%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+      println(f"[probe] nnd/$scaleTag/rounds=$rounds " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  edges=${q.getLong(0)} quality=${q.getDouble(1)}%.1f")
     }
-    leg("seed", 0)
-    leg("round1", 1)
+    for (t <- Seq(times / 2, times)) {
+      val big = corpus(t)
+      println(s"[probe] nnd corpus = ${big.count()} vectors, nlist=64, degree=6")
+      leg(s"${t}x", big, 0)
+      leg(s"${t}x", big, 1)
+      big.unpersist()
+    }
   }
 
   def main(args: Array[String]): Unit = {

