@@ -54,7 +54,13 @@ object Bench {
     } catch { case _: Throwable => () }
     sweep()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // SPARK_GRAFT_ONLY=q1_agg,e23_graph_serve — dev A/B knob: time only
+    // the named queries. The artifact still writes, but core/freeze
+    // subtotals are not comparable (their _n counts expose that).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // Frozen round-7 registry membership (82 queries). The full "total"
     // changes meaning every time a query is registered, so round-over-round
     // comparisons kept degenerating into hand-recomputed subsets (the r8
@@ -141,6 +147,13 @@ object Bench {
       "s3_sliding_2h1h", "s4_session_window", "s5_interval_join",
       "s6_gap_detect", "s7_stream_incr_dedup", "s8_stream_ffill",
       "s9_stream_topk")
+    // Frozen round-10 registry membership (158 queries) — third freeze,
+    // same pattern: core153 plus round 10's five additions. Freeze value
+    // = the committed round-10 full-precision artifact's total (77.7 s,
+    // exactly this membership).
+    val core158: Set[String] = core153 ++ Set("e21_graph_ann",
+      "e22_nn_descent", "q60_capped_coedges", "s14_stream_ann_serve",
+      "s15_stream_index_build")
     // The REAL-Structured-Streaming gate rows (s7–s13): each runs actual
     // micro-batches with checkpointed state, whose per-batch incremental
     // planning sets a ~0.9 s/batch floor that is certification cost, not
@@ -215,6 +228,10 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core153Total = core153Times.sum
     val core153N = core153Times.size
+    val core158Times = results.filter(r => core158(r._1))
+      .map(_._2).filter(_ >= 0)
+    val core158Total = core158Times.sum
+    val core158N = core158Times.size
     val streamOverhead = results.filter(r => streamRows(r._1))
       .map(_._2).filter(_ >= 0).sum
     // build_s: samples are prepended per rep, so .last is the rep-1
@@ -229,7 +246,7 @@ object Bench {
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"stream_overhead_s":$streamOverhead,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"stream_overhead_s":$streamOverhead,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${

@@ -38,11 +38,52 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float])
   }
 
-  /** The environment-bound default: this container has no image
-    * libraries, so the stub below stands in. */
+  /** The environment-bound default for the GATE rows: the oracle must
+    * replay features in SQL, so the deterministic stub stands in there.
+    * [[ImageIoDecoder]] below is the real-bytes drop-in. */
   object StubImageDecoder extends ImageDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
       decodeStub(payload)
+  }
+
+  /** REAL image decoder over the JDK's own codec (`javax.imageio` —
+    * PNG/JPEG/GIF/BMP ship with every JRE; no external library, works
+    * offline): parses the payload into a BufferedImage and emits true
+    * (width, height) plus an 8-bin luma histogram, L1-normalized — a
+    * deterministic, resolution-independent feature (the round-10 seam's
+    * promised drop-in). Decode failures THROW with the media context
+    * rather than fabricating pixels — a curation pipeline wants corrupt
+    * payloads surfaced (filter or quarantine upstream), not silently
+    * embedded. Thread-safe: `ImageIO.read` allocates a fresh reader per
+    * call; the in-memory stream avoids ImageIO's global disk cache. */
+  object ImageIoDecoder extends ImageDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      if (img == null) {
+        throw new IllegalArgumentException(
+          s"ImageIoDecoder: unrecognized image payload (${payload.length} bytes)")
+      }
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer BT.601 luma in [0, 255] → 8 bins of 32
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          hist(luma >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      (w, h, hist.map(_ / n))
+    }
   }
 
   /** STUB decoder — deterministic fake standing in for an image codec.

@@ -67,12 +67,15 @@ def main() -> int:
     else:
         check("core82_total", bench["core82_total"], ratio * base["core82_freeze_s"])
 
-    if "core153_total" in bench and "core153_freeze_s" in base:
-        if bench.get("core153_n") != 153:
-            print(f"FAIL core153_n = {bench.get('core153_n')} != 153 -- subtotal not comparable")
-            failures.append("core153_n")
-        else:
-            check("core153_total", bench["core153_total"], ratio * base["core153_freeze_s"])
+    for core_n in (153, 158):
+        total_k, n_k, freeze_k = (f"core{core_n}_total", f"core{core_n}_n",
+                                  f"core{core_n}_freeze_s")
+        if total_k in bench and freeze_k in base:
+            if bench.get(n_k) != core_n:
+                print(f"FAIL {n_k} = {bench.get(n_k)} != {core_n} -- subtotal not comparable")
+                failures.append(n_k)
+            else:
+                check(total_k, bench[total_k], ratio * base[freeze_k])
 
     if failures:
         print(f"\nbench gate: FAILED ({', '.join(failures)})")
