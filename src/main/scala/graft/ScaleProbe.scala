@@ -392,10 +392,58 @@ object ScaleProbe {
     }
   }
 
+  /** Incremental-vs-rebuild cost for the graph index: archive at
+    * `times`× replication, delta = one extra sf0.1 replica (~2% of the
+    * archive at times=50). The claim under test is nnDescentAppend's
+    * O(|delta| + touched frontier) — append wall must sit far below
+    * the from-scratch rebuild over the combined corpus, and the two
+    * must agree on edge count + quality (the spec proves row equality
+    * on the fixture; the probe proves the COST asymmetry at scale). */
+  private def nndAppendProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val combined = emb.crossJoin(
+        spark.range(times.toLong + 1).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * n).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val cut = times.toLong * n   // ids >= cut are the delta replica
+    val archive = combined.filter(col("vec_id") < cut).localCheckpoint(true)
+    println(s"[probe] nndappend archive=${archive.count()} delta=$n " +
+      "nlist=64 degree=6")
+    val t0 = System.nanoTime()
+    val built = pipeline.Similarity.buildNndIndex(archive, "vec_id",
+      "embedding", nlist = 64)
+    val builtIdx = built.copy(
+      seed = built.seed.localCheckpoint(true),
+      refined = built.refined.localCheckpoint(true))
+    println(f"[probe] nndappend/archive-build ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    for (d <- Seq(n / 10, n)) {
+      val comb = combined.filter(col("vec_id") < cut + d)
+      val t1 = System.nanoTime()
+      val app = pipeline.Similarity.appendNndIndex(builtIdx, comb,
+        "vec_id", "embedding", _ >= cut)
+      val aAgg = app.refined.agg(count(lit(1)), sum("nsim")).head
+      println(f"[probe] nndappend/append-$d ${(System.nanoTime() - t1) / 1e9}%7.2f s" +
+        f"  edges=${aAgg.getLong(0)} quality=${aAgg.getDouble(1)}%.1f")
+    }
+    val t2 = System.nanoTime()
+    val sAgg = pipeline.Similarity
+      .nnDescentAdjWith(combined, "vec_id", "embedding", builtIdx.quant)
+      .agg(count(lit(1)), sum("nsim")).head
+    println(f"[probe] nndappend/rebuild       ${(System.nanoTime() - t2) / 1e9}%7.2f s" +
+      f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("nndappend")) {
+      nndAppendProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(50))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("nnd")) {
       nndProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(50))
       spark.stop()

@@ -1071,7 +1071,13 @@ object Similarity {
       .select(col("cell"), col("m.id").as("rep_id"))
       .join(corpus.select(col("nn_id").as("rep_id"),
         col("nn_vec").as("rep_vec")), Seq("rep_id"))
-    q.copy(reps = cellReps)
+    // the rep table is ≤ nlist·reps rows but its LINEAGE is a full-
+    // corpus assignment + election — materialize at training (lazily)
+    // so every later consumer (the build's seed join, then every
+    // append's delta seed) reads 512 rows instead of re-running the
+    // election; measured: the un-materialized lineage was ~the whole
+    // append floor (34 s of 34 s at 100k archive)
+    q.copy(reps = cellReps.localCheckpoint(false))
   }
 
   /** [[nnDescentAdj]] with an explicitly-supplied (frozen) quantizer —
@@ -1153,6 +1159,100 @@ object Similarity {
         col("nsim"))
   }
 
+  /** The complete graph-ANN index artifact: the frozen quantizer plus
+    * BOTH adjacency faces — the seed graph (rounds = 0; what
+    * [[nnDescentAppend]] needs to re-derive bounded reverse lists) and
+    * the refined graph (rounds = 1; what [[graphServeTopK]] walks).
+    * The lifecycle, each leg spec-certified:
+    * [[buildNndIndex]] → [[saveNndIndex]] → [[loadNndIndex]] →
+    * serve ([[graphServeTopK]]) / append ([[appendNndIndex]]). */
+  final case class NndIndex(quant: NndQuantizer, seed: DataFrame,
+      refined: DataFrame)
+
+  /** One-round NN-descent index build as an artifact (quantizer kept
+    * for later appends, both adjacency faces materializable). */
+  def buildNndIndex(emb: DataFrame, idCol: String, vecCol: String,
+      degree: Int = 6, nlist: Int = 16, reps: Int = 8): NndIndex = {
+    val quant = nndQuantizer(emb, idCol, vecCol, nlist, reps)
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val seed = nndSeed(corpus, quant, degree)
+    NndIndex(quant, seed, nndRefineOnce(corpus, seed, degree))
+  }
+
+  /** Persist an [[NndIndex]] — the graph twin of [[saveIvfPqIndex]]:
+    *
+    *   path/refined/    the serving adjacency (node, rank, nbr, nsim)
+    *   path/seed/       the seed adjacency (append-path input)
+    *   path/centroids/  (ord, cent_id, vec) — nlist rows
+    *   path/reps/       (cell, rep_id, rep_vec) — ≤ nlist·reps rows
+    *
+    * All parquet, no driver-format side-channel. */
+  def saveNndIndex(index: NndIndex, path: String): Unit = {
+    index.refined.write.mode("overwrite").parquet(s"$path/refined")
+    index.seed.write.mode("overwrite").parquet(s"$path/seed")
+    index.quant.reps.write.mode("overwrite").parquet(s"$path/reps")
+    val spark = index.refined.sparkSession
+    val idType = index.quant.reps.schema("rep_id").dataType
+    val centRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    index.quant.centIds.zipWithIndex.foreach { case (cid, i) =>
+      centRows.add(org.apache.spark.sql.Row(i, cid,
+        index.quant.cents(i).toSeq))
+    }
+    spark.createDataFrame(centRows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent_id", idType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Restore a [[saveNndIndex]] artifact; serving and appending from
+    * the loaded index are row-identical to the in-session build
+    * (spec-asserted in a fresh session). */
+  def loadNndIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): NndIndex = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy("ord").collect()
+    val quant = NndQuantizer(centRows.map(_.get(1)),
+      centRows.map(_.getSeq[Double](2).toArray),
+      spark.read.parquet(s"$path/reps"))
+    NndIndex(quant, spark.read.parquet(s"$path/seed"),
+      spark.read.parquet(s"$path/refined"))
+  }
+
+  /** [[nnDescentAppend]] at the artifact level: returns the index for
+    * the combined corpus — seed extended with the delta's (independent)
+    * seed edges, refined adjacency maintained incrementally. */
+  def appendNndIndex(index: NndIndex, emb: DataFrame, idCol: String,
+      vecCol: String, deltaPred: Column => Column,
+      degree: Int = 6): NndIndex = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    val seedDelta = nndSeed(corpus.filter(deltaPred(col("nn_id"))),
+      index.quant, degree)
+    NndIndex(index.quant, index.seed.unionAll(seedDelta),
+      nnDescentAppend(emb, idCol, vecCol, index.quant, index.seed,
+        index.refined, deltaPred, degree))
+  }
+
+  /** Serve the greedy beam walk from a graph-index ARTIFACT: entries
+    * default to the quantizer's centroid nodes (one per cell — the
+    * same entry policy [[graphTopK]] uses). */
+  def graphServeTopK(emb: DataFrame, idCol: String, vecCol: String,
+      index: NndIndex, queryPred: Column => Column, k: Int,
+      beam: Int, hops: Int): DataFrame = {
+    val entryIds = emb
+      .filter(col(idCol).isInCollection(index.quant.centIds.toSeq))
+      .select(col(idCol))
+    graphServeTopK(emb, idCol, vecCol, index.refined, entryIds,
+      queryPred, k, beam, hops)
+  }
+
   /** Incremental NN-descent index maintenance — append new vectors to
     * an archive-built graph WITHOUT rebuilding it: "append nodes,
     * refine touched neighbourhoods". Inputs are the frozen quantizer
@@ -1169,14 +1269,21 @@ object Similarity {
     *    `seed(combined) = archiveSeed ∪ seed(delta)` — nothing old
     *    re-seeds;
     *  - a node's (fwd ∪ bounded-rev) edge set changes only if it is a
-    *    delta node (new fwd edges) or it GAINED an in-edge (its bounded
-    *    rev list may shift) — `changed = delta ∪ targets(seedDelta)`;
+    *    delta node (new fwd edges) or its bounded rev list was
+    *    DISPLACED — and since appends only add in-edges, displacement
+    *    is detectable as `revNew \ revOld ≠ ∅` per node, so
+    *    `changed = delta ∪ rev-diff nodes` (exact, not the superset of
+    *    every in-edge gainer — an in-edge that doesn't crack the
+    *    target's top-`degree` touches nobody);
     *  - a node's refinement OUTPUT depends on its own edge set and its
     *    neighbours' — recompute = changed ∪ {x : (x → m) ∈ und,
     *    m ∈ changed}, a one-hop frontier.
     * Untouched nodes keep their archive rows verbatim. Cost is
-    * O(|delta| + |touched frontier|), not O(n) — measured on the
-    * fixture as a small fraction of the corpus in the spec. */
+    * O(|delta| + |touched frontier|) scoring work plus O(n) cheap
+    * column passes (the rev diff); the frontier is proportional to
+    * |delta| × rep in-degree, which at the production geometry
+    * (nlist scaling with corpus, the documented knob) is O(|delta|) —
+    * measured in `ScaleProbe nndappend`. */
   def nnDescentAppend(emb: DataFrame, idCol: String, vecCol: String,
       quant: NndQuantizer, archiveSeed: DataFrame,
       archiveRefined: DataFrame, deltaPred: Column => Column,
@@ -1184,15 +1291,23 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val seedDelta = nndSeed(corpus.filter(deltaPred(col("nn_id"))),
-      quant, degree)
+      quant, degree).localCheckpoint(false)
     val adj0 = archiveSeed.unionAll(seedDelta)
+    // the bounded rev lists are the ONLY archive-side state an append
+    // can move, and appends only ever ADD in-edges — so a node's rev
+    // list changed iff it contains a pair the archive's didn't. Diffing
+    // the two aggregations (instead of flagging every in-edge gainer)
+    // is what keeps the frontier proportional to the delta: a new
+    // in-edge that does not displace the target's top-`degree` leaves
+    // every neighbour's candidate set untouched.
+    val revNew = nndRev(adj0, degree).localCheckpoint(false)
     val und = adj0.select(col("node"), col("nbr"))
-      .unionAll(nndRev(adj0, degree))
-    // und-changed nodes: delta (new fwd edges) ∪ in-edge gainers
-    // (bounded rev list may shift)
+      .unionAll(revNew)
+    // und-changed nodes: delta (new fwd edges) ∪ displaced rev lists
     val changed = corpus.filter(deltaPred(col("nn_id")))
       .select(col("nn_id").as("id"))
-      .unionAll(seedDelta.select(col("nbr").as("id")))
+      .unionAll(revNew.exceptAll(nndRev(archiveSeed, degree))
+        .select(col("node").as("id")))
       .distinct()
     // one-hop frontier: nodes whose candidate set reads a changed
     // neighbour's edges
@@ -1200,16 +1315,22 @@ object Similarity {
       .unionAll(und.join(changed, und("nbr") === changed("id"))
         .select(und("node").as("id")))
       .distinct()
+      .localCheckpoint(false)
     // full-fidelity refinement restricted to the recompute set: the a
     // (origin) side filters to touched nodes, the b (wedge) side reads
     // the FULL combined edge set — candidates are exactly the
     // from-scratch round's for those nodes
     val undR = und.join(broadcast(recompute),
       und("node") === recompute("id")).select(col("node"), col("nbr"))
+    // materialized so AQE sees the candidate set's true (frontier-
+    // proportional) size and flips the scoring joins to broadcast —
+    // otherwise the vector-table sides shuffle in full and the O(n)
+    // exchange dwarfs the O(frontier) scoring the restriction bought
     val candR = undR.unionAll(
         undR.as("a").join(und.as("b"), col("a.nbr") === col("b.node"))
           .select(col("a.node").as("node"), col("b.nbr").as("nbr")))
       .filter(col("node") =!= col("nbr"))
+      .localCheckpoint(false)
     val refreshed = nndScoreTopK(corpus, candR, degree)
     archiveRefined
       .join(broadcast(recompute),

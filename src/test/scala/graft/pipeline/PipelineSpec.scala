@@ -386,6 +386,49 @@ class PipelineSpec extends SparkSpec {
     assert(preserved > 0, "no archive rows survived the append untouched")
   }
 
+  test("graph index artifact: build/save/load lifecycle — serve and append from the loaded index") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val archive = emb.filter(col("vec_id") >= 5)
+    val idx = Similarity.buildNndIndex(archive, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    try {
+      Similarity.saveNndIndex(idx, dir)
+      val fresh = spark.newSession()
+      val loaded = Similarity.loadNndIndex(fresh, dir)
+      assert(loaded.quant.centIds.toSeq === idx.quant.centIds.toSeq)
+      assert(loaded.quant.cents.flatten.toSeq === idx.quant.cents.flatten.toSeq)
+      // serving from the loaded artifact in a fresh session matches the
+      // in-session build (both walk the same persisted adjacency)
+      val archF = Tables.load(fresh, sf(), "embeddings")
+        .filter(col("vec_id") >= 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val servedLoaded = rows(Similarity.graphServeTopK(archF, "vec_id",
+        "embedding", loaded, _ < 25, k = 5, beam = 8, hops = 2))
+      val servedBuilt = rows(Similarity.graphServeTopK(archive, "vec_id",
+        "embedding", idx, _ < 25, k = 5, beam = 8, hops = 2))
+      assert(servedLoaded === servedBuilt)
+      // appending through the loaded artifact equals the from-scratch
+      // frozen-quantizer rebuild over the combined corpus
+      val embF = Tables.load(fresh, sf(), "embeddings")
+      val appended = Similarity.appendNndIndex(loaded, embF, "vec_id",
+        "embedding", _ < 5)
+      val scratch = Similarity.nnDescentAdjWith(embF, "vec_id", "embedding",
+        loaded.quant, rounds = 1)
+      assert(rows(appended.refined) === rows(scratch))
+      // and the appended SEED face equals the from-scratch seed too
+      // (what the NEXT append will consume)
+      val scratchSeed = Similarity.nnDescentAdjWith(embF, "vec_id",
+        "embedding", loaded.quant, rounds = 0)
+      assert(rows(appended.seed) === rows(scratchSeed))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
