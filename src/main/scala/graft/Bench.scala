@@ -164,7 +164,8 @@ object Bench {
     val streamRows: Set[String] = Set("s7_stream_incr_dedup",
       "s8_stream_ffill", "s9_stream_topk", "s10_stream_static_join",
       "s11_stream_dedup", "s12_stream_stream_join", "s13_stream_outer_join",
-      "s14_stream_ann_serve", "s15_stream_index_build")
+      "s14_stream_ann_serve", "s15_stream_index_build",
+      "s16_stream_graph_maintain")
     // Queries whose first execution pays a one-time physical-layout build
     // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
     // For these the artifact carries `build_s` = rep-1 time minus the

@@ -2049,15 +2049,20 @@ object PipelineQueries {
       |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nsim DESC, nbr) AS rank
       |  FROM scored)""".stripMargin
 
-  private val e22Oracle = {
+  /** The full one-round build oracle (shared: e22 certifies the batch
+    * build; s16 certifies that the incrementally-maintained streaming
+    * artifact EQUALS it — the frozen-quantizer induction). */
+  private[graft] def nndBuildOracle(restrictNode: Int): String = {
     def cos(a: String, b: String): String =
       s"""ROUND(list_dot_product($a, $b) /
          |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
     s"""WITH ${nndAdjCtes(cos)}
       |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
-      |FROM adj1 WHERE rank <= 6 AND node < 25
+      |FROM adj1 WHERE rank <= 6 AND node < $restrictNode
       |ORDER BY node, rank""".stripMargin
   }
+
+  private val e22Oracle = nndBuildOracle(restrictNode = 25)
 
   // ---- e23: graph-ANN SERVING over the production-built index
   // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the

@@ -1172,8 +1172,16 @@ object Similarity {
   /** One-round NN-descent index build as an artifact (quantizer kept
     * for later appends, both adjacency faces materializable). */
   def buildNndIndex(emb: DataFrame, idCol: String, vecCol: String,
-      degree: Int = 6, nlist: Int = 16, reps: Int = 8): NndIndex = {
-    val quant = nndQuantizer(emb, idCol, vecCol, nlist, reps)
+      degree: Int = 6, nlist: Int = 16, reps: Int = 8): NndIndex =
+    buildNndIndexWith(emb, idCol, vecCol,
+      nndQuantizer(emb, idCol, vecCol, nlist, reps), degree)
+
+  /** [[buildNndIndex]] under an explicitly-supplied (frozen) quantizer
+    * — the face incremental pipelines bootstrap from (train once on
+    * the full table, build over whatever has landed so far; the s16
+    * streaming gate row's batch-0 step). */
+  def buildNndIndexWith(emb: DataFrame, idCol: String, vecCol: String,
+      quant: NndQuantizer, degree: Int = 6): NndIndex = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val seed = nndSeed(corpus, quant, degree)

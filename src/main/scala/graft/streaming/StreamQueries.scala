@@ -787,7 +787,72 @@ object StreamQueries {
       |FROM codes c JOIN cells cl USING (vec_id)
       |ORDER BY c.vec_id""".stripMargin
 
+  // ---- s16: streaming GRAPH-index maintenance — the graph family's
+  // s15: vectors arrive as a real three-batch stream and the NN-descent
+  // adjacency artifact (NndIndex: seed + refined faces) is maintained
+  // incrementally — batch 0 builds over what has landed, batches 1–2
+  // run nnDescentAppend (refine only the touched frontier). The
+  // quantizer is trained ONCE on the full vector table and frozen (the
+  // s15 train/freeze contract), which is exactly what makes the
+  // append-equivalence induction close: every batch's artifact equals
+  // the frozen-quantizer from-scratch build over the vectors seen so
+  // far, so the FINAL read-back equals the batch build over everything
+  // — certified by replaying e22's full build CTEs as the oracle.
+  // Idempotent by construction: each micro-batch overwrites its own
+  // vec/batch=K dir and idx/K artifact and reads its PREDECESSOR'S
+  // persisted artifact (never driver state), so a retry replays
+  // cleanly. Tercile batches are contiguous id ranges, so the delta
+  // predicate is the batch's [min, max] — the production shape
+  // (ingestion partitions land as ranges/markers, not id lists). ----
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Similarity
+    val embT = Tables.load(s, dir, "embeddings")
+    val quant = Similarity.nndQuantizer(embT, "vec_id", "embedding")
+    val rows = embT
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s16").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/vec/batch=$batchId")
+        val seen = s.read.parquet(s"$out/vec").drop("batch")
+        val lohi = batch.agg(min("vec_id"), max("vec_id")).head
+        val next =
+          if (batchId == 0L)
+            Similarity.buildNndIndexWith(seen, "vec_id", "v", quant)
+          else
+            Similarity.appendNndIndex(
+              Similarity.loadNndIndex(s, s"$out/idx/${batchId - 1}"),
+              seen, "vec_id", "v",
+              _.between(lohi.getLong(0), lohi.getLong(1)))
+        Similarity.saveNndIndex(next, s"$out/idx/$batchId")
+      }
+      .option("checkpointLocation", s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, rows.toSeq, (r: (Long, Seq[Double])) => r._1)
+    } finally q.stop()
+    val last = new java.io.File(s"$out/idx").listFiles()
+      .map(_.getName.toLong).max
+    val result = s.read.parquet(s"$out/idx/$last/refined")
+      .filter(col("node") < 25)
+      .orderBy("node", "rank")
+      .localCheckpoint(true)
+    rmTree(out)
+    result
+  }
+
+  /** The oracle replays the BATCH build over the full table — e22's
+    * exact CTE chain — because the frozen-quantizer induction makes
+    * the incrementally-maintained artifact equal it row-for-row. */
+  private val s16Oracle =
+    graft.pipeline.PipelineQueries.nndBuildOracle(restrictNode = 25)
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s16_stream_graph_maintain", st(s16), Some(s16Oracle)),
     QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),
     QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),
     QueryDef("s13_stream_outer_join", st(s13), Some(s13Oracle)),
