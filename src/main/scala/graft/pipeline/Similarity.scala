@@ -1291,7 +1291,13 @@ object Similarity {
     * column passes (the rev diff); the frontier is proportional to
     * |delta| × rep in-degree, which at the production geometry
     * (nlist scaling with corpus, the documented knob) is O(|delta|) —
-    * measured in `ScaleProbe nndappend`. */
+    * measured in `ScaleProbe nndappend`.
+    *
+    * PRECONDITION: the delta ids are NEW — `deltaPred` must select no
+    * id already present in the archive adjacency (an id appended twice
+    * would union duplicate seed edges; this is an append, not an
+    * upsert), and `emb` is the COMBINED corpus (archive + delta
+    * vectors — scoring needs both sides' vectors). */
   def nnDescentAppend(emb: DataFrame, idCol: String, vecCol: String,
       quant: NndQuantizer, archiveSeed: DataFrame,
       archiveRefined: DataFrame, deltaPred: Column => Column,

@@ -421,6 +421,18 @@ class PipelineSpec extends SparkSpec {
       val scratchSeed = Similarity.nnDescentAdjWith(embF, "vec_id",
         "embedding", loaded.quant, rounds = 0)
       assert(rows(appended.seed) === rows(scratchSeed))
+      // serving quality over the production-built graph: the e23 path
+      // (nnd adjacency + beam walk) stays correlated with true
+      // similarity — same floor contract as the e21 in-cell graph
+      val bf = Similarity.bruteForceTopK(embF, "vec_id", "embedding",
+          _ < 20, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ga = Similarity.graphServeTopK(embF, "vec_id", "embedding",
+          appended, _ < 20, k = 5, beam = 8, hops = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (bf intersect ga).size.toDouble / bf.size
+      assert(recall > 0.2,
+        s"graph-serve recall@5 vs brute over the appended index: $recall")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
