@@ -619,8 +619,17 @@ object StreamQueries {
     import graft.functions.PqAdc.{pq_lut, pq_lut_adc}
     import graft.functions.TopK.topk_pairs
     val embT = Tables.load(s, dir, "embeddings")
-    val index = graft.pipeline.Similarity.buildIvfPqIndex(
-      embT, "vec_id", "embedding")
+    // the serving tier reads a PERSISTED index artifact, not the
+    // in-session build: build → saveIvfPqIndex → loadIvfPqIndex →
+    // streaming serve, so this gate row certifies the full artifact
+    // lifecycle literally (the load is row-identical to the build —
+    // also spec-asserted batch-side in PipelineSpec)
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft_s14idx").toString
+    graft.pipeline.Similarity.saveIvfPqIndex(
+      graft.pipeline.Similarity.buildIvfPqIndex(embT, "vec_id", "embedding"),
+      artDir)
+    val index = graft.pipeline.Similarity.loadIvfPqIndex(s, artDir)
     val qRows = embT.filter(col("vec_id") < 30)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
@@ -645,11 +654,13 @@ object StreamQueries {
     try {
       feedInTerciles(input, q, qRows.toSeq, (e: (Long, Seq[Double])) => e._1)
     } finally q.stop()
-    drainSink(s, sink)(
+    val result = drainSink(s, sink)(
       _.select(col("q_id"), posexplode(col("tk")))
         .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("nn_id"), col("col.ord").as("adist"))
         .orderBy("q_id", "rank"))
+    rmTree(artDir)   // result is checkpointed; the artifact can go
+    result
   }
 
   private val s14Oracle =
