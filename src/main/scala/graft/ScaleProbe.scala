@@ -349,9 +349,12 @@ object ScaleProbe {
     // flagged: ×times replicas land in the SAME (hour, type) buckets, so
     // uncapped |E| grows ≈ ×times² (measured 23× wall in round 9). The
     // capped default must hold edge count AND wall roughly flat vs 1x —
-    // that contrast is the enforcement evidence.
+    // that contrast is the enforcement evidence. The contrast leg runs
+    // at the 4096 buffer-budget maximum, NOT uncapped (the aggregate
+    // enforces ≤4096) — honest up to ~82 replicas (50·times members per
+    // bucket); past that this leg UNDERSTATES the truly-uncapped cost.
     probe(s"${times}x-dense", corpus(times, shiftTime = false))
-    probe(s"${times}x-dense-nocap", corpus(times, shiftTime = false),
+    probe(s"${times}x-dense-cap4096", corpus(times, shiftTime = false),
       cap = 4096)
   }
 

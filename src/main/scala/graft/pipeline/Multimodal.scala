@@ -67,19 +67,18 @@ object Multimodal {
       }
       val w = img.getWidth
       val h = img.getHeight
+      // one bulk conversion per image (per-pixel getRGB(x, y) pays a
+      // ColorModel conversion PER CALL — dominant on 3BYTE_BGR JPEGs)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val hist = new Array[Long](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          // integer BT.601 luma in [0, 255] → 8 bins of 32
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          hist(luma >> 5) += 1
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        // integer BT.601 luma in [0, 255] → 8 bins of 32
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        hist(luma >> 5) += 1
+        i += 1
       }
       val n = (w.toLong * h).toFloat
       (w, h, hist.map(_ / n))

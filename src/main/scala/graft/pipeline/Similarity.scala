@@ -59,13 +59,22 @@ object Similarity {
     // primitive fast path on the fixture's (double score, bigint id)
     // shape; generic ids/scores (public operators take arbitrary idCol)
     // route through the boxed-comparator twin instead of failing
-    val fast =
-      scored.schema(valCol).dataType == org.apache.spark.sql.types.DoubleType &&
-        scored.schema("nn_id").dataType == org.apache.spark.sql.types.LongType
+    val ordIsDouble =
+      scored.schema(valCol).dataType == org.apache.spark.sql.types.DoubleType
+    val fast = ordIsDouble &&
+      scored.schema("nn_id").dataType == org.apache.spark.sql.types.LongType
     val tk =
       if (fast) graft.functions.TopK.topk_pairs(col(valCol), col("nn_id"), k, asc)
       else graft.functions.TopK.topk_gen(col(valCol), col("nn_id"), k, asc)
-    scored
+    // ANN contract regardless of route: a NaN score (zero-vector
+    // cosine) is never a neighbour. topk_pairs drops NaN itself;
+    // topk_gen keeps the window's NaN-first desc order (what the cap
+    // use-cases want), so the generic route must filter here or the
+    // same operator would return different neighbour sets by id TYPE
+    val cleaned =
+      if (fast || !ordIsDouble) scored
+      else scored.filter(!isnan(col(valCol)))
+    cleaned
       .groupBy(col("q_id"))
       .agg(tk.as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
@@ -1165,9 +1174,12 @@ object Similarity {
     * the refined graph (rounds = 1; what [[graphServeTopK]] walks).
     * The lifecycle, each leg spec-certified:
     * [[buildNndIndex]] → [[saveNndIndex]] → [[loadNndIndex]] →
-    * serve ([[graphServeTopK]]) / append ([[appendNndIndex]]). */
+    * serve ([[graphServeTopK]]) / append ([[appendNndIndex]]).
+    * `degree` travels WITH the artifact (persisted, restored on load)
+    * so an append can never silently run at a different bound than the
+    * archive was built with. */
   final case class NndIndex(quant: NndQuantizer, seed: DataFrame,
-      refined: DataFrame)
+      refined: DataFrame, degree: Int)
 
   /** One-round NN-descent index build as an artifact (quantizer kept
     * for later appends, both adjacency faces materializable). */
@@ -1185,7 +1197,7 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val seed = nndSeed(corpus, quant, degree)
-    NndIndex(quant, seed, nndRefineOnce(corpus, seed, degree))
+    NndIndex(quant, seed, nndRefineOnce(corpus, seed, degree), degree)
   }
 
   /** Persist an [[NndIndex]] — the graph twin of [[saveIvfPqIndex]]:
@@ -1201,6 +1213,9 @@ object Similarity {
     index.seed.write.mode("overwrite").parquet(s"$path/seed")
     index.quant.reps.write.mode("overwrite").parquet(s"$path/reps")
     val spark = index.refined.sparkSession
+    import spark.implicits._
+    Seq(index.degree).toDF("degree")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idType = index.quant.reps.schema("rep_id").dataType
     val centRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     index.quant.centIds.zipWithIndex.foreach { case (cid, i) =>
@@ -1230,22 +1245,27 @@ object Similarity {
       centRows.map(_.getSeq[Double](2).toArray),
       spark.read.parquet(s"$path/reps"))
     NndIndex(quant, spark.read.parquet(s"$path/seed"),
-      spark.read.parquet(s"$path/refined"))
+      spark.read.parquet(s"$path/refined"),
+      spark.read.parquet(s"$path/meta").head.getInt(0))
   }
 
   /** [[nnDescentAppend]] at the artifact level: returns the index for
     * the combined corpus — seed extended with the delta's (independent)
-    * seed edges, refined adjacency maintained incrementally. */
+    * seed edges, refined adjacency maintained incrementally, under the
+    * ARTIFACT'S degree (an append cannot silently change the bound).
+    * The delta seed is computed once (materialized) and shared by the
+    * returned seed face and the refinement — its lineage is a delta
+    * cell-assignment we must not re-run per consumer. */
   def appendNndIndex(index: NndIndex, emb: DataFrame, idCol: String,
-      vecCol: String, deltaPred: Column => Column,
-      degree: Int = 6): NndIndex = {
+      vecCol: String, deltaPred: Column => Column): NndIndex = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val seedDelta = nndSeed(corpus.filter(deltaPred(col("nn_id"))),
-      index.quant, degree)
+      index.quant, index.degree).localCheckpoint(false)
     NndIndex(index.quant, index.seed.unionAll(seedDelta),
-      nnDescentAppend(emb, idCol, vecCol, index.quant, index.seed,
-        index.refined, deltaPred, degree))
+      nndAppendRefined(corpus, index.seed, index.refined, seedDelta,
+        deltaPred, index.degree),
+      index.degree)
   }
 
   /** Serve the greedy beam walk from a graph-index ARTIFACT: entries
@@ -1306,6 +1326,16 @@ object Similarity {
       asDouble(col(vecCol)).as("nn_vec"))
     val seedDelta = nndSeed(corpus.filter(deltaPred(col("nn_id"))),
       quant, degree).localCheckpoint(false)
+    nndAppendRefined(corpus, archiveSeed, archiveRefined, seedDelta,
+      deltaPred, degree)
+  }
+
+  /** The refined-face maintenance shared by [[nnDescentAppend]] and
+    * [[appendNndIndex]]: takes the (already materialized) delta seed
+    * so no caller computes it twice. */
+  private def nndAppendRefined(corpus: DataFrame, archiveSeed: DataFrame,
+      archiveRefined: DataFrame, seedDelta: DataFrame,
+      deltaPred: Column => Column, degree: Int): DataFrame = {
     val adj0 = archiveSeed.unionAll(seedDelta)
     // the bounded rev lists are the ONLY archive-side state an append
     // can move, and appends only ever ADD in-edges — so a node's rev

@@ -328,12 +328,7 @@ class PipelineSpec extends SparkSpec {
         .ivfPqQuery(loaded, embF, "vec_id", "embedding", _ < 20, k = 5)
         .collect().map(_.toString).sorted.toSeq
       assert(served === gate)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally rmTree(dir)
   }
 
   test("pq adc kernels reject out-of-range codes (cross-subspace read guard)") {
@@ -433,12 +428,7 @@ class PipelineSpec extends SparkSpec {
       val recall = (bf intersect ga).size.toDouble / bf.size
       assert(recall > 0.2,
         s"graph-serve recall@5 vs brute over the appended index: $recall")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally rmTree(dir)
   }
 
   test("pq kernels bit-match the HOF reference forms") {
