@@ -1394,16 +1394,19 @@ object PipelineQueries {
       .select(col("doc_id"), col("features").cast("array<double>").as("v"))
     val q = feats.filter(col("doc_id") < 20)
       .select(col("doc_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
+    // per-query top-k as the bounded-buffer aggregation (the round-10
+    // ANN lesson): no per-query sort of the full feature corpus
     broadcast(q)
       .join(feats.select(col("doc_id").as("nn_id"), col("v").as("nv")),
         col("q_id") =!= col("nn_id"))
-      .withColumn("sim",
-        round(Similarity.cosineFast(col("qv"), col("nv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("nn_id"), col("sim"))
+      .select(col("q_id"), col("nn_id"),
+        round(Similarity.cosineFast(col("qv"), col("nv")), 6).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topk_pairs(col("sim"), col("nn_id"), 5,
+        asc = false).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nn_id"), col("col.ord").as("sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -1845,12 +1848,15 @@ object PipelineQueries {
     val vecs = emb(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val qv = vecs.filter(col("vec_id") === 0L).select(col("v").as("qv"))
-    val sem = vecs.crossJoin(broadcast(qv))
+    // top-20 via orderBy+limit (TakeOrdered: per-partition heaps, no
+    // global corpus sort), then the rank window runs on 20 rows
+    val semTop = vecs.crossJoin(broadcast(qv))
       .withColumn("sim",
         round(Similarity.cosineFast(col("qv"), col("v")), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+    val sem = semTop
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("sem_rank") <= 20)
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     Similarity.rrfFuse(lex, sem, k = 60, topN = 10).orderBy("rank")
   }

@@ -1578,9 +1578,12 @@ object Similarity {
     * straddle a half-ulp boundary (the d33 lesson).
     *
     * 100 TB shape: this face is the brute-force miner — anchors
-    * broadcast, corpus scanned once, two per-anchor windows over the
-    * broadcast-join output (partitioned by q_id, never a corpus
-    * shuffle). In production the same pos/neg split + margin composes
+    * broadcast, corpus scanned once, and each side's hardest candidate
+    * found by a per-anchor MAX aggregation over a lexicographic struct
+    * (map-side partial combine, one tiny row per anchor per task
+    * crosses the shuffle — no per-anchor sort of the corpus slice, the
+    * round-10 top-k lesson applied at k = 1). In production the same
+    * pos/neg split + margin composes
     * against any shortlist the ANN stack emits ([[pqRerankTopK]],
     * [[ivfPqTopK]]) — mine hard negatives from the top-`shortlist`
     * candidates instead of the full corpus, which is exactly how
@@ -1601,15 +1604,19 @@ object Similarity {
     def hardest(sameLabel: Boolean, prefix: String): DataFrame = {
       val side = if (sameLabel) col("label") === col("nn_label")
         else col("label") =!= col("nn_label")
+      // max over (sim, -nn_id) = the (sim DESC, nn_id ASC) window
+      // top-1, as a hash aggregation: struct comparison is field-
+      // lexicographic, so larger sim wins and ties fall to the larger
+      // -nn_id = the SMALLER nn_id; nn_id is unique per anchor so the
+      // payload fields behind it never decide
       scored.filter(side)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("sim").desc, col("nn_id"))))
-        .filter(col("rn") === 1)
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("sim"), (-col("nn_id")).as("nid"),
+          col("nn_id"), col("sim_u"))).as("h"))
         .select(col("q_id"),
-          col("nn_id").as(s"${prefix}_id"),
-          col("sim").as(s"${prefix}_sim"),
-          col("sim_u").as(s"${prefix}_u"))
+          col("h.nn_id").as(s"${prefix}_id"),
+          col("h.sim").as(s"${prefix}_sim"),
+          col("h.sim_u").as(s"${prefix}_u"))
     }
     anchors.select(col("q_id"), col("label"))
       .join(hardest(sameLabel = true, "pos"), Seq("q_id"), "left")
@@ -1642,8 +1649,9 @@ object Similarity {
     * narrow shuffle, reassembled to |groups| array rows, and BROADCAST
     * back — the corpus side computes its distance map-side in a single
     * codegen span over the array (no per-vector explode ever reaches a
-    * shuffle), and only the per-group topK window shuffles (group,
-    * dist2, id) triples, partitioned by group. */
+    * shuffle), and the per-group topK is a BOUNDED-BUFFER aggregation
+    * (no per-group sort of the membership; ≤ topK rows per task per
+    * group cross the shuffle — a hot label cannot create a hot sort). */
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, topK: Int = 5, scale: Long = 100000L): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
@@ -1664,11 +1672,12 @@ object Similarity {
           zip_with(col("xs"), col("ss"),
             (x, sd) => col("n") * x - sd),
           lit(0L), (acc, t) => acc + t * t).as("dist2_q"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
-        .orderBy(col("dist2_q").desc, col("vec_id"))))
-      .filter(col("rn") <= topK)
-      .select(col("label"), col("rn").as("rank"), col("vec_id"),
-        col("dist2_q"), col("n"))
+      .groupBy(col("label"), col("n"))
+      .agg(graft.functions.TopK.topk_gen(col("dist2_q"), col("vec_id"),
+        topK, asc = false).as("tk"))
+      .select(col("label"), col("n"), posexplode(col("tk")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.ord").as("dist2_q"), col("n"))
   }
 
   /** Reciprocal rank fusion (Cormack et al. 2009) — THE standard
