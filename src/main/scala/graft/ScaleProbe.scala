@@ -377,20 +377,25 @@ object ScaleProbe {
       .select((col("vec_id") + col("rep") * n).as("vec_id"), col("embedding"))
       .localCheckpoint(true)
     def leg(scaleTag: String, big: org.apache.spark.sql.DataFrame,
-        rounds: Int): Unit = {
+        rounds: Int, nlist: Int = 64): Unit = {
       val t0 = System.nanoTime()
       val q = pipeline.Similarity
-        .nnDescentAdj(big, "vec_id", "embedding", rounds = rounds, nlist = 64)
+        .nnDescentAdj(big, "vec_id", "embedding", rounds = rounds,
+          nlist = nlist)
         .agg(count(lit(1)), sum("nsim")).head
-      println(f"[probe] nnd/$scaleTag/rounds=$rounds " +
+      println(f"[probe] nnd/$scaleTag/nlist=$nlist/rounds=$rounds " +
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  edges=${q.getLong(0)} quality=${q.getDouble(1)}%.1f")
     }
     for (t <- Seq(times / 2, times)) {
       val big = corpus(t)
-      println(s"[probe] nnd corpus = ${big.count()} vectors, nlist=64, degree=6")
+      println(s"[probe] nnd corpus = ${big.count()} vectors, degree=6")
       leg(s"${t}x", big, 0)
       leg(s"${t}x", big, 1)
+      // the production routing: nlist > 64 switches cell assignment to
+      // the fixed-size IvfCellsExpr kernel (more cells AND cheaper
+      // per-row than 64 literal-centroid struct sorts)
+      leg(s"${t}x", big, 1, nlist = 128)
       big.unpersist()
     }
   }

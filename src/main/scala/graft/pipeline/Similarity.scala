@@ -1042,21 +1042,42 @@ object Similarity {
   final case class NndQuantizer(centIds: Array[Any],
       cents: Array[Array[Double]], reps: DataFrame) {
     def nlist: Int = cents.length
-    private def centLit(i: Int): Column = array(cents(i).map(lit): _*)
-    private[Similarity] def cellScores(v: Column): Column =
-      array((0 until nlist).map(i =>
-        struct(round(cosineFast(v, centLit(i)), 9).as("s"),
-          lit(centIds(i)).as("c"))): _*)
+    /** Top-2 cell labels for a vector, best first — literal-centroid
+      * expression for nlist ≤ 64 (oracle-replayable: 9-dp rounded
+      * cosines, larger cell id on ties), the fixed-size
+      * [[graft.functions.IvfCellsExpr]] codegen kernel beyond (the
+      * production configuration where nlist scales with the corpus —
+      * same two-path contract as `ivfTopKWith`; kernel path needs
+      * integral ids and is spec-certified, not oracle-replayed). */
+    private[Similarity] def assignTop2(v: Column): Column =
+      if (nlist <= 64) {
+        def centLit(i: Int): Column = array(cents(i).map(lit): _*)
+        transform(
+          slice(sort_array(array((0 until nlist).map(i =>
+            struct(round(cosineFast(v, centLit(i)), 9).as("s"),
+              lit(centIds(i)).as("c"))): _*), asc = false), 1, 2),
+          p => p.getField("c"))
+      } else {
+        val labels: Array[Long] = centIds.map {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"nnd kernel path needs integral ids, got ${other.getClass}")
+        }
+        graft.functions.IvfCells.ivf_cells(v, cents, labels, 2)
+      }
   }
 
   /** Train an [[NndQuantizer]] from a corpus: sha-ordered centroid
     * sample, top-2 multi-assignment, per-cell election of the first
     * `reps` members by (sha2(id), id) — via the bounded-buffer
-    * aggregate, no per-cell sort. */
+    * aggregate, no per-cell sort. nlist ≤ 64 routes cells through the
+    * literal-centroid expression (oracle-replayable); larger nlist —
+    * the 100 TB configuration, cells sized to executors by GROWING
+    * nlist with the corpus — routes through the fixed-size codegen
+    * kernel. */
   def nndQuantizer(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, reps: Int = 8): NndQuantizer = {
-    require(nlist <= 64,
-      s"nlist=$nlist > 64: literal-centroid cells only (oracle-replayable)")
+    require(nlist >= 1 && nlist <= 65536, s"nlist=$nlist outside 1..65536")
     require(reps >= 1 && reps <= 4096, s"reps=$reps outside 1..4096")
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
@@ -1069,9 +1090,7 @@ object Similarity {
     val q = NndQuantizer(centIds, cents, null)
     val assigned = corpus
       .select(col("nn_id"), col("nn_vec"),
-        explode(slice(sort_array(q.cellScores(col("nn_vec")), asc = false),
-          1, 2)).as("pc"))
-      .select(col("nn_id"), col("nn_vec"), col("pc.c").as("cell"))
+        explode(q.assignTop2(col("nn_vec"))).as("cell"))
     val cellReps = assigned
       .groupBy(col("cell"))
       .agg(graft.functions.TopK.topk_gen(
@@ -1112,9 +1131,7 @@ object Similarity {
     // nothing below fans this projection out)
     val assigned = corpus
       .select(col("nn_id"), col("nn_vec"),
-        explode(slice(sort_array(quant.cellScores(col("nn_vec")),
-          asc = false), 1, 2)).as("pc"))
-      .select(col("nn_id"), col("nn_vec"), col("pc.c").as("cell"))
+        explode(quant.assignTop2(col("nn_vec"))).as("cell"))
     aggTopK(
       assigned.join(broadcast(quant.reps), Seq("cell"))
         .filter(col("nn_id") =!= col("rep_id"))

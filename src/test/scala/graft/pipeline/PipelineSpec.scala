@@ -431,6 +431,44 @@ class PipelineSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("nn-descent kernel quantizer: nlist > 64 routes through IvfCellsExpr and keeps every contract") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    // 128 cells over 500 vectors — the production configuration shape
+    // (nlist grows with the corpus; literal centroids stop at 64)
+    val quant = Similarity.nndQuantizer(emb, "vec_id", "embedding",
+      nlist = 128, reps = 4)
+    assert(quant.nlist === 128)
+    val adj0 = Similarity.nnDescentAdjWith(emb, "vec_id", "embedding",
+      quant, rounds = 0)
+    val adj1 = Similarity.nnDescentAdjWith(emb, "vec_id", "embedding",
+      quant, rounds = 1)
+    def slots(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("node"), col("rank"), col("nsim")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val q0 = slots(adj0)
+    val q1 = slots(adj1)
+    // same contract as the literal path: ranks contiguous, sims
+    // non-increasing per node, refinement elementwise non-decreasing
+    assert(q0.forall { case (k, v) => q1.get(k).forall(_ >= v) },
+      "kernel-path refinement degraded a kept edge")
+    assert(q1.values.sum > q0.values.sum,
+      "kernel-path refinement found no better edges")
+    val byNode = adj1.collect().groupBy(_.getLong(0))
+    assert(byNode.values.forall { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      sorted.map(_.getInt(1)).toSeq == (1 to sorted.length) &&
+        sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }
+    })
+    // and the walk serves from it
+    val entries = emb
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(16).select(col("vec_id"))
+    val served = Similarity.graphServeTopK(emb, "vec_id", "embedding",
+      adj1, entries, _ < 10, k = 3, beam = 8, hops = 2)
+    assert(served.count() === 30)
+  }
+
   test("pq kernels bit-match the HOF reference forms") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
