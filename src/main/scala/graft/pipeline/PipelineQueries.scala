@@ -1395,18 +1395,16 @@ object PipelineQueries {
     val q = feats.filter(col("doc_id") < 20)
       .select(col("doc_id").as("q_id"), col("v").as("qv"))
     // per-query top-k as the bounded-buffer aggregation (the round-10
-    // ANN lesson): no per-query sort of the full feature corpus
-    broadcast(q)
-      .join(feats.select(col("doc_id").as("nn_id"), col("v").as("nv")),
-        col("q_id") =!= col("nn_id"))
-      .select(col("q_id"), col("nn_id"),
-        round(Similarity.cosineFast(col("qv"), col("nv")), 6).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.topk_pairs(col("sim"), col("nn_id"), 5,
-        asc = false).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("nn_id"), col("col.ord").as("sim"))
+    // ANN lesson): no per-query sort of the full feature corpus —
+    // through the one shared aggTopK so the top-k/NaN contract lives
+    // in exactly one place
+    Similarity.aggTopK(
+      broadcast(q)
+        .join(feats.select(col("doc_id").as("nn_id"), col("v").as("nv")),
+          col("q_id") =!= col("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          round(Similarity.cosineFast(col("qv"), col("nv")), 6).as("sim")),
+      5, "sim", asc = false)
       .orderBy("q_id", "rank")
   }
 

@@ -54,7 +54,7 @@ object Similarity {
     * k rows per (task, query) across the shuffle. The (val, nn_id)
     * total order is EXACTLY the window formulation's, so results are
     * row-for-row identical (spec-asserted). */
-  private def aggTopK(scored: DataFrame, k: Int, valCol: String,
+  private[pipeline] def aggTopK(scored: DataFrame, k: Int, valCol: String,
       asc: Boolean): DataFrame = {
     // primitive fast path on the fixture's (double score, bigint id)
     // shape; generic ids/scores (public operators take arbitrary idCol)
@@ -1059,7 +1059,12 @@ object Similarity {
           p => p.getField("c"))
       } else {
         val labels: Array[Long] = centIds.map {
-          case n: java.lang.Number => n.longValue()
+          // integral types only — a Double/Float id would silently
+          // TRUNCATE through longValue() and collide distinct centroids
+          case n: java.lang.Long => n.longValue()
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Short => n.longValue()
+          case n: java.lang.Byte => n.longValue()
           case other => throw new IllegalArgumentException(
             s"nnd kernel path needs integral ids, got ${other.getClass}")
         }
@@ -1618,22 +1623,47 @@ object Similarity {
       .withColumn("sim", round(cosineFast(col("q_vec"), col("nn_vec")), 6))
       .withColumn("sim_u",
         round(cosineFast(col("q_vec"), col("nn_vec")) * 1e6).cast("long"))
+    val idIntegral = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      scored.schema("nn_id").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
     def hardest(sameLabel: Boolean, prefix: String): DataFrame = {
       val side = if (sameLabel) col("label") === col("nn_label")
         else col("label") =!= col("nn_label")
-      // max over (sim, -nn_id) = the (sim DESC, nn_id ASC) window
-      // top-1, as a hash aggregation: struct comparison is field-
-      // lexicographic, so larger sim wins and ties fall to the larger
-      // -nn_id = the SMALLER nn_id; nn_id is unique per anchor so the
-      // payload fields behind it never decide
-      scored.filter(side)
-        .groupBy(col("q_id"))
-        .agg(max(struct(col("sim"), (-col("nn_id")).as("nid"),
-          col("nn_id"), col("sim_u"))).as("h"))
-        .select(col("q_id"),
-          col("h.nn_id").as(s"${prefix}_id"),
-          col("h.sim").as(s"${prefix}_sim"),
-          col("h.sim_u").as(s"${prefix}_u"))
+      if (idIntegral) {
+        // max over (sim, -nn_id) = the (sim DESC, nn_id ASC) window
+        // top-1, as a hash aggregation: struct comparison is field-
+        // lexicographic, so larger sim wins and ties fall to the larger
+        // -nn_id = the SMALLER nn_id; nn_id is unique per anchor so the
+        // payload fields behind it never decide. The long cast keeps
+        // Int.MinValue-class negations exact (Long.MinValue itself is
+        // out of contract for an id column).
+        scored.filter(side)
+          .groupBy(col("q_id"))
+          .agg(max(struct(col("sim"),
+            (-col("nn_id").cast("long")).as("nid"),
+            col("nn_id"), col("sim_u"))).as("h"))
+          .select(col("q_id"),
+            col("h.nn_id").as(s"${prefix}_id"),
+            col("h.sim").as(s"${prefix}_sim"),
+            col("h.sim_u").as(s"${prefix}_u"))
+      } else {
+        // non-numeric ids cannot ride the negation trick (ANSI would
+        // throw on the cast; ties would silently invert otherwise) —
+        // keep the window formulation for the generic-id face
+        scored.filter(side)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("nn_id"))))
+          .filter(col("rn") === 1)
+          .select(col("q_id"),
+            col("nn_id").as(s"${prefix}_id"),
+            col("sim").as(s"${prefix}_sim"),
+            col("sim_u").as(s"${prefix}_u"))
+      }
     }
     anchors.select(col("q_id"), col("label"))
       .join(hardest(sameLabel = true, "pos"), Seq("q_id"), "left")
