@@ -1084,6 +1084,14 @@ object Similarity {
       nlist: Int = 16, reps: Int = 8): NndQuantizer = {
     require(nlist >= 1 && nlist <= 65536, s"nlist=$nlist outside 1..65536")
     require(reps >= 1 && reps <= 4096, s"reps=$reps outside 1..4096")
+    // the rep election's map-side partial buffers hold up to
+    // nlist × reps boxed (sha, id) entries per task — bound the product
+    // (~150 B/entry → ≤ ~160 MB/task at the ceiling) so a huge-nlist ×
+    // huge-reps call cannot OOM the aggregation (the userCoEdges
+    // cap-route lesson: ObjectHashAggregate's fallback counts groups,
+    // not bytes)
+    require(nlist.toLong * reps <= (1L << 20),
+      s"nlist=$nlist × reps=$reps > 2^20 rep-election buffer entries")
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val sample = corpus

@@ -86,28 +86,47 @@ object Graph {
     * contributes only that deterministic sample's edges — pass
     * `cap = Int.MaxValue`-adjacent values at your own quadratic peril.
     *
-    * The cap is a bounded-buffer AGGREGATION
-    * ([[graft.functions.TopKGenAgg]]: first `cap` members by
-    * (sha2(user_id), user_id), exact-duplicate collapse = the
-    * DISTINCT), not a `row_number` window: the window form sorted
-    * every bucket's full membership and taxed the whole graph family
-    * 1.2–1.4× (round-10 measurement); the buffer pays one compare per
-    * row, ships ≤ cap rows per (task, bucket), and folds the previous
-    * standalone distinct's full-width shuffle into the same exchange —
-    * one shuffle where there were two, no sort anywhere. */
+    * The cap has two routes with IDENTICAL membership, picked by the
+    * cap's own memory math:
+    *  - cap ≤ 512: a bounded-buffer AGGREGATION
+    *    ([[graft.functions.TopKGenAgg]]: first `cap` members by
+    *    (sha2(user_id), user_id), exact-duplicate collapse = the
+    *    DISTINCT). One compare per row, ≤ cap rows per (task, bucket)
+    *    cross the shuffle, and the previous standalone distinct's
+    *    full-width exchange folds into the same shuffle — one shuffle,
+    *    no sort (the window form taxed the whole graph family
+    *    1.2–1.4×, round-10 measurement).
+    *  - cap > 512: the `row_number` window. The aggregation's map-side
+    *    partial buffers hold groups-per-task × cap boxed (sha, id)
+    *    entries — at cap 4096 over a few thousand buckets that is
+    *    gigabytes per task and NOT spillable (ObjectHashAggregate's
+    *    fallback triggers on group COUNT, not bytes; measured: the
+    *    dense 10× probe leg OOM'd an 8 GB driver). The window sort
+    *    spills; for huge caps it is the honest tool. */
   def userCoEdges(events: DataFrame, grain: String = "hour",
       cap: Int = 64): DataFrame = {
     require(cap >= 2 && cap <= 4096,
       s"cap=$cap outside 2..4096 (the bounded-buffer budget)")
-    val ev = events
+    val ev0 = events
       .select(col("user_id"), date_trunc(grain, col("ts")).as("h"),
         col("event_type"))
-      .groupBy(col("h"), col("event_type"))
-      .agg(graft.functions.TopK.topk_gen(
-        sha2(col("user_id").cast("string"), 256), col("user_id"), cap)
-        .as("tk"))
-      .select(col("h"), col("event_type"), explode(col("tk")).as("m"))
-      .select(col("m.id").as("user_id"), col("h"), col("event_type"))
+    val ev = if (cap <= 512) {
+      ev0
+        .groupBy(col("h"), col("event_type"))
+        .agg(graft.functions.TopK.topk_gen(
+          sha2(col("user_id").cast("string"), 256), col("user_id"), cap)
+          .as("tk"))
+        .select(col("h"), col("event_type"), explode(col("tk")).as("m"))
+        .select(col("m.id").as("user_id"), col("h"), col("event_type"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"), col("event_type"))
+        .orderBy(sha2(col("user_id").cast("string"), 256), col("user_id"))
+      ev0.distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .drop("rn")
+    }
     ev.as("a").join(ev.as("b"),
         col("a.h") === col("b.h") &&
           col("a.event_type") === col("b.event_type") &&

@@ -111,6 +111,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.userCoEdges(ev, cap = 4096).count() === 50L * 49L)
   }
 
+  test("userCoEdges: both cap routes (aggregation ≤512, window >512) give the sha-ordered membership") {
+    import spark.implicits._
+    // 600 users in ONE bucket: cap=500 routes through the bounded
+    // buffer, cap=513 through the spillable window — each must keep
+    // exactly its cap's sha-first members
+    val ev = (1L to 600L)
+      .map(u => (u, Timestamp.valueOf("2024-01-01 10:05:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val shaOrder = (1L to 600L)
+      .sortBy(u => (java.security.MessageDigest.getInstance("SHA-256")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, u))
+    for (cap <- Seq(500, 513)) {
+      val members = Graph.userCoEdges(ev, cap = cap)
+        .as[(Long, Long)].collect().flatMap(e => Seq(e._1, e._2)).toSet
+      assert(members === shaOrder.take(cap).toSet,
+        s"cap=$cap kept the wrong membership")
+    }
+  }
+
   test("triangleCensus: hand-built graph — one triangle plus a pendant") {
     import spark.implicits._
     // K3 on {1,2,3} plus pendant edge 3–4: 4 nodes, 4 edges,
