@@ -55,7 +55,16 @@ import org.apache.spark.sql.types._
   * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`, or
   * ObjectHashAggregate silently falls back to sort-based aggregation
   * and the sort comes back. `Graft.sessionBuilder` raises it to 65536
-  * (buffers are ~16·k bytes, so even 65536 live groups is ~tens of MB). */
+  * (buffers are ~16·k bytes, so even 65536 live groups is ~tens of MB).
+  *
+  * MEMORY CONTRACT (both this and [[TopKGenAgg]]): bounded-buffer
+  * top-k is a SMALL-k tool. Map-side partial aggregation holds
+  * groups-per-task × k live entries with NO spill path — the
+  * sort-based fallback above triggers on group COUNT, never on bytes
+  * (measured: a cap-4096 aggregation over ~3,600 boxed-string-keyed
+  * groups OOM'd an 8 GB JVM, BASELINE.md round 11). Operators exposing
+  * k must bound the groups × k product or route large k through a
+  * spillable window sort (`userCoEdges` is the worked example). */
 case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
     asc: Boolean,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
