@@ -1060,7 +1060,52 @@ object CurationQueries {
       |UNION ALL SELECT 3, p, c FROM p3
       |ORDER BY step""".stripMargin
 
+  // ---- d49: winnowing fingerprint selection (Schleimer et al. 2003,
+  // the MOSS local sketch) over word-5-grams with window w = 4. The
+  // whole selection — packed (hash, ¬pos) keys, the w-row frame min,
+  // the start-position filter, the distinct — is replayed verbatim in
+  // SQL; the gate row certifies the full per-document selection SET via
+  // order-free exact BIGINT aggregates (count, min, max, and a
+  // position-weighted checksum Σ fp_pos·2³² + fp, bounded well inside
+  // BIGINT), one row per document. ----
+  private def d49(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), "text", "doc_id",
+        k = 5, w = 4)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+        sum(col("fp_pos") * lit(4294967296L) + col("fp")).as("fp_checksum"))
+      .orderBy("doc_id")
+
+  private val d49Oracle =
+    """WITH wds AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+      |    i -> {'pos': i, 'h': ('0x' || substr(sha256(
+      |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |      ws[i+3] || ' ' || ws[i+4]), 1, 8))::BIGINT})) AS u
+      |  FROM wds WHERE len(ws) >= 5),
+      |k AS (
+      |  SELECT doc_id, u.pos AS pos,
+      |    u.h * 1048576 + (1048575 - u.pos) AS key FROM sh),
+      |mn AS (
+      |  SELECT doc_id, pos,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |  FROM k),
+      |sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    1048575 - (mk % 1048576) AS fp_pos, mk // 1048576 AS fp
+      |  FROM mn WHERE pos <= GREATEST(n - 3, 1))
+      |SELECT doc_id, COUNT(*)::BIGINT AS n_fp,
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+      |  CAST(SUM(fp_pos * 4294967296 + fp) AS BIGINT) AS fp_checksum
+      |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("d49_winnow_fingerprints", d49, Some(d49Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

@@ -127,6 +127,81 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating Large-Star / Small-Star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the beyond-diameter scale path beside
+    * [[components]]: min-label propagation pays one round per hop of
+    * component DIAMETER (fine for near-dup clusters, diameter ≤ 2; a
+    * 100 TB web-graph chain would spin [[components]] to its maxIter and
+    * silently stop early), while star contraction provably converges in
+    * O(log² n) rounds on ANY topology — each round every node hooks
+    * directly under its neighborhood minimum, so path lengths roughly
+    * halve per round.
+    *
+    * One round = Large-Star (every strictly-larger neighbor of u
+    * re-attaches to m(u) = min(Γ(u) ∪ {u})) then Small-Star (every
+    * smaller-or-equal neighbor and u itself attach to the minimum of
+    * u's smaller neighborhood). Both are one groupBy-min plus one
+    * equi-join over the edge list — the same per-round cost shape as a
+    * [[components]] round (nothing materializes adjacency), just far
+    * fewer rounds. Edges stay canonical (u < v, distinct); the fixpoint
+    * is a star per component centered at its minimum id, read out as
+    * (id, component). Convergence is detected EXACTLY (count equality +
+    * empty except — both on the shrunken converged set, cheap), and the
+    * final labels equal [[components]]' min-reachable-id contract
+    * row-for-row (spec-asserted, including on a path graph where the
+    * default-maxIter min-label loop would NOT converge). */
+  def componentsAltStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def dir(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // Large-Star: m(u) over the FULL neighborhood; larger neighbors hook
+    // to it. (v, m) re-canonicalized — m < v always, but least/greatest
+    // keeps the invariant self-evident.
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = dir(e).groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(dir(e).join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // Small-Star: m(u) over the smaller neighborhood only; those
+    // neighbors and u itself hook to it.
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = dir(e).filter(col("v") < col("u"))
+      val m = down.groupBy("u").agg(min(col("v")).as("m"))
+      canon(
+        down.join(m, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var (edges, prevIds) = checkpointOwning(
+      canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val (next, nextIds) = checkpointOwning(smallStar(largeStar(edges)))
+      // exact fixpoint test on canonical distinct sets: same cardinality
+      // and no row of next outside edges ⟺ equal
+      stable = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      free(next, prevIds)
+      edges = next
+      prevIds = nextIds
+      iter += 1
+    }
+    // fixpoint is a star per component: u is the center (minimum), every
+    // other member appears exactly once as v
+    val labels = edges.select(col("v").as("id"), col("u").as("component"))
+      .union(edges.select(col("u")).distinct()
+        .select(col("u").as("id"), col("u").as("component")))
+    labels
+  }
+
   /** End-to-end near-dup dedup: every document keeps its component's
     * minimum id as `keep_id` (documents in no pair keep themselves). */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,

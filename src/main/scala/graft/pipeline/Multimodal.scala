@@ -36,6 +36,13 @@ object Multimodal {
   trait ImageDecoder extends Serializable {
     /** payload bytes → (width, height, feature vector). */
     def decode(payload: Array[Byte]): (Int, Int, Array[Float])
+
+    /** 9×8 grayscale grid (72 cells, each 0..255, row-major) — the
+      * canonical input of difference-hashing ([[dHash]]). Real codecs
+      * box-downsample true luma ([[ImageIoDecoder]]); the stub derives
+      * the grid deterministically from payload bytes so the gate's SQL
+      * oracle can replay the whole hash from the stored payload. */
+    def grayGrid(payload: Array[Byte]): Array[Int]
   }
 
   /** The environment-bound default for the GATE rows: the oracle must
@@ -44,6 +51,23 @@ object Multimodal {
   object StubImageDecoder extends ImageDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
       decodeStub(payload)
+
+    /** Stub grid: cell c = (Σ payload bytes at positions ≡ c mod 72)
+      * mod 256 — byte stripes, like [[decodeStub]]'s features but at
+      * dHash's 72-cell geometry. Pure integer byte arithmetic: the
+      * oracle replays it with ord() over the stored text payload. */
+    def grayGrid(payload: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](72)
+      val acc = new Array[Long](72)
+      var p = 0
+      while (p < payload.length) {
+        acc(p % 72) += (payload(p) & 0xff)
+        p += 1
+      }
+      var c = 0
+      while (c < 72) { out(c) = (acc(c) % 256L).toInt; c += 1 }
+      out
+    }
   }
 
   /** REAL image decoder over the JDK's own codec (`javax.imageio` —
@@ -57,7 +81,7 @@ object Multimodal {
     * embedded. Thread-safe: `ImageIO.read` allocates a fresh reader per
     * call; the in-memory stream avoids ImageIO's global disk cache. */
   object ImageIoDecoder extends ImageDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload)))
@@ -65,6 +89,11 @@ object Multimodal {
         throw new IllegalArgumentException(
           s"ImageIoDecoder: unrecognized image payload (${payload.length} bytes)")
       }
+      img
+    }
+
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img = readImage(payload)
       val w = img.getWidth
       val h = img.getHeight
       // one bulk conversion per image (per-pixel getRGB(x, y) pays a
@@ -82,6 +111,41 @@ object Multimodal {
       }
       val n = (w.toLong * h).toFloat
       (w, h, hist.map(_ / n))
+    }
+
+    /** True dHash geometry: box-average integer BT.601 luma into 9×8
+      * cells (each box at least one pixel — boxes cover the image for
+      * any w ≥ 9, h ≥ 8 and degrade to pixel-sampling below that). */
+    def grayGrid(payload: Array[Byte]): Array[Int] = {
+      val img = readImage(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Int](72)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val x0 = c * w / 9; val x1 = math.max((c + 1) * w / 9, x0 + 1)
+          val y0 = r * h / 8; val y1 = math.max((r + 1) * h / 8, y0 + 1)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = px(y * w + x)
+              sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                + 114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          out(r * 9 + c) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+          c += 1
+        }
+        r += 1
+      }
+      out
     }
   }
 
@@ -128,6 +192,82 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("media_type"))
       .as[MediaRow]
     decode(media, decoder).toDF()
+  }
+
+  case class PHashRow(doc_id: Long, ph_lo: Long, ph_hi: Long)
+
+  /** Perceptual difference-hash (dHash): 64 bits, bit (r, c) set iff
+    * grayGrid cell (r, c+1) is strictly brighter than (r, c) over the
+    * decoder's 9×8 grid — the standard image near-dup fingerprint
+    * (aHash/dHash/pHash family; dHash is the gradient variant that
+    * survives brightness/contrast shifts). Held as two 32-bit words in
+    * BIGINTs, the e14 sign-sketch layout (no 1<<63 sign edge case, and
+    * the same XOR+popcount pairing machinery applies).
+    *
+    * Runs in the justified mapPartitions decode stage (payload bytes →
+    * 16 bytes; payloads never shuffle); with [[StubImageDecoder]] the
+    * grid is replayable byte arithmetic for the gate oracle, with
+    * [[ImageIoDecoder]] it is true box-downsampled luma. */
+  def dHash(media: Dataset[MediaRow],
+      decoder: ImageDecoder = StubImageDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val g = decoder.grayGrid(r.payload)
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < 64) {
+          val row = b / 8
+          val c = b % 8
+          if (g(row * 9 + c + 1) > g(row * 9 + c)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PHashRow(r.doc_id, lo, hi)
+      }
+    }.toDF()
+  }
+
+  /** Near-duplicate image pairs by Hamming distance over [[dHash]]es:
+    * the 64-bit hash splits into four 16-bit chunks, so any pair within
+    * Hamming distance 3 shares at least one exact chunk (pigeonhole —
+    * the SimHash d8/d13 chunk-join contract); candidate pairs come from
+    * a bucket self-join on (chunk index, chunk value) and only they pay
+    * the exact XOR+popcount verify. `maxBucket` df-caps a degenerate
+    * bucket (near-constant images: a flat corpus would otherwise make
+    * one bucket quadratic — d6's BETWEEN 2 AND cap contract; capped
+    * buckets drop their candidates, trading recall for the hard bound).
+    *
+    * 100 TB shape: only (doc_id, 16-byte hash, chunk) rows shuffle;
+    * cost Σ bucket² bounded by maxBucket²·buckets; the verify is
+    * integer-only. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    val chunks = hashes.select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+      posexplode(array(
+        col("ph_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("ph_lo"), 16).bitwiseAND(lit(65535L)),
+        col("ph_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("ph_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("ck", "cv")))
+    val bucketOk = chunks.groupBy("ck", "cv")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb").between(2, maxBucket))
+      .select("ck", "cv")
+    val flagged = chunks.join(bucketOk, Seq("ck", "cv"), "left_semi")
+    flagged.as("a").join(flagged.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.ph_lo").bitwiseXOR(col("b.ph_lo"))) +
+          bit_count(col("a.ph_hi").bitwiseXOR(col("b.ph_hi"))))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   case class ResizedRow(doc_id: Long, width: Int, height: Int,

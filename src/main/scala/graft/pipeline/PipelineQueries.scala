@@ -257,6 +257,42 @@ object PipelineQueries {
     Dedup.survivors(d, pairs, "doc_id").orderBy("doc_id")
   }
 
+  // ---- d50: connected components by alternating Large-Star/Small-Star
+  // contraction (Kiveris 2014) over the d6 pair list — the
+  // beyond-diameter CC scale path beside d11's min-label propagation
+  // (one round per diameter hop vs O(log²) rounds on any topology; the
+  // 64-path spec shows min-label's default budget silently truncating
+  // where star contraction closes). Result contract is identical — every
+  // paired doc labeled with its component's minimum id — so the oracle
+  // is the same recursive-CTE transitive closure, restricted to paired
+  // nodes. ----
+  private def d50(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    Dedup.componentsAltStar(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  private val d50Oracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |jp AS (
+      |  SELECT p.id_a, p.id_b FROM p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |cc AS (
+      |  SELECT id, id AS comp FROM nodes
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+      |SELECT id AS doc_id, MIN(comp) AS component FROM cc
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- d34: leakage-safe train/val/test split — assignment keyed on
   // the near-dup GROUP (d11's component minimum), so near-duplicates
   // never straddle a train/test boundary. Oracle = d11's recursive-CC
@@ -847,6 +883,58 @@ object PipelineQueries {
       |    ROUND(list_sum(list_transform(generate_series(1, 64),
       |      i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6) AS dist
       |  FROM sl JOIN q USING (q_id) JOIN e c ON c.vec_id = sl.nn_id),
+      |rk AS (
+      |  SELECT q_id, nn_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rank
+      |  FROM ex)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, dist
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---- e24: trained per-dimension int8 scalar quantization + exact
+  // re-rank (Similarity.sq8RerankTopK) — the FAISS SQ8 serving layout.
+  // The oracle replays the training pass (per-dimension MIN/MAX over
+  // the corpus), the clamp-floor encode with the same double-arithmetic
+  // order, the PURE-INTEGER squared-L2 shortlist (exact BIGINT on both
+  // engines — the whole point of ranking on codes), and the e11
+  // exact-L2 re-rank over raw vectors. ----
+  private def e24(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8RerankTopK(emb(s, dir), "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = 50)
+      .orderBy("q_id", "rank")
+
+  private val e24Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (
+      |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |  FROM e, generate_series(1, 64) AS g(i) GROUP BY i),
+      |lims AS (
+      |  SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl
+      |  FROM st),
+      |c AS (
+      |  SELECT e.vec_id,
+      |    list_transform(generate_series(1, 64), i ->
+      |      CASE WHEN lims.mxl[i] = lims.mnl[i] THEN 0
+      |      ELSE LEAST(GREATEST(CAST(floor(
+      |        ((e.v[i] - lims.mnl[i]) * 255.0) / (lims.mxl[i] - lims.mnl[i]))
+      |        AS BIGINT), 0), 255) END) AS codes
+      |  FROM e CROSS JOIN lims),
+      |q AS (SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.q_id, c.vec_id AS nn_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (q.qc[i] - c.codes[i]) * (q.qc[i] - c.codes[i]))) AS idist
+      |  FROM q JOIN c ON q.q_id <> c.vec_id),
+      |sl AS (
+      |  SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY idist, nn_id) AS rank
+      |    FROM s) WHERE rank <= 50),
+      |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |ex AS (
+      |  SELECT sl.q_id, sl.nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv.qv[i] - t.v[i]) * (qv.qv[i] - t.v[i]))), 6) AS dist
+      |  FROM sl JOIN qv USING (q_id) JOIN e t ON t.vec_id = sl.nn_id),
       |rk AS (
       |  SELECT q_id, nn_id, dist,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rank
@@ -1499,6 +1587,101 @@ object PipelineQueries {
       .orderBy("doc_id", "scene_id")
   }
 
+  // ---- mm6: perceptual difference-hash (dHash) per image — the image
+  // near-dup fingerprint (the aHash/dHash/pHash family). The stub
+  // decoder's 9×8 gray grid is byte-stripe sums mod 256, so the oracle
+  // replays grid → 64 row-wise gradient bits → two 32-bit words
+  // entirely from the stored payload bytes. ----
+  private def mm6(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.dHash(media).orderBy("doc_id")
+  }
+
+  /** Shared dHash replay: byte stripes → 72-cell grid (absent stripes
+    * 0) → packed gradient bits. Used by the mm6 and mm7 oracles. */
+  private val dHashCtes =
+    """d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |bt AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, n),
+      |    p -> {'c': (p - 1) % 72,
+      |          'v': ord(substr(text, CAST(p AS INT), 1))})) AS u
+      |  FROM d),
+      |gsum AS (
+      |  SELECT doc_id, u.c AS c, CAST(SUM(u.v) % 256 AS BIGINT) AS g
+      |  FROM bt GROUP BY doc_id, u.c),
+      |allc AS (
+      |  SELECT doc_id, unnest(generate_series(0, 71)) AS c FROM d),
+      |gg AS (
+      |  SELECT allc.doc_id, allc.c, COALESCE(gsum.g, 0) AS g
+      |  FROM allc LEFT JOIN gsum ON gsum.doc_id = allc.doc_id
+      |    AND gsum.c = allc.c),
+      |gl AS (
+      |  SELECT doc_id, list(g ORDER BY c) AS gs FROM gg GROUP BY doc_id),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+      |      CASE WHEN gs[(b // 8) * 9 + (b % 8) + 2]
+      |             > gs[(b // 8) * 9 + (b % 8) + 1]
+      |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS ph_lo,
+      |    CAST(list_sum(list_transform(generate_series(32, 63), b ->
+      |      CASE WHEN gs[(b // 8) * 9 + (b % 8) + 2]
+      |             > gs[(b // 8) * 9 + (b % 8) + 1]
+      |        THEN (1::BIGINT << (b - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+      |      AS ph_hi
+      |  FROM gl)""".stripMargin
+
+  private val mm6Oracle =
+    s"""WITH $dHashCtes
+      |SELECT doc_id, ph_lo, ph_hi FROM ph ORDER BY doc_id""".stripMargin
+
+  // ---- mm7: image near-dup pairs by Hamming distance over mm6's
+  // dHashes — chunk-pigeonhole candidates (any pair within Hamming 3
+  // shares one of the four 16-bit chunks, the d8/d13 contract), df-cap
+  // 100 per bucket, exact XOR+popcount verify. Exact-duplicate texts in
+  // the fixture give identical payloads, hence Hamming-0 pairs; the
+  // oracle replays chunks, the cap, the candidate join, and the verify. ----
+  private def mm7(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.phashPairs(Multimodal.dHash(media),
+        maxHamming = 3, maxBucket = 100)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mm7Oracle =
+    s"""WITH $dHashCtes,
+      |ck AS (
+      |  SELECT doc_id, ph_lo, ph_hi,
+      |    unnest(list_transform(generate_series(0, 3), i ->
+      |      {'ck': i,
+      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
+      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
+      |                  WHEN i = 2 THEN ph_hi & 65535
+      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
+      |  FROM ph),
+      |c2 AS (
+      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM ck),
+      |ok AS (
+      |  SELECT ck, cv FROM c2 GROUP BY ck, cv
+      |  HAVING COUNT(*) BETWEEN 2 AND 100),
+      |f AS (SELECT c2.* FROM c2 JOIN ok USING (ck, cv)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+      |      + bit_count(xor(a.ph_hi, b.ph_hi)) AS INT) AS hamming
+      |  FROM f a JOIN f b ON a.ck = b.ck AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   private val mm5Oracle =
     """WITH d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
@@ -2146,6 +2329,7 @@ object PipelineQueries {
     QueryDef("d9_bpe_tokens", d9, Some(d9Oracle)),
     QueryDef("d10_hash_split", d10, Some(d10Oracle)),
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
+    QueryDef("d50_altstar_components", d50, Some(d50Oracle)),
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
     QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),
@@ -2158,6 +2342,7 @@ object PipelineQueries {
     QueryDef("e8_pq_adc_ann", e8, Some(e8Oracle)),
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
+    QueryDef("e24_sq8_rerank", e24, Some(e24Oracle)),
     QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
     QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
     QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),
@@ -2172,6 +2357,8 @@ object PipelineQueries {
     QueryDef("mm3_visual_topk", mm3, Some(mm3Oracle)),
     QueryDef("mm4_audio_segments", mm4, Some(mm4Oracle)),
     QueryDef("mm5_scene_cuts", mm5, Some(mm5Oracle)),
+    QueryDef("mm6_phash", mm6, Some(mm6Oracle)),
+    QueryDef("mm7_phash_pairs", mm7, Some(mm7Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

@@ -134,6 +134,82 @@ object Similarity {
   def dequantize(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
 
+  /** TRAINED per-dimension scalar quantization ANN + exact re-rank —
+    * the FAISS `SQ8` serving pattern, and the third member of the
+    * compressed-scan family beside PQ codes (e8/e11) and sign sketches
+    * (e14): a training pass learns each dimension's [min, max] over the
+    * corpus, every vector is encoded as one 0..255 integer per
+    * dimension (4× smaller than float32 at rest and in every shuffle),
+    * the shortlist is ranked by SQUARED L2 IN PURE INTEGER ARITHMETIC
+    * over the codes (≤ dim·255² ≈ 4.2M — exact BIGINT, so the shortlist
+    * ordering is bit-replayable on any engine, unlike e6's dequantized
+    * float path), and exact L2 over raw vectors decides the final
+    * top-k at shortlist selectivity (the e11 re-rank contract).
+    *
+    * Differs from [[quantizeInt8]]/e6 (per-VECTOR symmetric scale,
+    * dequantize-then-float-cosine) in both halves: the grid is trained
+    * per-dimension corpus-wide — the standard library layout, tighter
+    * for anisotropic embeddings — and the scan never leaves integers.
+    *
+    * 100 TB shape: training is one narrow (i, x) aggregation to `dim`
+    * rows collected on the driver (the literalCells bounded-collect
+    * contract) and baked into the encode projection as plan literals;
+    * the code scan is the only full pass (dim bytes of payload per row
+    * semantically — the in-plan array<long> form trades that for
+    * codegen reach, a columnar byte-packing is the storage refinement);
+    * queries broadcast; per-query bounded top-k aggregation — no
+    * candidate sort ([[aggTopK]]); raw vectors fetched at
+    * shortlist/corpus selectivity only. */
+  def sq8RerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, shortlist: Int = 50): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+    // per-dimension [min, max] training pass — dim rows to the driver
+    val stats = corpus
+      .select(posexplode(col("nn_vec")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mnLit = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxLit = array(stats.map(r => lit(r.getDouble(2))): _*)
+    // code = clamp(floor((x − mn_i)·255 / (mx_i − mn_i)), 0, 255); a
+    // degenerate dimension (mx = mn) encodes 0. The exact double
+    // arithmetic order is the cross-engine contract.
+    def encode(v: Column): Column =
+      transform(v, (x, i) => {
+        val lo = element_at(mnLit, i + 1)
+        val hi = element_at(mxLit, i + 1)
+        when(hi === lo, lit(0L)).otherwise(
+          least(greatest(floor((x - lo) * 255.0 / (hi - lo)).cast("long"),
+            lit(0L)), lit(255L)))
+      })
+    val codes = corpus.select(col("nn_id"), encode(col("nn_vec")).as("codes"))
+    val qcodes = codes.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("codes").as("q_codes"))
+    // repartition: the encode projection must evaluate once per corpus
+    // row, not once per (query, row) pair (the probedTopK
+    // evaluation-boundary lesson)
+    val scored = broadcast(qcodes)
+      .join(codes.repartition(col("nn_id")), col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        aggregate(
+          zip_with(col("q_codes"), col("codes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+          .cast("double").as("idist"))
+    val short = aggTopK(scored, shortlist, "idist", asc = true)
+      .select(col("q_id"), col("nn_id"))
+    val queries = corpus.filter(queryPred(col("nn_id")))
+      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("nn_id"))
+    short
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("nn_id"))
+      .withColumn("dist", round(pqSqDist(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("dist"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes (seeded RNG, embedded in the
     * plan as literal arrays — no stored model, no per-row derivation,

@@ -289,6 +289,53 @@ object Graph {
             .cast("double"), 6)
           .as("assort"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), determinized: every node starts in its own community
+    * (label = id), and each round simultaneously adopts the label most
+    * frequent among its neighbours — ties broken by the SMALLEST label,
+    * isolated nodes keep their current label — so the result is a pure
+    * function of the graph, engine-independent, and oracle-replayable
+    * (the classic formulation breaks ties randomly and updates
+    * asynchronously, neither of which two engines can agree on).
+    * `rounds` is unrolled, like [[pageRankInt]]'s power iterations: on a
+    * bounded-diameter community structure a few synchronous rounds
+    * carry most of the modularity; an unknown-depth production run
+    * would iterate with a convergence check instead.
+    *
+    * `edges` is the [[userCoEdges]] shape (directed pairs, both
+    * directions present); `nodes` the node universe. Returns
+    * (id, lbl1..lblN) — one label column per round.
+    *
+    * 100 TB shape: each round is one src-keyed equi-join of the edge
+    * list against the node-cardinality label table (AQE broadcasts it
+    * when it fits), one (dst, label) count aggregation whose input is
+    * bounded by |E| 16-byte rows, and one per-node argmax as a plain
+    * hash aggregate — `min(struct(-votes, label))` — NOT a per-node
+    * sort or window: per-group state is one struct, the q51 layout with
+    * the same no-adjacency-list guarantee. A label column is never
+    * wider than an id, so every intermediate is integer-narrow. */
+  def labelPropagate(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"unrolled propagation wants 1..6 rounds, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+    val l0 = nodes.select(col("id")).distinct()
+      .withColumn("lbl0", col("id"))
+    (1 to rounds).foldLeft(l0) { (lab, i) =>
+      val winners = e
+        .join(lab.select(col("id").as("src"), col(s"lbl${i - 1}").as("nl")),
+          "src")
+        .groupBy(col("dst"), col("nl"))
+        .agg(count(lit(1)).as("v"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("v")).as("nv"), col("nl").as("lb"))).as("best"))
+        .select(col("dst"), col("best.lb").as("wl"))
+      lab.join(winners, lab("id") === winners("dst"), "left")
+        .withColumn(s"lbl$i", coalesce(col("wl"), col(s"lbl${i - 1}")))
+        .drop("dst", "wl")
+    }
+  }
 }
 
 /** Gate queries for the graph family. */
@@ -532,11 +579,57 @@ object GraphQueries {
       |SELECT src AS user_id, COUNT(*)::BIGINT AS deg
       |FROM e GROUP BY 1 ORDER BY deg DESC, user_id LIMIT 20""".stripMargin
 
+  // ---- q61: label-propagation communities on the minute-grain
+  // co-occurrence graph (same derived graph as q55/q57/q58), two
+  // synchronous rounds. Votes are exact integer counts and the argmax
+  // tie-break is total (votes DESC, label ASC), so both engines replay
+  // the round recurrence exactly; both round columns are emitted so the
+  // oracle certifies the trajectory, not just the fixpoint. ----
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Graph.labelPropagate(
+        Graph.userCoEdges(ev, grain = "minute"),
+        ev.select(col("user_id").as("id")), rounds = 2)
+      .select(col("id").as("user_id"), col("lbl1"), col("lbl2"))
+      .orderBy("user_id")
+  }
+
+  private val q61Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id <> b.user_id),
+      |nodes AS (SELECT DISTINCT user_id AS id FROM events),
+      |w1 AS (
+      |  SELECT dst, nl AS wl FROM (
+      |    SELECT e.dst, e.src AS nl, COUNT(*) AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY COUNT(*) DESC, e.src) AS rn
+      |    FROM e GROUP BY e.dst, e.src) WHERE rn = 1),
+      |l1 AS (
+      |  SELECT n.id, COALESCE(w1.wl, n.id) AS lbl1
+      |  FROM nodes n LEFT JOIN w1 ON w1.dst = n.id),
+      |w2 AS (
+      |  SELECT dst, nl AS wl FROM (
+      |    SELECT e.dst, l1.lbl1 AS nl, COUNT(*) AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY COUNT(*) DESC, l1.lbl1) AS rn
+      |    FROM e JOIN l1 ON l1.id = e.src
+      |    GROUP BY e.dst, l1.lbl1) WHERE rn = 1),
+      |l2 AS (
+      |  SELECT l1.id, l1.lbl1, COALESCE(w2.wl, l1.lbl1) AS lbl2
+      |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.id)
+      |SELECT id AS user_id, lbl1, lbl2 FROM l2 ORDER BY user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
     QueryDef("q57_assortativity", q57, Some(q57Oracle)),
     QueryDef("q58_link_predict", q58, Some(q58Oracle)),
     QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)),
-    QueryDef("q60_capped_coedges", q60, Some(q60Oracle)))
+    QueryDef("q60_capped_coedges", q60, Some(q60Oracle)),
+    QueryDef("q61_label_prop", q61, Some(q61Oracle)))
 }

@@ -469,4 +469,67 @@ class CurationSpec extends SparkSpec {
       ("A", "C", 0L, 5L, 2L, 0L),
       ("B", "C", 0L, 7L, 2L, 0L)))
   }
+
+  /** Reference winnowing (Schleimer et al. 2003): every length-w window
+    * of the doc's word-k-gram sha-prefix hashes selects its minimum,
+    * rightmost on ties — the local model winnowFingerprints must match
+    * exactly. */
+  private def localWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < k) return Set.empty
+    val hs = ws.sliding(k).map { g =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+      java.lang.Long.parseLong(sha.take(4).map("%02x".format(_)).mkString, 16)
+    }.toArray
+    val n = hs.length
+    (1 to math.max(n - w + 1, 1)).map { i =>
+      val end = math.min(i + w - 1, n)
+      var best = i
+      (i to end).foreach { p =>
+        if (hs(p - 1) < hs(best - 1) ||
+            (hs(p - 1) == hs(best - 1) && p > best)) best = p
+      }
+      (best.toLong, hs(best - 1))
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the reference model, including ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight and then " +
+        "some more words to make several windows appear here"),
+      // alternating bigram-period text: identical k-grams recur INSIDE
+      // one window, exercising the rightmost tie-break
+      (2L, "a b a b a b a b a b a b a b"),
+      (3L, "exactly five words right here"),  // one shingle, one window
+      (4L, "too few words"))                  // < k words: no output
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(df, "text", "doc_id",
+        k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val want = corpus.map { case (id, t) => id -> localWinnow(t, 5, 4) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got === want)
+    assert(!got.contains(4L))
+    assert(got(3L).size === 1)
+  }
+
+  test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
+    import spark.implicits._
+    // w + k - 1 = 8 shared consecutive words embedded in different docs
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"completely unrelated prefix text here $run and a suffix too"),
+      (2L, s"$run followed by other trailing words entirely different"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(df, "text", "doc_id",
+        k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val a = fp.filter(_._1 == 1L).map(_._2).toSet
+    val b = fp.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty,
+      "shared run of w+k-1 words must yield a shared fingerprint hash")
+  }
 }

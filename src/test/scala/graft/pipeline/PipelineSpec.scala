@@ -162,6 +162,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3, s"hamming-shortlist recall@5 was $recall")
   }
 
+  test("sq8 rerank: full-corpus shortlist degenerates to the exact-L2 " +
+      "ranking (pqRerank's own degenerate face)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    // With shortlist >= corpus-1 both operators rank the WHOLE corpus
+    // by the same exact-L2 re-rank contract, so they must agree
+    // bit-for-bit — the shared degenerate face certifies sq8's
+    // integer-shortlist plumbing cannot perturb served results.
+    val pq = Similarity.pqRerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = n)
+      .select("q_id", "rank", "nn_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val sq = Similarity.sq8RerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = n)
+      .select("q_id", "rank", "nn_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sq === pq)
+  }
+
+  test("sq8 rerank: 10%-selectivity integer shortlist keeps high recall@5") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count().toInt
+    val exact = Similarity.sq8RerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = n)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8RerankTopK(emb, "vec_id", "embedding", _ < 20,
+        k = 5, shortlist = 50)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    // 8 bits/dimension on a trained per-dimension grid is a tight
+    // approximation — materially better than 1-bit sketches (e14's 0.3
+    // floor); the integer shortlist should rarely miss a true neighbor.
+    assert(recall > 0.6, s"sq8-shortlist recall@5 was $recall")
+  }
+
   test("matryoshka rerank: full-corpus shortlist degenerates to brute " +
     "force; 16-dim prefix shortlist keeps useful recall@5") {
     val emb = Tables.load(spark, sf(), "embeddings")
@@ -797,6 +834,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("componentsAltStar: equals min-label components on mixed topologies") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L),
+      // a duplicate and a reversed duplicate — canonicalization fodder
+      (2L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val byStar = Dedup.componentsAltStar(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val byLabel = Dedup.components(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(byStar === byLabel)
+    // seeded random graph: 60 nodes, ~90 edges (multiple components)
+    val rnd = new scala.util.Random(7)
+    val rpairs = Seq.fill(90)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val rs = Dedup.componentsAltStar(rpairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val rl = Dedup.components(rpairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rs === rl)
+  }
+
+  test("componentsAltStar: converges on a long path where default-round " +
+      "min-label propagation cannot") {
+    import spark.implicits._
+    // 64-node path, diameter 63: min-label needs ~32 rounds to drag 1 to
+    // the far end (components' default maxIter=20 stops EARLY there —
+    // the documented shallow-cluster tradeoff); star contraction must
+    // land every node on 1 well inside 20 alternating rounds.
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val byStar = Dedup.componentsAltStar(path, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar.size === 64 && byStar.values.forall(_ == 1L))
+    val truncated = Dedup.components(path, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(truncated.exists(_._2 != 1L),
+      "expected the min-label loop to stop before closing a 63-diameter " +
+        "path at its default round budget — if this starts passing, " +
+        "components' contract changed and this spec should be revisited")
+  }
+
   test("components releases its per-round checkpoint blocks (r2 leak regression)") {
     import spark.implicits._
     val sc = spark.sparkContext
@@ -862,6 +940,8 @@ class PipelineSpec extends SparkSpec {
     object FixedDecoder extends Multimodal.ImageDecoder {
       def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
         (7, 9, Array.tabulate(8)(i => i * 0.5f + payload.length))
+      def grayGrid(payload: Array[Byte]): Array[Int] =
+        Array.tabulate(72)(_ % 256)
     }
     val media = Multimodal.withPayload(docs.limit(5), "text")
       .select(col("doc_id"), col("payload"), col("media_type"))
@@ -914,6 +994,60 @@ class PipelineSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unrecognized image payload") ||
       Option(err.getCause).exists(_.getMessage.contains("unrecognized image payload")))
+  }
+
+  test("dHash: gradient/flat/brightness-shift geometry over real PNGs") {
+    import spark.implicits._
+    def png(id: Long, w: Int, h: Int, lumaOfX: Int => Int):
+        (Long, Array[Byte], String) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = lumaOfX(x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray, "image/png")
+    }
+    val media = Seq(
+        // 18×16, brightness strictly increasing by grid column (each
+        // 2-px-wide box is one grid cell) → every gradient bit set
+        png(1L, 18, 16, x => (x / 2) * 20),
+        // same gradient shifted +40 luma → dHash invariant
+        png(2L, 18, 16, x => (x / 2) * 20 + 40),
+        // flat grey → no strict increase anywhere → zero hash
+        png(3L, 18, 16, _ => 128))
+      .toDF("doc_id", "payload", "media_type").as[Multimodal.MediaRow]
+    val h = Multimodal.dHash(media, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) === ((0xffffffffL, 0xffffffffL)))
+    assert(h(2L) === h(1L), "dHash must be brightness-shift invariant")
+    assert(h(3L) === ((0L, 0L)))
+  }
+
+  test("phashPairs: pigeonhole recall to hamming 3, df-cap drops a " +
+      "degenerate bucket") {
+    import spark.implicits._
+    // hand-built hashes: 10 ~ 11 identical (hamming 0); 12 flips 3 bits
+    // of 10 inside chunk 0 (hamming 3, shares chunks 1-3); 13 flips one
+    // bit in each chunk (hamming 4 → over threshold)
+    val base = 0x0f0f0f0fL
+    val hashes = Seq(
+      (10L, base, base),
+      (11L, base, base),
+      (12L, base ^ 0x7L, base),
+      (13L, base ^ 0x1L ^ (0x1L << 16), base ^ 0x1L ^ (0x1L << 16)))
+      .toDF("doc_id", "ph_lo", "ph_hi")
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((10L, 11L, 0), (10L, 12L, 3), (11L, 12L, 3)))
+    // df-cap: 5 identical hashes with maxBucket = 3 → every bucket
+    // exceeds the cap, all candidates dropped
+    val flat = (1L to 5L).map(i => (i, base, base))
+      .toDF("doc_id", "ph_lo", "ph_hi")
+    assert(Multimodal.phashPairs(flat, maxHamming = 3, maxBucket = 3)
+      .count() === 0)
   }
 
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {

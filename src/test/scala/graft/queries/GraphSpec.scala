@@ -221,4 +221,41 @@ class GraphSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)) === ((7L, 34L, 86L, 82L, -0.166667)))
   }
+
+  test("labelPropagate: hand-computed two rounds on bridged triangles") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} bridged by 3–4; 7 isolated.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val out = Graph.labelPropagate(edges, nodes, rounds = 2)
+      .orderBy("id").select("id", "lbl1", "lbl2")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Round 1 (all neighbour labels vote once → smallest label wins):
+    //   1→min(2,3)=2, 2→min(1,3)=1, 3→min(1,2,4)=1,
+    //   4→min(3,5,6)=3, 5→min(4,6)=4, 6→min(4,5)=4.
+    // Round 2 over lbl1 = (2,1,1,3,4,4):
+    //   1: nbrs {1,1} → 1 (majority);  2: {2,1} tie → 1;
+    //   3: {2,1,3} tie → 1;            4: {1,4,4} → 4 (majority);
+    //   5: {3,4} tie → 3;              6: {3,4} tie → 3.
+    assert(out === Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 3L, 4L), (5L, 4L, 3L), (6L, 4L, 3L),
+      (7L, 7L, 7L)))
+  }
+
+  test("labelPropagate: a clique converges to its minimum id in one round") {
+    import spark.implicits._
+    val ids = (10L to 14L)
+    val und = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagate(edges, ids.toDF("id"), rounds = 2)
+    // Round 1: every vote set is distinct singles → tie → the minimum
+    // neighbour id, so 10 takes label 11 and everyone else takes 10.
+    // Round 2: label 10 is now the majority (or unanimous) vote at
+    // every node, so the whole clique lands on 10.
+    val l2 = out.select("lbl2").as[Long].collect().toSet
+    assert(l2 === Set(10L))
+  }
 }
