@@ -154,6 +154,20 @@ object Bench {
     val core158: Set[String] = core153 ++ Set("e21_graph_ann",
       "e22_nn_descent", "q60_capped_coedges", "s14_stream_ann_serve",
       "s15_stream_index_build")
+    // Frozen round-12 registry membership (167 queries) — fourth freeze:
+    // core158 plus round 11's two additions (e23 graph-serve, s16
+    // streaming graph maintenance) and round 12's seven (d49/d51
+    // winnowing sketch + detector, d50 alt-star CC, e24 SQ8 ANN, q61
+    // label propagation, mm6/mm7 perceptual-hash dedup). Freeze value =
+    // the round-12 solo bench total on exactly this membership
+    // (BASELINE.md round-12 summary; measured on a box running ~1.3x
+    // slower than the round-11 artifact's — the per-query diff there).
+    // d52 (components append) registered after the freeze was cut and
+    // is deliberately outside it, like every later round's additions.
+    val core167: Set[String] = core158 ++ Set("e23_graph_serve",
+      "s16_stream_graph_maintain", "d49_winnow_fingerprints",
+      "d50_altstar_components", "d51_winnow_matches", "e24_sq8_rerank",
+      "q61_label_prop", "mm6_phash", "mm7_phash_pairs")
     // The REAL-Structured-Streaming gate rows (s7–s13): each runs actual
     // micro-batches with checkpointed state, whose per-batch incremental
     // planning sets a ~0.9 s/batch floor that is certification cost, not
@@ -233,6 +247,10 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core158Total = core158Times.sum
     val core158N = core158Times.size
+    val core167Times = results.filter(r => core167(r._1))
+      .map(_._2).filter(_ >= 0)
+    val core167Total = core167Times.sum
+    val core167N = core167Times.size
     val streamOverhead = results.filter(r => streamRows(r._1))
       .map(_._2).filter(_ >= 0).sum
     // build_s: samples are prepended per rep, so .last is the rep-1
@@ -247,7 +265,7 @@ object Bench {
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"stream_overhead_s":$streamOverhead,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"stream_overhead_s":$streamOverhead,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${

@@ -443,10 +443,60 @@ object ScaleProbe {
       f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
   }
 
+  /** CC algorithm face-off: the DEEP leg (a pathN-node path, diameter
+    * pathN−1 — the topology min-label propagation is worst at: one round
+    * per hop) vs the BULK leg (8·pathN random edges, shallow components
+    * — the near-dup regime both algorithms handle). Wall times + label
+    * agreement printed; the alt-star round count is O(log²) by
+    * construction so its maxIter stays at the default while min-label
+    * needs maxIter ≈ pathN to close the path at all. */
+  private def ccProbe(spark: org.apache.spark.sql.SparkSession,
+      pathN: Int): Unit = {
+    def run(tag: String, f: => org.apache.spark.sql.DataFrame)
+        : Map[Long, Long] = {
+      val t0 = System.nanoTime()
+      val m = f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(f"[probe] cc/$tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  nodes=${m.size}")
+      m
+    }
+    val path = spark.range(1, pathN.toLong)
+      .select(col("id").as("doc_a"), (col("id") + lit(1L)).as("doc_b"))
+      .localCheckpoint(true)
+    val ps = run(s"path$pathN/altstar",
+      pipeline.Dedup.componentsAltStar(path, "doc_a", "doc_b", maxIter = 40))
+    println(s"[probe] cc/path$pathN/altstar correct=" +
+      ps.values.forall(_ == 1L))
+    // min-label needs ~pathN rounds to close the path; 256 rounds bounds
+    // the probe's wall while measuring the per-round cost and showing
+    // the non-convergence (correct=false expected for pathN > ~512)
+    val pl = run(s"path$pathN/minlabel256",
+      pipeline.Dedup.components(path, "doc_a", "doc_b", maxIter = 256))
+    println(s"[probe] cc/path$pathN/minlabel256 correct=" +
+      pl.values.forall(_ == 1L))
+    val bulkE = pathN * 8
+    val bulk = spark.range(0, bulkE.toLong)
+      .select((pmod(xxhash64(col("id")), lit(pathN.toLong)) + 1).as("doc_a"),
+        (pmod(xxhash64(col("id") + 1000000L), lit(pathN.toLong)) + 1)
+          .as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint(true)
+    val bs = run(s"bulk$bulkE/altstar",
+      pipeline.Dedup.componentsAltStar(bulk, "doc_a", "doc_b"))
+    val bl = run(s"bulk$bulkE/minlabel",
+      pipeline.Dedup.components(bulk, "doc_a", "doc_b"))
+    println(s"[probe] cc/bulk$bulkE equal=${bs == bl}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("cc")) {
+      ccProbe(spark, args.lift(1).map(_.toInt).getOrElse(2048))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("nndappend")) {
       nndAppendProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(50))
       spark.stop()

@@ -1077,8 +1077,10 @@ object CurationQueries {
         sum(col("fp_pos") * lit(4294967296L) + col("fp")).as("fp_checksum"))
       .orderBy("doc_id")
 
-  private val d49Oracle =
-    """WITH wds AS (
+  /** Shared winnowing replay (d49's selection chain, ending in `sel` =
+    * the per-doc fingerprint set) — used by the d49 and d51 oracles. */
+  private val winnowCtes =
+    """wds AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
@@ -1098,14 +1100,41 @@ object CurationQueries {
       |sel AS (
       |  SELECT DISTINCT doc_id,
       |    1048575 - (mk % 1048576) AS fp_pos, mk // 1048576 AS fp
-      |  FROM mn WHERE pos <= GREATEST(n - 3, 1))
+      |  FROM mn WHERE pos <= GREATEST(n - 3, 1))""".stripMargin
+
+  private val d49Oracle =
+    s"""WITH $winnowCtes
       |SELECT doc_id, COUNT(*)::BIGINT AS n_fp,
       |  MIN(fp) AS min_fp, MAX(fp) AS max_fp,
       |  CAST(SUM(fp_pos * 4294967296 + fp) AS BIGINT) AS fp_checksum
       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- d51: winnowed-sketch match pairs — the MOSS detector over
+  // d49's fingerprints: distinct per-doc selected hashes, a df-capped
+  // inverted index on the hash (the d6/d20 BETWEEN 2 AND cap contract),
+  // and pairs scored by shared-fingerprint count. The winnowing theorem
+  // makes the score a guaranteed detector: any shared run of
+  // w + k − 1 = 8 words yields ≥ 1 shared fingerprint, so minShared = 2
+  // demands roughly two independent shared regions (or one long one). ----
+  private def d51(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowMatchPairs(docs(s, dir), "text", "doc_id",
+        k = 5, w = 4, minShared = 2, maxDf = 100)
+      .orderBy("doc_a", "doc_b")
+
+  private val d51Oracle =
+    s"""WITH $winnowCtes,
+      |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      |ok AS (
+      |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 100),
+      |f AS (SELECT fps.* FROM fps JOIN ok USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  COUNT(*)::BIGINT AS shared
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("d49_winnow_fingerprints", d49, Some(d49Oracle)),
+    QueryDef("d51_winnow_matches", d51, Some(d51Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

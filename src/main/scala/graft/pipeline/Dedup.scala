@@ -194,12 +194,59 @@ object Dedup {
       prevIds = nextIds
       iter += 1
     }
+    // Unlike [[components]] (whose partial labels are still a valid
+    // under-approximation worth returning), a non-star edge set is not
+    // a labelling AT ALL (nodes would carry several labels) — so a
+    // maxIter overrun must be loud. O(log²) convergence makes 20 rounds
+    // enough for any physical graph; the probe's 2047-diameter path
+    // closed well inside it.
+    if (!stable) {
+      throw new IllegalStateException(
+        s"componentsAltStar did not reach the star fixpoint in $maxIter " +
+          "alternating rounds — raise maxIter")
+    }
     // fixpoint is a star per component: u is the center (minimum), every
     // other member appears exactly once as v
     val labels = edges.select(col("v").as("id"), col("u").as("component"))
       .union(edges.select(col("u")).distinct()
         .select(col("u").as("id"), col("u").as("component")))
     labels
+  }
+
+  /** Incremental connected components — the APPEND face of the
+    * dedup-groups artifact, completing [[incrementalPairsFromIndex]]'s
+    * story (archive never re-PAIRED) one level up: the archive is never
+    * re-CLUSTERED either. A component labelling IS a lossless
+    * contraction of the archive graph for connectivity (its star edges
+    * id—component reach exactly the same components), so appending a
+    * crawl increment = running CC over (archive labels as edges) ∪
+    * (increment pairs) — the archive's full edge set, its pair mining,
+    * and its own CC rounds never re-run. New bridges that merge two
+    * archive components resolve naturally (both stars join through the
+    * bridge; the smaller min wins), and the result is row-identical to
+    * a from-scratch CC over the full pair set (spec + gate-certified).
+    *
+    * `oldLabels` is any (id, component) output of [[components]] /
+    * [[componentsAltStar]] / this function; singleton archive ids
+    * (component = self, no edges) are carried through unchanged unless
+    * the increment touches them. Contraction makes the append cost
+    * O(|archive nodes| + |increment pairs|) per batch — independent of
+    * the archive's edge count, the same shape the nnDescentAppend /
+    * s15 index-maintenance family certifies for ANN artifacts. */
+  def componentsAppend(oldLabels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val labelEdges = oldLabels
+      .select(col("id").as("doc_a"), col("component").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = componentsAltStar(
+      newPairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+        .unionByName(labelEdges),
+      "doc_a", "doc_b", maxIter)
+    // singletons (archive ids with component = self and untouched by the
+    // increment) have no edge above — carry them through verbatim
+    val untouched = oldLabels.join(merged.select(col("id")), Seq("id"),
+      "left_anti")
+    merged.unionByName(untouched.select(col("id"), col("component")))
   }
 
   /** End-to-end near-dup dedup: every document keeps its component's

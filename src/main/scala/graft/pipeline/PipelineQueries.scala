@@ -293,6 +293,34 @@ object PipelineQueries {
       |SELECT id AS doc_id, MIN(comp) AS component FROM cc
       |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- d52: INCREMENTAL connected components — the dedup-groups
+  // artifact's append face (Dedup.componentsAppend): the archive
+  // (doc_id % 4 != 0) is clustered once, then the increment appends as
+  // (archive labels as star edges) ∪ (increment-touching pairs) — the
+  // archive is never re-paired OR re-clustered. The oracle is the SAME
+  // full-corpus recursive closure as d50: passing it certifies the
+  // append algebra produces exactly the from-scratch result, the d21 →
+  // groups completion of the incremental-dedup story (and the dedup twin
+  // of the nnDescentAppend/s15 index-maintenance contract). Pair mining
+  // runs once over the full corpus and splits by membership — the d21
+  // persisted-index contract (df stats over the full history). ----
+  private def d52(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    def arch(c: org.apache.spark.sql.Column) = c % 4 =!= 0
+    val archPairs = pairs.filter(arch(col("doc_a")) && arch(col("doc_b")))
+    val incPairs = pairs.filter(!arch(col("doc_a")) || !arch(col("doc_b")))
+    val old = Dedup.componentsAltStar(archPairs, "doc_a", "doc_b")
+    Dedup.componentsAppend(old, incPairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  // d52's oracle IS d50's: the whole point is that the append face must
+  // reproduce the from-scratch closure over the full pair set.
+  private def d52Oracle: String = d50Oracle
+
   // ---- d34: leakage-safe train/val/test split — assignment keyed on
   // the near-dup GROUP (d11's component minimum), so near-duplicates
   // never straddle a train/test boundary. Oracle = d11's recursive-CC
@@ -2330,6 +2358,7 @@ object PipelineQueries {
     QueryDef("d10_hash_split", d10, Some(d10Oracle)),
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("d50_altstar_components", d50, Some(d50Oracle)),
+    QueryDef("d52_components_append", d52, Some(d52Oracle)),
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
     QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),

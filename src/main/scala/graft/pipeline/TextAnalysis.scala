@@ -188,6 +188,35 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Winnowed-sketch match pairs — the MOSS detector over
+    * [[winnowFingerprints]]: the distinct selected hashes per document
+    * form its local sketch; a df-capped inverted index on the hash
+    * yields candidate pairs scored by shared-fingerprint count. By the
+    * winnowing guarantee, any shared run of at least w + k − 1 words
+    * produces at least one shared fingerprint, so `minShared` counts
+    * (roughly) independently shared regions — the quote/plagiarism
+    * scorer that global sketches (MinHash estimates whole-document
+    * resemblance) structurally miss.
+    *
+    * 100 TB shape: the sketch is ~2/(w+1) of the k-gram count per
+    * document and only (id, 8-byte fp) rows reach the pairing join;
+    * `maxDf` caps a stock-phrase bucket (the d6/d20 BETWEEN 2 AND cap
+    * contract), bounding the self-join at Σ min(df, cap)². */
+  def winnowMatchPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared wants >= 1, got $minShared")
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val dfOk = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
+      .filter(col("ndf").between(2, maxDf)).select("fp")
+    val flagged = fps.join(dfOk, Seq("fp"), "left_semi")
+    flagged.as("a").join(flagged.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** BPE merge learning — the first `steps` merges of byte-pair-encoding
     * tokenizer training (Sennrich et al. 2016), each iteration fully
     * in-plan: count adjacent symbol pairs over the (distinct word,

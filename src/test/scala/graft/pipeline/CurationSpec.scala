@@ -516,6 +516,26 @@ class CurationSpec extends SparkSpec {
     assert(got(3L).size === 1)
   }
 
+  test("winnowMatchPairs: two shared regions score, disjoint docs do not") {
+    import spark.implicits._
+    val runA = "alpha beta gamma delta epsilon zeta eta theta"   // 8 words
+    val runB = "one two three four five six seven eight"          // 8 words
+    val df = Seq(
+      (1L, s"$runA filler words in the middle here $runB and tail"),
+      (2L, s"prefix junk $runA other unrelated middle $runB trailing bits"),
+      (3L, "completely different text with no overlap at all whatsoever " +
+        "nothing shared here in any window of words"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowMatchPairs(df, "text", "doc_id",
+        k = 5, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 share two independent w+k-1 runs → ≥ 2 shared
+    // fingerprints by the winnowing guarantee; doc 3 pairs with nobody
+    assert(pairs.length === 1)
+    assert(pairs.head._1 === 1L && pairs.head._2 === 2L)
+    assert(pairs.head._3 >= 2L)
+  }
+
   test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     // w + k - 1 = 8 shared consecutive words embedded in different docs

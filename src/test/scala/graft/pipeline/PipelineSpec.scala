@@ -875,6 +875,30 @@ class PipelineSpec extends SparkSpec {
         "components' contract changed and this spec should be revisited")
   }
 
+  test("componentsAppend: bridge-merges archive components, carries " +
+      "singletons, equals from-scratch") {
+    import spark.implicits._
+    // archive: components {1,2} and {5,6}; 9 is a labelled singleton
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "component")
+    // increment: 7 bridges both archive components; (10,11) is a fresh
+    // delta-only component; 9 untouched
+    val inc = Seq((2L, 7L), (5L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.componentsAppend(oldLabels, inc, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 5L, 6L, 7L).forall(out(_) == 1L),
+      s"bridge must merge both archive components through 7: $out")
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(9L) == 9L, "untouched singleton must carry through")
+    // row-identical to from-scratch CC over the full edge set (modulo
+    // the singleton, which from-scratch never sees)
+    val full = Seq((1L, 2L), (5L, 6L), (2L, 7L), (5L, 7L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val scratch = Dedup.componentsAltStar(full, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out - 9L === scratch)
+  }
+
   test("components releases its per-round checkpoint blocks (r2 leak regression)") {
     import spark.implicits._
     val sc = spark.sparkContext
