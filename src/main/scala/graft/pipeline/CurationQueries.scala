@@ -1066,15 +1066,18 @@ object CurationQueries {
   // the start-position filter, the distinct — is replayed verbatim in
   // SQL; the gate row certifies the full per-document selection SET via
   // order-free exact BIGINT aggregates (count, min, max, and a
-  // position-weighted checksum Σ fp_pos·2³² + fp, bounded well inside
-  // BIGINT), one row per document. ----
+  // position-weighted checksum Σ (fp_pos·2³² + fp) mod (2³¹−1) — each
+  // term is reduced below 2³¹ BEFORE the sum, so even the maximum
+  // 2²⁰-fingerprint document sums under 2⁵¹: no overflow on either
+  // engine, and the sum stays order-free), one row per document. ----
   private def d49(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(docs(s, dir), "text", "doc_id",
         k = 5, w = 4)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_fp"),
         min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
-        sum(col("fp_pos") * lit(4294967296L) + col("fp")).as("fp_checksum"))
+        sum(pmod(col("fp_pos") * lit(4294967296L) + col("fp"),
+          lit(2147483647L))).as("fp_checksum"))
       .orderBy("doc_id")
 
   /** Shared winnowing replay (d49's selection chain, ending in `sel` =
@@ -1106,7 +1109,8 @@ object CurationQueries {
     s"""WITH $winnowCtes
       |SELECT doc_id, COUNT(*)::BIGINT AS n_fp,
       |  MIN(fp) AS min_fp, MAX(fp) AS max_fp,
-      |  CAST(SUM(fp_pos * 4294967296 + fp) AS BIGINT) AS fp_checksum
+      |  CAST(SUM((fp_pos * 4294967296 + fp) % 2147483647) AS BIGINT)
+      |    AS fp_checksum
       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- d51: winnowed-sketch match pairs — the MOSS detector over

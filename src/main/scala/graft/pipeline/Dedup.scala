@@ -179,19 +179,23 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v"))
           .union(m.select(col("u"), col("m").as("v"))))
     }
-    var (edges, prevIds) = checkpointOwning(
-      canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
+    val rawPairs = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    var (edges, prevIds) = checkpointOwning(canon(rawPairs))
     var iter = 0
     var stable = false
+    var prevCount = edges.count()
     while (!stable && iter < maxIter) {
       val (next, nextIds) = checkpointOwning(smallStar(largeStar(edges)))
       // exact fixpoint test on canonical distinct sets: same cardinality
-      // and no row of next outside edges ⟺ equal
-      stable = next.count() == edges.count() &&
+      // and no row of next outside edges ⟺ equal (the previous round's
+      // count is carried, so each round pays two actions, not three)
+      val nextCount = next.count()
+      stable = nextCount == prevCount &&
         next.exceptAll(edges).limit(1).count() == 0
       free(next, prevIds)
       edges = next
       prevIds = nextIds
+      prevCount = nextCount
       iter += 1
     }
     // Unlike [[components]] (whose partial labels are still a valid
@@ -199,18 +203,26 @@ object Dedup {
     // a labelling AT ALL (nodes would carry several labels) — so a
     // maxIter overrun must be loud. O(log²) convergence makes 20 rounds
     // enough for any physical graph; the probe's 2047-diameter path
-    // closed well inside it.
+    // closed well inside it. The throw releases this call's blocks first
+    // (the r2 checkpoint-lifecycle contract holds on the error path).
     if (!stable) {
+      free(edges, prevIds)
       throw new IllegalStateException(
         s"componentsAltStar did not reach the star fixpoint in $maxIter " +
           "alternating rounds — raise maxIter")
     }
     // fixpoint is a star per component: u is the center (minimum), every
-    // other member appears exactly once as v
+    // other member appears exactly once as v. Nodes whose only pairs are
+    // self-pairs (a, a) vanished in canon() — restore them as singleton
+    // components so the output matches [[components]]' row set exactly.
     val labels = edges.select(col("v").as("id"), col("u").as("component"))
       .union(edges.select(col("u")).distinct()
         .select(col("u").as("id"), col("u").as("component")))
-    labels
+    val selfOnly = rawPairs.filter(col("u") === col("v"))
+      .select(col("u").as("id")).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(selfOnly)
   }
 
   /** Incremental connected components — the APPEND face of the

@@ -247,24 +247,21 @@ object Multimodal {
       maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    val chunks = hashes.select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+    // the shared SimHash banded machinery does the df-cap + bucket
+    // self-join; only the chunk layout (two 32-bit words) and the
+    // two-word Hamming verify are dHash-specific
+    val chunked = hashes.select(col("doc_id").as("id"),
+      col("ph_lo"), col("ph_hi"),
       posexplode(array(
         col("ph_lo").bitwiseAND(lit(65535L)),
         shiftright(col("ph_lo"), 16).bitwiseAND(lit(65535L)),
         col("ph_hi").bitwiseAND(lit(65535L)),
         shiftright(col("ph_hi"), 16).bitwiseAND(lit(65535L))))
-        .as(Seq("ck", "cv")))
-    val bucketOk = chunks.groupBy("ck", "cv")
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb").between(2, maxBucket))
-      .select("ck", "cv")
-    val flagged = chunks.join(bucketOk, Seq("ck", "cv"), "left_semi")
-    flagged.as("a").join(flagged.as("b"),
-        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (bit_count(col("a.ph_lo").bitwiseXOR(col("b.ph_lo"))) +
-          bit_count(col("a.ph_hi").bitwiseXOR(col("b.ph_hi"))))
+        .as(Seq("chunk", "chunk_val")))
+    SimHash.bucketSelfJoin(chunked, maxBucket)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (bit_count(col("ph_lo_a").bitwiseXOR(col("ph_lo_b"))) +
+          bit_count(col("ph_hi_a").bitwiseXOR(col("ph_hi_b"))))
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -81,6 +81,30 @@ object SimHash {
       .select(col("id"), coalesce(col("fp"), lit(0L)).as("fp"))
   }
 
+  /** The shared banded-pigeonhole candidate machinery: `chunked` holds
+    * one row per (id, chunk index, chunk value) with any payload
+    * columns alongside; buckets are df-capped to [2, maxBucket] and
+    * surviving buckets self-joined with id_a < id_b — every payload
+    * column rides along twice, suffixed _a/_b, for the caller's exact
+    * verify (single-word Hamming here, two-word Hamming in
+    * [[Multimodal.phashPairs]]). One copy of the cap/join semantics for
+    * every chunk-LSH family member. */
+  private[pipeline] def bucketSelfJoin(chunked: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val payload = chunked.columns.filterNot(Set("chunk", "chunk_val", "id"))
+    val ok = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb").between(2, maxBucket))
+      .select("chunk", "chunk_val")
+    val inB = chunked.join(ok, Seq("chunk", "chunk_val"))
+    def side(s: String) = inB.select(
+      Seq(col("chunk"), col("chunk_val"), col("id").as(s"id_$s")) ++
+        payload.map(p => col(p).as(s"${p}_$s")): _*)
+    side("a").join(side("b"), Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("chunk", "chunk_val")
+  }
+
   def pairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200,
       hashFn: Column => Column = xxhash64(_), numBits: Int = 63): DataFrame = {
@@ -89,16 +113,7 @@ object SimHash {
     val chunked = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(c => chunk(col("fp"), c, width)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val ok = chunked.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucket)
-      .select("chunk", "chunk_val")
-    val inB = chunked.join(ok, Seq("chunk", "chunk_val"))
-    inB.select(col("chunk"), col("chunk_val"),
-        col("id").as("id_a"), col("fp").as("fp_a"))
-      .join(inB.select(col("chunk"), col("chunk_val"),
-        col("id").as("id_b"), col("fp").as("fp_b")), Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    bucketSelfJoin(chunked, maxBucket)
       .select(col("id_a"), col("id_b"),
         hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .distinct()

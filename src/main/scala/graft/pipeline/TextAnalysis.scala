@@ -150,8 +150,9 @@ object TextAnalysis {
     * The per-window argmin-with-rightmost-ties needs no struct ordering
     * or second pass: position and hash are packed into ONE BIGINT key,
     * `h·2²⁰ + (2²⁰−1 − pos)` (h < 2³² from the sha-prefix, so the key
-    * is < 2⁵² — exact; documents are bounded at 2²⁰ k-grams by the
-    * encoding, far beyond any real document), and a plain `min` over
+    * is < 2⁵² — exact; a document beyond 2²⁰ k-grams FAILS LOUDLY via
+    * an in-plan raise_error rather than silently aliasing into the
+    * neighbouring hash's key range), and a plain `min` over
     * the w-row frame IS the tie-broken argmin, replayable verbatim as a
     * SQL window frame. Hashes are the 32-bit sha256-prefix both engines
     * compute identically (the d13/d14 certification contract; an
@@ -175,8 +176,16 @@ object TextAnalysis {
       .select(col("id"), (col("pos") + 1).as("pos"),
         conv(substring(sha2(col("col"), 256), 1, 8), 16, 10)
           .cast("long").as("h"))
+      // the key packs ¬pos into the low 20 bits — a document beyond 2²⁰
+      // k-grams would silently bleed into the neighbouring hash's range,
+      // so the bound FAILS LOUDLY instead (raise_error compiles into the
+      // same codegen span; it never fires on in-contract data)
       .select(col("id"), col("pos"),
-        (col("h") * 1048576L + (lit(1048575L) - col("pos"))).as("key"))
+        (when(col("pos") <= 1048575L,
+          col("h") * 1048576L + (lit(1048575L) - col("pos")))
+          .otherwise(raise_error(concat(
+            lit("winnowFingerprints: document exceeds 2^20 k-grams at id="),
+            col("id").cast("string"))))).as("key"))
     grams
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("mk", min(col("key")).over(

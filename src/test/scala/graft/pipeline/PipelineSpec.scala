@@ -838,8 +838,10 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (11L, 12L), (20L, 21L),
-      // a duplicate and a reversed duplicate — canonicalization fodder
-      (2L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+      // a duplicate and a reversed duplicate — canonicalization fodder —
+      // and a self-pair-only node (30), which components() labels as a
+      // singleton and canon() would otherwise silently drop
+      (2L, 1L), (1L, 2L), (30L, 30L)).toDF("doc_a", "doc_b")
     val byStar = Dedup.componentsAltStar(pairs, "doc_a", "doc_b").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     val byLabel = Dedup.components(pairs, "doc_a", "doc_b").collect()
