@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
@@ -243,14 +243,10 @@ object Multimodal {
     * 100 TB shape: only (doc_id, 16-byte hash, chunk) rows shuffle;
     * cost Σ bucket² bounded by maxBucket²·buckets; the verify is
     * integer-only. */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    // the shared SimHash banded machinery does the df-cap + bucket
-    // self-join; only the chunk layout (two 32-bit words) and the
-    // two-word Hamming verify are dHash-specific
-    val chunked = hashes.select(col("doc_id").as("id"),
+  /** [[dHash]] rows exploded into the 4×16-bit chunk layout the shared
+    * SimHash banded machinery consumes. */
+  private def phashChunks(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id").as("id"),
       col("ph_lo"), col("ph_hi"),
       posexplode(array(
         col("ph_lo").bitwiseAND(lit(65535L)),
@@ -258,11 +254,39 @@ object Multimodal {
         col("ph_hi").bitwiseAND(lit(65535L)),
         shiftright(col("ph_hi"), 16).bitwiseAND(lit(65535L))))
         .as(Seq("chunk", "chunk_val")))
-    SimHash.bucketSelfJoin(chunked, maxBucket)
+
+  private def twoWordHamming: Column =
+    (bit_count(col("ph_lo_a").bitwiseXOR(col("ph_lo_b"))) +
+      bit_count(col("ph_hi_a").bitwiseXOR(col("ph_hi_b"))))
+
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    // the shared SimHash banded machinery does the df-cap + bucket
+    // self-join; only the chunk layout (two 32-bit words) and the
+    // two-word Hamming verify are dHash-specific
+    SimHash.bucketSelfJoin(phashChunks(hashes), maxBucket)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        (bit_count(col("ph_lo_a").bitwiseXOR(col("ph_lo_b"))) +
-          bit_count(col("ph_hi_a").bitwiseXOR(col("ph_hi_b"))))
-          .as("hamming"))
+        twoWordHamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Incremental [[phashPairs]]: new images (probe) matched against a
+    * PERSISTED archive hash table through [[SimHash.bucketProbeJoin]] —
+    * the archive is never re-hashed or re-paired with itself, and the
+    * df-cap is a property of the archive snapshot, so per-batch cost is
+    * |probe| × bounded archive fan-out (the d21 contract for the image
+    * family). Returns (new_id, corpus_id, hamming ≤ maxHamming). */
+  def phashProbePairs(probeHashes: DataFrame, archiveHashes: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    SimHash.bucketProbeJoin(phashChunks(probeHashes),
+        phashChunks(archiveHashes), maxBucket)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+        twoWordHamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

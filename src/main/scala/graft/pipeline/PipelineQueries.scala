@@ -1630,8 +1630,9 @@ object PipelineQueries {
   }
 
   /** Shared dHash replay: byte stripes → 72-cell grid (absent stripes
-    * 0) → packed gradient bits. Used by the mm6 and mm7 oracles. */
-  private val dHashCtes =
+    * 0) → packed gradient bits. Used by the mm6 and mm7 oracles and the
+    * s17 streaming-phash-dedup oracle in [[graft.streaming.StreamQueries]]. */
+  private[graft] val dHashCtes =
     """d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
       |bt AS (

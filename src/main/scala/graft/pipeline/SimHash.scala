@@ -105,6 +105,35 @@ object SimHash {
       .drop("chunk", "chunk_val")
   }
 
+  /** [[bucketSelfJoin]]'s two-sided face for INCREMENTAL pairing: probe
+    * rows (a side) match archive rows (b side) through the same chunk
+    * buckets, with the df-cap applied to the ARCHIVE's bucket sizes
+    * only (the d21 persisted-index contract — the cap is a property of
+    * the archive snapshot, so per-batch probe cost is |probe chunks| ×
+    * bounded archive fan-out regardless of batch size; no min-2 bound:
+    * a probe row pairs against a single archive occupant). */
+  private[pipeline] def bucketProbeJoin(probeChunked: DataFrame,
+      archiveChunked: DataFrame, maxBucket: Int): DataFrame = {
+    val payloadA = probeChunked.columns
+      .filterNot(Set("chunk", "chunk_val", "id"))
+    val payloadB = archiveChunked.columns
+      .filterNot(Set("chunk", "chunk_val", "id"))
+    val ok = archiveChunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= maxBucket)
+      .select("chunk", "chunk_val")
+    val arch = archiveChunked.join(ok, Seq("chunk", "chunk_val"))
+    val a = probeChunked.select(
+      Seq(col("chunk"), col("chunk_val"), col("id").as("id_a")) ++
+        payloadA.map(p => col(p).as(s"${p}_a")): _*)
+    val b = arch.select(
+      Seq(col("chunk"), col("chunk_val"), col("id").as("id_b")) ++
+        payloadB.map(p => col(p).as(s"${p}_b")): _*)
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") =!= col("id_b"))
+      .drop("chunk", "chunk_val")
+  }
+
   def pairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200,
       hashFn: Column => Column = xxhash64(_), numBits: Int = 63): DataFrame = {

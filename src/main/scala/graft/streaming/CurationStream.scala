@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
 import graft.pipeline.Dedup
@@ -35,6 +36,35 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Dedup.incrementalPairsFromIndex(corpusIdx, batch,
             textCol, idCol, k, threshold)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$batchId")
+      }
+
+  /** The IMAGE-family twin of [[incrementalDedupSink]]: incoming image
+    * payloads are perceptually hashed per micro-batch
+    * ([[graft.pipeline.Multimodal.dHash]] — the only stage that touches
+    * payload bytes, map-side) and matched against a PERSISTED archive
+    * hash table ([[graft.pipeline.Multimodal.phashProbePairs]]) — the
+    * archive is never re-decoded, re-hashed, or re-paired with itself,
+    * and its bucket df-cap is baked into the snapshot (the d21
+    * persisted-index contract). Per-batch `batch=<id>` overwrite gives
+    * the same exactly-once layout as the text sink above. `archHashes`
+    * is typically `spark.read.parquet` of a persisted mm6-style hash
+    * table (doc_id, ph_lo, ph_hi). */
+  def phashDedupSink(newMedia: DataFrame, archHashes: DataFrame,
+      outDir: String, checkpoint: String, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    newMedia.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val hashes = graft.pipeline.Multimodal.dHash(
+          batch.select(col("doc_id"), col("payload"), col("media_type"))
+            .as[graft.pipeline.Multimodal.MediaRow])
+        graft.pipeline.Multimodal.phashProbePairs(hashes, archHashes,
+            maxHamming, maxBucket)
           .write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$batchId")
       }

@@ -862,7 +862,86 @@ object StreamQueries {
   private val s16Oracle =
     graft.pipeline.PipelineQueries.nndBuildOracle(restrictNode = 25)
 
+  // ---- s17: streaming perceptual-hash image dedup under the gate —
+  // the IMAGE-family twin of s7: new image payloads arrive as a real
+  // stream (three doc_id-tercile micro-batches), are dHashed per batch
+  // (the only stage touching payload bytes), and matched against a
+  // MATERIALIZED archive hash table (mm6's batch build over the
+  // doc_id % 10 != 0 docs, localCheckpointed — the persisted-index
+  // contract: no micro-batch re-decodes or re-pairs the archive). The
+  // unioned per-batch parquet outputs are hash-compared against an
+  // oracle replaying the stub dHash and the archive-capped chunk probe
+  // join. Pairing is per-image against a static snapshot, so
+  // micro-batch boundaries cannot change the result. ----
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val media = graft.pipeline.Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+    val archHashes = graft.pipeline.Multimodal.dHash(
+        media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow])
+      .localCheckpoint(true)
+    val incr = media.filter(isNew)
+      .as[(Long, Array[Byte], String)].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val q = CurationStream.phashDedupSink(
+      input.toDF().toDF("doc_id", "payload", "media_type"), archHashes,
+      out, s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, incr.toSeq,
+        (r: (Long, Array[Byte], String)) => r._1)
+    } finally q.stop()
+    val result = s.read.parquet(s"$out/pairs")
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    archHashes.unpersist(blocking = false)
+    rmTree(out)
+    result
+  }
+
+  private val s17Oracle =
+    s"""WITH ${graft.pipeline.PipelineQueries.dHashCtes},
+      |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
+      |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0),
+      |ac AS (
+      |  SELECT doc_id, ph_lo, ph_hi,
+      |    unnest(list_transform(generate_series(0, 3), i ->
+      |      {'ck': i,
+      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
+      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
+      |                  WHEN i = 2 THEN ph_hi & 65535
+      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
+      |  FROM arch),
+      |ac2 AS (
+      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM ac),
+      |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
+      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
+      |pc AS (
+      |  SELECT doc_id, ph_lo, ph_hi,
+      |    unnest(list_transform(generate_series(0, 3), i ->
+      |      {'ck': i,
+      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
+      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
+      |                  WHEN i = 2 THEN ph_hi & 65535
+      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
+      |  FROM probe),
+      |pc2 AS (
+      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM pc),
+      |p AS (
+      |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
+      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
+      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
+      |  FROM pc2 JOIN af USING (ck, cv))
+      |SELECT new_id, corpus_id, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s17_stream_phash_dedup", st(s17), Some(s17Oracle)),
     QueryDef("s16_stream_graph_maintain", st(s16), Some(s16Oracle)),
     QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),
     QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),

@@ -1076,6 +1076,30 @@ class PipelineSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("phashProbePairs: probe matches archive through capped buckets only") {
+    import spark.implicits._
+    val base = 0x0f0f0f0fL
+    val archive = Seq(
+      (1L, base, base),
+      (2L, base ^ 0x7L, base)) // hamming 3 from base, shares chunks 1-3
+      .toDF("doc_id", "ph_lo", "ph_hi")
+    val probe = Seq(
+      (100L, base, base),               // exact dup of 1, near-dup of 2
+      (101L, ~base, ~base))             // far from everything
+      .toDF("doc_id", "ph_lo", "ph_hi")
+    val got = Multimodal.phashProbePairs(probe, archive, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((100L, 1L, 0), (100L, 2L, 3)))
+    // the df-cap is an ARCHIVE property: cap 1 with two archive rows in
+    // the shared chunks 1-3 drops those buckets; chunk 0 buckets hold
+    // one row each and survive, so the exact-dup pair remains reachable
+    // through archive 1's unique chunk-0 value while 2's chunk-0 differs
+    val capped = Multimodal.phashProbePairs(probe, archive,
+        maxHamming = 3, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped === Set((100L, 1L, 0)))
+  }
+
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs, "text")
