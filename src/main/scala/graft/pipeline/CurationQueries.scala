@@ -1015,8 +1015,11 @@ object CurationQueries {
     TextAnalysis.learnBpeMerges(docs(s, dir), "text", steps = 3)
       .orderBy("step")
 
-  private val d47Oracle =
-    """WITH t AS (
+  /** Shared BPE-learning replay (vocabulary → three count→argmax→rewrite
+    * rounds, ending in p1/p2/p3 = the learned merges) — used by the d47
+    * and d53 oracles. */
+  private val bpeCtes =
+    """t AS (
       |  SELECT lower(unnest(regexp_extract_all(text, '\S+'))) AS w
       |  FROM documents),
       |w0 AS (
@@ -1054,11 +1057,65 @@ object CurationQueries {
       |      generate_series(1, len(sy) - 1),
       |      i -> sy[i] || ' ' || sy[i+1])) AS p
       |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w2))
-      |  GROUP BY p ORDER BY c DESC, p LIMIT 1)
+      |  GROUP BY p ORDER BY c DESC, p LIMIT 1)""".stripMargin
+
+  private val d47Oracle =
+    s"""WITH $bpeCtes
       |SELECT 1 AS step, p AS pair, c AS cnt FROM p1
       |UNION ALL SELECT 2, p, c FROM p2
       |UNION ALL SELECT 3, p, c FROM p3
       |ORDER BY step""".stripMargin
+
+  // ---- d53: BPE merge APPLICATION — the usable half of d47: the three
+  // learned merges segment every document's lowercase-alpha words
+  // (two-space symbol encoding, '|' word boundaries the merge pattern
+  // cannot cross), and the gate certifies per-document sequence lengths
+  // before and after. The oracle re-learns the merges with d47's exact
+  // CTE chain and applies them with the same literal global
+  // regexp_replace semantics — learner and applier certified against
+  // one replay. ----
+  private def d53(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // bounded driver collect: `steps` rows, the learner's output size
+    val merges = TextAnalysis.learnBpeMerges(d, "text", steps = 3)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    TextAnalysis.applyBpeMerges(d, "text", "doc_id", merges)
+      .orderBy("doc_id")
+  }
+
+  private val d53Oracle =
+    s"""WITH $bpeCtes,
+      |de AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_extract_all(lower(text), '\\S+'), w -> w),
+      |      w -> regexp_full_match(w, '[a-z]+')) AS aw
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT doc_id, len(aw)::BIGINT AS n_alpha_words,
+      |    array_to_string(list_transform(aw,
+      |      w -> ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '),
+      |      '|') AS s
+      |  FROM de),
+      |a1 AS (
+      |  SELECT doc_id, n_alpha_words,
+      |    len(regexp_extract_all(s, '[a-z]+'))::BIGINT AS n_base_symbols,
+      |    regexp_replace(s, ' ' || replace(p, ' ', '  ') || ' ',
+      |      ' ' || replace(p, ' ', '') || ' ', 'g') AS s
+      |  FROM e0, p1),
+      |a2 AS (
+      |  SELECT doc_id, n_alpha_words, n_base_symbols,
+      |    regexp_replace(s, ' ' || replace(p, ' ', '  ') || ' ',
+      |      ' ' || replace(p, ' ', '') || ' ', 'g') AS s
+      |  FROM a1, p2),
+      |a3 AS (
+      |  SELECT doc_id, n_alpha_words, n_base_symbols,
+      |    regexp_replace(s, ' ' || replace(p, ' ', '  ') || ' ',
+      |      ' ' || replace(p, ' ', '') || ' ', 'g') AS s
+      |  FROM a2, p3)
+      |SELECT doc_id, n_alpha_words, n_base_symbols,
+      |  len(regexp_extract_all(s, '[a-z]+'))::BIGINT AS n_symbols
+      |FROM a3 ORDER BY doc_id""".stripMargin
 
   // ---- d49: winnowing fingerprint selection (Schleimer et al. 2003,
   // the MOSS local sketch) over word-5-grams with window w = 4. The
@@ -1139,6 +1196,7 @@ object CurationQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("d49_winnow_fingerprints", d49, Some(d49Oracle)),
     QueryDef("d51_winnow_matches", d51, Some(d51Oracle)),
+    QueryDef("d53_bpe_apply", d53, Some(d53Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

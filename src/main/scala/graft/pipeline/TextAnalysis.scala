@@ -286,4 +286,44 @@ object TextAnalysis {
     }
     merges.reduce(_ unionAll _)
   }
+
+  /** BPE merge APPLICATION — the usable half of [[learnBpeMerges]]:
+    * segment every document's lowercase-alphabetic words with an
+    * ordered merge list (the (pair) strings the learner emits, driver
+    * literals — a real tokenizer ships thousands; the unrolled form
+    * keeps each merge one literal global `regexp_replace`, the exact
+    * left-to-right contract the learner established). Words are
+    * two-space symbol-encoded as in the learner and joined with a `|`
+    * boundary the `" A  B "` merge pattern can never cross, so merges
+    * apply per word while the whole document stays ONE string — one
+    * codegen'd map stage per merge, zero shuffles (plan-free of
+    * aggregation until the caller adds one).
+    *
+    * Returns one row per document: alpha word count, base symbol count
+    * (= letters, the pre-merge sequence length), and the post-merge
+    * symbol count — the corpus-level compression a tokenizer-budget
+    * estimate needs (n_symbols/n_base ≈ the learned merges' coverage). */
+  def applyBpeMerges(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 8,
+      s"unrolled application wants 1..8 merges, got ${merges.size}")
+    require(merges.forall(_.matches("[a-z]+ [a-z]+")),
+      "each merge must be an 'aaa bbb' lowercase-alpha pair " +
+        "(the learnBpeMerges output contract)")
+    val alpha = filter(words(lower(col(textCol))),
+      w => w.rlike("^[a-z]+$"))
+    val enc0 = concat_ws("|", transform(alpha, w =>
+      concat(lit(" "), trim(regexp_replace(w, "(.)", "$1  ")), lit(" "))))
+    val encN = merges.foldLeft(enc0) { (acc, p) =>
+      regexp_replace(acc,
+        " " + p.replace(" ", "  ") + " ",
+        " " + p.replace(" ", "") + " ")
+    }
+    df.select(col(idCol).as("doc_id"),
+      size(alpha).cast("long").as("n_alpha_words"),
+      size(regexp_extract_all(enc0, lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_base_symbols"),
+      size(regexp_extract_all(encN, lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_symbols"))
+  }
 }

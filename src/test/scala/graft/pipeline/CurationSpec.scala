@@ -516,6 +516,28 @@ class CurationSpec extends SparkSpec {
     assert(got(3L).size === 1)
   }
 
+  test("applyBpeMerges: adjacency, word boundaries, sequential merges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abab ab cd"),  // merge 'a b': abab→(ab)(ab), ab→(ab), cd stays
+      (2L, "AB12 xyz"),    // 'ab12' not alpha after lowering → excluded
+      (3L, "b a"))         // 'b a' spans a WORD boundary → must not merge
+      .toDF("doc_id", "text")
+    val r1 = TextAnalysis.applyBpeMerges(df, "text", "doc_id", Seq("a b"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r1.toSeq === Seq(
+      (1L, 3L, 8L, 5L),   // adjacent occurrences both merge in one pass
+      (2L, 1L, 3L, 3L),
+      (3L, 2L, 2L, 2L)))  // boundary blocked the cross-word pair
+    // sequential merges compose: 'a b' then 'ab ab' collapses abab fully
+    val r2 = TextAnalysis.applyBpeMerges(df, "text", "doc_id",
+        Seq("a b", "ab ab"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(r2.head === ((1L, 4L)))  // (abab)(ab)(c)(d)
+  }
+
   test("winnowMatchPairs: two shared regions score, disjoint docs do not") {
     import spark.implicits._
     val runA = "alpha beta gamma delta epsilon zeta eta theta"   // 8 words
