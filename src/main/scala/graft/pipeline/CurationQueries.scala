@@ -1087,8 +1087,7 @@ object CurationQueries {
     s"""WITH $bpeCtes,
       |de AS (
       |  SELECT doc_id,
-      |    list_filter(list_transform(
-      |      regexp_extract_all(lower(text), '\\S+'), w -> w),
+      |    list_filter(regexp_extract_all(lower(text), '\\S+'),
       |      w -> regexp_full_match(w, '[a-z]+')) AS aw
       |  FROM documents),
       |e0 AS (

@@ -230,19 +230,6 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Near-duplicate image pairs by Hamming distance over [[dHash]]es:
-    * the 64-bit hash splits into four 16-bit chunks, so any pair within
-    * Hamming distance 3 shares at least one exact chunk (pigeonhole —
-    * the SimHash d8/d13 chunk-join contract); candidate pairs come from
-    * a bucket self-join on (chunk index, chunk value) and only they pay
-    * the exact XOR+popcount verify. `maxBucket` df-caps a degenerate
-    * bucket (near-constant images: a flat corpus would otherwise make
-    * one bucket quadratic — d6's BETWEEN 2 AND cap contract; capped
-    * buckets drop their candidates, trading recall for the hard bound).
-    *
-    * 100 TB shape: only (doc_id, 16-byte hash, chunk) rows shuffle;
-    * cost Σ bucket² bounded by maxBucket²·buckets; the verify is
-    * integer-only. */
   /** [[dHash]] rows exploded into the 4×16-bit chunk layout the shared
     * SimHash banded machinery consumes. */
   private def phashChunks(hashes: DataFrame): DataFrame =
@@ -259,6 +246,19 @@ object Multimodal {
     (bit_count(col("ph_lo_a").bitwiseXOR(col("ph_lo_b"))) +
       bit_count(col("ph_hi_a").bitwiseXOR(col("ph_hi_b"))))
 
+  /** Near-duplicate image pairs by Hamming distance over [[dHash]]es:
+    * the 64-bit hash splits into four 16-bit chunks, so any pair within
+    * Hamming distance 3 shares at least one exact chunk (pigeonhole —
+    * the SimHash d8/d13 chunk-join contract); candidate pairs come from
+    * a bucket self-join on (chunk index, chunk value) and only they pay
+    * the exact XOR+popcount verify. `maxBucket` df-caps a degenerate
+    * bucket (near-constant images: a flat corpus would otherwise make
+    * one bucket quadratic — d6's BETWEEN 2 AND cap contract; capped
+    * buckets drop their candidates, trading recall for the hard bound).
+    *
+    * 100 TB shape: only (doc_id, 16-byte hash, chunk) rows shuffle;
+    * cost Σ bucket² bounded by maxBucket²·buckets; the verify is
+    * integer-only. */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -273,18 +273,35 @@ object Multimodal {
       .distinct()
   }
 
+  /** The archive-side chunk INDEX for incremental image pairing:
+    * [[dHash]] rows chunk-exploded with the df-cap applied ONCE, at
+    * snapshot build — the d21 persisted-index contract (the cap is a
+    * property of the archive snapshot; degenerate flat-image buckets
+    * are excluded here and never rediscovered per batch). Persist or
+    * localCheckpoint the result; [[phashProbePairs]] consumes it with
+    * NO archive-side aggregation. */
+  def phashChunkIndex(archiveHashes: DataFrame,
+      maxBucket: Int = 100): DataFrame = {
+    val ac = phashChunks(archiveHashes)
+    val ok = ac.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= maxBucket)
+      .select("chunk", "chunk_val")
+    ac.join(ok, Seq("chunk", "chunk_val"))
+  }
+
   /** Incremental [[phashPairs]]: new images (probe) matched against a
-    * PERSISTED archive hash table through [[SimHash.bucketProbeJoin]] —
-    * the archive is never re-hashed or re-paired with itself, and the
-    * df-cap is a property of the archive snapshot, so per-batch cost is
-    * |probe| × bounded archive fan-out (the d21 contract for the image
-    * family). Returns (new_id, corpus_id, hamming ≤ maxHamming). */
-  def phashProbePairs(probeHashes: DataFrame, archiveHashes: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    * prebuilt [[phashChunkIndex]] through [[SimHash.bucketProbeJoin]] —
+    * the archive is never re-decoded, re-hashed, re-capped, or
+    * re-paired with itself, so per-batch cost is |probe| × bounded
+    * archive fan-out regardless of archive size (the d21 contract for
+    * the image family). Returns (new_id, corpus_id, hamming ≤
+    * maxHamming). */
+  def phashProbePairs(probeHashes: DataFrame, archIndex: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    SimHash.bucketProbeJoin(phashChunks(probeHashes),
-        phashChunks(archiveHashes), maxBucket)
+    SimHash.bucketProbeJoin(phashChunks(probeHashes), archIndex)
       .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
         twoWordHamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)

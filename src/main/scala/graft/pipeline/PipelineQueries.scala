@@ -1668,6 +1668,24 @@ object PipelineQueries {
     s"""WITH $dHashCtes
       |SELECT doc_id, ph_lo, ph_hi FROM ph ORDER BY doc_id""".stripMargin
 
+  /** The 4×16-bit chunk explode over a (doc_id, ph_lo, ph_hi) source —
+    * the SQL twin of `Multimodal.phashChunks`, shared by the mm7 and
+    * s17 oracles so the chunk layout lives in ONE place on each side.
+    * Emits two CTEs named `<name>` (struct rows) and `<name>2` (the
+    * flattened (doc_id, ph_lo, ph_hi, ck, cv) face). */
+  private[graft] def phashChunkCtes(name: String, src: String): String =
+    s"""$name AS (
+      |  SELECT doc_id, ph_lo, ph_hi,
+      |    unnest(list_transform(generate_series(0, 3), i ->
+      |      {'ck': i,
+      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
+      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
+      |                  WHEN i = 2 THEN ph_hi & 65535
+      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
+      |  FROM $src),
+      |${name}2 AS (
+      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM $name)""".stripMargin
+
   // ---- mm7: image near-dup pairs by Hamming distance over mm6's
   // dHashes — chunk-pigeonhole candidates (any pair within Hamming 3
   // shares one of the four 16-bit chunks, the d8/d13 contract), df-cap
@@ -1687,21 +1705,11 @@ object PipelineQueries {
 
   private val mm7Oracle =
     s"""WITH $dHashCtes,
-      |ck AS (
-      |  SELECT doc_id, ph_lo, ph_hi,
-      |    unnest(list_transform(generate_series(0, 3), i ->
-      |      {'ck': i,
-      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
-      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
-      |                  WHEN i = 2 THEN ph_hi & 65535
-      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
-      |  FROM ph),
-      |c2 AS (
-      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM ck),
+      |${phashChunkCtes("ck", "ph")},
       |ok AS (
-      |  SELECT ck, cv FROM c2 GROUP BY ck, cv
+      |  SELECT ck, cv FROM ck2 GROUP BY ck, cv
       |  HAVING COUNT(*) BETWEEN 2 AND 100),
-      |f AS (SELECT c2.* FROM c2 JOIN ok USING (ck, cv)),
+      |f AS (SELECT ck2.* FROM ck2 JOIN ok USING (ck, cv)),
       |p AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(bit_count(xor(a.ph_lo, b.ph_lo))

@@ -106,27 +106,24 @@ object SimHash {
   }
 
   /** [[bucketSelfJoin]]'s two-sided face for INCREMENTAL pairing: probe
-    * rows (a side) match archive rows (b side) through the same chunk
-    * buckets, with the df-cap applied to the ARCHIVE's bucket sizes
-    * only (the d21 persisted-index contract — the cap is a property of
-    * the archive snapshot, so per-batch probe cost is |probe chunks| ×
-    * bounded archive fan-out regardless of batch size; no min-2 bound:
-    * a probe row pairs against a single archive occupant). */
+    * rows (a side) match PRE-INDEXED archive rows (b side) through the
+    * chunk buckets. The archive side must already carry its df-cap —
+    * applied ONCE at snapshot build by the index builder (e.g.
+    * [[Multimodal.phashChunkIndex]]), the d21 persisted-index contract —
+    * so this join aggregates NOTHING over the archive: per-batch probe
+    * cost is |probe chunks| × bounded archive fan-out regardless of
+    * archive size. (No min-2 bound: a probe row pairs against a single
+    * archive occupant.) */
   private[pipeline] def bucketProbeJoin(probeChunked: DataFrame,
-      archiveChunked: DataFrame, maxBucket: Int): DataFrame = {
+      archiveIndexed: DataFrame): DataFrame = {
     val payloadA = probeChunked.columns
       .filterNot(Set("chunk", "chunk_val", "id"))
-    val payloadB = archiveChunked.columns
+    val payloadB = archiveIndexed.columns
       .filterNot(Set("chunk", "chunk_val", "id"))
-    val ok = archiveChunked.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") <= maxBucket)
-      .select("chunk", "chunk_val")
-    val arch = archiveChunked.join(ok, Seq("chunk", "chunk_val"))
     val a = probeChunked.select(
       Seq(col("chunk"), col("chunk_val"), col("id").as("id_a")) ++
         payloadA.map(p => col(p).as(s"${p}_a")): _*)
-    val b = arch.select(
+    val b = archiveIndexed.select(
       Seq(col("chunk"), col("chunk_val"), col("id").as("id_b")) ++
         payloadB.map(p => col(p).as(s"${p}_b")): _*)
     a.join(b, Seq("chunk", "chunk_val"))

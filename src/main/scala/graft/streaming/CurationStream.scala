@@ -44,16 +44,18 @@ object CurationStream {
     * payloads are perceptually hashed per micro-batch
     * ([[graft.pipeline.Multimodal.dHash]] — the only stage that touches
     * payload bytes, map-side) and matched against a PERSISTED archive
-    * hash table ([[graft.pipeline.Multimodal.phashProbePairs]]) — the
-    * archive is never re-decoded, re-hashed, or re-paired with itself,
-    * and its bucket df-cap is baked into the snapshot (the d21
-    * persisted-index contract). Per-batch `batch=<id>` overwrite gives
-    * the same exactly-once layout as the text sink above. `archHashes`
-    * is typically `spark.read.parquet` of a persisted mm6-style hash
-    * table (doc_id, ph_lo, ph_hi). */
-  def phashDedupSink(newMedia: DataFrame, archHashes: DataFrame,
-      outDir: String, checkpoint: String, maxHamming: Int = 3,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
+    * chunk index ([[graft.pipeline.Multimodal.phashChunkIndex]], built
+    * once per snapshot with the df-cap baked in — the d21
+    * persisted-index contract): no micro-batch ever re-decodes,
+    * re-hashes, re-caps, or re-pairs the archive, so per-batch cost is
+    * batch size × bounded archive fan-out regardless of archive size.
+    * Per-batch `batch=<id>` overwrite gives the same exactly-once
+    * layout as the text sink above. `archIndex` is typically
+    * `spark.read.parquet` of the persisted index, NOT a live
+    * derivation. */
+  def phashDedupSink(newMedia: DataFrame, archIndex: DataFrame,
+      outDir: String, checkpoint: String,
+      maxHamming: Int = 3): DataStreamWriter[Row] =
     newMedia.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -63,8 +65,8 @@ object CurationStream {
         val hashes = graft.pipeline.Multimodal.dHash(
           batch.select(col("doc_id"), col("payload"), col("media_type"))
             .as[graft.pipeline.Multimodal.MediaRow])
-        graft.pipeline.Multimodal.phashProbePairs(hashes, archHashes,
-            maxHamming, maxBucket)
+        graft.pipeline.Multimodal.phashProbePairs(hashes, archIndex,
+            maxHamming)
           .write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$batchId")
       }

@@ -866,13 +866,14 @@ object StreamQueries {
   // the IMAGE-family twin of s7: new image payloads arrive as a real
   // stream (three doc_id-tercile micro-batches), are dHashed per batch
   // (the only stage touching payload bytes), and matched against a
-  // MATERIALIZED archive hash table (mm6's batch build over the
-  // doc_id % 10 != 0 docs, localCheckpointed — the persisted-index
-  // contract: no micro-batch re-decodes or re-pairs the archive). The
-  // unioned per-batch parquet outputs are hash-compared against an
-  // oracle replaying the stub dHash and the archive-capped chunk probe
-  // join. Pairing is per-image against a static snapshot, so
-  // micro-batch boundaries cannot change the result. ----
+  // MATERIALIZED archive chunk index (Multimodal.phashChunkIndex over
+  // the doc_id % 10 != 0 docs, df-cap baked in, localCheckpointed —
+  // the persisted-index contract: no micro-batch re-decodes, re-caps,
+  // or re-pairs the archive). The unioned per-batch parquet outputs
+  // are hash-compared against an oracle replaying the stub dHash and
+  // the archive-capped chunk probe join. Pairing is per-image against
+  // a static snapshot, so micro-batch boundaries cannot change the
+  // result. ----
   private def s17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -881,15 +882,17 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val media = graft.pipeline.Multimodal.withPayload(d, "text")
       .select(col("doc_id"), col("payload"), col("media_type"))
-    val archHashes = graft.pipeline.Multimodal.dHash(
-        media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow])
+    val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
+        graft.pipeline.Multimodal.dHash(
+          media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow]),
+        maxBucket = 100)
       .localCheckpoint(true)
     val incr = media.filter(isNew)
       .as[(Long, Array[Byte], String)].collect()
     val out = java.nio.file.Files.createTempDirectory("graft_s17").toString
     val input = MemoryStream[(Long, Array[Byte], String)]
     val q = CurationStream.phashDedupSink(
-      input.toDF().toDF("doc_id", "payload", "media_type"), archHashes,
+      input.toDF().toDF("doc_id", "payload", "media_type"), archIdx,
       out, s"$out/_cp").start()
     try {
       feedInTerciles(input, q, incr.toSeq,
@@ -899,7 +902,7 @@ object StreamQueries {
       .select(col("new_id"), col("corpus_id"), col("hamming"))
       .orderBy("new_id", "corpus_id")
       .localCheckpoint(true)
-    archHashes.unpersist(blocking = false)
+    archIdx.unpersist(blocking = false)
     rmTree(out)
     result
   }
@@ -908,30 +911,10 @@ object StreamQueries {
     s"""WITH ${graft.pipeline.PipelineQueries.dHashCtes},
       |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
       |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0),
-      |ac AS (
-      |  SELECT doc_id, ph_lo, ph_hi,
-      |    unnest(list_transform(generate_series(0, 3), i ->
-      |      {'ck': i,
-      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
-      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
-      |                  WHEN i = 2 THEN ph_hi & 65535
-      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
-      |  FROM arch),
-      |ac2 AS (
-      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM ac),
+      |${graft.pipeline.PipelineQueries.phashChunkCtes("ac", "arch")},
       |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
       |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
-      |pc AS (
-      |  SELECT doc_id, ph_lo, ph_hi,
-      |    unnest(list_transform(generate_series(0, 3), i ->
-      |      {'ck': i,
-      |       'cv': CASE WHEN i = 0 THEN ph_lo & 65535
-      |                  WHEN i = 1 THEN (ph_lo >> 16) & 65535
-      |                  WHEN i = 2 THEN ph_hi & 65535
-      |                  ELSE (ph_hi >> 16) & 65535 END})) AS u
-      |  FROM probe),
-      |pc2 AS (
-      |  SELECT doc_id, ph_lo, ph_hi, u.ck AS ck, u.cv AS cv FROM pc),
+      |${graft.pipeline.PipelineQueries.phashChunkCtes("pc", "probe")},
       |p AS (
       |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
       |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))

@@ -1087,15 +1087,17 @@ class PipelineSpec extends SparkSpec {
       (100L, base, base),               // exact dup of 1, near-dup of 2
       (101L, ~base, ~base))             // far from everything
       .toDF("doc_id", "ph_lo", "ph_hi")
-    val got = Multimodal.phashProbePairs(probe, archive, maxHamming = 3)
+    val got = Multimodal.phashProbePairs(probe,
+        Multimodal.phashChunkIndex(archive), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((100L, 1L, 0), (100L, 2L, 3)))
-    // the df-cap is an ARCHIVE property: cap 1 with two archive rows in
-    // the shared chunks 1-3 drops those buckets; chunk 0 buckets hold
-    // one row each and survive, so the exact-dup pair remains reachable
-    // through archive 1's unique chunk-0 value while 2's chunk-0 differs
-    val capped = Multimodal.phashProbePairs(probe, archive,
-        maxHamming = 3, maxBucket = 1)
+    // the df-cap is an INDEX-BUILD property: cap 1 with two archive rows
+    // in the shared chunks 1-3 drops those buckets at build time; chunk
+    // 0 buckets hold one row each and survive, so the exact-dup pair
+    // remains reachable through archive 1's unique chunk-0 value while
+    // 2's chunk-0 differs
+    val capped = Multimodal.phashProbePairs(probe,
+        Multimodal.phashChunkIndex(archive, maxBucket = 1), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(capped === Set((100L, 1L, 0)))
   }
