@@ -306,8 +306,12 @@ object PipelineQueries {
   // persisted-index contract (df stats over the full history). ----
   private def d52(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // mined ONCE and materialized: the archive/increment splits and both
+    // CC passes (each of which walks its pair input several times —
+    // canon + self-pair restore + per-round lineage) would otherwise
+    // re-run the LSH pair mining repeatedly
     val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
-      k = 5, threshold = 0.6, maxDf = 100)
+      k = 5, threshold = 0.6, maxDf = 100).localCheckpoint(true)
     def arch(c: org.apache.spark.sql.Column) = c % 4 =!= 0
     val archPairs = pairs.filter(arch(col("doc_a")) && arch(col("doc_b")))
     val incPairs = pairs.filter(!arch(col("doc_a")) || !arch(col("doc_b")))
