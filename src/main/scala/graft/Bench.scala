@@ -162,9 +162,10 @@ object Bench {
     // the round-12 solo bench total on exactly this membership
     // (BASELINE.md round-12 summary; measured on a box running ~1.3x
     // slower than the round-11 artifact's — the per-query diff there).
-    // d52 (components append), s17 (streaming phash dedup), and d53
-    // (BPE application) registered after the freeze was cut and are
-    // deliberately outside it, like every later round's additions.
+    // d52 (components append), s17/s18 (streaming phash / winnow
+    // dedup), and d53/d54 (BPE application, incremental winnowing)
+    // registered after the freeze was cut and are deliberately outside
+    // it, like every later round's additions.
     val core167: Set[String] = core158 ++ Set("e23_graph_serve",
       "s16_stream_graph_maintain", "d49_winnow_fingerprints",
       "d50_altstar_components", "d51_winnow_matches", "e24_sq8_rerank",
@@ -180,7 +181,8 @@ object Bench {
       "s8_stream_ffill", "s9_stream_topk", "s10_stream_static_join",
       "s11_stream_dedup", "s12_stream_stream_join", "s13_stream_outer_join",
       "s14_stream_ann_serve", "s15_stream_index_build",
-      "s16_stream_graph_maintain", "s17_stream_phash_dedup")
+      "s16_stream_graph_maintain", "s17_stream_phash_dedup",
+      "s18_stream_winnow_dedup")
     // Queries whose first execution pays a one-time physical-layout build
     // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
     // For these the artifact carries `build_s` = rep-1 time minus the

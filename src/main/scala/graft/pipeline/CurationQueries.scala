@@ -1066,6 +1066,38 @@ object CurationQueries {
       |UNION ALL SELECT 3, p, c FROM p3
       |ORDER BY step""".stripMargin
 
+  // ---- d54: INCREMENTAL winnow matching — the persisted-index face of
+  // d51 (the d21 contract for the fingerprint family): the archive
+  // (doc_id % 10 != 0) is winnowed and df-capped once into a
+  // (id, fp) index; the increment matches against it without the
+  // archive ever being re-winnowed or re-paired. The oracle replays the
+  // full winnow selection, the split, the ARCHIVE-only df-cap (≤ 100,
+  // no min-2 — cross-side pairing matches single occupants, unlike
+  // d51's within-corpus BETWEEN 2 AND cap), and the shared-count
+  // score. Batch face of s18. ----
+  private def d54(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val idx = TextAnalysis.winnowIndex(d.filter(!isNew), "text", "doc_id",
+      k = 5, w = 4, maxDf = 100)
+    TextAnalysis.winnowProbeMatches(d.filter(isNew), idx, "text", "doc_id",
+        k = 5, w = 4, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private[graft] val d54Oracle =
+    s"""WITH $winnowCtes,
+      |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      |arch AS (SELECT * FROM fps WHERE doc_id % 10 <> 0),
+      |probe AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+      |ok AS (SELECT fp FROM arch GROUP BY fp HAVING COUNT(*) <= 100),
+      |ai AS (SELECT arch.* FROM arch JOIN ok USING (fp))
+      |SELECT probe.doc_id AS new_id, ai.doc_id AS corpus_id,
+      |  COUNT(*)::BIGINT AS shared
+      |FROM probe JOIN ai USING (fp)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // ---- d53: BPE merge APPLICATION — the usable half of d47: the three
   // learned merges segment every document's lowercase-alpha words
   // (two-space symbol encoding, '|' word boundaries the merge pattern
@@ -1137,8 +1169,11 @@ object CurationQueries {
       .orderBy("doc_id")
 
   /** Shared winnowing replay (d49's selection chain, ending in `sel` =
-    * the per-doc fingerprint set) — used by the d49 and d51 oracles. */
-  private val winnowCtes =
+    * the per-doc fingerprint set) — used by the d49/d51/d54 oracles and
+    * s18's in [[graft.streaming.StreamQueries]]. A `def`, not a `val`:
+    * d54Oracle interpolates it from EARLIER in this object's
+    * initialization order (a val would still be null there). */
+  private[graft] def winnowCtes: String =
     """wds AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (
@@ -1196,6 +1231,7 @@ object CurationQueries {
     QueryDef("d49_winnow_fingerprints", d49, Some(d49Oracle)),
     QueryDef("d51_winnow_matches", d51, Some(d51Oracle)),
     QueryDef("d53_bpe_apply", d53, Some(d53Oracle)),
+    QueryDef("d54_winnow_incremental", d54, Some(d54Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

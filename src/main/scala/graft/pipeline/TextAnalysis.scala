@@ -287,6 +287,41 @@ object TextAnalysis {
     merges.reduce(_ unionAll _)
   }
 
+  /** Persisted winnow-sketch INDEX — the archive half of incremental
+    * winnow matching (the d21 persisted-index contract for the
+    * fingerprint family): distinct (id, fp) selections from
+    * [[winnowFingerprints]] with the df-cap applied ONCE at snapshot
+    * build (stock-phrase fingerprints shared by more than `maxDf`
+    * archive docs are excluded here and never rediscovered per batch —
+    * no min-2 bound: cross-side pairing matches single occupants).
+    * Persist the result; [[winnowProbeMatches]] consumes it with NO
+    * archive-side aggregation. */
+  def winnowIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, maxDf: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val ok = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
+      .filter(col("ndf") <= maxDf).select("fp")
+    fps.join(ok, Seq("fp"), "left_semi")
+  }
+
+  /** Incremental [[winnowMatchPairs]]: new documents fingerprinted and
+    * matched against a prebuilt [[winnowIndex]] — the archive is never
+    * re-tokenized, re-winnowed, re-capped, or re-paired with itself, so
+    * per-batch cost is |new docs' sketches| × bounded archive fan-out
+    * regardless of archive size. Returns (new_id, corpus_id, shared ≥
+    * minShared), the MOSS score against the archive. */
+  def winnowProbeMatches(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, k: Int, w: Int,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared wants >= 1, got $minShared")
+    val pf = winnowFingerprints(newDocs, textCol, idCol, k, w)
+      .select(col("id").as("new_id"), col("fp")).distinct()
+    pf.join(index.select(col("id").as("corpus_id"), col("fp")), Seq("fp"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** BPE merge APPLICATION — the usable half of [[learnBpeMerges]]:
     * segment every document's lowercase-alphabetic words with an
     * ordered merge list (the (pair) strings the learner emits, driver

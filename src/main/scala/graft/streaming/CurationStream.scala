@@ -40,6 +40,26 @@ object CurationStream {
           .parquet(s"$outDir/pairs/batch=$batchId")
       }
 
+  /** The FINGERPRINT-family twin of [[incrementalDedupSink]]: incoming
+    * documents are winnowed per micro-batch and matched against a
+    * persisted [[graft.pipeline.TextAnalysis.winnowIndex]] (df-cap
+    * baked in at snapshot build — no micro-batch re-winnows, re-caps,
+    * or re-pairs the archive). Emits (new_id, corpus_id, shared) MOSS
+    * scores per batch under `outDir/pairs/batch=<id>` with the same
+    * exactly-once overwrite layout as the sinks above. */
+  def winnowDedupSink(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, outDir: String, checkpoint: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataStreamWriter[Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextAnalysis.winnowProbeMatches(batch, index,
+            textCol, idCol, k, w, minShared)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$batchId")
+      }
+
   /** The IMAGE-family twin of [[incrementalDedupSink]]: incoming image
     * payloads are perceptually hashed per micro-batch
     * ([[graft.pipeline.Multimodal.dHash]] — the only stage that touches

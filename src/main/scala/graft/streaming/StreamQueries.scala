@@ -923,7 +923,47 @@ object StreamQueries {
       |SELECT new_id, corpus_id, hamming FROM p
       |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- s18: streaming incremental winnow matching under the gate —
+  // the FINGERPRINT-family member of the s7/s17 trio: the d54
+  // increment (doc_id % 10 == 0) streams in three tercile
+  // micro-batches against a MATERIALIZED winnowIndex (df-cap baked at
+  // snapshot build, localCheckpointed); the unioned per-batch outputs
+  // are hash-compared against d54's oracle. Matching is per-document
+  // vs a static snapshot, so micro-batch boundaries cannot change the
+  // result — with s7 (shingles) and s17 (perceptual hashes) this
+  // certifies the SAME batch→incremental→streaming lifecycle across
+  // all three dedup families. ----
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val idx = graft.pipeline.TextAnalysis.winnowIndex(
+        d.filter(!isNew), "text", "doc_id", k = 5, w = 4, maxDf = 100)
+      .localCheckpoint(true)
+    val incr = d.filter(isNew).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s18").toString
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.winnowDedupSink(
+      input.toDF().toDF("doc_id", "text"), idx, "text", "doc_id",
+      out, s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, incr.toSeq, (r: (Long, String)) => r._1)
+    } finally q.stop()
+    val result = s.read.parquet(s"$out/pairs")
+      .select(col("new_id"), col("corpus_id"), col("shared"))
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    idx.unpersist(blocking = false)
+    rmTree(out)
+    result
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s18_stream_winnow_dedup", st(s18),
+      Some(graft.pipeline.CurationQueries.d54Oracle)),
     QueryDef("s17_stream_phash_dedup", st(s17), Some(s17Oracle)),
     QueryDef("s16_stream_graph_maintain", st(s16), Some(s16Oracle)),
     QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),

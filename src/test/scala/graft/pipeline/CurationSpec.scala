@@ -558,6 +558,36 @@ class CurationSpec extends SparkSpec {
     assert(pairs.head._3 >= 2L)
   }
 
+  test("winnowProbeMatches: probe scores against the archive index only") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val run2 = "one two three four five six seven eight"
+    val archive = Seq(
+      (1L, s"archive doc leading $run middle part $run2 trailing text"),
+      (2L, "unrelated archive content nothing shared with anyone here at all"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, s"new doc with $run inside and also $run2 at the end"),
+      (11L, "novel text matching nothing in the archive corpus whatsoever"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.winnowIndex(archive, "text", "doc_id",
+      k = 5, w = 4)
+    val got = TextAnalysis.winnowProbeMatches(probe, idx, "text", "doc_id",
+        k = 5, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both shared w+k-1 runs guarantee >= 2 shared fingerprints for
+    // (10, 1); nothing else pairs
+    assert(got.length === 1)
+    assert(got.head._1 === 10L && got.head._2 === 1L && got.head._3 >= 2L)
+    // the df-cap is an INDEX-BUILD property: cap 0 fingerprints survive
+    // at maxDf = 0, so nothing can match
+    val empty = TextAnalysis.winnowProbeMatches(probe,
+      TextAnalysis.winnowIndex(archive, "text", "doc_id", k = 5, w = 4,
+        maxDf = 0),
+      "text", "doc_id", k = 5, w = 4, minShared = 1)
+    assert(empty.count() === 0)
+  }
+
   test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     // w + k - 1 = 8 shared consecutive words embedded in different docs
