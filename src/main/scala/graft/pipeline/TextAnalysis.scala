@@ -318,6 +318,9 @@ object TextAnalysis {
     val pf = winnowFingerprints(newDocs, textCol, idCol, k, w)
       .select(col("id").as("new_id"), col("fp")).distinct()
     pf.join(index.select(col("id").as("corpus_id"), col("fp")), Seq("fp"))
+      // a probe doc also present in the index must not pair with itself
+      // (the bucketProbeJoin contract the phash twin enforces)
+      .filter(col("new_id") =!= col("corpus_id"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
