@@ -163,9 +163,9 @@ object Bench {
     // (BASELINE.md round-12 summary; measured on a box running ~1.3x
     // slower than the round-11 artifact's — the per-query diff there).
     // d52 (components append), s17/s18 (streaming phash / winnow
-    // dedup), and d53/d54 (BPE application, incremental winnowing)
-    // registered after the freeze was cut and are deliberately outside
-    // it, like every later round's additions.
+    // dedup), d53/d54 (BPE application, incremental winnowing), and
+    // e25 (filtered ANN) registered after the freeze was cut and are
+    // deliberately outside it, like every later round's additions.
     val core167: Set[String] = core158 ++ Set("e23_graph_serve",
       "s16_stream_graph_maintain", "d49_winnow_fingerprints",
       "d50_altstar_components", "d51_winnow_matches", "e24_sq8_rerank",

@@ -678,6 +678,48 @@ object PipelineQueries {
       |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---- e25: FILTERED IVF ANN (Similarity.filteredIvfTopK) — vector
+  // search with a metadata predicate: top-5 among SAME-label corpus
+  // vectors, the filter applied at the inverted-list scan (not by
+  // post-filtering an unconstrained top-k, which starves recall under
+  // selective predicates — spec-asserted). The oracle is e5's full
+  // replay plus the label equi-condition in the candidate join. ----
+  private def e25(s: SparkSession, dir: String): DataFrame =
+    Similarity.filteredIvfTopK(emb(s, dir), "vec_id", "embedding",
+        "label", _ < 20, k = 5)
+      .orderBy("q_id", "rank")
+
+  private val e25Oracle =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, e.label, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+      |      c.cid DESC) AS rn
+      |  FROM e CROSS JOIN cents c),
+      |cells AS (SELECT vec_id, v, label, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, label AS ql, cid AS cell FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
+      |cand AS (
+      |  SELECT p.q_id, s.vec_id AS nn_id,
+      |    ROUND(list_dot_product(p.qv, s.v) /
+      |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+      |  FROM probes p JOIN cells s ON p.cell = s.cell AND p.q_id <> s.vec_id
+      |    AND s.label = p.ql),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, CAST(rank AS INT) AS rank, nn_id, sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---- e7: TWO-LEVEL IVF ANN (the nlist ≫ 10³ configuration) under the
   // gate. nlist = 81 > 64 forces the fused kernel path, superProbe = 2
   // engages Ivf2CellsExpr: score 9 super-centroids, descend into the
@@ -2385,6 +2427,7 @@ object PipelineQueries {
     QueryDef("e9_ivfpq_ann", e9, Some(e9Oracle)),
     QueryDef("e11_pq_rerank", e11, Some(e11Oracle)),
     QueryDef("e24_sq8_rerank", e24, Some(e24Oracle)),
+    QueryDef("e25_filtered_ann", e25, Some(e25Oracle)),
     QueryDef("e12_ivfpq_residual", e12, Some(e12Oracle)),
     QueryDef("e13_kmeans_refined_ann", e13, Some(e13Oracle)),
     QueryDef("e14_hamming_rerank", e14, Some(e14Oracle)),

@@ -412,6 +412,57 @@ object Similarity {
           round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim")),
       k, "sim", asc = false)
 
+  /** FILTERED (metadata-constrained) IVF ANN — the production "vector
+    * search with a predicate" shape every serving stack grows into:
+    * each query retrieves its top-k among corpus vectors sharing its
+    * `labelCol` value, with the predicate applied AT THE INVERTED-LIST
+    * SCAN (an extra condition on the candidate join, evaluated before
+    * any scoring) rather than by post-filtering an unconstrained
+    * top-k. Post-filtering silently starves recall under selective
+    * predicates — the k unfiltered survivors may all fail the filter —
+    * while pre-filtering costs nothing extra here: the filter column
+    * rides the (cell, id, label, vec) list layout and the join prunes
+    * before the cosine kernel runs (for every query, filtered-result
+    * count ≥ post-filtered count, with equality only when the filter
+    * never bites; spec-asserted).
+    *
+    * Routing, quantizer, and ordering are EXACTLY e5's literal path
+    * (sha-ordered centroid sample, 9-dp argmax assignment, 6-dp ranked
+    * cosine, [[aggTopK]] bounded buffers), so the e25 oracle replays
+    * the whole construction plus the filter. 100 TB shape: identical
+    * to [[ivfTopK]] — the label adds one narrow column to the listed
+    * scan and one equi-condition to the join; selective labels can
+    * additionally become a secondary partition key of the list layout
+    * (label-partitioned inverted lists), which this operator's plan
+    * already expresses. */
+  def filteredIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"), col(labelCol).as("nn_label"))
+    val centRows = corpus
+      .orderBy(sha2(col("nn_id").cast("string"), 256), col("nn_id"))
+      .limit(nlist).collect()
+    val centIds = centRows.map(_.get(0))
+    val cents: Array[Array[Double]] = centRows.map(_.getSeq[Double](1).toArray)
+    // literalCells carries every corpus column through the listed side
+    // (nn_label rides along); the probe side re-acquires its label by a
+    // query-cardinality join
+    val (listed, probes) = literalCells(corpus, queryPred,
+      cents, centIds.toSeq, nprobe)
+    val probesL = probes.join(
+      corpus.select(col("nn_id").as("q_id"), col("nn_label").as("q_label")),
+      Seq("q_id"))
+    aggTopK(
+      broadcast(probesL)
+        .join(listed.repartition(col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("nn_id") &&
+          col("nn_label") === col("q_label"))
+        .select(col("q_id"), col("nn_id"),
+          round(cosineFast(col("q_vec"), col("nn_vec")), 6).as("sim")),
+      k, "sim", asc = false)
+  }
+
   /** IVF top-k against INJECTED centroids — the refined-quantizer face:
     * [[kmeansRefine]]/[[kmeansRefineExact]] produce centroids, this
     * routes and ranks against them with exactly the e5 literal-path

@@ -162,6 +162,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3, s"hamming-shortlist recall@5 was $recall")
   }
 
+  test("filtered ANN: label membership exact, pre-filter never loses to " +
+      "post-filter") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = Similarity.filteredIvfTopK(emb, "vec_id", "embedding",
+        "label", _ < 20, k = 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every served neighbour carries the query's own label
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (q, nn) => labels(q) == labels(nn) })
+    // post-filtering an UNCONSTRAINED top-5 can only ever keep a subset
+    // of what the scan-level filter retrieves (same routing, same k)
+    val unfiltered = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val post = unfiltered.filter { case (q, nn) => labels(q) == labels(nn) }
+    val perQ = filtered.groupBy(_._1).view.mapValues(_.length).toMap
+    val postQ = post.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(postQ.forall { case (q, n) => perQ.getOrElse(q, 0) >= n })
+    // and on this fixture the filter genuinely bites: post-filtering
+    // loses results somewhere
+    assert(post.length < filtered.length,
+      s"expected post-filter starvation on the fixture: " +
+        s"post=${post.length} filtered=${filtered.length}")
+  }
+
   test("sq8 rerank: full-corpus shortlist degenerates to the exact-L2 " +
       "ranking (pqRerank's own degenerate face)") {
     val emb = Tables.load(spark, sf(), "embeddings")
