@@ -443,6 +443,42 @@ object ScaleProbe {
       f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
   }
 
+  /** Label propagation at scale, on the q61 derivation: each LPA round
+    * is one src-keyed equi-join + one (dst, label) count shuffle
+    * (≤ |E| narrow rows) + one per-node min(struct) hash argmax — no
+    * per-node sort anywhere, so wall should track EDGE COUNT across
+    * legs. Sparse replicas are disjoint (community count must scale
+    * ~×times); the dense leg lands replicas in the same buckets (the
+    * capped q60 derivation bounds |E|). */
+  private def lpaProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_type")
+    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val decadeUs = 10L * 366 * 24 * 3600 * 1000000
+    def corpus(t: Int, shiftTime: Boolean) = (0 until t).map { i =>
+      ev.select((col("user_id") + lit(i * maxU)).as("user_id"),
+        (if (shiftTime)
+           timestamp_micros(unix_micros(col("ts")) + lit(i * decadeUs))
+         else col("ts")).as("ts"),
+        col("event_type"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+      val edges = queries.Graph.userCoEdges(c).localCheckpoint(true)
+      val ne = edges.count()
+      val t0 = System.nanoTime()
+      val lp = queries.Graph.labelPropagate(edges,
+        c.select(col("user_id").as("id")), rounds = 2)
+      val agg = lp.agg(count(lit(1)),
+        countDistinct(col("lbl2"))).head
+      println(f"[probe] lpa/$tag%-10s edges=$ne nodes=${agg.getLong(0)} " +
+        f"communities=${agg.getLong(1)} lpa_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+    }
+    probe("1x", corpus(1, shiftTime = false))
+    probe(s"${times}x-sparse", corpus(times, shiftTime = true))
+    probe(s"${times}x-dense", corpus(times, shiftTime = false))
+  }
+
   /** CC algorithm face-off: the DEEP leg (a pathN-node path, diameter
     * pathN−1 — the topology min-label propagation is worst at: one round
     * per hop) vs the BULK leg (8·pathN random edges, shallow components
@@ -494,6 +530,11 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cc")) {
       ccProbe(spark, args.lift(1).map(_.toInt).getOrElse(2048))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("lpa")) {
+      lpaProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }
