@@ -318,17 +318,8 @@ object ScaleProbe {
     * one dst-keyed BIGINT sum). */
   private def graphProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    val ev = Tables.load(spark, dir, "events")
-      .select("user_id", "ts", "event_type")
-    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
-    val decadeUs = 10L * 366 * 24 * 3600 * 1000000
-    def corpus(t: Int, shiftTime: Boolean) = (0 until t).map { i =>
-      ev.select((col("user_id") + lit(i * maxU)).as("user_id"),
-        (if (shiftTime)
-           timestamp_micros(unix_micros(col("ts")) + lit(i * decadeUs))
-         else col("ts")).as("ts"),
-        col("event_type"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
+    def corpus(t: Int, shiftTime: Boolean) =
+      replicatedEvents(spark, dir, t, shiftTime)
     def probe(tag: String, c: org.apache.spark.sql.DataFrame,
         cap: Int = 64): Unit = {
       val t0 = System.nanoTime()
@@ -443,6 +434,28 @@ object ScaleProbe {
       f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
   }
 
+  /** Replicated events fixture shared by the graph-family probes
+    * ([[graphProbe]], [[lpaProbe]]): user ids shifted per replica
+    * (always disjoint); `shiftTime` additionally shifts each replica a
+    * decade, so SPARSE replicas share no (bucket, type) with each other
+    * while DENSE replicas pile into the same buckets. Materialized —
+    * callers unpersist between legs. */
+  private def replicatedEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String, t: Int, shiftTime: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_type")
+    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val decadeUs = 10L * 366 * 24 * 3600 * 1000000
+    (0 until t).map { i =>
+      ev.select((col("user_id") + lit(i * maxU)).as("user_id"),
+        (if (shiftTime)
+           timestamp_micros(unix_micros(col("ts")) + lit(i * decadeUs))
+         else col("ts")).as("ts"),
+        col("event_type"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+  }
+
   /** Label propagation at scale, on the q61 derivation: each LPA round
     * is one src-keyed equi-join + one (dst, label) count shuffle
     * (≤ |E| narrow rows) + one per-node min(struct) hash argmax — no
@@ -452,18 +465,8 @@ object ScaleProbe {
     * capped q60 derivation bounds |E|). */
   private def lpaProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    val ev = Tables.load(spark, dir, "events")
-      .select("user_id", "ts", "event_type")
-    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
-    val decadeUs = 10L * 366 * 24 * 3600 * 1000000
-    def corpus(t: Int, shiftTime: Boolean) = (0 until t).map { i =>
-      ev.select((col("user_id") + lit(i * maxU)).as("user_id"),
-        (if (shiftTime)
-           timestamp_micros(unix_micros(col("ts")) + lit(i * decadeUs))
-         else col("ts")).as("ts"),
-        col("event_type"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
-    def probe(tag: String, c: org.apache.spark.sql.DataFrame): Unit = {
+    def probe(tag: String, t: Int, shiftTime: Boolean): Unit = {
+      val c = replicatedEvents(spark, dir, t, shiftTime)
       val edges = queries.Graph.userCoEdges(c).localCheckpoint(true)
       val ne = edges.count()
       val t0 = System.nanoTime()
@@ -473,10 +476,14 @@ object ScaleProbe {
         countDistinct(col("lbl2"))).head
       println(f"[probe] lpa/$tag%-10s edges=$ne nodes=${agg.getLong(0)} " +
         f"communities=${agg.getLong(1)} lpa_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      // each leg releases its pinned corpus + edges before the next (the
+      // dense leg is the memory-heavy one — see userCoEdges' scaladoc)
+      edges.unpersist(blocking = false)
+      c.unpersist(blocking = false)
     }
-    probe("1x", corpus(1, shiftTime = false))
-    probe(s"${times}x-sparse", corpus(times, shiftTime = true))
-    probe(s"${times}x-dense", corpus(times, shiftTime = false))
+    probe("1x", 1, shiftTime = false)
+    probe(s"${times}x-sparse", times, shiftTime = true)
+    probe(s"${times}x-dense", times, shiftTime = false)
   }
 
   /** CC algorithm face-off: the DEEP leg (a pathN-node path, diameter

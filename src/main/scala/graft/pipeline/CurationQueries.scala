@@ -1169,11 +1169,11 @@ object CurationQueries {
       .orderBy("doc_id")
 
   /** Shared winnowing replay (d49's selection chain, ending in `sel` =
-    * the per-doc fingerprint set) — used by the d49/d51/d54 oracles and
-    * s18's in [[graft.streaming.StreamQueries]]. A `def`, not a `val`:
-    * d54Oracle interpolates it from EARLIER in this object's
-    * initialization order (a val would still be null there). */
-  private[graft] def winnowCtes: String =
+    * the per-doc fingerprint set) — interpolated by the d49/d51/d54
+    * oracles (s18 reuses d54Oracle whole, not this fragment). A `def`,
+    * not a `val`: d54Oracle interpolates it from EARLIER in this
+    * object's initialization order (a val would still be null there). */
+  private def winnowCtes: String =
     """wds AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (

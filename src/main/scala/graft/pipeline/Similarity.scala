@@ -325,7 +325,10 @@ object Similarity {
     * centroid literals (struct-greatest; ties break toward the larger
     * label, matching the oracle's ORDER BY s DESC, c DESC), probes =
     * each query's top-`nprobe` cells by the same ordering. Both outputs
-    * are shuffle-free projections of the corpus scan. */
+    * are shuffle-free projections of the corpus scan. Any EXTRA corpus
+    * columns (e.g. [[filteredIvfTopK]]'s nn_label) ride the listed side
+    * unchanged AND the probe side with the nn_ prefix swapped for q_ —
+    * no second corpus pass to re-acquire them. */
   private def literalCells(corpus: DataFrame, queryPred: Column => Column,
       cents: Array[Array[Double]], centIds: Seq[Any],
       nprobe: Int): (DataFrame, DataFrame) = {
@@ -334,15 +337,18 @@ object Similarity {
     def cellScores(v: Column): Column = array((0 until nlist).map(i =>
       struct(round(cosineFast(v, centLit(i)), 9).as("s"),
         lit(centIds(i)).as("c"))): _*)
+    val extras = corpus.columns.filterNot(Set("nn_id", "nn_vec")).toSeq
     val l = corpus.withColumn("cell",
       greatest((0 until nlist).map(i =>
         struct(round(cosineFast(col("nn_vec"), centLit(i)), 9).as("s"),
           lit(centIds(i)).as("c"))): _*).getField("c"))
     val p = l.filter(queryPred(col("nn_id")))
-      .select(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
+      .select(Seq(col("nn_id").as("q_id"), col("nn_vec").as("q_vec"),
         explode(slice(sort_array(cellScores(col("nn_vec")), asc = false),
-          1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_vec"), col("pc.c").as("cell"))
+          1, nprobe)).as("pc")) ++
+        extras.map(c => col(c).as("q_" + c.stripPrefix("nn_"))): _*)
+      .select(Seq(col("q_id"), col("q_vec"), col("pc.c").as("cell")) ++
+        extras.map(c => col("q_" + c.stripPrefix("nn_"))): _*)
     (l, p)
   }
 
@@ -445,16 +451,12 @@ object Similarity {
       .limit(nlist).collect()
     val centIds = centRows.map(_.get(0))
     val cents: Array[Array[Double]] = centRows.map(_.getSeq[Double](1).toArray)
-    // literalCells carries every corpus column through the listed side
-    // (nn_label rides along); the probe side re-acquires its label by a
-    // query-cardinality join
+    // literalCells carries nn_label through BOTH sides: the listed scan
+    // unchanged, the probe side as q_label — no second corpus pass
     val (listed, probes) = literalCells(corpus, queryPred,
       cents, centIds.toSeq, nprobe)
-    val probesL = probes.join(
-      corpus.select(col("nn_id").as("q_id"), col("nn_label").as("q_label")),
-      Seq("q_id"))
     aggTopK(
-      broadcast(probesL)
+      broadcast(probes)
         .join(listed.repartition(col("cell")), Seq("cell"))
         .filter(col("q_id") =!= col("nn_id") &&
           col("nn_label") === col("q_label"))

@@ -211,14 +211,26 @@ object TextAnalysis {
     * document and only (id, 8-byte fp) rows reach the pairing join;
     * `maxDf` caps a stock-phrase bucket (the d6/d20 BETWEEN 2 AND cap
     * contract), bounding the self-join at Σ min(df, cap)². */
+  /** Distinct per-doc winnowed sketch with a document-frequency band
+    * [minDf, maxDf] applied to the fingerprints — the shared trunk of
+    * [[winnowMatchPairs]] (minDf = 2: a self-join needs two occupants)
+    * and [[winnowIndex]] (minDf = 1: cross-side probing matches single
+    * archive occupants — the deliberate semantic difference between the
+    * two faces, encoded here rather than in duplicated code). */
+  private def cappedSketch(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minDf: Int, maxDf: Int): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val ok = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
+      .filter(col("ndf").between(minDf, maxDf)).select("fp")
+    fps.join(ok, Seq("fp"), "left_semi")
+  }
+
   def winnowMatchPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared wants >= 1, got $minShared")
-    val fps = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct()
-    val dfOk = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
-      .filter(col("ndf").between(2, maxDf)).select("fp")
-    val flagged = fps.join(dfOk, Seq("fp"), "left_semi")
+    val flagged = cappedSketch(df, textCol, idCol, k, w,
+      minDf = 2, maxDf = maxDf)
     flagged.as("a").join(flagged.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -297,13 +309,8 @@ object TextAnalysis {
     * Persist the result; [[winnowProbeMatches]] consumes it with NO
     * archive-side aggregation. */
   def winnowIndex(df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int, maxDf: Int = 100): DataFrame = {
-    val fps = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct()
-    val ok = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
-      .filter(col("ndf") <= maxDf).select("fp")
-    fps.join(ok, Seq("fp"), "left_semi")
-  }
+      k: Int, w: Int, maxDf: Int = 100): DataFrame =
+    cappedSketch(df, textCol, idCol, k, w, minDf = 1, maxDf = maxDf)
 
   /** Incremental [[winnowMatchPairs]]: new documents fingerprinted and
     * matched against a prebuilt [[winnowIndex]] — the archive is never
