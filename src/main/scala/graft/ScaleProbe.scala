@@ -318,10 +318,9 @@ object ScaleProbe {
     * one dst-keyed BIGINT sum). */
   private def graphProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, times: Int): Unit = {
-    def corpus(t: Int, shiftTime: Boolean) =
-      replicatedEvents(spark, dir, t, shiftTime)
-    def probe(tag: String, c: org.apache.spark.sql.DataFrame,
+    def probe(tag: String, t: Int, shiftTime: Boolean,
         cap: Int = 64): Unit = {
+      val c = replicatedEvents(spark, dir, t, shiftTime)
       val t0 = System.nanoTime()
       val edges = queries.Graph.userCoEdges(c, cap = cap).localCheckpoint(true)
       val ne = edges.count()
@@ -333,9 +332,14 @@ object ScaleProbe {
       val tPr = (System.nanoTime() - t1) / 1e9
       println(f"[probe] graph/$tag%-4s edges=$ne nodes=${agg.getLong(0)} " +
         f"mass2=${agg.getLong(1)} edge_s=$tEdge%6.2f pr_s=$tPr%6.2f")
+      // each leg releases its pinned corpus + edges before the next —
+      // the replicatedEvents contract; the dense legs would otherwise
+      // pin several times×-replicated corpora simultaneously
+      edges.unpersist(blocking = false)
+      c.unpersist(blocking = false)
     }
-    probe("1x", corpus(1, shiftTime = false))
-    probe(s"${times}x-sparse", corpus(times, shiftTime = true))
+    probe("1x", 1, shiftTime = false)
+    probe(s"${times}x-sparse", times, shiftTime = true)
     // The dense axis is the hot-bucket worst case the round-9 verdict
     // flagged: ×times replicas land in the SAME (hour, type) buckets, so
     // uncapped |E| grows ≈ ×times² (measured 23× wall in round 9). The
@@ -344,8 +348,8 @@ object ScaleProbe {
     // at the 4096 buffer-budget maximum, NOT uncapped (the aggregate
     // enforces ≤4096) — honest up to ~82 replicas (50·times members per
     // bucket); past that this leg UNDERSTATES the truly-uncapped cost.
-    probe(s"${times}x-dense", corpus(times, shiftTime = false))
-    probe(s"${times}x-dense-cap4096", corpus(times, shiftTime = false),
+    probe(s"${times}x-dense", times, shiftTime = false)
+    probe(s"${times}x-dense-cap4096", times, shiftTime = false,
       cap = 4096)
   }
 
@@ -491,8 +495,9 @@ object ScaleProbe {
     * per hop) vs the BULK leg (8·pathN random edges, shallow components
     * — the near-dup regime both algorithms handle). Wall times + label
     * agreement printed; the alt-star round count is O(log²) by
-    * construction so its maxIter stays at the default while min-label
-    * needs maxIter ≈ pathN to close the path at all. */
+    * construction, so the path leg merely DOUBLES its maxIter to 40 as
+    * headroom for the diameter-2047 topology (vs the min-label leg's
+    * maxIter ≈ pathN just to close the path at all). */
   private def ccProbe(spark: org.apache.spark.sql.SparkSession,
       pathN: Int): Unit = {
     def run(tag: String, f: => org.apache.spark.sql.DataFrame)

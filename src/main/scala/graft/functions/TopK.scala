@@ -208,7 +208,7 @@ final class TopKBuf(val k: Int) {
   * Exact (ord, id) duplicates collapse to one slot, so a preceding
   * `distinct()` — and its full-width shuffle — is unnecessary. */
 case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
-    asc: Boolean,
+    asc: Boolean, warnOnDrop: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKGenBuf] {
 
@@ -245,19 +245,21 @@ case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
     val i = id.eval(input)
     // copy only on (possible) accept — input-backed UTF8Strings etc.
     // are transient, but the common full-buffer reject needs no copy
-    if (o != null && i != null && !b.rejects(o, i)) {
+    if (o != null && i != null && !b.rejectsNoting(o, i)) {
       b.insert(InternalRow.copyValue(o), InternalRow.copyValue(i))
     }
     b
   }
 
   override def merge(b: TopKGenBuf, other: TopKGenBuf): TopKGenBuf = {
+    b.dropped ||= other.dropped
     var i = 0
     while (i < other.size) { b.insert(other.ords(i), other.ids(i)); i += 1 }
     b
   }
 
   override def eval(b: TopKGenBuf): Any = {
+    if (warnOnDrop && b.dropped) TopK.warnDropOnce(k)
     val out = new Array[Any](b.size)
     var i = 0
     while (i < b.size) { out(i) = InternalRow(b.ords(i), b.ids(i)); i += 1 }
@@ -270,6 +272,7 @@ case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
   override def serialize(b: TopKGenBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeBoolean(b.dropped)
     out.writeInt(b.size)
     var i = 0
     while (i < b.size) {
@@ -284,8 +287,9 @@ case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
 
   override def deserialize(bytes: Array[Byte]): TopKGenBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
     val b = createAggregationBuffer()
+    b.dropped = in.readBoolean()
+    val n = in.readInt()
     val row = new UnsafeRow(2)
     var i = 0
     while (i < n) {
@@ -311,12 +315,21 @@ case class TopKGenAgg(ord: Expression, id: Expression, k: Int,
 
 /** k-bounded insertion-sorted pair buffer over boxed values with
   * pluggable comparators — [[TopKBuf]]'s logic, generalized. Exact
-  * (ord, id) duplicates (comparator-equal) collapse on insert. */
+  * (ord, id) duplicates (comparator-equal) collapse on insert.
+  *
+  * `dropped` tracks EXACTLY whether the group exceeded k distinct
+  * pairs: set when a full buffer rejects a strictly-worse NEW pair
+  * (comparator-equal to the k-th is a duplicate, not a drop) or
+  * displaces its k-th to admit a better one. Partial-aggregation
+  * sound: a pair worse than k pairs in any partial buffer is worse
+  * than k pairs overall, so a local drop is a global drop; merge()
+  * ORs the flags. [[TopKGenAgg]] surfaces it via `warnOnDrop`. */
 final class TopKGenBuf(val k: Int, ordCmp: Ordering[Any],
     idCmp: Ordering[Any]) {
   val ords = new Array[Any](k)
   val ids = new Array[Any](k)
   var size: Int = 0
+  var dropped: Boolean = false
 
   private def cmp(o: Any, i: Any, j: Int): Int = {
     val c = ordCmp.compare(o, ords(j))
@@ -328,8 +341,17 @@ final class TopKGenBuf(val k: Int, ordCmp: Ordering[Any],
   def rejects(o: Any, i: Any): Boolean =
     size == k && cmp(o, i, k - 1) >= 0
 
+  /** [[rejects]], additionally recording a strictly-worse reject of a
+    * full buffer as a drop (cmp == 0 is a duplicate of the k-th). */
+  def rejectsNoting(o: Any, i: Any): Boolean = {
+    if (size < k) return false
+    val c = cmp(o, i, k - 1)
+    if (c > 0) dropped = true
+    c >= 0
+  }
+
   def insert(o: Any, i: Any): Unit = {
-    if (rejects(o, i)) return
+    if (rejectsNoting(o, i)) return
     var pos = if (size == k) k - 1 else size
     // the scan stops at the first element (o, i) does not strictly
     // beat; comparator-equal there means duplicate → no-op
@@ -337,6 +359,7 @@ final class TopKGenBuf(val k: Int, ordCmp: Ordering[Any],
     while (scan > 0 && cmp(o, i, scan - 1) < 0) scan -= 1
     if (scan > 0 && cmp(o, i, scan - 1) == 0) return
     if (size < k) { size += 1; pos = size - 1 }
+    else dropped = true // the displaced k-th pair leaves the buffer
     while (pos > scan) {
       ords(pos) = ords(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
     }
@@ -357,9 +380,26 @@ object TopK {
 
   /** [[topk_pairs]] for any orderable (ord, id) column types (boxed,
     * interpreted comparator — use [[topk_pairs]] on (DOUBLE, BIGINT)
-    * hot paths). */
+    * hot paths). `warnOnDrop = true` logs ONCE per JVM when any group
+    * exceeds k distinct pairs (exact, not heuristic — see
+    * [[TopKGenBuf]]); meant for CAP/SAMPLE callers like
+    * `Graph.userCoEdges`, where a bite silently trims the result. A
+    * ranking top-k drops by design — leave it off there. */
   def topk_gen(ord: Column, id: Column, k: Int,
-      asc: Boolean = true): Column =
+      asc: Boolean = true, warnOnDrop: Boolean = false): Column =
     bridge.column(TopKGenAgg(bridge.expression(ord),
-      bridge.expression(id), k, asc).toAggregateExpression())
+      bridge.expression(id), k, asc, warnOnDrop).toAggregateExpression())
+
+  private val dropWarned = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** Once-per-JVM executor-side log for `warnOnDrop` buffers: the cap
+    * bit somewhere, so the caller's edge/member set is a deterministic
+    * sample, not the full bucket contents. */
+  private[functions] def warnDropOnce(k: Int): Unit =
+    if (dropWarned.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"topk_gen(k=$k, warnOnDrop): at least one group exceeded k " +
+          "distinct pairs — members beyond the deterministic top-k were " +
+          "dropped (cap bite; see the calling operator's cap contract)")
+    }
 }

@@ -2009,6 +2009,13 @@ object PipelineQueries {
   // hashes on BOTH engines (any truncation collision is shared, so the
   // comparison stays exact), restricted to candidate documents — the
   // d15 slice argument: the quadratic-ish stage never sees the corpus.
+  // The verify self-join carries the SAME df-cap as every other member
+  // of the shingle family (d6's maxDf = 100, over the flagged slice):
+  // without it, a flagged cohort sharing one stop-shingle fans out
+  // quadratically on that key — the last quadratic on a dedup path
+  // (round-12 verdict). Capped shingles contribute nothing to the
+  // intersection (sizes stay uncapped), so the reported Jaccard is
+  // d6's capped-exact measure; the oracle replays the cap identically.
   // est_jaccard is agreement/64 (the certified d14 double); exact is
   // integer ppm via truncating division. ----
   private def d48(s: SparkSession, dir: String): DataFrame = {
@@ -2026,7 +2033,13 @@ object PipelineQueries {
     val shing = TextAnalysis.shaShingleRows(flagged, "text", "doc_id", 5)
       .select(col("id"), col("shingle").as("h")).distinct()
     val sizes = shing.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = shing.as("x").join(shing.as("y"), "h")
+    // df ∈ [2, 100] over the flagged slice: df-1 shingles cannot
+    // intersect (pure pruning); the upper cap bounds the per-key fan-out
+    val dfOk = shing.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 100)
+      .select("h")
+    val capped = shing.join(dfOk, "h")
+    val inter = capped.as("x").join(capped.as("y"), "h")
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -2079,9 +2092,11 @@ object PipelineQueries {
        |  SELECT doc_a AS doc_id FROM pf UNION ALL SELECT doc_b FROM pf)),
        |ch AS (SELECT hs.doc_id, hs.h FROM hs JOIN cd USING (doc_id)),
        |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM ch GROUP BY doc_id),
+       |chdf AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100),
+       |cf AS (SELECT ch.doc_id, ch.h FROM ch JOIN chdf USING (h)),
        |iv AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
-       |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  FROM cf x JOIN cf y ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
        |SELECT pf.doc_a, pf.doc_b, pf.est_jaccard,
        |  COALESCE(iv.n_inter, 0)::BIGINT AS n_inter,

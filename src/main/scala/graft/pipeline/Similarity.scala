@@ -444,6 +444,8 @@ object Similarity {
   def filteredIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queryPred: Column => Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist <= 64,
+      s"nlist=$nlist > 64: literal-centroid routing only (kernel routing: ivfTopK)")
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"), col(labelCol).as("nn_label"))
     val centRows = corpus

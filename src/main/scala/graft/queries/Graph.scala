@@ -49,21 +49,113 @@ object Graph {
     val n0 = nodes.select(col("id")).distinct()
       .withColumn("pr0", lit(1000000L))
     val ranked = (1 to iters).foldLeft(n0) { case (r, i) =>
-      val contrib = e
-        .join(r.select(col("id").as("src"), col(s"pr${i - 1}").as("pr")),
-          "src")
-        .join(deg, "src")
-        .select(col("dst"),
-          expr("(pr * 7) div (8 * dg)").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("m"))
-      r.join(contrib, r("id") === contrib("dst"), "left")
-        .withColumn(s"pr$i", lit(125000L) + coalesce(col("m"), lit(0L)))
-        .drop("dst", "m")
+      prRound(e, deg, r, s"pr${i - 1}", s"pr$i")
     }
     ranked
       .join(deg, ranked("id") === deg("src"), "left")
       .withColumn("deg_out", coalesce(col("dg"), lit(0L)))
       .drop("src", "dg")
+  }
+
+  /** One integer power-iteration step (the [[pageRankInt]] recurrence):
+    * src-keyed equi-join of the edges against the rank table, dst-keyed
+    * exact BIGINT contribution sum, dyadic 7/8 damping with truncating
+    * div. Input ranks in `prevCol`; output appends `outCol`. */
+  private def prRound(e: DataFrame, deg: DataFrame, r: DataFrame,
+      prevCol: String, outCol: String): DataFrame = {
+    val contrib = e
+      .join(r.select(col("id").as("src"), col(prevCol).as("pr")), "src")
+      .join(deg, "src")
+      .select(col("dst"),
+        expr("(pr * 7) div (8 * dg)").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("m"))
+    r.join(contrib, r("id") === contrib("dst"), "left")
+      .withColumn(outCol, lit(125000L) + coalesce(col("m"), lit(0L)))
+      .drop("dst", "m")
+  }
+
+  /** CONVERGENCE-DRIVEN integer PageRank — [[pageRankInt]]'s production
+    * face: instead of a caller-guessed unroll depth, iterate the same
+    * exact BIGINT recurrence until the rank vector reaches its integer
+    * FIXPOINT (no node's rank changed — truncating arithmetic makes
+    * exact equality a meaningful, reachable test, where a float residual
+    * would need an epsilon) or `maxIters`, whichever first. Returns one
+    * row per node: (id, deg_out, pr, iters_run, converged) with `pr`
+    * the LAST computed iteration's rank.
+    *
+    * Capped-iteration semantics keep the operator GATEABLE: a converged
+    * vector is stable under further steps (pr_i = pr_{i-1} implies
+    * pr_{i+1} = pr_i), so the early exit NEVER changes the result an
+    * exhaustive `maxIters`-step unroll would produce — an oracle replays
+    * `maxIters` unrolled steps and matches whether or not convergence
+    * happened, while `iters_run`/`converged` certify the detection
+    * itself (first step whose output equals its input).
+    *
+    * Each step localCheckpoints its (node-cardinality) rank table —
+    * lineage truncation so round N's plan doesn't replay rounds 1..N−1
+    * (on a cluster: `checkpoint` to reliable storage) — then pays ONE
+    * narrow action for the convergence probe: a `limit(1)` count over
+    * changed rows, which short-circuits at the first difference. That
+    * per-round action is the price of convergence-driven iteration;
+    * production runs amortize it by probing every few rounds (pass the
+    * budget via `maxIters` and re-enter). The node universe is `nodes`
+    * ∪ edge endpoints, the [[labelPropagate]] closure contract. */
+  def pageRankFixpoint(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 128,
+      s"fixpoint iteration wants 1..128 max iterations, got $maxIters")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    var r = labelSeed(e, nodes).select(col("id"))
+      .withColumn("pr", lit(1000000L))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prev = r
+      val next = prRound(e, deg, r, "pr", "nxt").localCheckpoint(true)
+      converged = next.filter(col("nxt") =!= col("pr")).limit(1).isEmpty
+      iters += 1
+      r = next.select(col("id"), col("nxt").as("pr"))
+      prev.unpersist(blocking = false)
+    }
+    r.join(deg, r("id") === deg("src"), "left")
+      .select(r("id"), coalesce(col("dg"), lit(0L)).as("deg_out"),
+        col("pr"), lit(iters).as("iters_run"), lit(converged).as("converged"))
+  }
+
+  /** CONVERGENCE-DRIVEN label propagation — [[labelPropagate]]'s
+    * production face, the same capped-iteration contract as
+    * [[pageRankFixpoint]]: run synchronous determinized LPA rounds
+    * until the labeling is a fixpoint (a converged labeling is stable,
+    * so early exit ≡ a full `maxRounds` unroll — the oracle replays the
+    * unroll and matches either way; synchronous LPA CAN oscillate on
+    * bipartite-ish structure, in which case the loop honestly runs to
+    * `maxRounds` and reports converged = false) or `maxRounds`.
+    * Returns (id, community, rounds_run, converged) with `community`
+    * the last round's label. Per-round cost, checkpointing, and the
+    * short-circuit convergence probe are exactly [[pageRankFixpoint]]'s;
+    * the seed is [[labelSeed]] (nodes ∪ endpoints). */
+  def labelPropagateFixpoint(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint propagation wants 1..128 max rounds, got $maxRounds")
+    val e = edges.select(col("src"), col("dst"))
+    var lab = labelSeed(e, nodes)
+      .select(col("id"), col("lbl0").as("lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prev = lab
+      val next = lpaRound(e, lab, "lbl", "nxt").localCheckpoint(true)
+      converged = next.filter(col("nxt") =!= col("lbl")).limit(1).isEmpty
+      rounds += 1
+      lab = next.select(col("id"), col("nxt").as("lbl"))
+      prev.unpersist(blocking = false)
+    }
+    lab.select(col("id"), col("lbl").as("community"),
+      lit(rounds).as("rounds_run"), lit(converged).as("converged"))
   }
 
   /** Co-occurrence edge derivation over the events fixture: users active
@@ -85,6 +177,11 @@ object Graph {
     * DATA TAKE NOTE: any bucket with more than `cap` distinct members
     * contributes only that deterministic sample's edges — pass
     * `cap = Int.MaxValue`-adjacent values at your own quadratic peril.
+    * The cap is not silent: the ≤512 route logs a once-per-JVM warning
+    * the first time any bucket actually exceeds `cap` distinct members
+    * (exact drop tracking inside the aggregation buffer — zero cost on
+    * the no-bite path); the >512 window route stays log-free, since a
+    * caller opting into that regime chose the cap deliberately.
     *
     * The cap has two routes with IDENTICAL membership, picked by the
     * cap's own memory math:
@@ -114,7 +211,8 @@ object Graph {
       ev0
         .groupBy(col("h"), col("event_type"))
         .agg(graft.functions.TopK.topk_gen(
-          sha2(col("user_id").cast("string"), 256), col("user_id"), cap)
+          sha2(col("user_id").cast("string"), 256), col("user_id"), cap,
+          warnOnDrop = true)
           .as("tk"))
         .select(col("h"), col("event_type"), explode(col("tk")).as("m"))
         .select(col("m.id").as("user_id"), col("h"), col("event_type"))
@@ -304,8 +402,13 @@ object Graph {
     * would iterate with a convergence check instead.
     *
     * `edges` is the [[userCoEdges]] shape (directed pairs, both
-    * directions present); `nodes` the node universe. Returns
-    * (id, lbl1..lblN) — one label column per round.
+    * directions present); `nodes` the node universe. The label seed is
+    * `nodes` UNION the edge endpoints, so an edge whose endpoint is
+    * missing from `nodes` still votes (and still gets labeled) instead
+    * of being silently dropped by the src-keyed join — a caller passing
+    * a filtered node set gets the closure of its edges, never quietly
+    * wrong communities. Returns (id, lbl1..lblN) — one label column per
+    * round.
     *
     * 100 TB shape: each round is one src-keyed equi-join of the edge
     * list against the node-cardinality label table (AQE broadcasts it
@@ -320,21 +423,40 @@ object Graph {
     require(rounds >= 1 && rounds <= 6,
       s"unrolled propagation wants 1..6 rounds, got $rounds")
     val e = edges.select(col("src"), col("dst"))
-    val l0 = nodes.select(col("id")).distinct()
-      .withColumn("lbl0", col("id"))
+    val l0 = labelSeed(e, nodes)
     (1 to rounds).foldLeft(l0) { (lab, i) =>
-      val winners = e
-        .join(lab.select(col("id").as("src"), col(s"lbl${i - 1}").as("nl")),
-          "src")
-        .groupBy(col("dst"), col("nl"))
-        .agg(count(lit(1)).as("v"))
-        .groupBy(col("dst"))
-        .agg(min(struct((-col("v")).as("nv"), col("nl").as("lb"))).as("best"))
-        .select(col("dst"), col("best.lb").as("wl"))
-      lab.join(winners, lab("id") === winners("dst"), "left")
-        .withColumn(s"lbl$i", coalesce(col("wl"), col(s"lbl${i - 1}")))
-        .drop("dst", "wl")
+      lpaRound(e, lab, s"lbl${i - 1}", s"lbl$i")
     }
+  }
+
+  /** The label seed shared by [[labelPropagate]] and
+    * [[labelPropagateFixpoint]]: `nodes` ∪ edge endpoints, each node
+    * its own label. The union enforces the node-universe precondition
+    * structurally instead of documenting it. */
+  private def labelSeed(e: DataFrame, nodes: DataFrame): DataFrame =
+    nodes.select(col("id"))
+      .unionAll(e.select(col("src").as("id")))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("lbl0", col("id"))
+
+  /** One synchronous LPA round: src-keyed equi-join of the edges
+    * against the label table, (dst, label) integer vote count, per-node
+    * `min(struct(-votes, label))` argmax — the no-adjacency-list layout
+    * [[labelPropagate]]'s scaladoc documents. Input labels in
+    * `prevCol`; output appends `outCol`. */
+  private def lpaRound(e: DataFrame, lab: DataFrame, prevCol: String,
+      outCol: String): DataFrame = {
+    val winners = e
+      .join(lab.select(col("id").as("src"), col(prevCol).as("nl")), "src")
+      .groupBy(col("dst"), col("nl"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("v")).as("nv"), col("nl").as("lb"))).as("best"))
+      .select(col("dst"), col("best.lb").as("wl"))
+    lab.join(winners, lab("id") === winners("dst"), "left")
+      .withColumn(outCol, coalesce(col("wl"), col(prevCol)))
+      .drop("dst", "wl")
   }
 }
 
@@ -624,6 +746,116 @@ object GraphQueries {
       |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.id)
       |SELECT id AS user_id, lbl1, lbl2 FROM l2 ORDER BY user_id""".stripMargin
 
+  // ---- q62: CONVERGENCE-DRIVEN label propagation on the hour-grain
+  // half-user co-occurrence graph (q51's derivation) — the fixpoint
+  // face the round-12 verdict asked for, gated via the capped-iteration
+  // contract: the oracle unrolls all maxRounds = 6 synchronous rounds,
+  // and because a converged labeling is stable under further rounds,
+  // the engine's early exit (fires at round 3 on this graph, both SFs —
+  // half the budget saved) matches the full unroll bit-for-bit.
+  // rounds_run/converged are certified too: the oracle recomputes them
+  // as the first round whose output equals its input (c_i = 0). ----
+  private val q62Rounds = 6
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    Graph.labelPropagateFixpoint(Graph.userCoEdges(ev),
+        ev.select(col("user_id").as("id")), maxRounds = q62Rounds)
+      .select(col("id").as("user_id"), col("community"),
+        col("rounds_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q62Oracle: String = {
+    val k = q62Rounds
+    val rounds = (1 to k).map { i =>
+      s"""w$i AS (
+         |  SELECT dst, nl AS wl FROM (
+         |    SELECT e.dst, l${i - 1}.lbl AS nl, COUNT(*) AS v,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l${i - 1}.lbl) AS rn
+         |    FROM e JOIN l${i - 1} ON l${i - 1}.id = e.src
+         |    GROUP BY e.dst, l${i - 1}.lbl) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.id, COALESCE(w$i.wl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN w$i ON w$i.dst = l${i - 1}.id),
+         |c$i AS (
+         |  SELECT COUNT(*) AS c FROM l${i - 1} a JOIN l$i b USING (id)
+         |  WHERE a.lbl <> b.lbl)"""
+    }.mkString(",\n")
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+       |  FROM events WHERE user_id % 2 = 0),
+       |e AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id <> b.user_id),
+       |nodes AS (SELECT DISTINCT user_id AS id FROM events
+       |  WHERE user_id % 2 = 0),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT l$k.id AS user_id, l$k.lbl AS community,
+       |  CASE $arms ELSE $k END AS rounds_run,
+       |  ((SELECT c FROM c$k) = 0) AS converged
+       |FROM l$k ORDER BY user_id""".stripMargin
+  }
+
+  // ---- q63: convergence-driven integer PageRank on the same graph,
+  // capped at maxIters = 4 — the BUDGETED face of the capped-iteration
+  // contract: this graph needs ~20-49 integer iterations to reach its
+  // exact fixpoint (BASELINE.md), so the gate certifies the loop runs
+  // its full budget, reports converged = false honestly, and still
+  // matches the 4-step unrolled oracle exactly (the fixpoint-fires case
+  // is spec-certified on a cycle graph in GraphSpec, and measured to
+  // convergence in the lpa scale probe). ----
+  private val q63Iters = 4
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    Graph.pageRankFixpoint(Graph.userCoEdges(ev),
+        ev.select(col("user_id").as("id")), maxIters = q63Iters)
+      .select(col("id").as("user_id"), col("deg_out"), col("pr"),
+        col("iters_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q63Oracle: String = {
+    val k = q63Iters
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, 125000 + COALESCE(s.m, 0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((r${i - 1}.pr * 7) // (8 * deg.dg)) AS BIGINT) AS m
+         |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |    GROUP BY e.dst) s USING (id)),
+         |c$i AS (
+         |  SELECT COUNT(*) AS c FROM r${i - 1} a JOIN r$i b USING (id)
+         |  WHERE a.pr <> b.pr)"""
+    }.mkString(",\n")
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+       |  FROM events WHERE user_id % 2 = 0),
+       |e AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id <> b.user_id),
+       |nodes AS (SELECT DISTINCT user_id AS id FROM events
+       |  WHERE user_id % 2 = 0),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT n.id AS user_id, COALESCE(deg.dg, 0) AS deg_out, r$k.pr,
+       |  CASE $arms ELSE $k END AS iters_run,
+       |  ((SELECT c FROM c$k) = 0) AS converged
+       |FROM nodes n
+       |  LEFT JOIN deg ON deg.src = n.id
+       |  JOIN r$k ON r$k.id = n.id
+       |ORDER BY user_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -631,5 +863,7 @@ object GraphQueries {
     QueryDef("q58_link_predict", q58, Some(q58Oracle)),
     QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)),
     QueryDef("q60_capped_coedges", q60, Some(q60Oracle)),
-    QueryDef("q61_label_prop", q61, Some(q61Oracle)))
+    QueryDef("q61_label_prop", q61, Some(q61Oracle)),
+    QueryDef("q62_lpa_fixpoint", q62, Some(q62Oracle)),
+    QueryDef("q63_pagerank_fixpoint", q63, Some(q63Oracle)))
 }

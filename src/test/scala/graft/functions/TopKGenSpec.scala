@@ -83,6 +83,27 @@ class TopKGenSpec extends SparkSpec {
     assert(got === Seq(("a", 1L), ("b", 1L), ("c", 2L)))
   }
 
+  test("TopKGenBuf.dropped is exact: duplicates never set it, a k+1-th distinct pair does") {
+    val cmp: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    }
+    // fill to k with re-offered duplicates: no drop recorded
+    val b = new TopKGenBuf(2, cmp, cmp)
+    b.insert(1L, 1L); b.insert(2L, 2L)
+    b.insert(1L, 1L); b.insert(2L, 2L)
+    assert(!b.dropped && b.size == 2)
+    // a strictly-worse distinct pair on a full buffer IS a drop
+    b.insert(3L, 3L)
+    assert(b.dropped && b.size == 2)
+    // displacement path: admitting a better pair drops the old k-th
+    val d = new TopKGenBuf(2, cmp, cmp)
+    d.insert(2L, 2L); d.insert(3L, 3L)
+    assert(!d.dropped)
+    d.insert(1L, 1L)
+    assert(d.dropped && d.ords.take(2).toSeq == Seq(1L, 2L))
+  }
+
   test("topk_pairs rejects non-(double, bigint) inputs at analysis time") {
     import spark.implicits._
     val df = Seq(("x", "i1")).toDF("s", "id").withColumn("g", lit(0))

@@ -258,4 +258,87 @@ class GraphSpec extends SparkSpec {
     val l2 = out.select("lbl2").as[Long].collect().toSet
     assert(l2 === Set(10L))
   }
+
+  test("labelPropagate: edge endpoints missing from `nodes` still vote and get labeled") {
+    import spark.implicits._
+    // the round-12 advice defect: a filtered node set used to silently
+    // drop edge votes via the src-keyed inner join — the seed is now
+    // nodes ∪ endpoints
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.labelPropagate(edges, Seq(1L).toDF("id"), rounds = 1)
+      .orderBy("id").select("id", "lbl1").as[(Long, Long)].collect().toSeq
+    // both endpoints labeled; each adopts its only neighbour's label
+    assert(out === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("labelPropagateFixpoint: bridged triangles converge at round 4 with stable communities") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val out = Graph.labelPropagateFixpoint(edges, nodes, maxRounds = 10)
+      .orderBy("id").select("id", "community", "rounds_run", "converged")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    // trajectory (hand-computed above for rounds 1-2):
+    //   l2 = (1,1,1,4,3,3,7) → l3 = (1,1,1,3,3,3,7) → l4 = l3: fixpoint
+    // at round 4, six rounds of the budget saved
+    assert(out === Seq(
+      (1L, 1L, 4, true), (2L, 1L, 4, true), (3L, 1L, 4, true),
+      (4L, 3L, 4, true), (5L, 3L, 4, true), (6L, 3L, 4, true),
+      (7L, 7L, 4, true)))
+    // capped-iteration contract: early exit ≡ the full unroll — the
+    // final label equals the round-6 column of the unrolled operator
+    val unrolled = Graph.labelPropagate(edges, nodes, rounds = 6)
+      .orderBy("id").select("lbl6").as[Long].collect().toSeq
+    assert(out.map(_._2) === unrolled)
+  }
+
+  test("labelPropagateFixpoint: a 2-node oscillator honestly reports converged = false") {
+    import spark.implicits._
+    // synchronous LPA 2-cycles on a single undirected edge: labels swap
+    // every round (1,2) → (2,1) → (1,2) → … — no round ever equals its
+    // predecessor, so the loop must run its full budget
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.labelPropagateFixpoint(edges, Seq(1L, 2L).toDF("id"),
+        maxRounds = 5)
+      .orderBy("id").select("id", "community", "rounds_run", "converged")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    // l5 is the odd-round state: swapped
+    assert(out === Seq((1L, 2L, 5, false), (2L, 1L, 5, false)))
+  }
+
+  test("pageRankFixpoint: a directed cycle is its own fixpoint — detected at iteration 1") {
+    import spark.implicits._
+    // deg 1 everywhere: r' = 125000 + (1e6·7) div 8 = 1e6 exactly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankFixpoint(edges, Seq(1L, 2L, 3L).toDF("id"),
+        maxIters = 32)
+      .orderBy("id").select("id", "deg_out", "pr", "iters_run", "converged")
+      .as[(Long, Long, Long, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1000000L, 1, true), (2L, 1L, 1000000L, 1, true),
+      (3L, 1L, 1000000L, 1, true)))
+  }
+
+  test("pageRankFixpoint: chain ranks reach the hand-computed integer fixpoint at iteration 4") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3: node 1 is constant from iter 1, node 2 from
+    // iter 2 (125000 + (125000·7) div 16 = 179687), node 3 from iter 3
+    // (125000 + 54687 + (179687·7) div 8 = 336913); iter 4 reproduces
+    // iter 3 → fixpoint detected
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRankFixpoint(edges, Seq(1L, 2L, 3L).toDF("id"),
+        maxIters = 16)
+      .orderBy("id").select("id", "pr", "iters_run", "converged")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 125000L, 4, true), (2L, 179687L, 4, true),
+      (3L, 336913L, 4, true)))
+    // early exit ≡ full unroll: pr equals pageRankInt's 8-iteration col
+    val unrolled = Graph.pageRankInt(edges, Seq(1L, 2L, 3L).toDF("id"),
+        iters = 8)
+      .orderBy("id").select("pr8").as[Long].collect().toSeq
+    assert(out.map(_._2) === unrolled)
+  }
 }
