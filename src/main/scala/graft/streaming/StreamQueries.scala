@@ -961,7 +961,94 @@ object StreamQueries {
     result
   }
 
+  // ---- s19: CRASH-RECOVERY under the gate — the exactly-once-across-
+  // restart claim the idempotent batch=<id> sink layout exists to
+  // support (s15's scaladoc), PROVEN on a real kill+restart instead of
+  // asserted: the s11 dedup pipeline (doubled events →
+  // dropDuplicatesWithinWatermark) runs with a foreachBatch parquet
+  // sink that, on the first post-initial micro-batch, writes a PARTIAL
+  // output and then throws — the torn-write crash, with the state
+  // store's in-flight version torn too. A NEW query then restarts from
+  // the SAME checkpoint and source, replays the failed batch from its
+  // logged offsets (the overwrite replaces the torn files), and
+  // finishes the feed. Batch 2 additionally RE-DELIVERS every batch-1
+  // row still inside the 2 h watermark horizon: a restart that lost the
+  // dedup state store would re-emit those rows and fail the count —
+  // state recovery is load-bearing for the hash, not incidental. The
+  // drained per-type aggregate must equal the batch DISTINCT oracle
+  // (s11's): no offset skipped, no row doubled, no partial write kept.
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = events(s, dir).select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long, Long)].collect()
+    val doubled = base.toSeq.flatMap(e => Seq(e, e))
+    // tercile cuts on ts — the feedInTerciles construction, inlined so
+    // the crash can be injected between feeds
+    val cuts = doubled.map(_._4).distinct.sorted
+    val chunk = math.max(1, (cuts.length + 2) / 3)
+    val batchOf = cuts.zipWithIndex.map { case (k, i) => k -> i / chunk }.toMap
+    val fed = doubled.groupBy(r => batchOf(r._4)).toSeq.sortBy(_._1).map(_._2)
+    require(fed.length == 3, s"tercile feed wants 3 batches, got ${fed.length}")
+    // the state-survival probe set: batch-1 rows within the horizon
+    val b1Max = fed(1).map(_._4).max
+    val replay = fed(1).filter(_._4 >= b1Max - 2L * 3600 * 1000000)
+    val out = java.nio.file.Files.createTempDirectory("graft_s19").toString
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val deduped = input.toDF()
+      .toDF("event_id", "event_type", "cents", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "event_type", "cents")
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start(poison: Boolean) = deduped.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dest = s"$out/rows/batch=$batchId"
+        // crash only on a DATA batch past the first: the stateful op
+        // schedules no-data watermark batches whose ids interleave, so
+        // the batch-id alone doesn't identify the second feed (the
+        // isEmpty probe re-executes the batch plan — the same
+        // plan-re-run semantics a task retry has, which is the point)
+        if (poison && batchId >= 1 && !batch.isEmpty &&
+            crashArmed.getAndSet(false)) {
+          batch.limit(3).write.mode("overwrite").parquet(dest)
+          throw new IllegalStateException("s19 injected crash (torn write)")
+        }
+        batch.write.mode("overwrite").parquet(dest)
+      }
+      .option("checkpointLocation", s"$out/_cp")
+      .outputMode("append").start()
+    val q1 = start(poison = true)
+    input.addData(fed(0): _*)
+    q1.processAllAvailable()
+    input.addData(fed(1): _*)
+    try q1.processAllAvailable()
+    catch { case _: Throwable => () }
+    try q1.awaitTermination()
+    catch { case _: Throwable => () }
+    require(q1.exception.isDefined,
+      "s19: the injected crash must terminate the first query")
+    val q2 = start(poison = false)
+    try {
+      q2.processAllAvailable() // replays the torn batch from its offsets
+      input.addData(replay ++ fed(2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val result = s.read.parquet(s"$out/rows")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .orderBy("event_type")
+      .localCheckpoint(true)
+    rmTree(out)
+    result
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s19_crash_recovery", st(s19), Some(s11Oracle)),
     QueryDef("s18_stream_winnow_dedup", st(s18),
       Some(graft.pipeline.CurationQueries.d54Oracle)),
     QueryDef("s17_stream_phash_dedup", st(s17), Some(s17Oracle)),

@@ -372,4 +372,21 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() === 0,
       "streaming forward fill diverged from the batch operator")
   }
+
+  test("s19: crash mid-batch + restart from checkpoint is exactly-once (batch-equal)") {
+    // the gate row certifies this against DuckDB; this spec keeps the
+    // same proof inside sbt test — the query fn itself injects the
+    // torn-write crash, restarts from the checkpoint, and re-delivers
+    // in-horizon rows that only survive dedup if state was recovered
+    val dir = sf("sf0.001")
+    val streamed = graft.SparkEntry.queries("s19_crash_recovery")(spark, dir)
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "crash-recovered stream diverged from the batch aggregate")
+  }
 }
