@@ -164,7 +164,36 @@ object MeterQueries {
        |${base(m8Cfg)}
        |GROUP BY 1, 2 ORDER BY said, datetime""".stripMargin
 
+  // -- m9: the reference's WRITE PATH serialized to the wire — m2's
+  // per-second rows bound through the Cassandra sink seam's CQL
+  // native-protocol encoders (sources/CqlBind: prepared INSERT text +
+  // length-prefixed big-endian value bytes, core.clj:100-153's
+  // prepared-statement shape). The oracle rebuilds the exact hex from
+  // the replayed generation, so the gate certifies the row-level wire
+  // encoding byte for byte — the seam no longer stops at config
+  // validation. --
+  private def m9(s: SparkSession, dir: String): DataFrame = {
+    val sink = new graft.sources.CassandraSinkShape("disagg")
+    sink.bindRows(MeterGen.secondTable(s, m2Cfg), "meter_samples_second",
+        Seq("said"), Seq("datetime"))
+      .select(col("said"), col("datetime"), col("stmt"),
+        array_join(transform(col("params"), p => lower(hex(p))), "-")
+          .as("params_hex"))
+      .orderBy("said", "datetime")
+  }
+
+  private val m9Oracle =
+    s"""SELECT CAST(m.said AS INT) AS said, ${ts(m2Cfg)} AS datetime,
+       |  'INSERT INTO disagg.meter_samples_second (said, datetime, joules) VALUES (?, ?, ?)' AS stmt,
+       |  lower(concat(
+       |    '00000004', lpad(to_hex(m.said), 8, '0'),
+       |    '-', '00000008', lpad(to_hex(epoch_ms(${ts(m2Cfg)})), 16, '0'),
+       |    '-', '00000004', lpad(to_hex($JoulesSub), 8, '0'))) AS params_hex
+       |${base(m2Cfg)}
+       |ORDER BY said, datetime""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("m9_cql_bind", m9, Some(m9Oracle)),
     QueryDef("m1_gen_raw", m1, Some(m1Oracle)),
     QueryDef("m2_gen_second", m2, Some(m2Oracle)),
     QueryDef("m3_rollup_minute", m3, Some(m3Oracle)),

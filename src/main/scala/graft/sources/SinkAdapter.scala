@@ -70,7 +70,21 @@ final class CassandraSinkShape(keyspace: String,
     writeConfig(table) // config must parse even where the save cannot run
     throw new UnsupportedOperationException(
       "Cassandra connector not available in this offline environment; " +
-        "writeConfig(table) carries the validated invocation.")
+        "writeConfig(table) carries the validated invocation and " +
+        "bindRows(df, table, ...) the wire-serialized row stream.")
+  }
+
+  /** The row stream the connector's executors would consume: every row
+    * serialized through the CQL native-protocol encoders ([[CqlBind]] —
+    * statement text + length-prefixed binary values), repartitioned by
+    * the partition key and clustering-ordered within partitions, i.e.
+    * the write path exercised end to end up to the socket. Gate row m9
+    * hash-verifies these bytes against a DuckDB replay; golden byte
+    * vectors in SinkAdapterSpec. */
+  def bindRows(df: DataFrame, table: String, partitionKeys: Seq[String],
+      clusteringKeys: Seq[String]): DataFrame = {
+    writeConfig(table) // same eager identifier validation as write()
+    CqlBind.bindRows(df, keyspace, table, partitionKeys, clusteringKeys)
   }
 }
 

@@ -65,4 +65,64 @@ class SinkAdapterSpec extends SparkSpec {
     // parse-level error, not the environment error
     intercept[IllegalArgumentException] { sink.write(df, "BAD!") }
   }
+
+  test("CqlBind: protocol-v4 golden bytes per type (hand-derived vectors)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hx(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): String =
+      Seq(0).toDF("z").select(CqlBind.hexOf(c, dt)).head.getString(0)
+    import org.apache.spark.sql.types._
+    // int 59 → big-endian 0000003b; negative keeps two's complement
+    assert(hx(lit(59), IntegerType) === "0000003b")
+    assert(hx(lit(-1), IntegerType) === "ffffffff")
+    assert(hx(lit(-2L), LongType) === "fffffffffffffffe")
+    // timestamp = epoch millis as bigint (protocol v4 §6.19)
+    assert(hx(to_timestamp(lit("1970-01-01 00:00:01")), TimestampType)
+      === "00000000000003e8")
+    // IEEE-754: 1.0f = 3f800000, -0.0 double = 8000000000000000
+    assert(hx(lit(1.0f), FloatType) === "3f800000")
+    assert(hx(lit(-0.0d), DoubleType) === "8000000000000000")
+    assert(hx(lit(true), BooleanType) === "01")
+    assert(hx(lit("abc"), StringType) === "616263")
+    // list<float> [0.0, 1.0] → [count 2][len 4][00000000][len 4][3f800000]
+    assert(hx(array(lit(0.0f), lit(1.0f)),
+        ArrayType(FloatType, containsNull = false))
+      === "00000002" + "00000004" + "00000000" + "00000004" + "3f800000")
+    ()
+  }
+
+  test("CqlBind: bound meter rows carry the reference's INSERT and length-prefixed values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one raw transmission row in the reference's meter_samples shape
+    val df = Seq((7, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:01Z")),
+        Seq(0.0f, 119.0f)))
+      .toDF("said", "datetime", "watts")
+      .select(col("said"), col("datetime"),
+        col("watts").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))
+          .as("watts"))
+    val sink = new CassandraSinkShape("disagg")
+    val bound = sink.bindRows(df, "meter_samples", Seq("said"),
+      Seq("datetime"))
+    val row = bound.select(col("stmt"),
+      array_join(transform(col("params"), p => lower(hex(p))), "-")).head
+    assert(row.getString(0) ===
+      "INSERT INTO disagg.meter_samples (said, datetime, watts) " +
+        "VALUES (?, ?, ?)")
+    // said 7; epoch ms of 2024-01-01T00:00:01Z = 1704067201000 =
+    // 0x0000018cc251f7e8; watts list [0.0f, 119.0f], 119.0f = 0x42ee0000
+    assert(row.getString(1) ===
+      "00000004" + "00000007" + "-" +
+        "00000008" + "0000018cc251f7e8" + "-" +
+        "00000014" + "00000002" +
+        "00000004" + "00000000" + "00000004" + "42ee0000")
+    // null element arrays are rejected at bind time, as CQL would
+    intercept[IllegalArgumentException] {
+      CqlBind.cqlType(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    }
+  }
 }
