@@ -480,6 +480,20 @@ object ScaleProbe {
         countDistinct(col("lbl2"))).head
       println(f"[probe] lpa/$tag%-10s edges=$ne nodes=${agg.getLong(0)} " +
         f"communities=${agg.getLong(1)} lpa_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      // the convergence-driven face on the same graph: measures what the
+      // per-round fixpoint machinery (localCheckpoint + short-circuit
+      // change probe) costs on top of the unrolled plan, and how the
+      // convergence round count behaves as the graph densifies — the
+      // budget is the q62 contract's ceiling, so a non-converging
+      // topology runs 16 rounds and says so instead of spinning
+      val t1 = System.nanoTime()
+      val fx = queries.Graph.labelPropagateFixpoint(edges,
+        c.select(col("user_id").as("id")), maxRounds = 16)
+      val fagg = fx.agg(max("rounds_run"),
+        max(col("converged").cast("int")), countDistinct("community")).head
+      println(f"[probe] lpa/$tag%-10s FIXPOINT rounds=${fagg.getInt(0)} " +
+        f"converged=${fagg.getInt(1) == 1} communities=${fagg.getLong(2)} " +
+        f"fix_s=${(System.nanoTime() - t1) / 1e9}%6.2f")
       // each leg releases its pinned corpus + edges before the next (the
       // dense leg is the memory-heavy one — see userCoEdges' scaladoc)
       edges.unpersist(blocking = false)

@@ -2030,8 +2030,12 @@ object PipelineQueries {
     // per-shingle crypto hash) runs only on the flagged slice, not the
     // corpus — at realistic near-dup rates a few percent of the data.
     val flagged = d.join(candIds, col("doc_id") === col("cid"), "left_semi")
+    // materialized once: the flagged slice is tiny (the d15 argument)
+    // but its sha-shingle pass is not — sizes, the df-cap, and both
+    // sides of the verify join all read these rows
     val shing = TextAnalysis.shaShingleRows(flagged, "text", "doc_id", 5)
       .select(col("id"), col("shingle").as("h")).distinct()
+      .localCheckpoint(true)
     val sizes = shing.groupBy("id").agg(count(lit(1)).as("n"))
     // df ∈ [2, 100] over the flagged slice: df-1 shingles cannot
     // intersect (pure pruning); the upper cap bounds the per-key fan-out

@@ -104,8 +104,14 @@ object Graph {
       maxIters: Int): DataFrame = {
     require(maxIters >= 1 && maxIters <= 128,
       s"fixpoint iteration wants 1..128 max iterations, got $maxIters")
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE: every iteration re-reads it, and
+    // without this a derived edge plan (userCoEdges et al.) would be
+    // recomputed per round — the same reason a cluster run persists its
+    // edge RDD before power iteration. Freed by the session's
+    // persistent-RDD sweep (Verify/Bench contract), like d52's pairs.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
     var r = labelSeed(e, nodes).select(col("id"))
       .withColumn("pr", lit(1000000L))
       .localCheckpoint(true)
@@ -140,7 +146,8 @@ object Graph {
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 128,
       s"fixpoint propagation wants 1..128 max rounds, got $maxRounds")
-    val e = edges.select(col("src"), col("dst"))
+    // edge list materialized once across rounds — see pageRankFixpoint
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var lab = labelSeed(e, nodes)
       .select(col("id"), col("lbl0").as("lbl"))
       .localCheckpoint(true)
