@@ -494,10 +494,13 @@ object ScaleProbe {
       println(f"[probe] lpa/$tag%-10s FIXPOINT rounds=${fagg.getInt(0)} " +
         f"converged=${fagg.getInt(1) == 1} communities=${fagg.getLong(2)} " +
         f"fix_s=${(System.nanoTime() - t1) / 1e9}%6.2f")
-      // each leg releases its pinned corpus + edges before the next (the
-      // dense leg is the memory-heavy one — see userCoEdges' scaladoc)
-      edges.unpersist(blocking = false)
-      c.unpersist(blocking = false)
+      // each leg releases EVERYTHING it pinned before the next (the
+      // dense leg is the memory-heavy one — see userCoEdges' scaladoc):
+      // a full persistent-RDD sweep, not targeted unpersists, because
+      // the fixpoint operators internally checkpoint their own edge
+      // copy, seed, and per-round label tables (all consumed by now)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     probe("1x", 1, shiftTime = false)
     probe(s"${times}x-sparse", times, shiftTime = true)

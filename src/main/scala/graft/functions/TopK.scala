@@ -336,13 +336,11 @@ final class TopKGenBuf(val k: Int, ordCmp: Ordering[Any],
     if (c != 0) c else idCmp.compare(i, ids(j))
   }
 
-  /** Full buffer and (o, i) does not beat the current k-th: insert
-    * would be a no-op (covers the duplicate-of-last case too). */
-  def rejects(o: Any, i: Any): Boolean =
-    size == k && cmp(o, i, k - 1) >= 0
-
-  /** [[rejects]], additionally recording a strictly-worse reject of a
-    * full buffer as a drop (cmp == 0 is a duplicate of the k-th). */
+  /** Full buffer and (o, i) does not beat the current k-th — insert
+    * would be a no-op (covers the duplicate-of-last case too) — with a
+    * strictly-worse reject recorded as a drop (cmp == 0 is a duplicate
+    * of the k-th, not a drop). The ONLY reject predicate: an untracked
+    * twin would silently bypass the warnOnDrop accounting. */
   def rejectsNoting(o: Any, i: Any): Boolean = {
     if (size < k) return false
     val c = cmp(o, i, k - 1)

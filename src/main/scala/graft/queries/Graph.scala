@@ -429,7 +429,11 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 6,
       s"unrolled propagation wants 1..6 rounds, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
+    // materialized once: the seed's endpoint union plus every round's
+    // vote join all read the edge list — without this a derived edge
+    // plan (userCoEdges) re-runs per consumer (review-measured 7× on
+    // q61 when the seed union first landed un-materialized)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val l0 = labelSeed(e, nodes)
     (1 to rounds).foldLeft(l0) { (lab, i) =>
       lpaRound(e, lab, s"lbl${i - 1}", s"lbl$i")

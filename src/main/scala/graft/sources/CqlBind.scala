@@ -76,27 +76,32 @@ object CqlBind {
   /** Lowercase hex of a value's protocol-v4 bytes (null → null). The
     * hex intermediate is what makes the encoders pure builtin
     * composition; [[encode]] folds it to real bytes with one unhex. */
+  /** hex() widens every integral to 64-bit, so a negative value
+    * arrives sign-extended to 16 chars. Take the LOW `w` chars FIRST
+    * (right), THEN zero-pad short positives — the other order is wrong:
+    * lpad TRUNCATES an over-long string to its PREFIX, which collapsed
+    * every negative int/float to 0xffffffff until the review caught it
+    * (the all-F golden vector for -1 passed by coincidence). */
+  private def fixedHex(c: Column, w: Int): Column =
+    lower(lpad(right(hex(c), lit(w)), w, "0"))
+
   def hexOf(c: Column, dt: DataType): Column = dt match {
-    // hex() widens to 64-bit: RIGHT-truncate to the type's width so
-    // negative values keep exactly their two's-complement bytes
-    case IntegerType => lower(right(lpad(hex(c), 8, "0"), lit(8)))
-    case LongType => lower(right(lpad(hex(c), 16, "0"), lit(16)))
-    case TimestampType =>
-      lower(right(lpad(hex(unix_millis(c)), 16, "0"), lit(16)))
-    case FloatType => lower(right(lpad(hex(float_bits(c)), 8, "0"), lit(8)))
-    case DoubleType => lower(right(lpad(hex(double_bits(c)), 16, "0"), lit(16)))
+    case IntegerType => fixedHex(c, 8)
+    case LongType => fixedHex(c, 16)
+    case TimestampType => fixedHex(unix_millis(c), 16)
+    case FloatType => fixedHex(float_bits(c), 8)
+    case DoubleType => fixedHex(double_bits(c), 16)
     case BooleanType => when(c.isNull, lit(null).cast("string"))
       .when(c, lit("01")).otherwise(lit("00"))
     case StringType => lower(hex(c)) // hex of the UTF-8 bytes
     case ArrayType(et, false) =>
       when(c.isNull, lit(null).cast("string")).otherwise(concat(
-        lower(right(lpad(hex(size(c)), 8, "0"), lit(8))),
+        fixedHex(size(c), 8),
         concat_ws("", transform(c, e => {
           val h = hexOf(e, et)
           // per-element [int byte-length][bytes]; byte-length derived
           // from the hex width, so every element type shares this path
-          concat(lower(right(lpad(hex((length(h) / 2).cast("int")), 8, "0"),
-            lit(8))), h)
+          concat(fixedHex((length(h) / 2).cast("int"), 8), h)
         }))))
     case other => throw new IllegalArgumentException(
       s"no CQL encoding for Spark type ${other.sql}")
@@ -110,7 +115,7 @@ object CqlBind {
   def paramHex(c: Column, dt: DataType): Column = {
     val h = hexOf(c, dt)
     when(h.isNull, lit("ffffffff")).otherwise(concat(
-      lower(right(lpad(hex((length(h) / 2).cast("int")), 8, "0"), lit(8))), h))
+      fixedHex((length(h) / 2).cast("int"), 8), h))
   }
 
   /** Bind a write set: one row per input row, routed like the

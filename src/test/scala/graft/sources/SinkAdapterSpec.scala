@@ -73,15 +73,20 @@ class SinkAdapterSpec extends SparkSpec {
         dt: org.apache.spark.sql.types.DataType): String =
       Seq(0).toDF("z").select(CqlBind.hexOf(c, dt)).head.getString(0)
     import org.apache.spark.sql.types._
-    // int 59 → big-endian 0000003b; negative keeps two's complement
+    // int 59 → big-endian 0000003b; negatives keep two's complement —
+    // -2 (not just the all-F -1) pins the low-32-bit extraction from
+    // hex()'s sign-extended 64-bit form (the review-caught lpad bug)
     assert(hx(lit(59), IntegerType) === "0000003b")
     assert(hx(lit(-1), IntegerType) === "ffffffff")
+    assert(hx(lit(-2), IntegerType) === "fffffffe")
     assert(hx(lit(-2L), LongType) === "fffffffffffffffe")
     // timestamp = epoch millis as bigint (protocol v4 §6.19)
     assert(hx(to_timestamp(lit("1970-01-01 00:00:01")), TimestampType)
       === "00000000000003e8")
-    // IEEE-754: 1.0f = 3f800000, -0.0 double = 8000000000000000
+    // IEEE-754: 1.0f = 3f800000, -0.0 double = 8000000000000000;
+    // -1.5f = bfc00000 (sign bit set → negative int bits, same lpad trap)
     assert(hx(lit(1.0f), FloatType) === "3f800000")
+    assert(hx(lit(-1.5f), FloatType) === "bfc00000")
     assert(hx(lit(-0.0d), DoubleType) === "8000000000000000")
     assert(hx(lit(true), BooleanType) === "01")
     assert(hx(lit("abc"), StringType) === "616263")
