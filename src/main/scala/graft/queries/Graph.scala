@@ -110,11 +110,38 @@ object Graph {
     // edge RDD before power iteration. Freed by the session's
     // persistent-RDD sweep (Verify/Bench contract), like d52's pairs.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val seed = labelSeed(e, nodes).select(col("id"))
+      .withColumn("pr", lit(1000000L))
+    prLoopResult(e, seed, maxIters)
+  }
+
+  /** RE-ENTRY face of the capped-iteration contract — the "pass the
+    * budget via maxIters and re-enter" sentence made mechanism: continue
+    * power iteration from a PRIOR rank table `ranks` (id, pr) — e.g. a
+    * previous run's output persisted at its budget — for up to
+    * `maxIters` more steps. Because the recurrence is memoryless in
+    * everything but the rank vector, a resumed run is IDENTICAL to one
+    * longer run: fixpoint(a+b) ≡ resume(fixpoint-capped-at-a, b)
+    * (spec-asserted at every cut). Endpoints missing from `ranks`
+    * (edges that arrived since the checkpoint — the warm-start append
+    * shape) enter at the 10⁶ base seed; iters_run counts only the
+    * resumed steps. */
+  def pageRankResume(edges: DataFrame, ranks: DataFrame,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 128,
+      s"fixpoint iteration wants 1..128 max iterations, got $maxIters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val seed = labelSeed(e, ranks.select(col("id")))
+      .join(ranks.select(col("id"), col("pr").as("prior")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("prior"), lit(1000000L)).as("pr"))
+    prLoopResult(e, seed, maxIters)
+  }
+
+  private def prLoopResult(e: DataFrame, seed: DataFrame,
+      maxIters: Int): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
       .localCheckpoint(true)
-    var r = labelSeed(e, nodes).select(col("id"))
-      .withColumn("pr", lit(1000000L))
-      .localCheckpoint(true)
+    var r = seed.localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -148,9 +175,32 @@ object Graph {
       s"fixpoint propagation wants 1..128 max rounds, got $maxRounds")
     // edge list materialized once across rounds — see pageRankFixpoint
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var lab = labelSeed(e, nodes)
-      .select(col("id"), col("lbl0").as("lbl"))
-      .localCheckpoint(true)
+    lpaLoopResult(e, labelSeed(e, nodes)
+      .select(col("id"), col("lbl0").as("lbl")), maxRounds)
+  }
+
+  /** [[pageRankResume]]'s LPA twin: continue synchronous propagation
+    * from a prior labeling `labels` (id, community) for up to
+    * `maxRounds` more rounds — fixpoint(a+b) ≡ resume(capped-at-a, b)
+    * at every cut (spec-asserted), the budgeted-re-entry AND warm-start
+    * append face (endpoints missing from `labels` — new edges since the
+    * labeling was persisted — seed as their own fresh communities;
+    * rounds_run counts only the resumed rounds). */
+  def labelPropagateResume(edges: DataFrame, labels: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint propagation wants 1..128 max rounds, got $maxRounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val seed = labelSeed(e, labels.select(col("id")))
+      .join(labels.select(col("id"), col("community").as("prior")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("prior"), col("id")).as("lbl"))
+    lpaLoopResult(e, seed, maxRounds)
+  }
+
+  private def lpaLoopResult(e: DataFrame, seed: DataFrame,
+      maxRounds: Int): DataFrame = {
+    var lab = seed.localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -776,8 +826,12 @@ object GraphQueries {
       .orderBy("user_id")
   }
 
-  private val q62Oracle: String = {
-    val k = q62Rounds
+  /** The shared LPA trajectory CTEs on the q62 gate graph: ev/e/nodes,
+    * l0 = identity seed, then rounds 1..k each with its winner table
+    * (w_i), labeling (l_i), and changed-row count (c_i). q62 selects the
+    * whole-run view; q64 the resumed-leg view of the SAME trajectory —
+    * the resume equivalence is exactly that one chain serves both. */
+  private def lpaChainCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""w$i AS (
          |  SELECT dst, nl AS wl FROM (
@@ -793,9 +847,7 @@ object GraphQueries {
          |  SELECT COUNT(*) AS c FROM l${i - 1} a JOIN l$i b USING (id)
          |  WHERE a.lbl <> b.lbl)"""
     }.mkString(",\n")
-    val arms = (1 to k)
-      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
-    s"""WITH ev AS (
+    s"""ev AS (
        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
        |  FROM events WHERE user_id % 2 = 0),
        |e AS (
@@ -805,7 +857,14 @@ object GraphQueries {
        |nodes AS (SELECT DISTINCT user_id AS id FROM events
        |  WHERE user_id % 2 = 0),
        |l0 AS (SELECT id, id AS lbl FROM nodes),
-       |$rounds
+       |$rounds"""
+  }
+
+  private val q62Oracle: String = {
+    val k = q62Rounds
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ${lpaChainCtes(k)}
        |SELECT l$k.id AS user_id, l$k.lbl AS community,
        |  CASE $arms ELSE $k END AS rounds_run,
        |  ((SELECT c FROM c$k) = 0) AS converged
@@ -830,8 +889,10 @@ object GraphQueries {
       .orderBy("user_id")
   }
 
-  private val q63Oracle: String = {
-    val k = q63Iters
+  /** [[lpaChainCtes]]'s PageRank twin: deg, r0 = 10⁶ seed, then steps
+    * 1..k with changed-row counts; shared by q63 (whole run) and q65
+    * (resumed-leg view of the same trajectory). */
+  private def prChainCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""r$i AS (
          |  SELECT n.id, 125000 + COALESCE(s.m, 0) AS pr
@@ -844,9 +905,7 @@ object GraphQueries {
          |  SELECT COUNT(*) AS c FROM r${i - 1} a JOIN r$i b USING (id)
          |  WHERE a.pr <> b.pr)"""
     }.mkString(",\n")
-    val arms = (1 to k)
-      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
-    s"""WITH ev AS (
+    s"""ev AS (
        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
        |  FROM events WHERE user_id % 2 = 0),
        |e AS (
@@ -857,9 +916,78 @@ object GraphQueries {
        |  WHERE user_id % 2 = 0),
        |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-       |$rounds
+       |$rounds"""
+  }
+
+  private val q63Oracle: String = {
+    val k = q63Iters
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ${prChainCtes(k)}
        |SELECT n.id AS user_id, COALESCE(deg.dg, 0) AS deg_out, r$k.pr,
        |  CASE $arms ELSE $k END AS iters_run,
+       |  ((SELECT c FROM c$k) = 0) AS converged
+       |FROM nodes n
+       |  LEFT JOIN deg ON deg.src = n.id
+       |  JOIN r$k ON r$k.id = n.id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---- q64: budgeted RE-ENTRY of the LPA fixpoint — leg 1 runs under
+  // a 1-round budget, its labeling is handed (as a plain DataFrame, the
+  // shape a production run persists) to labelPropagateResume with a
+  // 5-round budget. The oracle is the SAME trajectory chain as q62
+  // viewed from round 1: community = the round-6 labels, rounds_run =
+  // the first RESUMED round whose output equals its input (global
+  // c_{j+1} = 0 → j). Green means resume(capped-at-1, 5) is
+  // bit-identical to one 6-round run — the re-entry contract, gated. ----
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    val edges = Graph.userCoEdges(ev)
+    val leg1 = Graph.labelPropagateFixpoint(edges,
+        ev.select(col("user_id").as("id")), maxRounds = 1)
+      .select(col("id"), col("community"))
+    Graph.labelPropagateResume(edges, leg1, maxRounds = q62Rounds - 1)
+      .select(col("id").as("user_id"), col("community"),
+        col("rounds_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q64Oracle: String = {
+    val k = q62Rounds
+    val arms = (1 until k)
+      .map(j => s"WHEN (SELECT c FROM c${j + 1}) = 0 THEN $j").mkString(" ")
+    s"""WITH ${lpaChainCtes(k)}
+       |SELECT l$k.id AS user_id, l$k.lbl AS community,
+       |  CASE $arms ELSE ${k - 1} END AS rounds_run,
+       |  ((SELECT c FROM c$k) = 0) AS converged
+       |FROM l$k ORDER BY user_id""".stripMargin
+  }
+
+  // ---- q65: budgeted re-entry of the PageRank fixpoint (q64's PR
+  // twin): 2 iterations, persist, resume for 2 more ≡ q63's single
+  // 4-iteration run — same trajectory chain, resumed-leg view. ----
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    val edges = Graph.userCoEdges(ev)
+    val half = q63Iters / 2
+    val leg1 = Graph.pageRankFixpoint(edges,
+        ev.select(col("user_id").as("id")), maxIters = half)
+      .select(col("id"), col("pr"))
+    Graph.pageRankResume(edges, leg1, maxIters = q63Iters - half)
+      .select(col("id").as("user_id"), col("deg_out"), col("pr"),
+        col("iters_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q65Oracle: String = {
+    val k = q63Iters
+    val half = k / 2
+    val arms = (1 to k - half)
+      .map(j => s"WHEN (SELECT c FROM c${j + half}) = 0 THEN $j").mkString(" ")
+    s"""WITH ${prChainCtes(k)}
+       |SELECT n.id AS user_id, COALESCE(deg.dg, 0) AS deg_out, r$k.pr,
+       |  CASE $arms ELSE ${k - half} END AS iters_run,
        |  ((SELECT c FROM c$k) = 0) AS converged
        |FROM nodes n
        |  LEFT JOIN deg ON deg.src = n.id
@@ -876,5 +1004,7 @@ object GraphQueries {
     QueryDef("q60_capped_coedges", q60, Some(q60Oracle)),
     QueryDef("q61_label_prop", q61, Some(q61Oracle)),
     QueryDef("q62_lpa_fixpoint", q62, Some(q62Oracle)),
-    QueryDef("q63_pagerank_fixpoint", q63, Some(q63Oracle)))
+    QueryDef("q63_pagerank_fixpoint", q63, Some(q63Oracle)),
+    QueryDef("q64_lpa_resume", q64, Some(q64Oracle)),
+    QueryDef("q65_pagerank_resume", q65, Some(q65Oracle)))
 }

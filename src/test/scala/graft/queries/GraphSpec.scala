@@ -321,6 +321,55 @@ class GraphSpec extends SparkSpec {
       (3L, 1L, 1000000L, 1, true)))
   }
 
+  test("resume faces: fixpoint(a+b) ≡ resume(capped-at-a, b) at every cut") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val full = Graph.labelPropagateFixpoint(edges, nodes, maxRounds = 6)
+      .orderBy("id").select("id", "community", "converged")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    for (cut <- 1 to 3) {
+      val leg1 = Graph.labelPropagateFixpoint(edges, nodes, maxRounds = cut)
+        .select(col("id"), col("community"))
+      val resumed = Graph.labelPropagateResume(edges, leg1,
+          maxRounds = 6 - cut)
+        .orderBy("id").select("id", "community", "converged")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(resumed === full, s"cut at round $cut diverged")
+    }
+    // PageRank twin on the chain graph (fixpoint at iteration 4)
+    val pEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val pNodes = Seq(1L, 2L, 3L).toDF("id")
+    val pFull = Graph.pageRankFixpoint(pEdges, pNodes, maxIters = 8)
+      .orderBy("id").select("id", "pr", "converged")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    for (cut <- 1 to 3) {
+      val leg1 = Graph.pageRankFixpoint(pEdges, pNodes, maxIters = cut)
+        .select(col("id"), col("pr"))
+      val resumed = Graph.pageRankResume(pEdges, leg1, maxIters = 8 - cut)
+        .orderBy("id").select("id", "pr", "converged")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(resumed === pFull, s"cut at iteration $cut diverged")
+    }
+  }
+
+  test("labelPropagateResume: warm-start over appended edges seeds new nodes fresh") {
+    import spark.implicits._
+    // archive labeling: clique {1,2,3} settled on community 1
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "community")
+    // appended edges attach new node 9 to the clique via 3
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagateResume(edges, labels, maxRounds = 4)
+      .orderBy("id").select("id", "community", "converged")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // node 9 enters as its own community, then adopts the clique's
+    assert(out === Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, true),
+      (9L, 1L, true)))
+  }
+
   test("pageRankFixpoint: chain ranks reach the hand-computed integer fixpoint at iteration 4") {
     import spark.implicits._
     // 1→2, 1→3, 2→3: node 1 is constant from iter 1, node 2 from
