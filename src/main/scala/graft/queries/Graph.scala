@@ -307,6 +307,61 @@ object Graph {
     * never hub-degree² — and the closing join back to E' on (a,c) is a
     * plain equi-join. Counts are order-free integer sums: exact on any
     * engine, no per-node adjacency ever materializes. */
+  /** k-core decomposition by iterative peeling — the density filter a
+    * curation stack runs on its co-occurrence/citation graphs (spam
+    * rings and isolated chatter fall out of the core; Seidman 1983):
+    * repeatedly delete nodes of degree < k until every survivor has
+    * degree ≥ k within the surviving subgraph. Third iteration pattern
+    * beside [[labelPropagateFixpoint]] (label votes) and
+    * [[pageRankFixpoint]] (rank mass): the survivor set SHRINKS
+    * MONOTONICALLY, so (a) a stable round is a fixpoint (early exit ≡
+    * full unroll, the same capped-iteration gate contract) and (b) the
+    * convergence probe is a COUNT comparison — equal cardinality of
+    * nested sets implies equal sets — cheaper than the row-diff probe
+    * the non-monotone faces need. Returns the core's nodes with their
+    * in-core degree plus (rounds_run, converged); `converged = false`
+    * means the budget ran out and the result is a SUPERSET of the true
+    * k-core (peeling only removes — never wrongly admits).
+    *
+    * `edges` is the [[userCoEdges]] shape (both directions present).
+    * 100 TB shape: each round is one degree aggregation over the
+    * surviving edge list plus two semi-joins filtering edges to
+    * survivors — all keyed on node ids, nothing wider than an edge
+    * ever shuffles; the surviving edge list is checkpointed per round
+    * (it is the loop state, and shrinks). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k-core wants k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var nNodes = e.select(col("src")).distinct().count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prev = e
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val survivors = deg.filter(col("dg") >= k).select("src")
+      val next = e
+        .join(survivors, Seq("src"), "left_semi")
+        .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nNext = next.select(col("src")).distinct().count()
+      rounds += 1
+      // monotone peel: unchanged node COUNT ⇔ unchanged node set.
+      // (Nodes can also drop by losing their last surviving edge, so
+      // the count is taken from the filtered edge list, not `survivors`.)
+      converged = nNext == nNodes
+      nNodes = nNext
+      e = next
+      prev.unpersist(blocking = false)
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+      .select(col("id"), col("core_deg"),
+        lit(rounds).as("rounds_run"), lit(converged).as("converged"))
+  }
+
   def triangleCensus(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") < col("dst")).distinct()
@@ -995,6 +1050,55 @@ object GraphQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  // ---- q66: k-core decomposition of the minute-grain co-occurrence
+  // graph (q55's sparse graph), k = 2, peeled to the fixpoint under a
+  // 6-round budget. Monotone peeling keeps the capped-iteration gate
+  // contract (a stable round is a fixpoint, so the unrolled oracle
+  // matches with or without the early exit) and makes rounds_run a
+  // CARDINALITY comparison on both engines. At sf0.01 the peel runs 3
+  // real rounds down to a 106-node core; at sf0.1 the graph is already
+  // its own 2-core (round-1 no-op) — both faces certified by one gate. ----
+  private val q66Rounds = 6
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(Graph.userCoEdges(events(s, dir), grain = "minute"),
+        k = 2, maxRounds = q66Rounds)
+      .select(col("id").as("user_id"), col("core_deg"),
+        col("rounds_run"), col("converged"))
+      .orderBy("user_id")
+
+  private val q66Oracle: String = {
+    val k = q66Rounds
+    // every e_i is referenced three times (n_{i+1}, e_{i+1} twice) —
+    // without MATERIALIZED, DuckDB inlines the references and the
+    // 6-level chain explodes ~3^6-fold (measured: the un-hinted form
+    // never finished at sf0.01)
+    val rounds = (1 to k).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e${i - 1}.src, e${i - 1}.dst FROM e${i - 1}
+         |  JOIN n$i a ON e${i - 1}.src = a.src
+         |  JOIN n$i b ON e${i - 1}.dst = b.src),
+         |cnt$i AS (SELECT COUNT(DISTINCT src) AS c FROM e$i)"""
+    }.mkString(",\n")
+    val arms = (1 to k).map(i =>
+      s"WHEN (SELECT c FROM cnt$i) = (SELECT c FROM cnt${i - 1}) THEN $i")
+      .mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+       |  FROM events),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id <> b.user_id),
+       |cnt0 AS (SELECT COUNT(DISTINCT src) AS c FROM e0),
+       |$rounds
+       |SELECT src AS user_id, COUNT(*) AS core_deg,
+       |  CASE $arms ELSE $k END AS rounds_run,
+       |  ((SELECT c FROM cnt$k) = (SELECT c FROM cnt${k - 1})) AS converged
+       |FROM e$k GROUP BY src ORDER BY user_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1006,5 +1110,6 @@ object GraphQueries {
     QueryDef("q62_lpa_fixpoint", q62, Some(q62Oracle)),
     QueryDef("q63_pagerank_fixpoint", q63, Some(q63Oracle)),
     QueryDef("q64_lpa_resume", q64, Some(q64Oracle)),
-    QueryDef("q65_pagerank_resume", q65, Some(q65Oracle)))
+    QueryDef("q65_pagerank_resume", q65, Some(q65Oracle)),
+    QueryDef("q66_kcore", q66, Some(q66Oracle)))
 }

@@ -355,6 +355,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore: hand-computed peel — pendant chain falls off round by round") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant path 3–4–5: deg(5)=1 peels first,
+    // exposing deg(4)=1 next round; the triangle is the 2-core.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 2, maxRounds = 8)
+      .orderBy("id").select("id", "core_deg", "rounds_run", "converged")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    // rounds: peel 5 → peel 4 → stable = fixpoint detected at round 3
+    assert(out === Seq((1L, 2L, 3, true), (2L, 2L, 3, true),
+      (3L, 2L, 3, true)))
+    // k above the densest degree: the whole graph peels to empty
+    val empty = Graph.kCore(edges, k = 5, maxRounds = 8)
+    assert(empty.count() === 0L)
+    // already-a-core graph: round-1 no-op, converged immediately
+    val tri = Graph.kCore(
+      (und.take(3) ++ und.take(3).map(_.swap)).toDF("src", "dst"),
+      k = 2, maxRounds = 8)
+      .select("rounds_run", "converged").as[(Int, Boolean)].head()
+    assert(tri === ((1, true)))
+  }
+
   test("labelPropagateResume: warm-start over appended edges seeds new nodes fresh") {
     import spark.implicits._
     // archive labeling: clique {1,2,3} settled on community 1
