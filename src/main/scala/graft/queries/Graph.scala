@@ -307,61 +307,6 @@ object Graph {
     * never hub-degree² — and the closing join back to E' on (a,c) is a
     * plain equi-join. Counts are order-free integer sums: exact on any
     * engine, no per-node adjacency ever materializes. */
-  /** k-core decomposition by iterative peeling — the density filter a
-    * curation stack runs on its co-occurrence/citation graphs (spam
-    * rings and isolated chatter fall out of the core; Seidman 1983):
-    * repeatedly delete nodes of degree < k until every survivor has
-    * degree ≥ k within the surviving subgraph. Third iteration pattern
-    * beside [[labelPropagateFixpoint]] (label votes) and
-    * [[pageRankFixpoint]] (rank mass): the survivor set SHRINKS
-    * MONOTONICALLY, so (a) a stable round is a fixpoint (early exit ≡
-    * full unroll, the same capped-iteration gate contract) and (b) the
-    * convergence probe is a COUNT comparison — equal cardinality of
-    * nested sets implies equal sets — cheaper than the row-diff probe
-    * the non-monotone faces need. Returns the core's nodes with their
-    * in-core degree plus (rounds_run, converged); `converged = false`
-    * means the budget ran out and the result is a SUPERSET of the true
-    * k-core (peeling only removes — never wrongly admits).
-    *
-    * `edges` is the [[userCoEdges]] shape (both directions present).
-    * 100 TB shape: each round is one degree aggregation over the
-    * surviving edge list plus two semi-joins filtering edges to
-    * survivors — all keyed on node ids, nothing wider than an edge
-    * ever shuffles; the surviving edge list is checkpointed per round
-    * (it is the loop state, and shrinks). */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    require(k >= 1, s"k-core wants k >= 1, got $k")
-    require(maxRounds >= 1 && maxRounds <= 128,
-      s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var nNodes = e.select(col("src")).distinct().count()
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val prev = e
-      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
-      val survivors = deg.filter(col("dg") >= k).select("src")
-      val next = e
-        .join(survivors, Seq("src"), "left_semi")
-        .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"),
-          "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val nNext = next.select(col("src")).distinct().count()
-      rounds += 1
-      // monotone peel: unchanged node COUNT ⇔ unchanged node set.
-      // (Nodes can also drop by losing their last surviving edge, so
-      // the count is taken from the filtered edge list, not `survivors`.)
-      converged = nNext == nNodes
-      nNodes = nNext
-      e = next
-      prev.unpersist(blocking = false)
-    }
-    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
-      .select(col("id"), col("core_deg"),
-        lit(rounds).as("rounds_run"), lit(converged).as("converged"))
-  }
-
   def triangleCensus(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") < col("dst")).distinct()
@@ -394,6 +339,63 @@ object Graph {
         expr("(3000000 * n_triangles) div n_wedges").as("global_cc_ppm"))
   }
 
+
+  /** k-core decomposition by iterative peeling — the density filter a
+    * curation stack runs on its co-occurrence/citation graphs (spam
+    * rings and isolated chatter fall out of the core; Seidman 1983):
+    * repeatedly delete nodes of degree < k until every survivor has
+    * degree ≥ k within the surviving subgraph. Third iteration pattern
+    * beside [[labelPropagateFixpoint]] (label votes) and
+    * [[pageRankFixpoint]] (rank mass): the survivor set SHRINKS
+    * MONOTONICALLY, so (a) a stable round is a fixpoint (early exit ≡
+    * full unroll, the same capped-iteration gate contract) and (b) the
+    * convergence probe is an EDGE-COUNT comparison — each round's edge
+    * set is nested in its predecessor's, so equal cardinality implies
+    * equal sets, and an unchanged edge set means unchanged degrees,
+    * hence a fixpoint: one `count()` scan of the just-checkpointed
+    * list, no exchange, cheaper than even the row-diff probe the
+    * non-monotone faces need. Returns the core's nodes with their
+    * in-core degree plus (rounds_run, converged); `converged = false`
+    * means the budget ran out and the result is a SUPERSET of the true
+    * k-core (peeling only removes — never wrongly admits).
+    *
+    * `edges` is the [[userCoEdges]] shape (both directions present).
+    * 100 TB shape: each round is one degree aggregation over the
+    * surviving edge list plus two semi-joins filtering edges to
+    * survivors — all keyed on node ids, nothing wider than an edge
+    * ever shuffles; the surviving edge list is checkpointed per round
+    * (it is the loop state, and shrinks). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k-core wants k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prev = e
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val survivors = deg.filter(col("dg") >= k).select("src")
+      val next = e
+        .join(survivors, Seq("src"), "left_semi")
+        .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      rounds += 1
+      // monotone peel: nested edge sets, so unchanged edge COUNT ⇔
+      // unchanged edge set ⇔ unchanged degrees ⇔ fixpoint
+      converged = nNext == nEdges
+      nEdges = nNext
+      e = next
+      prev.unpersist(blocking = false)
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+      .select(col("id"), col("core_deg"),
+        lit(rounds).as("rounds_run"), lit(converged).as("converged"))
+  }
   /** Common-neighbor link prediction: for every non-adjacent unordered
     * node pair (u, v) that shares at least one neighbor, emit the three
     * classic link-prediction scores — common-neighbor count `cn`,
@@ -998,7 +1000,10 @@ object GraphQueries {
   // bit-identical to one 6-round run — the re-entry contract, gated. ----
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).filter(col("user_id") % 2 === 0)
-    val edges = Graph.userCoEdges(ev)
+    // materialized once for BOTH legs: the operators' internal edge
+    // checkpoints then copy cached blocks instead of re-running the
+    // co-occurrence self-join per leg (review finding)
+    val edges = Graph.userCoEdges(ev).localCheckpoint(true)
     val leg1 = Graph.labelPropagateFixpoint(edges,
         ev.select(col("user_id").as("id")), maxRounds = 1)
       .select(col("id"), col("community"))
@@ -1024,7 +1029,8 @@ object GraphQueries {
   // 4-iteration run — same trajectory chain, resumed-leg view. ----
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).filter(col("user_id") % 2 === 0)
-    val edges = Graph.userCoEdges(ev)
+    // one materialization for both legs — same rationale as q64
+    val edges = Graph.userCoEdges(ev).localCheckpoint(true)
     val half = q63Iters / 2
     val leg1 = Graph.pageRankFixpoint(edges,
         ev.select(col("user_id").as("id")), maxIters = half)
@@ -1079,7 +1085,7 @@ object GraphQueries {
          |  SELECT e${i - 1}.src, e${i - 1}.dst FROM e${i - 1}
          |  JOIN n$i a ON e${i - 1}.src = a.src
          |  JOIN n$i b ON e${i - 1}.dst = b.src),
-         |cnt$i AS (SELECT COUNT(DISTINCT src) AS c FROM e$i)"""
+         |cnt$i AS (SELECT COUNT(*) AS c FROM e$i)"""
     }.mkString(",\n")
     val arms = (1 to k).map(i =>
       s"WHEN (SELECT c FROM cnt$i) = (SELECT c FROM cnt${i - 1}) THEN $i")
@@ -1091,7 +1097,7 @@ object GraphQueries {
        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
        |  FROM ev a JOIN ev b USING (h, event_type)
        |  WHERE a.user_id <> b.user_id),
-       |cnt0 AS (SELECT COUNT(DISTINCT src) AS c FROM e0),
+       |cnt0 AS (SELECT COUNT(*) AS c FROM e0),
        |$rounds
        |SELECT src AS user_id, COUNT(*) AS core_deg,
        |  CASE $arms ELSE $k END AS rounds_run,
