@@ -293,4 +293,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
+
+  test("m9/CqlBind: the wire encode is pure codegen projection — " +
+    "exactly ONE exchange (the partition-key routing), zero UDFs") {
+    import org.apache.spark.sql.functions.col
+    val sec = MeterGen.secondTable(spark, GenConfig(numMeters = 2, ticks = 60))
+    val df = new graft.sources.CassandraSinkShape("disagg")
+      .bindRows(sec, "meter_samples_second", Seq("said"), Seq("datetime"))
+      .select(col("said"), col("stmt"), col("params"))
+    df.collect()
+    // count only the executed (final) plan — the AQE string repeats the
+    // pre-adaptive plan under "== Initial Plan ==" and would double-count
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the routing repartition is the bind's only shuffle; every encoder
+    // (hex/lpad/unhex + the IeeeBits expressions) composes inside the
+    // projection — a UDF would surface as BatchEvalPython/ScalaUDF
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"bind should shuffle exactly once (routing):\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"UDF leaked into the bind projection:\n$p")
+    // toString marks whole-stage-codegen stages as `*(n)`
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"),
+      s"bind projection fell out of whole-stage codegen:\n$p")
+  }
 }
