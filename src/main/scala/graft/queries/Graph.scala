@@ -157,6 +157,64 @@ object Graph {
         col("pr"), lit(iters).as("iters_run"), lit(converged).as("converged"))
   }
 
+  /** PERSONALIZED (seeded) integer PageRank — authority relative to a
+    * trusted seed set, the curation practice of scoring a crawl's
+    * domains by proximity to a hand-vetted whitelist (Gyöngyi et al.'s
+    * TrustRank shape): teleport mass lands ONLY on seeds, so
+    *
+    *   r'(v) = [v ∈ S]·125000 + Σ_{u→v} (r(u)·7) div (8·deg(u)),
+    *   r0(v) = [v ∈ S]·10⁶
+    *
+    * — [[pageRankInt]]'s recurrence with the uniform base replaced by a
+    * seed indicator (unnormalized: scores are comparable within a run,
+    * which is all a ranking needs, and dividing by |S| would break the
+    * exact-BIGINT gate contract). Non-seed nodes score > 0 exactly when
+    * they are reachable from a seed — distance-damped trust. Same
+    * capped-fixpoint loop, checkpointing, probe, and (iters_run,
+    * converged) contract as [[pageRankFixpoint]]; `seeds` is one id
+    * column, and the output carries `is_seed`. */
+  def pageRankSeeded(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 128,
+      s"fixpoint iteration wants 1..128 max iterations, got $maxIters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val sd = seeds.select(col("id")).distinct()
+      .withColumn("sb", lit(true))
+    val seeded = labelSeed(e, nodes).select(col("id"))
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sb"), lit(false)).as("is_seed"))
+    var r = seeded
+      .withColumn("pr",
+        when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prev = r
+      val contrib = e
+        .join(r.select(col("id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("(pr * 7) div (8 * dg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      val next = r.join(contrib, r("id") === contrib("dst"), "left")
+        .withColumn("nxt",
+          when(col("is_seed"), lit(125000L)).otherwise(lit(0L)) +
+            coalesce(col("m"), lit(0L)))
+        .drop("dst", "m")
+        .localCheckpoint(true)
+      converged = next.filter(col("nxt") =!= col("pr")).limit(1).isEmpty
+      iters += 1
+      r = next.select(col("id"), col("is_seed"), col("nxt").as("pr"))
+      prev.unpersist(blocking = false)
+    }
+    r.join(deg, r("id") === deg("src"), "left")
+      .select(r("id"), col("is_seed"),
+        coalesce(col("dg"), lit(0L)).as("deg_out"), col("pr"),
+        lit(iters).as("iters_run"), lit(converged).as("converged"))
+  }
+
   /** CONVERGENCE-DRIVEN label propagation — [[labelPropagate]]'s
     * production face, the same capped-iteration contract as
     * [[pageRankFixpoint]]: run synchronous determinized LPA rounds
@@ -1105,6 +1163,64 @@ object GraphQueries {
        |FROM e$k GROUP BY src ORDER BY user_id""".stripMargin
   }
 
+  // ---- q67: PERSONALIZED PageRank (TrustRank shape) on the q63 graph
+  // — teleport mass only on the seed set (user_id % 16 = 0, a sixteenth
+  // of the users), so rank measures distance-damped proximity to the
+  // trusted seeds. Same capped-fixpoint contract and generated unrolled
+  // oracle as q63, with the uniform 125000 base replaced by the seed
+  // indicator in every CTE round. ----
+  private val q67Iters = 4
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    val nodes = ev.select(col("user_id").as("id"))
+    Graph.pageRankSeeded(Graph.userCoEdges(ev), nodes,
+        nodes.filter(col("id") % 16 === 0), maxIters = q67Iters)
+      .select(col("id").as("user_id"), col("is_seed"), col("deg_out"),
+        col("pr"), col("iters_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q67Oracle: String = {
+    val k = q67Iters
+    val base = "CASE WHEN n.id % 16 = 0 THEN 125000 ELSE 0 END"
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, $base + COALESCE(s.m, 0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((r${i - 1}.pr * 7) // (8 * deg.dg)) AS BIGINT) AS m
+         |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |    GROUP BY e.dst) s USING (id)),
+         |c$i AS (
+         |  SELECT COUNT(*) AS c FROM r${i - 1} a JOIN r$i b USING (id)
+         |  WHERE a.pr <> b.pr)"""
+    }.mkString(",\n")
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+       |  FROM events WHERE user_id % 2 = 0),
+       |e AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id <> b.user_id),
+       |nodes AS (SELECT DISTINCT user_id AS id FROM events
+       |  WHERE user_id % 2 = 0),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CASE WHEN id % 16 = 0
+       |  THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM nodes),
+       |$rounds
+       |SELECT n.id AS user_id, (n.id % 16 = 0) AS is_seed,
+       |  COALESCE(deg.dg, 0) AS deg_out, r$k.pr,
+       |  CASE $arms ELSE $k END AS iters_run,
+       |  ((SELECT c FROM c$k) = 0) AS converged
+       |FROM nodes n
+       |  LEFT JOIN deg ON deg.src = n.id
+       |  JOIN r$k ON r$k.id = n.id
+       |ORDER BY user_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1117,5 +1233,6 @@ object GraphQueries {
     QueryDef("q63_pagerank_fixpoint", q63, Some(q63Oracle)),
     QueryDef("q64_lpa_resume", q64, Some(q64Oracle)),
     QueryDef("q65_pagerank_resume", q65, Some(q65Oracle)),
-    QueryDef("q66_kcore", q66, Some(q66Oracle)))
+    QueryDef("q66_kcore", q66, Some(q66Oracle)),
+    QueryDef("q67_trustrank", q67, Some(q67Oracle)))
 }

@@ -355,6 +355,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankSeeded: trust flows only from seeds, hand-computed on a chain") {
+    import spark.implicits._
+    // 1 → 2 → 3, seed = {1}: r0 = (1e6, 0, 0); deg(1)=deg(2)=1.
+    //   iter1: n1 = 125000 (seed base, nothing in);
+    //          n2 = 0 + (1e6·7) div 8 = 875000; n3 = 0 + 0 = 0
+    //   iter2: n2 = (125000·7) div 8 = 109375;
+    //          n3 = (875000·7) div 8 = 765625
+    //   iter3: n2 = 109375 (stable from here);
+    //          n3 = (109375·7) div 8 = 95703
+    //   iter4 reproduces iter3 → fixpoint detected
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Graph.pageRankSeeded(edges, nodes, Seq(1L).toDF("id"),
+        maxIters = 16)
+      .orderBy("id")
+      .select("id", "is_seed", "pr", "iters_run", "converged")
+      .as[(Long, Boolean, Long, Int, Boolean)].collect().toSeq
+    val rounds = out.head._4
+    assert(out === Seq(
+      (1L, true, 125000L, rounds, true),
+      (2L, false, 109375L, rounds, true),
+      (3L, false, 95703L, rounds, true)))
+    // an unreachable node scores exactly zero — no uniform teleport
+    val out2 = Graph.pageRankSeeded(edges, Seq(1L, 2L, 3L, 9L).toDF("id"),
+        Seq(1L).toDF("id"), maxIters = 16)
+      .filter(col("id") === 9L).select("pr").as[Long].head()
+    assert(out2 === 0L)
+  }
+
   test("kCore: hand-computed peel — pendant chain falls off round by round") {
     import spark.implicits._
     // triangle {1,2,3} with a pendant path 3–4–5: deg(5)=1 peels first,
