@@ -213,21 +213,28 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val g = decoder.grayGrid(r.payload)
-        var lo = 0L
-        var hi = 0L
-        var b = 0
-        while (b < 64) {
-          val row = b / 8
-          val c = b % 8
-          if (g(row * 9 + c + 1) > g(row * 9 + c)) {
-            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-          }
-          b += 1
-        }
+        val (lo, hi) = packDHash(decoder.grayGrid(r.payload))
         PHashRow(r.doc_id, lo, hi)
       }
     }.toDF()
+  }
+
+  /** The 72-cell grid → two 32-bit gradient words — the single home of
+    * the dHash bit layout, shared by [[dHash]] (whole images) and
+    * [[keyframeHashes]] (per-scene video keyframes). */
+  private def packDHash(g: Array[Int]): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      val row = b / 8
+      val c = b % 8
+      if (g(row * 9 + c + 1) > g(row * 9 + c)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (lo, hi)
   }
 
   /** [[dHash]] rows exploded into the 4×16-bit chunk layout the shared
@@ -306,6 +313,115 @@ object Multimodal {
         twoWordHamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  case class KeyframeHashRow(doc_id: Long, scene_id: Long,
+      ph_lo: Long, ph_hi: Long)
+
+  /** Per-scene keyframe dHash — the VIDEO near-dup fingerprint: cut the
+    * payload into `frameBytes` stub frames, segment on energy change
+    * (the [[sceneCuts]] arithmetic: integer per-mille byte-sum energy,
+    * a new scene where |Δ| ≥ `cutPm`), then dHash each scene's FIRST
+    * frame (its keyframe) through the decoder grid. One row per
+    * (video, scene).
+    *
+    * The default `frameBytes = 72` matches the grid's 72 cells, so with
+    * [[StubImageDecoder]] every stripe holds exactly one keyframe byte
+    * and the full 64-bit gradient hash is live (a 16-byte frame would
+    * zero 56 cells and collapse three of the four pigeonhole chunks).
+    *
+    * Runs as ONE map-side pass per video — segmentation is a per-video
+    * sequential fold, so unlike the [[sceneCuts]] gate face (generic
+    * over any frame table, one doc-keyed shuffle) nothing shuffles at
+    * all here, payloads included; the per-video scene count is bounded
+    * by payload/`frameBytes`. Scene ids are the 1-based running cut
+    * count — row-identical to [[sceneCuts]]'s `scene_id` (spec
+    * cross-validated). */
+  def keyframeHashes(media: Dataset[MediaRow], frameBytes: Int = 72,
+      cutPm: Long = 8L,
+      decoder: ImageDecoder = StubImageDecoder): Dataset[KeyframeHashRow] = {
+    require(frameBytes >= 1, s"frameBytes=$frameBytes must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        // scene ids pack into 16 bits downstream ([[videoDupPairs]])
+        require(nFrames < 65536,
+          s"video ${r.doc_id}: $nFrames frames overflow the 16-bit scene id")
+        var prevEpm = 0L
+        var scene = 0L
+        var f = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[KeyframeHashRow]
+        while (f < nFrames) {
+          val lo = f * frameBytes
+          val hi = math.min(n, lo + frameBytes)
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += (r.payload(j) & 0xff); j += 1 }
+          val epm = s * 1000L / (255L * (hi - lo))
+          if (f == 0 || math.abs(epm - prevEpm) >= cutPm) {
+            scene += 1
+            val (phLo, phHi) =
+              packDHash(decoder.grayGrid(
+                java.util.Arrays.copyOfRange(r.payload, lo, hi)))
+            out += KeyframeHashRow(r.doc_id, scene, phLo, phHi)
+          }
+          prevEpm = epm
+          f += 1
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** Near-duplicate VIDEO pairs over [[keyframeHashes]] — the
+    * multimodal dedup face for the video modality: keyframes pair
+    * through the same 4×16-bit chunk-pigeonhole machinery as
+    * [[phashPairs]] (df-capped buckets, exact XOR+popcount verify at
+    * `maxHamming`), then matched keyframes roll up per video pair and
+    * a pair is emitted when the matches cover at least HALF of either
+    * side's scenes (containment-style, the d41 contract — a clip
+    * embedded in a longer video still surfaces).
+    *
+    * Keyframe identity travels as `doc_id·2^16 + scene_id` through the
+    * shared bucket join (the 16-bit bound [[keyframeHashes]] enforces),
+    * so cross-video candidate order is plain id order. Output:
+    * (doc_a, doc_b, n_scenes_a, n_scenes_b, matched_a, matched_b),
+    * doc_a < doc_b.
+    *
+    * 100 TB shape: only (kid, 16-byte hash) rows shuffle; bucket cost
+    * is bounded by maxBucket²·buckets; the rollup groups the verified
+    * pair list (already near-dup-sparse) and the per-video scene count
+    * join is a plain doc-keyed shuffle — no payload, no quadratic. */
+  def videoDupPairs(keyframes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    val kid = keyframes.select(
+      (col("doc_id") * lit(65536L) + col("scene_id")).as("doc_id"),
+      col("ph_lo"), col("ph_hi"))
+    val kfPairs = SimHash.bucketSelfJoin(phashChunks(kid), maxBucket)
+      .select(col("id_a"), col("id_b"), twoWordHamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val scenePairs = kfPairs.select(
+        expr("id_a div 65536").as("doc_a"), (col("id_a") % 65536L).as("scene_a"),
+        expr("id_b div 65536").as("doc_b"), (col("id_b") % 65536L).as("scene_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val counts = keyframes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scenes"))
+    scenePairs.groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("scene_a")).as("matched_a"),
+        countDistinct(col("scene_b")).as("matched_b"))
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_scenes").as("n_scenes_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_scenes").as("n_scenes_b")), Seq("doc_b"))
+      .filter(col("matched_a") * 2 >= col("n_scenes_a") ||
+        col("matched_b") * 2 >= col("n_scenes_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_scenes_a"),
+        col("n_scenes_b"), col("matched_a"), col("matched_b"))
   }
 
   case class ResizedRow(doc_id: Long, width: Int, height: Int,

@@ -1765,6 +1765,109 @@ object PipelineQueries {
       |SELECT doc_a, doc_b, hamming FROM p
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- mm8: perceptual VIDEO near-dup pairs — the video modality's
+  // dedup face, completing the family (text d7/d13, image mm6/mm7):
+  // payloads segment into scenes on 72-byte stub-frame energy change
+  // (mm5's arithmetic at the grid-filling frame size), each scene's
+  // keyframe dHashes through the mm6 grid, keyframes pair through the
+  // mm7 chunk-pigeonhole (df-cap 100, exact Hamming ≤ 3 verify), and
+  // video pairs emit where matches cover ≥ half of either side's
+  // scenes (d41 containment-style — a clip inside a longer video still
+  // surfaces). The oracle replays frames → energies → cuts → keyframe
+  // slices → 72-cell grids → gradient words → packed keyframe ids →
+  // chunks → cap → verify → coverage rollup, all integer byte
+  // arithmetic off the stored payload. ----
+  private def mm8(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.videoDupPairs(
+        Multimodal.keyframeHashes(media, frameBytes = 72, cutPm = 8L).toDF(),
+        maxHamming = 3, maxBucket = 100)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mm8Oracle =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, (n + 71) // 72 - 1)) AS fi
+      |  FROM d),
+      |e AS (
+      |  SELECT f.doc_id, f.fi,
+      |    (list_sum(list_transform(
+      |      generate_series(f.fi * 72 + 1, least(f.fi * 72 + 72, f.n)),
+      |      p -> ord(substr(d.text, CAST(p AS INT), 1)))) * 1000)
+      |      // (255 * (least(f.fi * 72 + 72, f.n) - f.fi * 72)) AS epm
+      |  FROM f JOIN d USING (doc_id)),
+      |b AS (
+      |  SELECT doc_id, fi, epm,
+      |    CASE WHEN LAG(epm) OVER w IS NULL
+      |           OR abs(epm - LAG(epm) OVER w) >= 8 THEN 1 ELSE 0 END AS cut
+      |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      |g AS (
+      |  SELECT doc_id, fi,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+      |      ROWS UNBOUNDED PRECEDING) AS scene
+      |  FROM b),
+      |kf0 AS (
+      |  SELECT doc_id, CAST(scene AS BIGINT) AS scene_id, MIN(fi) AS kfi
+      |  FROM g GROUP BY doc_id, scene),
+      |gl AS (
+      |  SELECT k.doc_id, k.scene_id,
+      |    list_transform(generate_series(0, 71), c ->
+      |      CASE WHEN k.kfi * 72 + c + 1 <= d.n
+      |        THEN ord(substr(d.text, CAST(k.kfi * 72 + c + 1 AS INT), 1))
+      |        ELSE 0 END) AS gs
+      |  FROM kf0 k JOIN d USING (doc_id)),
+      |kph AS (
+      |  SELECT doc_id, scene_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+      |      CASE WHEN gs[(b // 8) * 9 + (b % 8) + 2]
+      |             > gs[(b // 8) * 9 + (b % 8) + 1]
+      |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS ph_lo,
+      |    CAST(list_sum(list_transform(generate_series(32, 63), b ->
+      |      CASE WHEN gs[(b // 8) * 9 + (b % 8) + 2]
+      |             > gs[(b // 8) * 9 + (b % 8) + 1]
+      |        THEN (1::BIGINT << (b - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+      |      AS ph_hi
+      |  FROM gl),
+      |kid AS (
+      |  SELECT doc_id * 65536 + scene_id AS doc_id, ph_lo, ph_hi FROM kph),
+      |${phashChunkCtes("ck", "kid")},
+      |ok AS (
+      |  SELECT ck, cv FROM ck2 GROUP BY ck, cv
+      |  HAVING COUNT(*) BETWEEN 2 AND 100),
+      |fk AS (SELECT ck2.* FROM ck2 JOIN ok USING (ck, cv)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS kid_a, b.doc_id AS kid_b,
+      |    CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+      |      + bit_count(xor(a.ph_hi, b.ph_hi)) AS INT) AS hamming
+      |  FROM fk a JOIN fk b ON a.ck = b.ck AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id),
+      |sp AS (
+      |  SELECT kid_a // 65536 AS doc_a, kid_a % 65536 AS scene_a,
+      |    kid_b // 65536 AS doc_b, kid_b % 65536 AS scene_b
+      |  FROM p WHERE hamming <= 3 AND kid_a // 65536 <> kid_b // 65536),
+      |cov AS (
+      |  SELECT doc_a, doc_b,
+      |    COUNT(DISTINCT scene_a) AS matched_a,
+      |    COUNT(DISTINCT scene_b) AS matched_b
+      |  FROM sp GROUP BY doc_a, doc_b),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_scenes FROM kph GROUP BY doc_id)
+      |SELECT cov.doc_a, cov.doc_b,
+      |  ca.n_scenes AS n_scenes_a, cb.n_scenes AS n_scenes_b,
+      |  cov.matched_a, cov.matched_b
+      |FROM cov
+      |JOIN cnt ca ON ca.doc_id = cov.doc_a
+      |JOIN cnt cb ON cb.doc_id = cov.doc_b
+      |WHERE cov.matched_a * 2 >= ca.n_scenes
+      |   OR cov.matched_b * 2 >= cb.n_scenes
+      |ORDER BY cov.doc_a, cov.doc_b""".stripMargin
+
   private val mm5Oracle =
     """WITH d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
@@ -2463,6 +2566,7 @@ object PipelineQueries {
     QueryDef("mm5_scene_cuts", mm5, Some(mm5Oracle)),
     QueryDef("mm6_phash", mm6, Some(mm6Oracle)),
     QueryDef("mm7_phash_pairs", mm7, Some(mm7Oracle)),
+    QueryDef("mm8_video_dup_pairs", mm8, Some(mm8Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

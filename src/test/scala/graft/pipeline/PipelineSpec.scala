@@ -1131,6 +1131,82 @@ class PipelineSpec extends SparkSpec {
     assert(capped === Set((100L, 1L, 0)))
   }
 
+  test("keyframeHashes: fused map-side pass ≡ sceneCuts segmentation + " +
+      "dHash of each keyframe slice") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val kf = Multimodal.keyframeHashes(media, frameBytes = 72, cutPm = 8L)
+      .toDF()
+    // segmentation: the fused fold lands on the exact (doc, scene)
+    // partition the generic sceneCuts face computes over 72-byte frames
+    val scenes = Multimodal.sceneCuts(
+      Multimodal.sampleAudioFrames(media, frameBytes = 72).toDF(),
+      cutPm = 8L)
+    val a = kf.select("doc_id", "scene_id")
+    val b = scenes.select("doc_id", "scene_id")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // hashes: each scene's hash is dHash of the keyframe's 72-byte slice
+    val joined = kf.join(scenes, Seq("doc_id", "scene_id"))
+      .select("doc_id", "scene_id", "ph_lo", "ph_hi", "start_idx")
+      .collect()
+    assert(joined.nonEmpty)
+    val pay = media.collect().map(r => r.doc_id -> r.payload).toMap
+    val slices = joined.map { r =>
+      val p = pay(r.getLong(0))
+      val lo = r.getLong(4).toInt * 72
+      Multimodal.MediaRow(r.getLong(0) * 100000L + r.getLong(1),
+        java.util.Arrays.copyOfRange(p, lo, math.min(p.length, lo + 72)),
+        "stub")
+    }
+    val expected = Multimodal.dHash(spark.createDataset(slices.toSeq))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    joined.foreach { r =>
+      val key = r.getLong(0) * 100000L + r.getLong(1)
+      assert((r.getLong(2), r.getLong(3)) === expected(key),
+        s"keyframe hash mismatch for doc ${r.getLong(0)} scene ${r.getLong(1)}")
+    }
+  }
+
+  test("videoDupPairs: containment coverage, within-video exclusion, " +
+      "hamming-3 verify") {
+    import spark.implicits._
+    val h1 = (0x0f0f0f0fL, 0x0f0f0f0fL)
+    val h2 = (0x12345678L, 0x0a0b0c0dL)
+    val h3 = (0x7777aaaaL, 0x5555eeeeL)
+    // B scene 2 flips 3 bits of h2 inside one chunk → hamming 3 (kept);
+    // C scenes 2-4 are far from everything
+    val keyframes = Seq(
+      (1L, 1L, h1._1, h1._2),            // video A: 4 scenes, two of them
+      (1L, 2L, h2._1, h2._2),            // identical keyframes (3 and 4)
+      (1L, 3L, h3._1, h3._2),
+      (1L, 4L, h3._1, h3._2),
+      (2L, 1L, h1._1, h1._2),            // video B: a 2-scene clip of A
+      (2L, 2L, h2._1 ^ 0x7L, h2._2),
+      (3L, 1L, h1._1, h1._2),            // video C: 1 of 4 scenes shared
+      (3L, 2L, 0xdeadbeefL, 0x0badf00dL),
+      (3L, 3L, 0xcafe1234L, 0x8642fdb9L),
+      (3L, 4L, 0x13572468L, 0x0fedc0deL))
+      .toDF("doc_id", "scene_id", "ph_lo", "ph_hi")
+    val got = Multimodal.videoDupPairs(keyframes, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A~B: both of B's scenes matched (half of A's side too: scenes 1, 2)
+    assert(got((1L, 2L)) === ((4L, 2L, 2L, 2L)))
+    // B~C: C carries h1 = half of B's 2 scenes (containment face)
+    assert(got((2L, 3L)) === ((2L, 4L, 1L, 1L)))
+    // A~C: 1 matched scene on each side, under half of both → dropped;
+    // A's identical scenes 3/4 never self-pair (within-video excluded)
+    assert(got.size === 2)
+    // the pigeonhole bound is a hard precondition
+    assertThrows[IllegalArgumentException] {
+      Multimodal.videoDupPairs(keyframes, maxHamming = 4)
+    }
+  }
+
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs, "text")
