@@ -2513,7 +2513,101 @@ object PipelineQueries {
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- e26: recall-after-append — the index-QUALITY face of the
+  // append lifecycle. e23/s16 certify that serve-over-appended-index
+  // is row-identical to the rebuild; this row certifies the thing a
+  // deployment actually cares about: recall@5 vs exact ground truth,
+  // measured AFTER the archive has absorbed two append batches. The
+  // quantizer trains ONCE on the full table and freezes (the s16
+  // train/freeze contract), the archive builds over a third of the
+  // corpus, two appendNndIndex batches absorb the rest, and the
+  // appended ARTIFACT answers the e23 query set; both retrieval sides
+  // (graph serve + brute force) run in-engine, the join computes
+  // e18's hits / integer recall-percent arithmetic. The oracle leans
+  // on the spec-certified append induction — the appended refined
+  // face equals the from-scratch frozen-quantizer build — so it
+  // replays e22's build CTEs, e23's two-hop serve chain over that
+  // adjacency, the exact top-5, and the same recall arithmetic. ----
+  private def e26(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val quant = Similarity.nndQuantizer(e, "vec_id", "embedding")
+    val archive = Similarity.buildNndIndexWith(
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", quant)
+    val after1 = Similarity.appendNndIndex(archive,
+      e.filter(col("vec_id") % 3 <= 1), "vec_id", "embedding",
+      _ % 3 === 1)
+    val after2 = Similarity.appendNndIndex(after1, e, "vec_id",
+      "embedding", _ % 3 === 2)
+    val approx = Similarity.graphServeTopK(e, "vec_id", "embedding",
+        after2, _ < 20, k = 5, beam = 8, hops = 2)
+      .select(col("q_id"), col("nn_id"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e26Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH ${nndAdjCtes(cos)},
+      |adj AS (SELECT node, nbr FROM adj1 WHERE rank <= 6),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      |s0 AS (
+      |  SELECT q.q_id, s.cid AS nn_id, ${cos("q.qv", "s.cv")} AS sim
+      |  FROM q CROSS JOIN samp s),
+      |f0 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s0) WHERE rn <= 8),
+      |c1 AS (SELECT q_id, nn_id FROM f0
+      |  UNION SELECT f0.q_id, a.nbr FROM f0 JOIN adj a ON a.node = f0.nn_id),
+      |s1 AS (
+      |  SELECT c1.q_id, c1.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c1 JOIN q USING (q_id) JOIN e t ON t.vec_id = c1.nn_id),
+      |f1 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s1) WHERE rn <= 8),
+      |c2 AS (SELECT q_id, nn_id FROM f1
+      |  UNION SELECT f1.q_id, a.nbr FROM f1 JOIN adj a ON a.node = f1.nn_id),
+      |s2 AS (
+      |  SELECT c2.q_id, c2.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c2 JOIN q USING (q_id) JOIN e t ON t.vec_id = c2.nn_id),
+      |ap AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s2 WHERE q_id <> nn_id) WHERE rn <= 5),
+      |exs AS (
+      |  SELECT q.q_id, t.vec_id AS nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM q JOIN e t ON q.q_id <> t.vec_id),
+      |ex AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM exs) WHERE rn <= 5),
+      |h AS (
+      |  SELECT ex.q_id, COUNT(*) AS hits
+      |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.nn_id = ap.nn_id
+      |  GROUP BY ex.q_id),
+      |b AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY q_id)
+      |SELECT b.q_id, COALESCE(h.hits, 0)::BIGINT AS hits, b.k::BIGINT AS k,
+      |  CAST(COALESCE(h.hits, 0) * 100 / b.k AS BIGINT) AS recall_pct
+      |FROM b LEFT JOIN h ON h.q_id = b.q_id
+      |ORDER BY b.q_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("e26_append_recall", e26, Some(e26Oracle)),
     QueryDef("e23_graph_serve", e23, Some(e23Oracle)),
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),

@@ -497,6 +497,42 @@ class PipelineSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("e26 geometry: two-batch append chain serves at fresh-build " +
+      "recall and clears the IVF-PQ (e18) floor") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    // the s16 train/freeze contract: quantizer from the FULL table,
+    // archive over a third, two appends absorb the rest
+    val quant = Similarity.nndQuantizer(e, "vec_id", "embedding")
+    val fresh = Similarity.buildNndIndexWith(e, "vec_id", "embedding",
+      quant)
+    val archive = Similarity.buildNndIndexWith(
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", quant)
+    val appended = Similarity.appendNndIndex(
+      Similarity.appendNndIndex(archive,
+        e.filter(col("vec_id") % 3 <= 1), "vec_id", "embedding",
+        _ % 3 === 1),
+      e, "vec_id", "embedding", _ % 3 === 2)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def served(idx: Similarity.NndIndex): Set[(Long, Long)] =
+      pairs(Similarity.graphServeTopK(e, "vec_id", "embedding", idx,
+        _ < 20, k = 5, beam = 8, hops = 2))
+    val sApp = served(appended)
+    // zero recall drift: the double-append artifact serves the fresh
+    // build's exact result set (the equality face, across TWO batches)
+    assert(sApp === served(fresh))
+    // the quality face: recall@5 vs brute force from the appended
+    // artifact must clear what the e18 gate certifies for IVF-PQ
+    val bf = pairs(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      _ < 20, 5))
+    val recallApp = (bf intersect sApp).size * 100 / bf.size
+    val recallIvf = (bf intersect pairs(Similarity.ivfPqTopK(e,
+      "vec_id", "embedding", _ < 20, k = 5))).size * 100 / bf.size
+    assert(recallApp >= recallIvf, s"append-served recall $recallApp% " +
+      s"fell below the e18 IVF-PQ floor $recallIvf%")
+  }
+
   test("nn-descent kernel quantizer: nlist > 64 routes through IvfCellsExpr and keeps every contract") {
     val emb = Tables.load(spark, sf(), "embeddings")
     // 128 cells over 500 vectors — the production configuration shape
