@@ -424,6 +424,57 @@ object Multimodal {
         col("n_scenes_b"), col("matched_a"), col("matched_b"))
   }
 
+  /** Acoustic fingerprint — the AUDIO near-dup sketch completing the
+    * modality matrix (text shingles, image [[dHash]], video
+    * [[keyframeHashes]]): 64 bits where bit f is set iff frame f+1's
+    * energy exceeds frame f's — the [[dHash]] gradient idea applied in
+    * the TIME domain over the [[sampleAudioFrames]] energy sequence
+    * (real acoustic fingerprints difference spectral bands the same
+    * way; the byte-sum energy is the marked decode stub). Only the
+    * first 65 frames contribute (a 64-bit prefix fingerprint — clips
+    * align at their starts, the containment face is
+    * [[videoDupPairs]]'s job); frames past the payload contribute 0
+    * bits, so short clips hash consistently (the [[dHash]] zero-cell
+    * rule, with the df-cap absorbing the resulting degenerate
+    * zero-chunk buckets).
+    *
+    * Output is the (doc_id, ph_lo, ph_hi) two-word [[PHashRow]] layout,
+    * so the ENTIRE image pairing stack — [[phashPairs]],
+    * [[phashChunkIndex]], the streaming probe — serves audio
+    * unchanged. Map-side only; payloads never shuffle. */
+  def audioFingerprints(media: Dataset[MediaRow],
+      frameBytes: Int = 8): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes=$frameBytes must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        val e = new Array[Long](math.min(nFrames, 65))
+        var f = 0
+        while (f < e.length) {
+          val flo = f * frameBytes
+          val fhi = math.min(n, flo + frameBytes)
+          var s = 0L
+          var j = flo
+          while (j < fhi) { s += (r.payload(j) & 0xff); j += 1 }
+          e(f) = s * 1000L / (255L * (fhi - flo))
+          f += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < 64 && b + 1 < e.length) {
+          if (e(b + 1) > e(b)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PHashRow(r.doc_id, lo, hi)
+      }
+    }.toDF()
+  }
+
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, pixels: Array[Float])
 

@@ -1868,6 +1868,68 @@ object PipelineQueries {
       |   OR cov.matched_b * 2 >= cb.n_scenes
       |ORDER BY cov.doc_a, cov.doc_b""".stripMargin
 
+  // ---- mm9: acoustic-fingerprint AUDIO near-dup pairs — the audio
+  // modality's dedup face, closing the matrix (text d7/d13, image
+  // mm6/mm7, video mm8): payloads frame at 8 bytes (the
+  // sampleAudioFrames energy arithmetic), the fingerprint sets bit f
+  // where frame f+1's energy exceeds frame f's (sign-of-delta — dHash
+  // in the time domain), and the two-word hashes pair through the
+  // UNCHANGED image machinery (phashPairs: 4×16-bit chunk pigeonhole,
+  // df-cap 100, exact Hamming ≤ 3 verify). The oracle replays frames →
+  // energies → LEAD deltas → packed words → chunks → cap → verify. ----
+  private def mm9(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.phashPairs(
+        Multimodal.audioFingerprints(media, frameBytes = 8),
+        maxHamming = 3, maxBucket = 100)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mm9Oracle =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, least((n + 7) // 8 - 1, 64))) AS fi
+      |  FROM d),
+      |en AS (
+      |  SELECT f.doc_id, f.fi,
+      |    (list_sum(list_transform(
+      |      generate_series(f.fi * 8 + 1, least(f.fi * 8 + 8, f.n)),
+      |      p -> ord(substr(d.text, CAST(p AS INT), 1)))) * 1000)
+      |      // (255 * (least(f.fi * 8 + 8, f.n) - f.fi * 8)) AS epm
+      |  FROM f JOIN d USING (doc_id)),
+      |bits AS (
+      |  SELECT doc_id, fi AS b,
+      |    CASE WHEN LEAD(epm) OVER (PARTITION BY doc_id ORDER BY fi) > epm
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM en),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b < 32
+      |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), 0) AS BIGINT) AS ph_lo,
+      |    CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b >= 32 AND b < 64
+      |      THEN (1::BIGINT << (b - 32)) ELSE 0::BIGINT END), 0) AS BIGINT)
+      |      AS ph_hi
+      |  FROM bits GROUP BY doc_id),
+      |${phashChunkCtes("ck", "ph")},
+      |ok AS (
+      |  SELECT ck, cv FROM ck2 GROUP BY ck, cv
+      |  HAVING COUNT(*) BETWEEN 2 AND 100),
+      |fk AS (SELECT ck2.* FROM ck2 JOIN ok USING (ck, cv)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+      |      + bit_count(xor(a.ph_hi, b.ph_hi)) AS INT) AS hamming
+      |  FROM fk a JOIN fk b ON a.ck = b.ck AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   private val mm5Oracle =
     """WITH d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
@@ -2661,6 +2723,7 @@ object PipelineQueries {
     QueryDef("mm6_phash", mm6, Some(mm6Oracle)),
     QueryDef("mm7_phash_pairs", mm7, Some(mm7Oracle)),
     QueryDef("mm8_video_dup_pairs", mm8, Some(mm8Oracle)),
+    QueryDef("mm9_audio_dup_pairs", mm9, Some(mm9Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

@@ -1167,6 +1167,39 @@ class PipelineSpec extends SparkSpec {
     assert(capped === Set((100L, 1L, 0)))
   }
 
+  test("audioFingerprints: sign-of-delta bit layout, 65-frame prefix " +
+      "bound, pairing through the image machinery") {
+    import spark.implicits._
+    // frameBytes = 1: every byte is its own frame, energy strictly
+    // tracks the byte value (consecutive floors differ by >= 3)
+    val inc = Array.tabulate(9)(i => (i * 10 + 33).toByte)   // 8 rising deltas
+    val dec = Array.tabulate(9)(i => (113 - i * 10).toByte)  // 8 falling
+    val long70 = Array.tabulate(70)(i => (i + 33).toByte)    // > 65 frames
+    // identical first 65 frames, then falling — frames past the prefix
+    // bound must not touch the hash
+    val long70b = long70.take(65) ++ Array.tabulate(5)(i => (40 - i).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, inc, "stub"),
+      Multimodal.MediaRow(2L, dec, "stub"),
+      Multimodal.MediaRow(3L, long70, "stub"),
+      Multimodal.MediaRow(4L, long70b, "stub")).toDS()
+    val h = Multimodal.audioFingerprints(media, frameBytes = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(h(1L) === ((0xffL, 0L)), "8 rising deltas set bits 0..7")
+    assert(h(2L) === ((0L, 0L)), "falling deltas set nothing")
+    assert(h(3L) === ((0xffffffffL, 0xffffffffL)),
+      "65 rising frames fill all 64 bits")
+    assert(h(4L) === h(3L), "frames past the 65-frame prefix are ignored")
+    // the unchanged image pairing stack serves audio: only the
+    // identical-prefix pair survives the hamming verify
+    val pairs = Multimodal.phashPairs(
+        Multimodal.audioFingerprints(media, frameBytes = 1),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((3L, 4L, 0)))
+  }
+
   test("keyframeHashes: fused map-side pass ≡ sceneCuts segmentation + " +
       "dHash of each keyframe slice") {
     import spark.implicits._
