@@ -219,6 +219,19 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Integer per-mille byte-sum energy of `payload[lo, hi)` — the
+    * single home of the STUB frame-energy arithmetic (a real codec's
+    * PCM RMS / frame luminance swaps in here), shared by
+    * [[sampleAudioFrames]], [[keyframeHashes]], and
+    * [[audioFingerprints]] so the three framings can never drift
+    * byte-wise from each other or their oracles. */
+  private def frameEnergyPm(payload: Array[Byte], lo: Int, hi: Int): Long = {
+    var s = 0L
+    var j = lo
+    while (j < hi) { s += (payload(j) & 0xff); j += 1 }
+    s * 1000L / (255L * (hi - lo))
+  }
+
   /** The 72-cell grid → two 32-bit gradient words — the single home of
     * the dHash bit layout, shared by [[dHash]] (whole images) and
     * [[keyframeHashes]] (per-scene video keyframes). */
@@ -356,10 +369,7 @@ object Multimodal {
         while (f < nFrames) {
           val lo = f * frameBytes
           val hi = math.min(n, lo + frameBytes)
-          var s = 0L
-          var j = lo
-          while (j < hi) { s += (r.payload(j) & 0xff); j += 1 }
-          val epm = s * 1000L / (255L * (hi - lo))
+          val epm = frameEnergyPm(r.payload, lo, hi)
           if (f == 0 || math.abs(epm - prevEpm) >= cutPm) {
             scene += 1
             val (phLo, phHi) =
@@ -398,9 +408,21 @@ object Multimodal {
       maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    val kid = keyframes.select(
-      (col("doc_id") * lit(65536L) + col("scene_id")).as("doc_id"),
-      col("ph_lo"), col("ph_hi"))
+    // materialized once: the lineage behind a keyframes plan is the
+    // full payload decode + segmentation pass ([[keyframeHashes]]),
+    // and three consumers read it below (two bucket-join sides via
+    // phashChunks, the per-video counts) — un-checkpointed, the
+    // decode re-runs per consumer
+    val kf = keyframes.localCheckpoint(false)
+    // row-level twin of [[keyframeHashes]]' producer-side guard: kf is
+    // caller-supplied, and a scene_id outside 16 bits would silently
+    // ALIAS distinct keyframes onto one packed id — fail loudly instead
+    val packed = when(col("scene_id").between(0L, 65535L),
+        col("doc_id") * lit(65536L) + col("scene_id"))
+      .otherwise(raise_error(concat(
+        lit("videoDupPairs: scene_id outside 0..65535 for doc "),
+        col("doc_id").cast("string"))))
+    val kid = kf.select(packed.as("doc_id"), col("ph_lo"), col("ph_hi"))
     val kfPairs = SimHash.bucketSelfJoin(phashChunks(kid), maxBucket)
       .select(col("id_a"), col("id_b"), twoWordHamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -409,7 +431,7 @@ object Multimodal {
         expr("id_a div 65536").as("doc_a"), (col("id_a") % 65536L).as("scene_a"),
         expr("id_b div 65536").as("doc_b"), (col("id_b") % 65536L).as("scene_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-    val counts = keyframes.groupBy("doc_id")
+    val counts = kf.groupBy("doc_id")
       .agg(count(lit(1)).as("n_scenes"))
     scenePairs.groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("scene_a")).as("matched_a"),
@@ -453,12 +475,8 @@ object Multimodal {
         val e = new Array[Long](math.min(nFrames, 65))
         var f = 0
         while (f < e.length) {
-          val flo = f * frameBytes
-          val fhi = math.min(n, flo + frameBytes)
-          var s = 0L
-          var j = flo
-          while (j < fhi) { s += (r.payload(j) & 0xff); j += 1 }
-          e(f) = s * 1000L / (255L * (fhi - flo))
+          e(f) = frameEnergyPm(r.payload, f * frameBytes,
+            math.min(n, f * frameBytes + frameBytes))
           f += 1
         }
         var lo = 0L
@@ -520,12 +538,9 @@ object Multimodal {
         (0 until nFrames).iterator.map { f =>
           val lo = f * frameBytes
           val hi = math.min(n, lo + frameBytes)
-          var s = 0L // STUB decode: byte-sum energy stands in for PCM RMS
-          var j = lo
-          while (j < hi) { s += (r.payload(j) & 0xff); j += 1 }
-          val len = hi - lo
-          val energyPm = s * 1000L / (255L * len)
-          AudioFrameRow(r.doc_id, f, len, energyPm,
+          // STUB decode: byte-sum energy stands in for PCM RMS
+          val energyPm = frameEnergyPm(r.payload, lo, hi)
+          AudioFrameRow(r.doc_id, f, hi - lo, energyPm,
             if (energyPm >= activePm) 1 else 0)
         }
       }

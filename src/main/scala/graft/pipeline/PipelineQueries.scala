@@ -1908,7 +1908,7 @@ object PipelineQueries {
       |    CASE WHEN LEAD(epm) OVER (PARTITION BY doc_id ORDER BY fi) > epm
       |      THEN 1 ELSE 0 END AS bit
       |  FROM en),
-      |ph AS (
+      |pb AS (
       |  SELECT doc_id,
       |    CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b < 32
       |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), 0) AS BIGINT) AS ph_lo,
@@ -1916,6 +1916,10 @@ object PipelineQueries {
       |      THEN (1::BIGINT << (b - 32)) ELSE 0::BIGINT END), 0) AS BIGINT)
       |      AS ph_hi
       |  FROM bits GROUP BY doc_id),
+      |ph AS (
+      |  SELECT d.doc_id, COALESCE(pb.ph_lo, 0) AS ph_lo,
+      |    COALESCE(pb.ph_hi, 0) AS ph_hi
+      |  FROM d LEFT JOIN pb USING (doc_id)),
       |${phashChunkCtes("ck", "ph")},
       |ok AS (
       |  SELECT ck, cv FROM ck2 GROUP BY ck, cv
