@@ -1889,8 +1889,13 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val mm9Oracle =
-    s"""WITH d AS (
+  /** The acoustic-fingerprint CTE chain (documents → 8-byte-frame
+    * energies → LEAD sign-of-delta bits → packed two-word `ph` face,
+    * one row per doc including zero-frame all-zero hashes) — the SQL
+    * twin of `Multimodal.audioFingerprints(frameBytes = 8)`, shared by
+    * the mm9 and s20 oracles. */
+  private[graft] val audioFpCtes: String =
+    """d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
       |f AS (
       |  SELECT doc_id, n,
@@ -1919,7 +1924,10 @@ object PipelineQueries {
       |ph AS (
       |  SELECT d.doc_id, COALESCE(pb.ph_lo, 0) AS ph_lo,
       |    COALESCE(pb.ph_hi, 0) AS ph_hi
-      |  FROM d LEFT JOIN pb USING (doc_id)),
+      |  FROM d LEFT JOIN pb USING (doc_id))""".stripMargin
+
+  private val mm9Oracle =
+    s"""WITH $audioFpCtes,
       |${phashChunkCtes("ck", "ph")},
       |ok AS (
       |  SELECT ck, cv FROM ck2 GROUP BY ck, cv

@@ -76,13 +76,29 @@ object CurationStream {
   def phashDedupSink(newMedia: DataFrame, archIndex: DataFrame,
       outDir: String, checkpoint: String,
       maxHamming: Int = 3): DataStreamWriter[Row] =
+    hashDedupSink(newMedia, graft.pipeline.Multimodal.dHash(_),
+      archIndex, outDir, checkpoint, maxHamming)
+
+  /** [[phashDedupSink]] with the per-batch fingerprint stage supplied
+    * by the caller — the two-word (doc_id, ph_lo, ph_hi) layout is the
+    * only contract between the hash and the probe machinery, so any
+    * modality's fingerprint (image dHash, audio
+    * [[graft.pipeline.Multimodal.audioFingerprints]]) streams through
+    * the SAME archive-capped chunk index probe. The fingerprint is the
+    * only stage touching payload bytes, and it runs map-side inside
+    * the micro-batch. */
+  def hashDedupSink(newMedia: DataFrame,
+      hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
+        => DataFrame,
+      archIndex: DataFrame, outDir: String, checkpoint: String,
+      maxHamming: Int = 3): DataStreamWriter[Row] =
     newMedia.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        val hashes = graft.pipeline.Multimodal.dHash(
+        val hashes = hashFn(
           batch.select(col("doc_id"), col("payload"), col("media_type"))
             .as[graft.pipeline.Multimodal.MediaRow])
         graft.pipeline.Multimodal.phashProbePairs(hashes, archIndex,

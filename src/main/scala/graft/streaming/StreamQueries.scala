@@ -923,6 +923,68 @@ object StreamQueries {
       |SELECT new_id, corpus_id, hamming FROM p
       |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- s20: streaming acoustic-fingerprint audio dedup — the AUDIO
+  // member of the s7/s17/s18 quartet, streamed through the
+  // hash-GENERIC sink (CurationStream.hashDedupSink): new audio
+  // payloads arrive as three doc_id-tercile micro-batches, fingerprint
+  // per batch (mm9's sign-of-energy-delta words — the only stage
+  // touching payload bytes), and probe the SAME archive-capped chunk
+  // index machinery as images. With s7/s17/s18, the
+  // batch→incremental→streaming lifecycle is now certified across all
+  // FOUR dedup families (shingles, perceptual image hashes, winnowed
+  // sketches, acoustic fingerprints). Oracle replays the mm9
+  // fingerprint chain + the archive-capped probe join. ----
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val media = graft.pipeline.Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+    val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
+        graft.pipeline.Multimodal.audioFingerprints(
+          media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow],
+          frameBytes = 8),
+        maxBucket = 100)
+      .localCheckpoint(true)
+    val incr = media.filter(isNew)
+      .as[(Long, Array[Byte], String)].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s20").toString
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val q = CurationStream.hashDedupSink(
+      input.toDF().toDF("doc_id", "payload", "media_type"),
+      graft.pipeline.Multimodal.audioFingerprints(_, frameBytes = 8),
+      archIdx, out, s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, incr.toSeq,
+        (r: (Long, Array[Byte], String)) => r._1)
+    } finally q.stop()
+    val result = s.read.parquet(s"$out/pairs")
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    archIdx.unpersist(blocking = false)
+    rmTree(out)
+    result
+  }
+
+  private val s20Oracle =
+    s"""WITH ${graft.pipeline.PipelineQueries.audioFpCtes},
+      |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
+      |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0),
+      |${graft.pipeline.PipelineQueries.phashChunkCtes("ac", "arch")},
+      |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
+      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
+      |${graft.pipeline.PipelineQueries.phashChunkCtes("pc", "probe")},
+      |p AS (
+      |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
+      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
+      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
+      |  FROM pc2 JOIN af USING (ck, cv))
+      |SELECT new_id, corpus_id, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
+
   // ---- s18: streaming incremental winnow matching under the gate —
   // the FINGERPRINT-family member of the s7/s17 trio: the d54
   // increment (doc_id % 10 == 0) streams in three tercile
@@ -1052,6 +1114,7 @@ object StreamQueries {
     QueryDef("s18_stream_winnow_dedup", st(s18),
       Some(graft.pipeline.CurationQueries.d54Oracle)),
     QueryDef("s17_stream_phash_dedup", st(s17), Some(s17Oracle)),
+    QueryDef("s20_stream_audio_dedup", st(s20), Some(s20Oracle)),
     QueryDef("s16_stream_graph_maintain", st(s16), Some(s16Oracle)),
     QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),
     QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),
