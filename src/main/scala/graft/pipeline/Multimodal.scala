@@ -404,6 +404,22 @@ object Multimodal {
     * is bounded by maxBucket²·buckets; the rollup groups the verified
     * pair list (already near-dup-sparse) and the per-video scene count
     * join is a plain doc-keyed shuffle — no payload, no quadratic. */
+  /** Keyframe identity packed as `doc_id·2^16 + scene_id` in the
+    * hash-table (doc_id, ph_lo, ph_hi) layout — the row-level twin of
+    * [[keyframeHashes]]' producer-side bound: keyframe tables are also
+    * caller-suppliable, and a scene_id outside 16 bits would silently
+    * ALIAS distinct keyframes onto one packed id, so it fails loudly
+    * instead. Shared by [[videoDupPairs]], [[videoKeyframeIndex]], and
+    * [[videoProbePairs]]. */
+  private def packKids(keyframes: DataFrame): DataFrame = {
+    val packed = when(col("scene_id").between(0L, 65535L),
+        col("doc_id") * lit(65536L) + col("scene_id"))
+      .otherwise(raise_error(concat(
+        lit("video keyframes: scene_id outside 0..65535 for doc "),
+        col("doc_id").cast("string"))))
+    keyframes.select(packed.as("doc_id"), col("ph_lo"), col("ph_hi"))
+  }
+
   def videoDupPairs(keyframes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -414,16 +430,8 @@ object Multimodal {
     // phashChunks, the per-video counts) — un-checkpointed, the
     // decode re-runs per consumer
     val kf = keyframes.localCheckpoint(false)
-    // row-level twin of [[keyframeHashes]]' producer-side guard: kf is
-    // caller-supplied, and a scene_id outside 16 bits would silently
-    // ALIAS distinct keyframes onto one packed id — fail loudly instead
-    val packed = when(col("scene_id").between(0L, 65535L),
-        col("doc_id") * lit(65536L) + col("scene_id"))
-      .otherwise(raise_error(concat(
-        lit("videoDupPairs: scene_id outside 0..65535 for doc "),
-        col("doc_id").cast("string"))))
-    val kid = kf.select(packed.as("doc_id"), col("ph_lo"), col("ph_hi"))
-    val kfPairs = SimHash.bucketSelfJoin(phashChunks(kid), maxBucket)
+    val kfPairs = SimHash.bucketSelfJoin(phashChunks(packKids(kf)),
+      maxBucket)
       .select(col("id_a"), col("id_b"), twoWordHamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -444,6 +452,53 @@ object Multimodal {
         col("matched_b") * 2 >= col("n_scenes_b"))
       .select(col("doc_a"), col("doc_b"), col("n_scenes_a"),
         col("n_scenes_b"), col("matched_a"), col("matched_b"))
+  }
+
+  /** Persisted archive state for INCREMENTAL video dedup — everything
+    * a probe batch reads, baked ONCE at snapshot build (the d21
+    * persisted-index contract: increments never re-decode, re-cap, or
+    * re-pair the archive): the df-capped chunk index over packed
+    * keyframe ids, plus the per-video scene counts the coverage filter
+    * divides by. Both faces are plain DataFrames (parquet-persistable,
+    * no driver-format side-channel — the NndIndex convention). */
+  final case class VideoIndex(chunks: DataFrame, counts: DataFrame)
+
+  def videoKeyframeIndex(keyframes: DataFrame,
+      maxBucket: Int = 100): VideoIndex = {
+    // one decode pass feeds both faces (the videoDupPairs note)
+    val kf = keyframes.localCheckpoint(false)
+    VideoIndex(phashChunkIndex(packKids(kf), maxBucket),
+      kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes")))
+  }
+
+  /** Incremental [[videoDupPairs]]: NEW videos' keyframes probe a
+    * persisted archive [[VideoIndex]] — per-batch cost is
+    * |probe keyframes| × bounded archive bucket fan-out, the archive
+    * is never re-derived. The coverage rollup reads the increment's
+    * own scene counts plus the index's persisted archive counts.
+    * PRECONDITION (the s17/d21 shape): probe doc ids are disjoint from
+    * the archive's. Output: (doc_new, doc_arch, n_new, n_arch,
+    * matched_new, matched_arch) at ≥ half-coverage of either side. */
+  def videoProbePairs(newKeyframes: DataFrame, index: VideoIndex,
+      maxHamming: Int = 3): DataFrame = {
+    val kf = newKeyframes.localCheckpoint(false)
+    val scenePairs = phashProbePairs(packKids(kf), index.chunks, maxHamming)
+      .select(expr("new_id div 65536").as("doc_new"),
+        (col("new_id") % 65536L).as("scene_new"),
+        expr("corpus_id div 65536").as("doc_arch"),
+        (col("corpus_id") % 65536L).as("scene_arch"))
+    val newCounts = kf.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    scenePairs.groupBy("doc_new", "doc_arch")
+      .agg(countDistinct(col("scene_new")).as("matched_new"),
+        countDistinct(col("scene_arch")).as("matched_arch"))
+      .join(newCounts.select(col("doc_id").as("doc_new"), col("n_new")),
+        Seq("doc_new"))
+      .join(index.counts.select(col("doc_id").as("doc_arch"),
+        col("n_scenes").as("n_arch")), Seq("doc_arch"))
+      .filter(col("matched_new") * 2 >= col("n_new") ||
+        col("matched_arch") * 2 >= col("n_arch"))
+      .select(col("doc_new"), col("doc_arch"), col("n_new"),
+        col("n_arch"), col("matched_new"), col("matched_arch"))
   }
 
   /** Acoustic fingerprint — the AUDIO near-dup sketch completing the

@@ -1789,8 +1789,14 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val mm8Oracle =
-    s"""WITH d AS (
+  /** The video keyframe CTE chain (documents → 72-byte stub frames →
+    * energy deltas → scene cuts → keyframe 72-cell grids → packed
+    * gradient words: `kph` = (doc_id, scene_id, ph_lo, ph_hi), `kid` =
+    * the doc·2^16+scene packed hash face) — the SQL twin of
+    * `Multimodal.keyframeHashes(frameBytes = 72, cutPm = 8)`, shared
+    * by the mm8 and mm10 oracles. */
+  private[graft] val keyframeCtes: String =
+    """d AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
       |f AS (
       |  SELECT doc_id, n,
@@ -1836,7 +1842,10 @@ object PipelineQueries {
       |      AS ph_hi
       |  FROM gl),
       |kid AS (
-      |  SELECT doc_id * 65536 + scene_id AS doc_id, ph_lo, ph_hi FROM kph),
+      |  SELECT doc_id * 65536 + scene_id AS doc_id, ph_lo, ph_hi FROM kph)""".stripMargin
+
+  private val mm8Oracle =
+    s"""WITH $keyframeCtes,
       |${phashChunkCtes("ck", "kid")},
       |ok AS (
       |  SELECT ck, cv FROM ck2 GROUP BY ck, cv
@@ -1941,6 +1950,71 @@ object PipelineQueries {
       |    AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM p
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- mm10: INCREMENTAL video near-dup — the d21 persisted-index
+  // contract for the video family (s17's shape at the video grain):
+  // the archive's keyframes bake ONCE into a VideoIndex (df-capped
+  // chunk index over packed keyframe ids + per-video scene counts),
+  // and new videos probe it — only the increment decodes, the archive
+  // is never re-derived, re-capped, or re-paired. Coverage joins read
+  // the increment's own counts plus the persisted archive counts. The
+  // oracle replays the shared keyframe chain, splits probe/archive on
+  // the packed doc id, caps the ARCHIVE side only (cross-side
+  // single-occupant buckets must still match), probes, unpacks, and
+  // rolls coverage. ----
+  private def mm10(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val archIdx = Multimodal.videoKeyframeIndex(
+      Multimodal.keyframeHashes(media.filter(!isNew),
+        frameBytes = 72, cutPm = 8L).toDF())
+    Multimodal.videoProbePairs(
+        Multimodal.keyframeHashes(media.filter(isNew),
+          frameBytes = 72, cutPm = 8L).toDF(),
+        archIdx, maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+  }
+
+  private val mm10Oracle =
+    s"""WITH $keyframeCtes,
+      |pk AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 = 0),
+      |ak AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 <> 0),
+      |${phashChunkCtes("ac", "ak")},
+      |ok AS (
+      |  SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
+      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
+      |${phashChunkCtes("pc", "pk")},
+      |p AS (
+      |  SELECT DISTINCT pc2.doc_id AS new_kid, af.doc_id AS arch_kid,
+      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
+      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
+      |  FROM pc2 JOIN af USING (ck, cv)),
+      |sp AS (
+      |  SELECT new_kid // 65536 AS doc_new, new_kid % 65536 AS scene_new,
+      |    arch_kid // 65536 AS doc_arch, arch_kid % 65536 AS scene_arch
+      |  FROM p WHERE hamming <= 3),
+      |cov AS (
+      |  SELECT doc_new, doc_arch,
+      |    COUNT(DISTINCT scene_new) AS matched_new,
+      |    COUNT(DISTINCT scene_arch) AS matched_arch
+      |  FROM sp GROUP BY doc_new, doc_arch),
+      |cn AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM kph
+      |  WHERE doc_id % 10 = 0 GROUP BY doc_id),
+      |ca AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM kph
+      |  WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+      |SELECT cov.doc_new, cov.doc_arch, cn.n AS n_new, ca.n AS n_arch,
+      |  cov.matched_new, cov.matched_arch
+      |FROM cov
+      |JOIN cn ON cn.doc_id = cov.doc_new
+      |JOIN ca ON ca.doc_id = cov.doc_arch
+      |WHERE cov.matched_new * 2 >= cn.n OR cov.matched_arch * 2 >= ca.n
+      |ORDER BY cov.doc_new, cov.doc_arch""".stripMargin
 
   private val mm5Oracle =
     """WITH d AS (
@@ -2736,6 +2810,7 @@ object PipelineQueries {
     QueryDef("mm7_phash_pairs", mm7, Some(mm7Oracle)),
     QueryDef("mm8_video_dup_pairs", mm8, Some(mm8Oracle)),
     QueryDef("mm9_audio_dup_pairs", mm9, Some(mm9Oracle)),
+    QueryDef("mm10_video_probe_pairs", mm10, Some(mm10Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

@@ -1276,6 +1276,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("videoProbePairs: increment probes the persisted archive index; " +
+      "coverage matches the self-join geometry") {
+    import spark.implicits._
+    // the videoDupPairs fixture split d21-style: B (doc 2) is the
+    // increment, A (doc 1) and C (doc 3) are the archive
+    val h1 = (0x0f0f0f0fL, 0x0f0f0f0fL)
+    val h2 = (0x12345678L, 0x0a0b0c0dL)
+    val h3 = (0x7777aaaaL, 0x5555eeeeL)
+    val archive = Seq(
+      (1L, 1L, h1._1, h1._2), (1L, 2L, h2._1, h2._2),
+      (1L, 3L, h3._1, h3._2), (1L, 4L, h3._1, h3._2),
+      (3L, 1L, h1._1, h1._2),
+      (3L, 2L, 0xdeadbeefL, 0x0badf00dL),
+      (3L, 3L, 0xcafe1234L, 0x8642fdb9L),
+      (3L, 4L, 0x13572468L, 0x0fedc0deL))
+      .toDF("doc_id", "scene_id", "ph_lo", "ph_hi")
+    val probe = Seq(
+      (2L, 1L, h1._1, h1._2), (2L, 2L, h2._1 ^ 0x7L, h2._2))
+      .toDF("doc_id", "scene_id", "ph_lo", "ph_hi")
+    val idx = Multimodal.videoKeyframeIndex(archive)
+    def run(i: Multimodal.VideoIndex) =
+      Multimodal.videoProbePairs(probe, i)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = run(idx)
+    // B~A: both probe scenes land (exact + hamming-3), half of A covered
+    assert(got((2L, 1L)) === ((2L, 4L, 2L, 2L)))
+    // B~C: the shared h1 covers half of B (the containment face)
+    assert(got((2L, 3L)) === ((2L, 4L, 1L, 1L)))
+    assert(got.size === 2)
+    // the index is parquet-persistable state: probing the reloaded
+    // artifact is row-identical (the NndIndex save/load convention)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    try {
+      idx.chunks.write.parquet(s"$dir/chunks")
+      idx.counts.write.parquet(s"$dir/counts")
+      val reloaded = Multimodal.VideoIndex(
+        spark.read.parquet(s"$dir/chunks"),
+        spark.read.parquet(s"$dir/counts"))
+      assert(run(reloaded) === got)
+    } finally rmTree(dir)
+  }
+
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs, "text")
