@@ -553,6 +553,52 @@ object ScaleProbe {
     println(s"[probe] cc/bulk$bulkE equal=${bs == bl}")
   }
 
+  /** Multimodal dedup at scale: documents replicated `times`× with
+    * byte-disjoint replica payloads (the [[dedupProbe]] construction),
+    * measuring (a) the mm8 batch self-join — whose cost model is one
+    * map-side decode pass plus df-cap-bounded bucket pairing, so wall
+    * should track corpus size roughly linearly — and (b) the mm10
+    * split: the archive VideoIndex built once (allowed to grow with
+    * the corpus) vs a FIXED 10%-of-base increment probed against it,
+    * whose cost must stay O(increment + bounded bucket fan-out) as the
+    * archive grows. */
+  private def videoProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    import spark.implicits._
+    def media(c: org.apache.spark.sql.DataFrame) =
+      pipeline.Multimodal.withPayload(c, "text")
+        .select(col("doc_id"), col("payload"), col("media_type"))
+        .as[pipeline.Multimodal.MediaRow]
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    Seq(("1x", 1), (s"${times}x", times)).foreach { case (tag, t) =>
+      val c = replicatedDocs(spark, dir, t)
+      val rows = c.count()
+      val kf = () => pipeline.Multimodal
+        .keyframeHashes(media(c), frameBytes = 72, cutPm = 8L).toDF()
+      val t0 = System.nanoTime()
+      val pairs = pipeline.Multimodal.videoDupPairs(kf()).count()
+      val t1 = System.nanoTime()
+      // the mm10 split: archive index build (may grow with corpus) vs
+      // the fixed-increment probe (must not)
+      val idx = pipeline.Multimodal.videoKeyframeIndex(kf())
+      val idxRows = idx.chunks.count() + idx.counts.count()
+      val t2 = System.nanoTime()
+      val incr = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+          col("text"))
+      val hits = pipeline.Multimodal.videoProbePairs(
+        pipeline.Multimodal.keyframeHashes(media(incr),
+          frameBytes = 72, cutPm = 8L).toDF(), idx).count()
+      val t3 = System.nanoTime()
+      println(f"[probe] video/$tag%-4s rows=$rows mm8_s=${(t1 - t0) / 1e9}%7.2f " +
+        f"pairs=$pairs build_s=${(t2 - t1) / 1e9}%6.2f idxRows=$idxRows " +
+        f"probe_s=${(t3 - t2) / 1e9}%6.2f hits=$hits")
+      sweep()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -605,6 +651,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("dedup")) {
       dedupProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("video")) {
+      videoProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }
