@@ -580,8 +580,14 @@ object ScaleProbe {
       val pairs = pipeline.Multimodal.videoDupPairs(kf()).count()
       val t1 = System.nanoTime()
       // the mm10 split: archive index build (may grow with corpus) vs
-      // the fixed-increment probe (must not)
-      val idx = pipeline.Multimodal.videoKeyframeIndex(kf())
+      // the fixed-increment probe (must not). The index faces are
+      // MATERIALIZED inside the build window — VideoIndex returns lazy
+      // plans (the production path persists them to parquet, the mm10
+      // spec's round-trip), and an un-pinned plan would re-derive the
+      // O(archive) chunk explode + cap inside the probe timing
+      val idx0 = pipeline.Multimodal.videoKeyframeIndex(kf())
+      val idx = pipeline.Multimodal.VideoIndex(
+        idx0.chunks.localCheckpoint(true), idx0.counts.localCheckpoint(true))
       val idxRows = idx.chunks.count() + idx.counts.count()
       val t2 = System.nanoTime()
       val incr = Tables.load(spark, dir, "documents")

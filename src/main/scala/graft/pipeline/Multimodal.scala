@@ -385,6 +385,22 @@ object Multimodal {
     }
   }
 
+  /** Keyframe identity packed as `doc_id·2^16 + scene_id` in the
+    * hash-table (doc_id, ph_lo, ph_hi) layout — the row-level twin of
+    * [[keyframeHashes]]' producer-side bound: keyframe tables are also
+    * caller-suppliable, and a scene_id outside 16 bits would silently
+    * ALIAS distinct keyframes onto one packed id, so it fails loudly
+    * instead. Shared by [[videoDupPairs]], [[videoKeyframeIndex]], and
+    * [[videoProbePairs]]. */
+  private def packKids(keyframes: DataFrame): DataFrame = {
+    val packed = when(col("scene_id").between(0L, 65535L),
+        col("doc_id") * lit(65536L) + col("scene_id"))
+      .otherwise(raise_error(concat(
+        lit("video keyframes: scene_id outside 0..65535 for doc "),
+        col("doc_id").cast("string"))))
+    keyframes.select(packed.as("doc_id"), col("ph_lo"), col("ph_hi"))
+  }
+
   /** Near-duplicate VIDEO pairs over [[keyframeHashes]] — the
     * multimodal dedup face for the video modality: keyframes pair
     * through the same 4×16-bit chunk-pigeonhole machinery as
@@ -404,22 +420,6 @@ object Multimodal {
     * is bounded by maxBucket²·buckets; the rollup groups the verified
     * pair list (already near-dup-sparse) and the per-video scene count
     * join is a plain doc-keyed shuffle — no payload, no quadratic. */
-  /** Keyframe identity packed as `doc_id·2^16 + scene_id` in the
-    * hash-table (doc_id, ph_lo, ph_hi) layout — the row-level twin of
-    * [[keyframeHashes]]' producer-side bound: keyframe tables are also
-    * caller-suppliable, and a scene_id outside 16 bits would silently
-    * ALIAS distinct keyframes onto one packed id, so it fails loudly
-    * instead. Shared by [[videoDupPairs]], [[videoKeyframeIndex]], and
-    * [[videoProbePairs]]. */
-  private def packKids(keyframes: DataFrame): DataFrame = {
-    val packed = when(col("scene_id").between(0L, 65535L),
-        col("doc_id") * lit(65536L) + col("scene_id"))
-      .otherwise(raise_error(concat(
-        lit("video keyframes: scene_id outside 0..65535 for doc "),
-        col("doc_id").cast("string"))))
-    keyframes.select(packed.as("doc_id"), col("ph_lo"), col("ph_hi"))
-  }
-
   def videoDupPairs(keyframes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

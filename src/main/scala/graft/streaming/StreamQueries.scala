@@ -874,7 +874,17 @@ object StreamQueries {
   // the archive-capped chunk probe join. Pairing is per-image against
   // a static snapshot, so micro-batch boundaries cannot change the
   // result. ----
-  private def s17(s: SparkSession, dir: String): DataFrame = {
+  /** The shared gate harness behind s17 (image) and s20 (audio): the
+    * archive's fingerprints bake into a capped chunk index ONCE
+    * (localCheckpointed — no micro-batch re-derives it), the increment
+    * streams in tercile micro-batches through the hash-generic
+    * [[CurationStream.hashDedupSink]], and the per-batch pair outputs
+    * union for the oracle hash. The fingerprint function is the ONLY
+    * thing that varies between the modalities. */
+  private def hashDedupGate(s: SparkSession, dir: String,
+      hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
+        => DataFrame,
+      tmpPrefix: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -883,17 +893,17 @@ object StreamQueries {
     val media = graft.pipeline.Multimodal.withPayload(d, "text")
       .select(col("doc_id"), col("payload"), col("media_type"))
     val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
-        graft.pipeline.Multimodal.dHash(
-          media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow]),
+        hashFn(media.filter(!isNew)
+          .as[graft.pipeline.Multimodal.MediaRow]),
         maxBucket = 100)
       .localCheckpoint(true)
     val incr = media.filter(isNew)
       .as[(Long, Array[Byte], String)].collect()
-    val out = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    val out = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
     val input = MemoryStream[(Long, Array[Byte], String)]
-    val q = CurationStream.phashDedupSink(
-      input.toDF().toDF("doc_id", "payload", "media_type"), archIdx,
-      out, s"$out/_cp").start()
+    val q = CurationStream.hashDedupSink(
+      input.toDF().toDF("doc_id", "payload", "media_type"), hashFn,
+      archIdx, out, s"$out/_cp").start()
     try {
       feedInTerciles(input, q, incr.toSeq,
         (r: (Long, Array[Byte], String)) => r._1)
@@ -906,6 +916,9 @@ object StreamQueries {
     rmTree(out)
     result
   }
+
+  private def s17(s: SparkSession, dir: String): DataFrame =
+    hashDedupGate(s, dir, graft.pipeline.Multimodal.dHash(_), "graft_s17")
 
   private val s17Oracle =
     s"""WITH ${graft.pipeline.PipelineQueries.dHashCtes},
@@ -934,40 +947,10 @@ object StreamQueries {
   // FOUR dedup families (shingles, perceptual image hashes, winnowed
   // sketches, acoustic fingerprints). Oracle replays the mm9
   // fingerprint chain + the archive-capped probe join. ----
-  private def s20(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val d = Tables.load(s, dir, "documents")
-    val isNew = col("doc_id") % 10 === 0
-    val media = graft.pipeline.Multimodal.withPayload(d, "text")
-      .select(col("doc_id"), col("payload"), col("media_type"))
-    val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
-        graft.pipeline.Multimodal.audioFingerprints(
-          media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow],
-          frameBytes = 8),
-        maxBucket = 100)
-      .localCheckpoint(true)
-    val incr = media.filter(isNew)
-      .as[(Long, Array[Byte], String)].collect()
-    val out = java.nio.file.Files.createTempDirectory("graft_s20").toString
-    val input = MemoryStream[(Long, Array[Byte], String)]
-    val q = CurationStream.hashDedupSink(
-      input.toDF().toDF("doc_id", "payload", "media_type"),
+  private def s20(s: SparkSession, dir: String): DataFrame =
+    hashDedupGate(s, dir,
       graft.pipeline.Multimodal.audioFingerprints(_, frameBytes = 8),
-      archIdx, out, s"$out/_cp").start()
-    try {
-      feedInTerciles(input, q, incr.toSeq,
-        (r: (Long, Array[Byte], String)) => r._1)
-    } finally q.stop()
-    val result = s.read.parquet(s"$out/pairs")
-      .select(col("new_id"), col("corpus_id"), col("hamming"))
-      .orderBy("new_id", "corpus_id")
-      .localCheckpoint(true)
-    archIdx.unpersist(blocking = false)
-    rmTree(out)
-    result
-  }
+      "graft_s20")
 
   private val s20Oracle =
     s"""WITH ${graft.pipeline.PipelineQueries.audioFpCtes},
