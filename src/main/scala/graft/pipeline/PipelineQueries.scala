@@ -1979,7 +1979,10 @@ object PipelineQueries {
       .orderBy("doc_new", "doc_arch")
   }
 
-  private val mm10Oracle =
+  // shared with the s21 streaming gate: per-batch coverage rollups
+  // partition the global result (videos arrive whole), so the batch
+  // oracle adjudicates the drained stream verbatim
+  private[graft] val mm10Oracle =
     s"""WITH $keyframeCtes,
       |pk AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 = 0),
       |ak AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 <> 0),

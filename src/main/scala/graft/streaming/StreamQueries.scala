@@ -952,6 +952,54 @@ object StreamQueries {
       graft.pipeline.Multimodal.audioFingerprints(_, frameBytes = 8),
       "graft_s20")
 
+  // ---- s21: streaming incremental VIDEO dedup — the video modality's
+  // streaming face (mm10's probe per micro-batch), closing the
+  // streaming column of the modality dedup matrix: new videos arrive
+  // whole in tercile micro-batches, keyframe-hash map-side, and probe
+  // the persisted archive VideoIndex (chunk index + scene counts, both
+  // pinned once — no micro-batch re-decodes or re-caps the archive).
+  // The half-coverage rollup is per-batch AND exact (a video's scenes
+  // never split across batches), so the drained union hash-matches
+  // mm10's batch oracle verbatim. ----
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val media = graft.pipeline.Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+    val idx0 = graft.pipeline.Multimodal.videoKeyframeIndex(
+      graft.pipeline.Multimodal.keyframeHashes(
+        media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow]).toDF())
+    // both index faces pinned for the three micro-batches (the
+    // ScaleProbe lesson: a lazy face re-derives O(archive) per batch)
+    val idx = graft.pipeline.Multimodal.VideoIndex(
+      idx0.chunks.localCheckpoint(true), idx0.counts.localCheckpoint(true))
+    val incr = media.filter(isNew)
+      .as[(Long, Array[Byte], String)].collect()
+    val out = java.nio.file.Files.createTempDirectory("graft_s21").toString
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val q = CurationStream.videoDedupSink(
+      input.toDF().toDF("doc_id", "payload", "media_type"), idx,
+      out, s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, incr.toSeq,
+        (r: (Long, Array[Byte], String)) => r._1)
+    } finally q.stop()
+    val result = s.read.parquet(s"$out/pairs")
+      .select(col("doc_new"), col("doc_arch"), col("n_new"),
+        col("n_arch"), col("matched_new"), col("matched_arch"))
+      .orderBy("doc_new", "doc_arch")
+      .localCheckpoint(true)
+    idx.chunks.unpersist(blocking = false)
+    idx.counts.unpersist(blocking = false)
+    rmTree(out)
+    result
+  }
+
+  private val s21Oracle = graft.pipeline.PipelineQueries.mm10Oracle
+
   private val s20Oracle =
     s"""WITH ${graft.pipeline.PipelineQueries.audioFpCtes},
       |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
@@ -1098,6 +1146,7 @@ object StreamQueries {
       Some(graft.pipeline.CurationQueries.d54Oracle)),
     QueryDef("s17_stream_phash_dedup", st(s17), Some(s17Oracle)),
     QueryDef("s20_stream_audio_dedup", st(s20), Some(s20Oracle)),
+    QueryDef("s21_stream_video_dedup", st(s21), Some(s21Oracle)),
     QueryDef("s16_stream_graph_maintain", st(s16), Some(s16Oracle)),
     QueryDef("s15_stream_index_build", st(s15), Some(s15Oracle)),
     QueryDef("s14_stream_ann_serve", st(s14), Some(s14Oracle)),
