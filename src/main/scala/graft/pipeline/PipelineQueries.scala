@@ -2680,7 +2680,10 @@ object PipelineQueries {
   // replays e22's build CTEs, e23's two-hop serve chain over that
   // adjacency, the exact top-5, and the same recall arithmetic. ----
   private def e26(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    // pinned once: the quantizer training, the archive build, both
+    // appends, the serve walk, and the brute-force side all scan the
+    // vector table — eight consumers of one small corpus
+    val e = emb(s, dir).localCheckpoint(false)
     val quant = Similarity.nndQuantizer(e, "vec_id", "embedding")
     val archive = Similarity.buildNndIndexWith(
       e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", quant)
