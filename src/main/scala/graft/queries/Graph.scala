@@ -535,6 +535,51 @@ object Graph {
     * aggregation is a full-reduce to one row — no per-node adjacency,
     * nothing quadratic; sums bounded by 2|E|·maxdeg² (checked ~2×10¹²
     * on the sf0.1 minute-grain graph, 6 decades under BIGINT). */
+  /** Newman modularity of a labelled partition over an undirected edge
+    * list — the community-QUALITY metric every clustering face (LPA
+    * communities, components, an external attribute like region) gets
+    * evaluated by before anyone trusts it. Exact-BIGINT gate contract
+    * (the d45/q57 pattern): with m undirected edges, e_c the
+    * intra-community edge count and d_c the community's degree sum,
+    * Q = Σ_c [e_c/m − (d_c/2m)²], so Q·4m² = Σ_c [4m·e_c − d_c²] — all
+    * integer, no float-summation-order hazard; the one double division
+    * is the caller's. Output one row per community present in the
+    * graph: (community, e_c, d_c, q_num = its scaled contribution, m),
+    * so Σ q_num / (4m²) is the global score.
+    *
+    * `labels` must cover every graph node (id, community) — a node
+    * outside the partition would silently drop its degree mass, so the
+    * joins are inner and the spec pins coverage. 100 TB shape: two
+    * hash aggregations and two node-keyed broadcast-able joins; the
+    * single-row m aggregate cross-joins back (the q55 pattern) —
+    * nothing collects, nothing quadratic. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint(false) // three consumers: m, degrees, intra
+    val lab = labels.select(col("id"), col("community"))
+    val mrow = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(lab, "id")
+      .groupBy("community").agg(sum(col("dg")).as("d_c"))
+    val ec = und
+      .join(lab.select(col("id").as("src"), col("community").as("ca")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")),
+        "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("community"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+        (lit(4L) * col("m") * coalesce(col("e_c"), lit(0L))
+          - col("d_c") * col("d_c")).as("q_num"),
+        col("m"))
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") < col("dst")).distinct()
@@ -770,6 +815,53 @@ object GraphQueries {
       |  round((m2 * sxy - sx * sx)::DOUBLE /
       |    (m2 * sxx - sx * sx)::DOUBLE, 6) AS assort
       |FROM s""".stripMargin
+
+  // ---- q68: partition modularity of the minute-grain co-occurrence
+  // graph (same derived graph as q55/q57/q58) under the customers'
+  // NATION partition — user_id keys into c_custkey, so the star-schema
+  // attribute serves as community labels: does geography explain the
+  // interaction structure? The Q·4m² = Σ_c [4m·e_c − d_c²]
+  // decomposition keeps every per-community contribution an exact
+  // BIGINT (the d45/q57 pattern); one row per nation present in the
+  // graph. ----
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Graph.modularity(
+        Graph.userCoEdges(events(s, dir), grain = "minute"),
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            col("c_nationkey").cast("long").as("community")))
+      .orderBy("community")
+
+  private val q68Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id < b.user_id),
+      |lab AS (
+      |  SELECT c_custkey AS id, c_nationkey::BIGINT AS community
+      |  FROM customer),
+      |mm AS (SELECT COUNT(*)::BIGINT AS m FROM und),
+      |deg AS (
+      |  SELECT id, COUNT(*)::BIGINT AS dg FROM (
+      |    SELECT src AS id FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY id),
+      |dc AS (
+      |  SELECT l.community, SUM(d.dg)::BIGINT AS d_c
+      |  FROM deg d JOIN lab l ON l.id = d.id GROUP BY 1),
+      |ec AS (
+      |  SELECT la.community, COUNT(*)::BIGINT AS e_c
+      |  FROM und JOIN lab la ON la.id = und.src
+      |  JOIN lab lb ON lb.id = und.dst
+      |  WHERE la.community = lb.community GROUP BY 1)
+      |SELECT dc.community, COALESCE(ec.e_c, 0)::BIGINT AS e_c, dc.d_c,
+      |  (4 * mm.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c)::BIGINT
+      |    AS q_num,
+      |  mm.m
+      |FROM dc LEFT JOIN ec USING (community), mm
+      |ORDER BY dc.community""".stripMargin
 
   // ---- q58: common-neighbor link prediction on the minute-grain
   // co-occurrence graph (same derived graph as q55/q57). All three
@@ -1225,6 +1317,7 @@ object GraphQueries {
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
     QueryDef("q57_assortativity", q57, Some(q57Oracle)),
+    QueryDef("q68_modularity", q68, Some(q68Oracle)),
     QueryDef("q58_link_predict", q58, Some(q58Oracle)),
     QueryDef("q59_hierarchy_rollup", q59, Some(q59Oracle)),
     QueryDef("q60_capped_coedges", q60, Some(q60Oracle)),

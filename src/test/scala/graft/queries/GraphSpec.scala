@@ -222,6 +222,41 @@ class GraphSpec extends SparkSpec {
       r.getDouble(4)) === ((7L, 34L, 86L, 82L, -0.166667)))
   }
 
+  test("modularity: barbell hand value (Q = 5/14), zero under the " +
+      "trivial partition, empty-community left-join") {
+    import spark.implicits._
+    // Triangles {1,2,3}, {4,5,6} bridged by 3–4: m = 7, per triangle
+    // e_c = 3, d_c = 2+2+3 = 7 → q_num = 4·7·3 − 49 = 35 each;
+    // Q = 70/(4·49) = 5/14 ≈ 0.357 (the textbook two-community value).
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val byTriangle = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "community")
+    val got = Graph.modularity(edges, byTriangle)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(0L -> ((3L, 7L, 35L, 7L)),
+      1L -> ((3L, 7L, 35L, 7L))))
+    // the one-community partition scores exactly zero (e_c = m,
+    // d_c = 2m → 4m·m − 4m² = 0) — the classic invariant
+    val trivial = (1L to 6L).map((_, 9L)).toDF("id", "community")
+    val one = Graph.modularity(edges, trivial).collect()
+    assert(one.length === 1 &&
+      (one.head.getLong(1), one.head.getLong(2), one.head.getLong(3))
+        === ((7L, 14L, 0L)))
+    // a community whose members share no edge still reports (its mass
+    // counts against the score): split 3 off alone → e_c = 0 for {3}?
+    // 3 touches 1-3, 2-3, 3-4 but alone in its community → e_c = 0,
+    // d_c = 3, q_num = −9
+    val lonely = Seq((1L, 0L), (2L, 0L), (3L, 7L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "community")
+    val l = Graph.modularity(edges, lonely)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(l(7L) === ((0L, 3L, -9L)))
+  }
+
   test("labelPropagate: hand-computed two rounds on bridged triangles") {
     import spark.implicits._
     // Triangles {1,2,3} and {4,5,6} bridged by 3–4; 7 isolated.
