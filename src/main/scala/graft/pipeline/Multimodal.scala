@@ -480,8 +480,18 @@ object Multimodal {
     * the archive's. Output: (doc_new, doc_arch, n_new, n_arch,
     * matched_new, matched_arch) at ≥ half-coverage of either side. */
   def videoProbePairs(newKeyframes: DataFrame, index: VideoIndex,
-      maxHamming: Int = 3): DataFrame = {
-    val kf = newKeyframes.localCheckpoint(false)
+      maxHamming: Int = 3): DataFrame =
+    videoProbePairsOn(newKeyframes.localCheckpoint(false), index, maxHamming)
+
+  /** [[videoProbePairs]] over an ALREADY-materialized probe keyframe
+    * frame — the caller owns the checkpoint lifetime. The public face
+    * above pins one for the query's duration (the bench/verify sweep
+    * reclaims it); the streaming sink
+    * ([[graft.streaming.CurationStream.videoDedupSink]]) instead
+    * releases its per-micro-batch checkpoint after each write, so a
+    * long-running stream never accumulates dead keyframe blocks. */
+  private[graft] def videoProbePairsOn(kf: DataFrame, index: VideoIndex,
+      maxHamming: Int): DataFrame = {
     val scenePairs = phashProbePairs(packKids(kf), index.chunks, maxHamming)
       .select(expr("new_id div 65536").as("doc_new"),
         (col("new_id") % 65536L).as("scene_new"),

@@ -535,17 +535,52 @@ object Graph {
     * aggregation is a full-reduce to one row — no per-node adjacency,
     * nothing quadratic; sums bounded by 2|E|·maxdeg² (checked ~2×10¹²
     * on the sf0.1 minute-grain graph, 6 decades under BIGINT). */
-  /** Newman modularity of a labelled partition over an undirected edge
-    * list — the community-QUALITY metric every clustering face (LPA
-    * communities, components, an external attribute like region) gets
-    * evaluated by before anyone trusts it. Exact-BIGINT gate contract
-    * (the d45/q57 pattern): with m undirected edges, e_c the
-    * intra-community edge count and d_c the community's degree sum,
-    * Q = Σ_c [e_c/m − (d_c/2m)²], so Q·4m² = Σ_c [4m·e_c − d_c²] — all
-    * integer, no float-summation-order hazard; the one double division
-    * is the caller's. Output one row per community present in the
-    * graph: (community, e_c, d_c, q_num = its scaled contribution, m),
-    * so Σ q_num / (4m²) is the global score.
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct()
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val dir = und.unionAll(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    dir
+      .join(deg.select(col("id").as("src"), col("dg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("dg").as("dy")), "dst")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(expr("m2 div 2").as("n_edges"),
+        col("sx"), col("sxx"), col("sxy"),
+        round((col("m2") * col("sxy") - col("sx") * col("sx"))
+            .cast("double") /
+          (col("m2") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6)
+          .as("assort"))
+  }
+
+  /** Newman modularity of a labelled partition — the community-QUALITY
+    * metric every clustering face (LPA communities, components, an
+    * external attribute like region) gets evaluated by before anyone
+    * trusts it. `edges` is an edge list given in both directions (the
+    * [[userCoEdges]] shape), canonicalized internally by src < dst — a
+    * single-orientation list would lose its src > dst rows to that
+    * filter, the same precondition the rest of the family pins.
+    * Exact-BIGINT gate contract (the d45/q57 pattern): with m
+    * undirected edges, e_c the intra-community edge count and d_c the
+    * community's degree sum, Q = Σ_c [e_c/m − (d_c/2m)²], so
+    * Q·4m² = Σ_c [4m·e_c − d_c²] — all integer, no
+    * float-summation-order hazard; the one double division is the
+    * caller's. Output one row per community present in the graph:
+    * (community, e_c, d_c, q_num = its scaled contribution, m), so
+    * Σ q_num / (4m²) is the global score. Both q_num terms are bounded
+    * by 4m² (e_c ≤ m, d_c ≤ 2m), exact under BIGINT while
+    * m < 1.5×10⁹ undirected edges (checked ~2×10⁹ on the sf0.1
+    * minute-grain gate graph, 9 decades under); a graph past that
+    * bound needs the per-community terms rescaled to doubles — the
+    * exact-integer certification contract is what this face exists
+    * for, so it documents the regime instead of silently wrapping.
     *
     * `labels` must cover every graph node (id, community) — a node
     * outside the partition would silently drop its degree mass, so the
@@ -578,31 +613,6 @@ object Graph {
         (lit(4L) * col("m") * coalesce(col("e_c"), lit(0L))
           - col("d_c") * col("d_c")).as("q_num"),
         col("m"))
-  }
-
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .filter(col("src") < col("dst")).distinct()
-    val deg = und.select(col("src").as("id"))
-      .unionAll(und.select(col("dst").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("dg"))
-    val dir = und.unionAll(
-      und.select(col("dst").as("src"), col("src").as("dst")))
-    dir
-      .join(deg.select(col("id").as("src"), col("dg").as("dx")), "src")
-      .join(deg.select(col("id").as("dst"), col("dg").as("dy")), "dst")
-      .agg(
-        count(lit(1)).as("m2"),
-        sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
-      .select(expr("m2 div 2").as("n_edges"),
-        col("sx"), col("sxx"), col("sxy"),
-        round((col("m2") * col("sxy") - col("sx") * col("sx"))
-            .cast("double") /
-          (col("m2") * col("sxx") - col("sx") * col("sx"))
-            .cast("double"), 6)
-          .as("assort"))
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.

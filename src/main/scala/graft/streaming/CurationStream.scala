@@ -87,34 +87,6 @@ object CurationStream {
     * the SAME archive-capped chunk index probe. The fingerprint is the
     * only stage touching payload bytes, and it runs map-side inside
     * the micro-batch. */
-  /** Streaming incremental VIDEO dedup — the streaming face of
-    * `Multimodal.videoProbePairs`: per micro-batch, new videos segment
-    * + keyframe-hash map-side (the only stage touching payload bytes)
-    * and probe the persisted archive
-    * [[graft.pipeline.Multimodal.VideoIndex]]. The half-coverage
-    * rollup runs WITHIN the batch, which is exact: a video's payload
-    * arrives whole in one batch row, so its scene set never splits
-    * across micro-batches and per-batch outputs partition the global
-    * result. Same idempotent `batch=<id>` overwrite layout as the
-    * other dedup sinks. */
-  def videoDedupSink(newMedia: DataFrame,
-      index: graft.pipeline.Multimodal.VideoIndex,
-      outDir: String, checkpoint: String,
-      maxHamming: Int = 3): DataStreamWriter[Row] =
-    newMedia.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val kf = graft.pipeline.Multimodal.keyframeHashes(
-          batch.select(col("doc_id"), col("payload"), col("media_type"))
-            .as[graft.pipeline.Multimodal.MediaRow]).toDF()
-        graft.pipeline.Multimodal.videoProbePairs(kf, index, maxHamming)
-          .write.mode("overwrite")
-          .parquet(s"$outDir/pairs/batch=$batchId")
-      }
-
   def hashDedupSink(newMedia: DataFrame,
       hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
         => DataFrame,
@@ -133,5 +105,40 @@ object CurationStream {
             maxHamming)
           .write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$batchId")
+      }
+
+  /** Streaming incremental VIDEO dedup — the streaming face of
+    * [[graft.pipeline.Multimodal.videoProbePairs]]: per micro-batch,
+    * new videos segment + keyframe-hash map-side (the only stage
+    * touching payload bytes) and probe the persisted archive
+    * [[graft.pipeline.Multimodal.VideoIndex]]. The half-coverage
+    * rollup runs WITHIN the batch, which is exact: a video's payload
+    * arrives whole in one batch row, so its scene set never splits
+    * across micro-batches and per-batch outputs partition the global
+    * result. Same idempotent `batch=<id>` overwrite layout as the
+    * other dedup sinks. The per-batch keyframe checkpoint (the probe
+    * has multiple consumers and decoding is the expensive stage) is
+    * released after each write, so a long-running stream holds at
+    * most one batch's keyframe blocks at a time. */
+  def videoDedupSink(newMedia: DataFrame,
+      index: graft.pipeline.Multimodal.VideoIndex,
+      outDir: String, checkpoint: String,
+      maxHamming: Int = 3): DataStreamWriter[Row] =
+    newMedia.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val kf = graft.pipeline.Multimodal.keyframeHashes(
+          batch.select(col("doc_id"), col("payload"), col("media_type"))
+            .as[graft.pipeline.Multimodal.MediaRow]).toDF()
+          .localCheckpoint(false)
+        try {
+          graft.pipeline.Multimodal
+            .videoProbePairsOn(kf, index, maxHamming)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/pairs/batch=$batchId")
+        } finally { kf.unpersist(blocking = false); () }
       }
 }

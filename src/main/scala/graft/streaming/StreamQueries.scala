@@ -874,17 +874,22 @@ object StreamQueries {
   // the archive-capped chunk probe join. Pairing is per-image against
   // a static snapshot, so micro-batch boundaries cannot change the
   // result. ----
-  /** The shared gate harness behind s17 (image) and s20 (audio): the
-    * archive's fingerprints bake into a capped chunk index ONCE
-    * (localCheckpointed — no micro-batch re-derives it), the increment
-    * streams in tercile micro-batches through the hash-generic
-    * [[CurationStream.hashDedupSink]], and the per-batch pair outputs
-    * union for the oracle hash. The fingerprint function is the ONLY
-    * thing that varies between the modalities. */
-  private def hashDedupGate(s: SparkSession, dir: String,
-      hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
-        => DataFrame,
-      tmpPrefix: String): DataFrame = {
+  /** The shared media-dedup gate harness behind s17 (image), s20
+    * (audio), and s21 (video): documents split into archive
+    * (doc_id % 10 != 0) and increment, `mkSink` bakes whatever
+    * persisted archive index its modality needs (pinned ONCE — no
+    * micro-batch re-derives it) and returns the configured sink plus
+    * the hook that releases that index, the increment streams in
+    * tercile micro-batches, and the drained per-batch pair outputs
+    * union under `resultCols` (sorted on the first two — the pair
+    * key) for the oracle hash. */
+  private def mediaDedupGate(s: SparkSession, dir: String,
+      tmpPrefix: String, resultCols: Seq[String],
+      mkSink: (org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow],
+          DataFrame, String, String)
+        => (org.apache.spark.sql.streaming.DataStreamWriter[
+              org.apache.spark.sql.Row],
+            () => Unit)): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -892,30 +897,46 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val media = graft.pipeline.Multimodal.withPayload(d, "text")
       .select(col("doc_id"), col("payload"), col("media_type"))
-    val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
-        hashFn(media.filter(!isNew)
-          .as[graft.pipeline.Multimodal.MediaRow]),
-        maxBucket = 100)
-      .localCheckpoint(true)
     val incr = media.filter(isNew)
       .as[(Long, Array[Byte], String)].collect()
     val out = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
     val input = MemoryStream[(Long, Array[Byte], String)]
-    val q = CurationStream.hashDedupSink(
-      input.toDF().toDF("doc_id", "payload", "media_type"), hashFn,
-      archIdx, out, s"$out/_cp").start()
+    val (writer, releaseIndex) = mkSink(
+      media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow],
+      input.toDF().toDF("doc_id", "payload", "media_type"),
+      out, s"$out/_cp")
+    val q = writer.start()
     try {
       feedInTerciles(input, q, incr.toSeq,
         (r: (Long, Array[Byte], String)) => r._1)
     } finally q.stop()
     val result = s.read.parquet(s"$out/pairs")
-      .select(col("new_id"), col("corpus_id"), col("hamming"))
-      .orderBy("new_id", "corpus_id")
+      .select(resultCols.map(col): _*)
+      .orderBy(resultCols.take(2).map(col): _*)
       .localCheckpoint(true)
-    archIdx.unpersist(blocking = false)
+    releaseIndex()
     rmTree(out)
     result
   }
+
+  /** [[mediaDedupGate]] through the hash-generic
+    * [[CurationStream.hashDedupSink]] (s17/s20): the archive's
+    * fingerprints bake into a capped chunk index once, and the
+    * fingerprint function is the ONLY thing that varies between the
+    * modalities. */
+  private def hashDedupGate(s: SparkSession, dir: String,
+      hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
+        => DataFrame,
+      tmpPrefix: String): DataFrame =
+    mediaDedupGate(s, dir, tmpPrefix,
+      Seq("new_id", "corpus_id", "hamming"),
+      (arch, stream, out, cp) => {
+        val archIdx = graft.pipeline.Multimodal.phashChunkIndex(
+            hashFn(arch), maxBucket = 100)
+          .localCheckpoint(true)
+        (CurationStream.hashDedupSink(stream, hashFn, archIdx, out, cp),
+          () => { archIdx.unpersist(blocking = false); () })
+      })
 
   private def s17(s: SparkSession, dir: String): DataFrame =
     hashDedupGate(s, dir, graft.pipeline.Multimodal.dHash(_), "graft_s17")
@@ -961,42 +982,26 @@ object StreamQueries {
   // The half-coverage rollup is per-batch AND exact (a video's scenes
   // never split across batches), so the drained union hash-matches
   // mm10's batch oracle verbatim. ----
-  private def s21(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val d = Tables.load(s, dir, "documents")
-    val isNew = col("doc_id") % 10 === 0
-    val media = graft.pipeline.Multimodal.withPayload(d, "text")
-      .select(col("doc_id"), col("payload"), col("media_type"))
-    val idx0 = graft.pipeline.Multimodal.videoKeyframeIndex(
-      graft.pipeline.Multimodal.keyframeHashes(
-        media.filter(!isNew).as[graft.pipeline.Multimodal.MediaRow]).toDF())
-    // both index faces pinned for the three micro-batches (the
-    // ScaleProbe lesson: a lazy face re-derives O(archive) per batch)
-    val idx = graft.pipeline.Multimodal.VideoIndex(
-      idx0.chunks.localCheckpoint(true), idx0.counts.localCheckpoint(true))
-    val incr = media.filter(isNew)
-      .as[(Long, Array[Byte], String)].collect()
-    val out = java.nio.file.Files.createTempDirectory("graft_s21").toString
-    val input = MemoryStream[(Long, Array[Byte], String)]
-    val q = CurationStream.videoDedupSink(
-      input.toDF().toDF("doc_id", "payload", "media_type"), idx,
-      out, s"$out/_cp").start()
-    try {
-      feedInTerciles(input, q, incr.toSeq,
-        (r: (Long, Array[Byte], String)) => r._1)
-    } finally q.stop()
-    val result = s.read.parquet(s"$out/pairs")
-      .select(col("doc_new"), col("doc_arch"), col("n_new"),
-        col("n_arch"), col("matched_new"), col("matched_arch"))
-      .orderBy("doc_new", "doc_arch")
-      .localCheckpoint(true)
-    idx.chunks.unpersist(blocking = false)
-    idx.counts.unpersist(blocking = false)
-    rmTree(out)
-    result
-  }
+  private def s21(s: SparkSession, dir: String): DataFrame =
+    mediaDedupGate(s, dir, "graft_s21",
+      Seq("doc_new", "doc_arch", "n_new", "n_arch",
+        "matched_new", "matched_arch"),
+      (arch, stream, out, cp) => {
+        val idx0 = graft.pipeline.Multimodal.videoKeyframeIndex(
+          graft.pipeline.Multimodal.keyframeHashes(arch).toDF())
+        // both index faces pinned for the three micro-batches (the
+        // ScaleProbe lesson: a lazy face re-derives O(archive) per
+        // batch)
+        val idx = graft.pipeline.Multimodal.VideoIndex(
+          idx0.chunks.localCheckpoint(true),
+          idx0.counts.localCheckpoint(true))
+        (CurationStream.videoDedupSink(stream, idx, out, cp),
+          () => {
+            idx.chunks.unpersist(blocking = false)
+            idx.counts.unpersist(blocking = false)
+            ()
+          })
+      })
 
   private val s21Oracle = graft.pipeline.PipelineQueries.mm10Oracle
 
