@@ -371,17 +371,7 @@ object Graph {
     val deg = und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-    // orient each edge toward the (degree, id)-larger endpoint
-    val oriented = und
-      .join(deg.select(col("id").as("src"), col("dg").as("ds")), "src")
-      .join(deg.select(col("id").as("dst"), col("dg").as("dd")), "dst")
-      .select(
-        when(col("ds") < col("dd") ||
-            (col("ds") === col("dd") && col("src") < col("dst")),
-          struct(col("src").as("a"), col("dst").as("b")))
-          .otherwise(struct(col("dst").as("a"), col("src").as("b")))
-          .as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val oriented = orientByDegree(und, deg)
     val wedges = oriented.as("x")
       .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"), "b")
       .select(col("a"), col("c"))
@@ -395,6 +385,65 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("(3000000 * n_triangles) div n_wedges").as("global_cc_ppm"))
+  }
+
+  /** The [[triangleCensus]] orientation, shared with
+    * [[localClustering]]: each undirected edge directed from its
+    * (degree, id)-lexicographically smaller endpoint to the larger, so
+    * every out-neighborhood is bounded by O(√|E|) regardless of skew. */
+  private def orientByDegree(und: DataFrame, deg: DataFrame): DataFrame =
+    und
+      .join(deg.select(col("id").as("src"), col("dg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("dg").as("dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") ||
+            (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("a"), col("dst").as("b")))
+          .otherwise(struct(col("dst").as("a"), col("src").as("b")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** Per-node LOCAL clustering coefficient — [[triangleCensus]]'s
+    * per-node complement (Watts–Strogatz): for each node v with degree
+    * d and t triangles through it, lcc(v) = 2t / (d·(d−1)), emitted in
+    * exact integer ppm as `(2000000·t) div (d·(d−1))` (0 when d < 2 —
+    * a leaf closes no wedge). The per-node t is exact: each triangle is
+    * enumerated ONCE by the same degree-oriented wedge join the census
+    * uses (the orientation is a topological order, so (a,b,c) closes
+    * exactly one oriented wedge), then attributed to all three corners.
+    * Everything is order-free BIGINT arithmetic — gateable on any
+    * engine; 2·10⁶·t stays 5 decades under BIGINT even at t ~ 10¹².
+    *
+    * Returns (id, deg, tri, lcc_ppm) for every node with ≥ 1 edge.
+    *
+    * 100 TB shape: identical to the census — out-neighborhoods bounded
+    * O(√|E|) by orientation so the wedge join fans out by out-degree²,
+    * never hub-degree²; the corner attribution is one explode (3 rows
+    * per triangle) into a hash aggregate; per-node adjacency never
+    * materializes. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct()
+      // three consumers: degrees, and the oriented list's two join legs
+      .localCheckpoint(false)
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val oriented = orientByDegree(und, deg)
+    val wedges = oriented.as("x")
+      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"),
+        "b")
+      .select(col("a"), col("b"), col("c"))
+    val corners = wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id"), col("dg").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("dg") >= 2,
+          expr("(2000000 * coalesce(tri, 0L)) div (dg * (dg - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
   }
 
 
@@ -454,6 +503,66 @@ object Graph {
       .select(col("id"), col("core_deg"),
         lit(rounds).as("rounds_run"), lit(converged).as("converged"))
   }
+  /** Multi-source BFS hop levels — the reachability face of the fixpoint
+    * family: `level(v)` = the minimum number of edges from any node in
+    * `seeds` to `v`, computed by synchronous frontier expansion. The
+    * curation shape is "hops from the trusted whitelist" (the discrete
+    * complement of [[pageRankSeeded]]'s damped trust mass) and dedup-
+    * cluster radius checks. Returns one row per REACHED node —
+    * (id, level, rounds_run, converged); unreachable nodes are absent by
+    * construction (emitting them would need the node universe, which
+    * reachability deliberately doesn't require). Seeds themselves are
+    * level 0, present even when isolated.
+    *
+    * The visited set GROWS MONOTONICALLY (a node's level is fixed the
+    * round it is first reached), so — like [[kCore]]'s shrinking edge
+    * set — the convergence probe is a CARDINALITY comparison: an
+    * unchanged visited count means an empty frontier, and an empty
+    * frontier stays empty, so the early exit ≡ a full `maxRounds`
+    * unroll (the capped-iteration gate contract; the oracle replays the
+    * unroll and matches either way). `converged = false` means the
+    * budget ran out: levels ≤ rounds_run are exact, deeper nodes are
+    * simply not yet emitted — never wrong, just truncated (the honest
+    * budget semantics, same as kCore's superset contract).
+    *
+    * 100 TB shape: each round is one src-keyed equi-join of the edge
+    * list against the CURRENT FRONTIER (shrinks to the BFS ring, ≪
+    * nodes — AQE broadcasts it when it fits) plus one anti-join against
+    * the visited set — both keyed on node ids, nothing wider than an id
+    * pair shuffles; the edge list is checkpointed once, the visited set
+    * per round (it is the loop state). */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint expansion wants 1..128 max rounds, got $maxRounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("level", lit(0)).localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    var nVisited = visited.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prev = visited
+      val next = e
+        .join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("level", lit(rounds + 1))
+      visited = visited.unionAll(next).localCheckpoint(true)
+      val nNext = visited.count()
+      rounds += 1
+      // monotone growth: unchanged visited COUNT ⇔ empty frontier ⇔
+      // fixpoint (an empty frontier can never repopulate)
+      converged = nNext == nVisited
+      nVisited = nNext
+      frontier = visited.filter(col("level") === rounds).select(col("id"))
+      prev.unpersist(blocking = false)
+    }
+    visited.select(col("id"), col("level"),
+      lit(rounds).as("rounds_run"), lit(converged).as("converged"))
+  }
+
   /** Common-neighbor link prediction: for every non-adjacent unordered
     * node pair (u, v) that shares at least one neighbor, emit the three
     * classic link-prediction scores — common-neighbor count `cn`,
@@ -1323,6 +1432,112 @@ object GraphQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  // ---- q69: multi-source BFS hop levels on the hour-grain half-user
+  // co-occurrence graph (q51/q62/q63's derivation), seeded at
+  // user_id % 16 = 0 (q67's trusted set — this is its discrete
+  // complement: exact hop distance instead of damped rank mass), capped
+  // at 6 rounds. Monotone visited growth keeps the capped-iteration
+  // contract; the oracle unrolls all 6 frontier expansions (each level
+  // MATERIALIZED — the visited chain is multiply referenced, the q66
+  // lesson) and recomputes rounds_run as the first round whose frontier
+  // came up empty. The dense hour graph reaches everything reachable in
+  // ~2 hops, so the gate certifies the fixpoint-fires face; the
+  // budget-runs-out face is spec-certified on a path graph. ----
+  private val q69Rounds = 6
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    val nodes = ev.select(col("user_id").as("id"))
+    Graph.bfsLevels(Graph.userCoEdges(ev),
+        nodes.filter(col("id") % 16 === 0), maxRounds = q69Rounds)
+      .select(col("id").as("user_id"), col("level"),
+        col("rounds_run"), col("converged"))
+      .orderBy("user_id")
+  }
+
+  private val q69Oracle: String = {
+    val k = q69Rounds
+    val rounds = (1 to k).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id, $i AS level
+         |  FROM e JOIN n${i - 1} f ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v WHERE v.id = e.dst)),
+         |v$i AS MATERIALIZED (
+         |  SELECT id, level FROM v${i - 1}
+         |  UNION ALL SELECT id, level FROM n$i),
+         |cnt$i AS (SELECT COUNT(*) AS c FROM n$i)"""
+    }.mkString(",\n")
+    val arms = (1 to k)
+      .map(i => s"WHEN (SELECT c FROM cnt$i) = 0 THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+       |  FROM events WHERE user_id % 2 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id <> b.user_id),
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS id, 0 AS level FROM events
+       |  WHERE user_id % 2 = 0 AND user_id % 16 = 0),
+       |n0 AS (SELECT id FROM v0),
+       |$rounds
+       |SELECT id AS user_id, level,
+       |  CASE $arms ELSE $k END AS rounds_run,
+       |  ((SELECT c FROM cnt$k) = 0) AS converged
+       |FROM v$k ORDER BY user_id""".stripMargin
+  }
+
+  // ---- q70: per-node local clustering coefficient on the minute-grain
+  // co-occurrence graph (q55's sparse graph — its census counted the
+  // global 3·tri/wedges; this is the per-node Watts–Strogatz
+  // complement). Triangle attribution replays the same degree-oriented
+  // wedge join, so per-node counts are exact integers and the ppm
+  // coefficient is one truncating BIGINT division — replayed
+  // bit-for-bit by the oracle. Full output ordered by user_id. ----
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Graph.localClustering(
+        Graph.userCoEdges(events(s, dir), grain = "minute"))
+      .select(col("id").as("user_id"), col("deg"), col("tri"),
+        col("lcc_ppm"))
+      .orderBy("user_id")
+
+  private val q70Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id < b.user_id),
+      |deg AS (
+      |  SELECT id, COUNT(*)::BIGINT AS dg FROM (
+      |    SELECT src AS id FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY id),
+      |o AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND src < dst)
+      |      THEN src ELSE dst END AS a,
+      |    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND src < dst)
+      |      THEN dst ELSE src END AS b
+      |  FROM und
+      |  JOIN deg x ON x.id = und.src
+      |  JOIN deg y ON y.id = und.dst),
+      |t AS MATERIALIZED (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM o e1 JOIN o e2 ON e1.b = e2.a
+      |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT id, COUNT(*)::BIGINT AS tri FROM (
+      |    SELECT a AS id FROM t
+      |    UNION ALL SELECT b FROM t
+      |    UNION ALL SELECT c FROM t) GROUP BY id)
+      |SELECT deg.id AS user_id, deg.dg AS deg,
+      |  COALESCE(pn.tri, 0)::BIGINT AS tri,
+      |  (CASE WHEN deg.dg >= 2
+      |    THEN (2000000 * COALESCE(pn.tri, 0)) // (deg.dg * (deg.dg - 1))
+      |    ELSE 0 END)::BIGINT AS lcc_ppm
+      |FROM deg LEFT JOIN pn ON pn.id = deg.id
+      |ORDER BY user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1337,5 +1552,7 @@ object GraphQueries {
     QueryDef("q64_lpa_resume", q64, Some(q64Oracle)),
     QueryDef("q65_pagerank_resume", q65, Some(q65Oracle)),
     QueryDef("q66_kcore", q66, Some(q66Oracle)),
-    QueryDef("q67_trustrank", q67, Some(q67Oracle)))
+    QueryDef("q67_trustrank", q67, Some(q67Oracle)),
+    QueryDef("q69_bfs_levels", q69, Some(q69Oracle)),
+    QueryDef("q70_local_clustering", q70, Some(q70Oracle)))
 }

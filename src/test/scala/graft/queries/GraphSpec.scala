@@ -442,6 +442,74 @@ class GraphSpec extends SparkSpec {
     assert(tri === ((1, true)))
   }
 
+  test("bfsLevels: single-source path — exact hop levels, fixpoint at the empty frontier") {
+    import spark.implicits._
+    // path 1–2–3–4–5 (both directions), seed {1}: levels 0..4; the
+    // frontier empties at round 5 (round 4 discovered node 5, round 5
+    // found nothing new) → rounds_run 5, converged
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.bfsLevels(edges, Seq(1L).toDF("id"), maxRounds = 8)
+      .orderBy("id").select("id", "level", "rounds_run", "converged")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 5, true), (2L, 1, 5, true), (3L, 2, 5, true),
+      (4L, 3, 5, true), (5L, 4, 5, true)))
+  }
+
+  test("bfsLevels: multi-source min-distance; budget cap truncates honestly") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // seeds at both ends: middle node lands at level 2, ends' neighbors
+    // at 1; frontier empties at round 3
+    val multi = Graph.bfsLevels(edges, Seq(1L, 5L).toDF("id"),
+        maxRounds = 8)
+      .orderBy("id").select("id", "level", "rounds_run", "converged")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(multi === Seq(
+      (1L, 0, 3, true), (2L, 1, 3, true), (3L, 2, 3, true),
+      (4L, 1, 3, true), (5L, 0, 3, true)))
+    // budget runs out at 2 rounds from seed {1}: only levels ≤ 2 emit,
+    // converged = false — truncated, never wrong
+    val capped = Graph.bfsLevels(edges, Seq(1L).toDF("id"), maxRounds = 2)
+      .orderBy("id").select("id", "level", "rounds_run", "converged")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(capped === Seq(
+      (1L, 0, 2, false), (2L, 1, 2, false), (3L, 2, 2, false)))
+    // an isolated seed (no edges touch it) still reports at level 0,
+    // and unreachable nodes never appear
+    val iso = Graph.bfsLevels(edges, Seq(99L).toDF("id"), maxRounds = 4)
+      .select("id", "level", "converged")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(iso === Seq((99L, 0, true)))
+  }
+
+  test("localClustering: K3 plus pendant — hand-computed per-node ppm") {
+    import spark.implicits._
+    // K3 {1,2,3} + pendant 3–4. deg: 1→2, 2→2, 3→3, 4→1; one triangle
+    // through 1,2,3. lcc: 1,2 → 2e6·1/(2·1) = 1000000;
+    // 3 → 2e6·1/(3·2) = 333333 (truncating div); 4 → deg<2 → 0.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.localClustering(edges)
+      .orderBy("id").select("id", "deg", "tri", "lcc_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
+    // consistency with the census: Σ per-node tri = 3 × global count,
+    // on the two-triangle barbell
+    val bund = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val bedges = (bund ++ bund.map(_.swap)).toDF("src", "dst")
+    val perNode = Graph.localClustering(bedges)
+      .agg(sum("tri")).head.getLong(0)
+    val global = Graph.triangleCensus(bedges)
+      .select("n_triangles").head.getLong(0)
+    assert(perNode === 3 * global && global === 2L)
+  }
+
   test("labelPropagateResume: warm-start over appended edges seeds new nodes fresh") {
     import spark.implicits._
     // archive labeling: clique {1,2,3} settled on community 1
