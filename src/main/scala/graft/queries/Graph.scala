@@ -503,6 +503,92 @@ object Graph {
       .select(col("id"), col("core_deg"),
         lit(rounds).as("rounds_run"), lit(converged).as("converged"))
   }
+  /** k-truss decomposition (Cohen 2008) — [[kCore]]'s EDGE analogue and
+    * the stricter community filter: repeatedly delete edges supported by
+    * fewer than k−2 triangles until every survivor closes ≥ k−2
+    * triangles within the surviving subgraph (a k-truss edge's endpoints
+    * share ≥ k−2 common neighbors — cohesion no degree filter can fake,
+    * which is why spam-ring analysis prefers truss to core). Fourth
+    * member of the fixpoint family, and like the peel it SHRINKS
+    * MONOTONICALLY: a stable round is a fixpoint and the convergence
+    * probe is the same nested-set CARDINALITY compare as [[kCore]]'s
+    * (equal edge counts ⇔ equal sets ⇔ unchanged supports).
+    * `converged = false` means the budget ran out and the survivors are
+    * a SUPERSET of the true k-truss — peeling never wrongly admits.
+    *
+    * Per round, edge support is counted by the [[triangleCensus]]
+    * machinery: degree-orient the surviving edges (out-neighborhoods
+    * O(√|E|) under any skew), enumerate each triangle exactly once via
+    * the oriented wedge join, then attribute it to its three canonical
+    * (least, greatest) edges — one explode into a hash aggregate, no
+    * per-node adjacency. Returns the surviving UNDIRECTED canonical
+    * edges (src < dst) with their final in-truss support plus
+    * (rounds_run, converged); input is the [[userCoEdges]] shape.
+    *
+    * 100 TB shape: each round is the census's wedge join + one
+    * support aggregation + one semi-join filter, all keyed on edge/node
+    * ids; the surviving edge list is the loop state, checkpointed per
+    * round, and only shrinks. */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss wants k >= 3, got $k")
+    require(maxRounds >= 1 && maxRounds <= 128,
+      s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    var support = e.select(col("src"), col("dst"), lit(0L).as("support"))
+    while (!converged && rounds < maxRounds) {
+      val prev = e
+      val sup = edgeSupport(e)
+      val next = sup.filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      val nNext = next.count()
+      rounds += 1
+      // monotone peel: nested edge sets, so unchanged edge COUNT ⇔
+      // unchanged edge set ⇔ unchanged supports ⇔ fixpoint
+      converged = nNext == nEdges
+      nEdges = nNext
+      support = next
+      e = next.select(col("src"), col("dst")).localCheckpoint(true)
+      prev.unpersist(blocking = false)
+    }
+    support.select(col("src"), col("dst"), col("support"),
+      lit(rounds).as("rounds_run"), lit(converged).as("converged"))
+  }
+
+  /** One k-truss support round: triangles of the canonical (src < dst)
+    * edge list `und` via the degree-oriented census join, attributed to
+    * each triangle's three canonical edges. Returns every edge with its
+    * triangle count (0 for wedge-free edges — the left join keeps them,
+    * they peel first). */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val oriented = orientByDegree(und, deg)
+    val tri = oriented.as("x")
+      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"),
+        "b")
+      .select(col("a"), col("b"), col("c"))
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triEdges = tri
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst")),
+        struct(least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")),
+        struct(least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("t"))
+    und.join(triEdges, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("t"), lit(0L)).as("support"))
+  }
+
   /** Multi-source BFS hop levels — the reachability face of the fixpoint
     * family: `level(v)` = the minimum number of edges from any node in
     * `seeds` to `v`, computed by synchronous frontier expansion. The
@@ -1538,6 +1624,80 @@ object GraphQueries {
       |FROM deg LEFT JOIN pn ON pn.id = deg.id
       |ORDER BY user_id""".stripMargin
 
+  // ---- q71: k-truss decomposition of the minute-grain co-occurrence
+  // graph (q55/q70's sparse graph), k = 3 (every surviving edge must
+  // close ≥ 1 triangle among survivors — the sparse fixture holds no
+  // 4-truss at sf0.01: max support is 1 there, probed), peeled under a
+  // 4-round budget: real peeling at both SFs (207 → 24 edges at
+  // sf0.01, 23003 → 15421 at sf0.1), converging at round 2. Monotone
+  // edge peeling keeps the capped-iteration contract (stable round =
+  // fixpoint, early exit ≡ the unrolled oracle either way) with the
+  // q66 cardinality probe; each oracle round replays the full census
+  // machinery — per-round degree orientation, wedge join, corner-edge
+  // attribution — as MATERIALIZED CTEs (each is multiply referenced;
+  // the q66 lesson). The deeper multi-round cascade face (k = 4
+  // stranding then emptying a shared edge) is spec-certified. ----
+  private val q71K = 3
+  private val q71Rounds = 4
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(Graph.userCoEdges(events(s, dir), grain = "minute"),
+        k = q71K, maxRounds = q71Rounds)
+      .select(col("src").as("user_a"), col("dst").as("user_b"),
+        col("support"), col("rounds_run"), col("converged"))
+      .orderBy("user_a", "user_b")
+
+  private val q71Oracle: String = {
+    val k = q71Rounds
+    val rounds = (1 to k).map { i =>
+      s"""deg$i AS (
+         |  SELECT id, COUNT(*)::BIGINT AS dg FROM (
+         |    SELECT src AS id FROM e${i - 1} UNION ALL
+         |    SELECT dst FROM e${i - 1}) GROUP BY id),
+         |o$i AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND src < dst)
+         |      THEN src ELSE dst END AS a,
+         |    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND src < dst)
+         |      THEN dst ELSE src END AS b
+         |  FROM e${i - 1}
+         |  JOIN deg$i x ON x.id = e${i - 1}.src
+         |  JOIN deg$i y ON y.id = e${i - 1}.dst),
+         |t$i AS MATERIALIZED (
+         |  SELECT p.a, p.b, q.b AS c
+         |  FROM o$i p JOIN o$i q ON p.b = q.a
+         |  JOIN o$i r ON r.a = p.a AND r.b = q.b),
+         |s$i AS (
+         |  SELECT src, dst, COUNT(*)::BIGINT AS t FROM (
+         |    SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst FROM t$i
+         |    UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM t$i
+         |    UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM t$i)
+         |  GROUP BY src, dst),
+         |e$i AS MATERIALIZED (
+         |  SELECT e${i - 1}.src, e${i - 1}.dst,
+         |    COALESCE(s$i.t, 0)::BIGINT AS support
+         |  FROM e${i - 1} LEFT JOIN s$i
+         |    ON s$i.src = e${i - 1}.src AND s$i.dst = e${i - 1}.dst
+         |  WHERE COALESCE(s$i.t, 0) >= ${q71K - 2}),
+         |cnt$i AS (SELECT COUNT(*) AS c FROM e$i)"""
+    }.mkString(",\n")
+    val arms = (1 to k).map(i =>
+      s"WHEN (SELECT c FROM cnt$i) = (SELECT c FROM cnt${i - 1}) THEN $i")
+      .mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+       |  FROM events),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM ev a JOIN ev b USING (h, event_type)
+       |  WHERE a.user_id < b.user_id),
+       |cnt0 AS (SELECT COUNT(*) AS c FROM e0),
+       |$rounds
+       |SELECT src AS user_a, dst AS user_b, support,
+       |  CASE $arms ELSE $k END AS rounds_run,
+       |  ((SELECT c FROM cnt$k) = (SELECT c FROM cnt${k - 1})) AS converged
+       |FROM e$k ORDER BY user_a, user_b""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1554,5 +1714,6 @@ object GraphQueries {
     QueryDef("q66_kcore", q66, Some(q66Oracle)),
     QueryDef("q67_trustrank", q67, Some(q67Oracle)),
     QueryDef("q69_bfs_levels", q69, Some(q69Oracle)),
-    QueryDef("q70_local_clustering", q70, Some(q70Oracle)))
+    QueryDef("q70_local_clustering", q70, Some(q70Oracle)),
+    QueryDef("q71_ktruss", q71, Some(q71Oracle)))
 }

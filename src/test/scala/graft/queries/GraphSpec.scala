@@ -510,6 +510,40 @@ class GraphSpec extends SparkSpec {
     assert(perNode === 3 * global && global === 2L)
   }
 
+  test("kTruss: K4 keeps its truss while a hanging triangle peels; cascade empties a triangle chain") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + triangle {4,5,6}: every K4 edge closes 2
+    // triangles (survives k = 4), the hanging triangle's edges close 1
+    // each → peeled round 1; round 2 confirms stability.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kTruss(edges, k = 4, maxRounds = 8)
+      .orderBy("src", "dst")
+      .select("src", "dst", "support", "rounds_run", "converged")
+      .as[(Long, Long, Long, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, 2, true), (1L, 3L, 2L, 2, true), (1L, 4L, 2L, 2, true),
+      (2L, 3L, 2L, 2, true), (2L, 4L, 2L, 2, true), (3L, 4L, 2L, 2, true)))
+    // k = 3: every edge closes ≥ 1 triangle → round-1 no-op, converged
+    val k3 = Graph.kTruss(edges, k = 3, maxRounds = 8)
+      .select("rounds_run", "converged").as[(Int, Boolean)].head()
+    assert(k3 === ((1, true)))
+    // cascade: two triangles sharing edge (2,3) — at k = 4 the outer
+    // edges peel round 1 (support 1), stranding (2,3) at support 0 →
+    // peeled round 2, empty confirmed round 3
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cedges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val c = Graph.kTruss(cedges, k = 4, maxRounds = 8)
+    assert(c.count() === 0L)
+    // budget honesty: the same cascade capped at 1 round keeps the
+    // stranded (2,3) as a superset, converged = false
+    val capped = Graph.kTruss(cedges, k = 4, maxRounds = 1)
+      .select("src", "dst", "support", "rounds_run", "converged")
+      .as[(Long, Long, Long, Int, Boolean)].collect().toSeq
+    assert(capped === Seq((2L, 3L, 2L, 1, false)))
+  }
+
   test("labelPropagateResume: warm-start over appended edges seeds new nodes fresh") {
     import spark.implicits._
     // archive labeling: clique {1,2,3} settled on community 1
