@@ -371,12 +371,7 @@ object Graph {
     val deg = und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-    val oriented = orientByDegree(und, deg)
-    val wedges = oriented.as("x")
-      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"), "b")
-      .select(col("a"), col("c"))
-    val triangles = wedges
-      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triangles = trianglesOf(und, deg)
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(dg * (dg - 1)) div 2").as("n_wedges"))
@@ -402,6 +397,23 @@ object Graph {
           .otherwise(struct(col("dst").as("a"), col("src").as("b")))
           .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** The shared oriented triangle enumeration: degree-orient `und`
+    * ([[orientByDegree]]), wedge-join on the middle vertex, close on
+    * (a, c). The orientation is a topological order, so each triangle
+    * emits EXACTLY one (a, b, c) row and every out-neighborhood the
+    * wedge join fans out over is O(√|E|) — the bound all three
+    * consumers ([[triangleCensus]], [[localClustering]],
+    * [[kTruss]]'s support rounds) inherit from this one place. */
+  private def trianglesOf(und: DataFrame, deg: DataFrame): DataFrame = {
+    val oriented = orientByDegree(und, deg)
+    oriented.as("x")
+      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"),
+        "b")
+      .select(col("a"), col("b"), col("c"))
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
 
   /** Per-node LOCAL clustering coefficient — [[triangleCensus]]'s
     * per-node complement (Watts–Strogatz): for each node v with degree
@@ -429,13 +441,7 @@ object Graph {
     val deg = und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-    val oriented = orientByDegree(und, deg)
-    val wedges = oriented.as("x")
-      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"),
-        "b")
-      .select(col("a"), col("b"), col("c"))
-    val corners = wedges
-      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val corners = trianglesOf(und, deg)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
     deg.join(corners, Seq("id"), "left")
@@ -522,13 +528,19 @@ object Graph {
     * the oriented wedge join, then attribute it to its three canonical
     * (least, greatest) edges — one explode into a hash aggregate, no
     * per-node adjacency. Returns the surviving UNDIRECTED canonical
-    * edges (src < dst) with their final in-truss support plus
-    * (rounds_run, converged); input is the [[userCoEdges]] shape.
+    * edges (src < dst) with their support plus (rounds_run,
+    * converged); input is the [[userCoEdges]] shape. When converged,
+    * `support` IS each edge's in-truss support (the fixpoint recount
+    * over the survivors themselves); when the budget ran out it is the
+    * count against the LAST PROCESSED superset — an upper bound on
+    * in-truss support, consistent with the superset contract
+    * (re-enter with more budget to tighten both).
     *
     * 100 TB shape: each round is the census's wedge join + one
     * support aggregation + one semi-join filter, all keyed on edge/node
-    * ids; the surviving edge list is the loop state, checkpointed per
-    * round, and only shrinks. */
+    * ids; the surviving (edge, support) list is the loop state — ONE
+    * localCheckpoint per round, superseded rounds unpersisted — and
+    * only shrinks. */
   def kTruss(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 3, s"k-truss wants k >= 3, got $k")
     require(maxRounds >= 1 && maxRounds <= 128,
@@ -539,20 +551,22 @@ object Graph {
     var nEdges = e.count()
     var rounds = 0
     var converged = false
+    // `pinned` tracks the one checkpointed DataFrame backing the loop
+    // state; each round supersedes (and unpersists) the previous one
+    var pinned = e
     var support = e.select(col("src"), col("dst"), lit(0L).as("support"))
     while (!converged && rounds < maxRounds) {
-      val prev = e
-      val sup = edgeSupport(e)
-      val next = sup.filter(col("support") >= k - 2)
+      val prev = pinned
+      support = edgeSupport(e).filter(col("support") >= k - 2)
         .localCheckpoint(true)
-      val nNext = next.count()
+      val nNext = support.count()
       rounds += 1
       // monotone peel: nested edge sets, so unchanged edge COUNT ⇔
       // unchanged edge set ⇔ unchanged supports ⇔ fixpoint
       converged = nNext == nEdges
       nEdges = nNext
-      support = next
-      e = next.select(col("src"), col("dst")).localCheckpoint(true)
+      pinned = support
+      e = support.select(col("src"), col("dst"))
       prev.unpersist(blocking = false)
     }
     support.select(col("src"), col("dst"), col("support"),
@@ -568,13 +582,7 @@ object Graph {
     val deg = und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-    val oriented = orientByDegree(und, deg)
-    val tri = oriented.as("x")
-      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("y"),
-        "b")
-      .select(col("a"), col("b"), col("c"))
-      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    val triEdges = tri
+    val triEdges = trianglesOf(und, deg)
       .select(explode(array(
         struct(least(col("a"), col("b")).as("src"),
           greatest(col("a"), col("b")).as("dst")),
