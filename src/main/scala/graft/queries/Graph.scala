@@ -74,6 +74,51 @@ object Graph {
       .drop("dst", "m")
   }
 
+  /** WEIGHTED integer PageRank — [[pageRankInt]] over a weighted edge
+    * list (src, dst, w): each step distributes a node's damped mass in
+    * proportion to integer edge weights instead of uniformly,
+    *
+    *   r'(v) = 125000 + Σ_{u→v} (r(u)·7·w_uv) div (8·W_u),
+    *
+    * with W_u = Σ w over u's out-edges — the authority measure a
+    * weighted co-occurrence/citation/domain-link multigraph actually
+    * wants ([[userCoEdgesWeighted]] derives exactly that shape). At
+    * w ≡ 1 the recurrence degenerates to [[pageRankInt]]'s
+    * (spec-asserted), so the unweighted face is the special case, not
+    * a sibling. Same exact-BIGINT gate contract: dyadic damping,
+    * truncating div per edge (the leak is ≤ 8·W_u−1 micro-units per
+    * edge per step, same stated contract), order-free integer sums —
+    * r(u)·7·w stays 5 decades under BIGINT while total mass × max
+    * weight < 10¹⁵. Returns (id, w_out, pr1..prN).
+    *
+    * 100 TB shape: identical to [[pageRankInt]] — one src-keyed
+    * equi-join + one dst-keyed BIGINT sum per step, weight riding
+    * along as one extra integer column; adjacency never materializes. */
+  def pageRankWeightedInt(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"unrolled power iteration wants 1..8 iterations, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val wout = e.groupBy("src").agg(sum(col("w")).as("wt"))
+    val n0 = nodes.select(col("id")).distinct()
+      .withColumn("pr0", lit(1000000L))
+    val ranked = (1 to iters).foldLeft(n0) { case (r, i) =>
+      val contrib = e
+        .join(r.select(col("id").as("src"), col(s"pr${i - 1}").as("pr")),
+          "src")
+        .join(wout, "src")
+        .select(col("dst"), expr("(pr * 7 * w) div (8 * wt)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      r.join(contrib, r("id") === contrib("dst"), "left")
+        .withColumn(s"pr$i", lit(125000L) + coalesce(col("m"), lit(0L)))
+        .drop("dst", "m")
+    }
+    ranked
+      .join(wout, ranked("id") === wout("src"), "left")
+      .withColumn("w_out", coalesce(col("wt"), lit(0L)))
+      .drop("src", "wt")
+  }
+
   /** CONVERGENCE-DRIVEN integer PageRank — [[pageRankInt]]'s production
     * face: instead of a caller-guessed unroll depth, iterate the same
     * exact BIGINT recurrence until the rank vector reaches its integer
@@ -317,12 +362,48 @@ object Graph {
     *    spills; for huge caps it is the honest tool. */
   def userCoEdges(events: DataFrame, grain: String = "hour",
       cap: Int = 64): DataFrame = {
+    val ev = cappedBucketMembers(events, grain, cap)
+    ev.as("a").join(ev.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .distinct()
+  }
+
+  /** [[userCoEdges]]' WEIGHTED face: the same capped bucket membership
+    * and self-join, but instead of collapsing to a 0/1 edge the pair's
+    * co-occurrence COUNT survives as an integer weight `w` — how many
+    * (grain, event_type) buckets the two users shared. Production
+    * co-occurrence/citation/domain-link graphs are multigraphs; the
+    * multiplicity is the signal every weighted authority/affinity
+    * measure runs on ([[pageRankWeightedInt]]). Same Σ min(k_b, cap)²
+    * cost bound, same deterministic sha-ordered cap; the groupBy
+    * replaces the unweighted face's distinct — one shuffle either way. */
+  def userCoEdgesWeighted(events: DataFrame, grain: String = "hour",
+      cap: Int = 64): DataFrame = {
+    val ev = cappedBucketMembers(events, grain, cap)
+    ev.as("a").join(ev.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** The capped per-bucket membership shared by [[userCoEdges]] and
+    * [[userCoEdgesWeighted]]: distinct (user, grain-bucket, type)
+    * rows, each bucket trimmed to its `cap` sha-first members via the
+    * route the cap's own memory math picks (see [[userCoEdges]]'
+    * scaladoc for the full contract). */
+  private def cappedBucketMembers(events: DataFrame, grain: String,
+      cap: Int): DataFrame = {
     require(cap >= 2 && cap <= 4096,
       s"cap=$cap outside 2..4096 (the bounded-buffer budget)")
     val ev0 = events
       .select(col("user_id"), date_trunc(grain, col("ts")).as("h"),
         col("event_type"))
-    val ev = if (cap <= 512) {
+    if (cap <= 512) {
       ev0
         .groupBy(col("h"), col("event_type"))
         .agg(graft.functions.TopK.topk_gen(
@@ -340,12 +421,6 @@ object Graph {
         .filter(col("rn") <= cap)
         .drop("rn")
     }
-    ev.as("a").join(ev.as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.event_type") === col("b.event_type") &&
-          col("a.user_id") =!= col("b.user_id"))
-      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
-      .distinct()
   }
 
   /** Exact triangle census by degree orientation — the clustering /
@@ -1706,6 +1781,55 @@ object GraphQueries {
        |FROM e$k ORDER BY user_a, user_b""".stripMargin
   }
 
+  // ---- q72: WEIGHTED integer PageRank over the weighted co-occurrence
+  // multigraph (q51's derivation keeping multiplicities: w = number of
+  // shared (hour, type) buckets), two unrolled power iterations,
+  // top-20 by final rank. Mass splits by weight — (pr·7·w) div (8·W_u)
+  // — every intermediate still an exact BIGINT, so the oracle replays
+  // the recurrence bit-for-bit (q51's chain with the weight riding
+  // along); at w ≡ 1 the operator degenerates to q51's, spec-asserted. ----
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") % 2 === 0)
+    Graph.pageRankWeightedInt(Graph.userCoEdgesWeighted(ev),
+        ev.select(col("user_id").as("id")), iters = 2)
+      .select(col("id").as("user_id"), col("w_out"),
+        col("pr1"), col("pr2"))
+      .orderBy(col("pr2").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q72Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+      |  FROM events WHERE user_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT user_id AS id FROM events
+      |  WHERE user_id % 2 = 0),
+      |e AS (
+      |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*)::BIGINT AS w
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id <> b.user_id GROUP BY 1, 2),
+      |wout AS (SELECT src, SUM(w)::BIGINT AS wt FROM e GROUP BY src),
+      |r1 AS (
+      |  SELECT n.id, 125000 + COALESCE(s.m, 0) AS pr1
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id,
+      |      CAST(SUM((1000000 * 7 * e.w) // (8 * wout.wt)) AS BIGINT) AS m
+      |    FROM e JOIN wout USING (src) GROUP BY e.dst) s USING (id)),
+      |r2 AS (
+      |  SELECT n.id, 125000 + COALESCE(s.m, 0) AS pr2
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id,
+      |      CAST(SUM((r1.pr1 * 7 * e.w) // (8 * wout.wt)) AS BIGINT) AS m
+      |    FROM e JOIN wout USING (src) JOIN r1 ON r1.id = e.src
+      |    GROUP BY e.dst) s USING (id))
+      |SELECT n.id AS user_id, COALESCE(wout.wt, 0) AS w_out,
+      |  r1.pr1, r2.pr2
+      |FROM nodes n
+      |  LEFT JOIN wout ON wout.src = n.id
+      |  JOIN r1 ON r1.id = n.id
+      |  JOIN r2 ON r2.id = n.id
+      |ORDER BY r2.pr2 DESC, n.id LIMIT 20""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1723,5 +1847,6 @@ object GraphQueries {
     QueryDef("q67_trustrank", q67, Some(q67Oracle)),
     QueryDef("q69_bfs_levels", q69, Some(q69Oracle)),
     QueryDef("q70_local_clustering", q70, Some(q70Oracle)),
-    QueryDef("q71_ktruss", q71, Some(q71Oracle)))
+    QueryDef("q71_ktruss", q71, Some(q71Oracle)),
+    QueryDef("q72_weighted_pagerank", q72, Some(q72Oracle)))
 }

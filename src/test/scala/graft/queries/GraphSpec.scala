@@ -58,6 +58,64 @@ class GraphSpec extends SparkSpec {
     assert(out === ((0L, 125000L, 125000L)))
   }
 
+  test("pageRankWeightedInt: hand-computed weighted mass split; w ≡ 1 degenerates to pageRankInt") {
+    import spark.implicits._
+    // 1→2 (w=1), 1→3 (w=3), 2→3 (w=1): W_1 = 4, W_2 = 1.
+    // Iter 1 from 10⁶: n1 = 125000;
+    //   n2 = 125000 + (1e6·7·1) div 32 = 343750;
+    //   n3 = 125000 + (1e6·7·3) div 32 + (1e6·7·1) div 8
+    //      = 125000 + 656250 + 875000 = 1656250.
+    // Iter 2 from (125000, 343750, ·): n2 = 125000 + 875000 div 32
+    //   = 152343; n3 = 125000 + 2625000 div 32 + 2406250 div 8
+    //   = 125000 + 82031 + 300781 = 507812.
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRankWeightedInt(edges, Seq(1L, 2L, 3L).toDF("id"),
+        iters = 2)
+      .orderBy("id").select("id", "w_out", "pr1", "pr2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 125000L, 125000L),
+      (2L, 1L, 343750L, 152343L),
+      (3L, 0L, 1656250L, 507812L)))
+    // w ≡ 1: bit-identical to the unweighted recurrence (wt = deg)
+    val uEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val weighted = Graph.pageRankWeightedInt(
+        uEdges.withColumn("w", lit(1L)), Seq(1L, 2L, 3L).toDF("id"),
+        iters = 2)
+      .orderBy("id").select("id", "pr1", "pr2")
+      .as[(Long, Long, Long)].collect().toSeq
+    val unweighted = Graph.pageRankInt(uEdges, Seq(1L, 2L, 3L).toDF("id"),
+        iters = 2)
+      .orderBy("id").select("id", "pr1", "pr2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(weighted === unweighted)
+  }
+
+  test("userCoEdgesWeighted: multiplicity counts shared buckets; collapsing weights gives userCoEdges") {
+    import spark.implicits._
+    // users 1,2 share TWO (hour, type) buckets; 1,3 share one
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-01 10:55:00"), "view"),
+      (1L, Timestamp.valueOf("2024-01-01 11:05:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-01 11:15:00"), "view"),
+      (3L, Timestamp.valueOf("2024-01-01 11:20:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Graph.userCoEdgesWeighted(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 2L), (2L, 1L, 2L),
+      (1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 2L, 1L)))
+    // dropping the weight column reproduces the unweighted edge set
+    val collapsed = Graph.userCoEdgesWeighted(ev).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val unweighted = Graph.userCoEdges(ev)
+      .as[(Long, Long)].collect().toSet
+    assert(collapsed === unweighted)
+  }
+
   test("userCoEdges: symmetric, irreflexive, bucket-scoped") {
     import spark.implicits._
     val ev = Seq(
