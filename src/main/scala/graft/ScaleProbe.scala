@@ -507,6 +507,49 @@ object ScaleProbe {
     probe(s"${times}x-dense", times, shiftTime = false)
   }
 
+  /** The round-13 fixpoint faces at scale: k-truss peeling on the
+    * minute-grain graph and multi-source BFS on the hour-grain graph,
+    * over SPARSE replicas (disjoint edge sets, so |E| scales ×times and
+    * a scale-safe implementation should track it ~linearly — the truss
+    * wedge join is bounded by Σ out-deg² which replication leaves
+    * per-replica-constant, and each BFS round is frontier-join +
+    * anti-join work proportional to the edges touched). Round counts
+    * must stay REPLICA-INVARIANT (disjoint copies peel/expand in
+    * lockstep); the probe prints them so a divergence is visible. */
+  private def trussProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    def probe(tag: String, t: Int): Unit = {
+      val c = replicatedEvents(spark, dir, t, shiftTime = true)
+      val edges = queries.Graph.userCoEdges(c, grain = "minute")
+        .localCheckpoint(true)
+      val ne = edges.count()
+      val t0 = System.nanoTime()
+      val kt = queries.Graph.kTruss(edges, k = 3, maxRounds = 8)
+      val ka = kt.agg(count(lit(1)), max("rounds_run"),
+        max(col("converged").cast("int"))).head
+      println(f"[probe] truss/$tag%-4s edges=$ne " +
+        f"survivors=${ka.getLong(0)} rounds=${ka.getInt(1)} " +
+        f"converged=${ka.getInt(2) == 1} truss_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      val hedges = queries.Graph.userCoEdges(c).localCheckpoint(true)
+      val nhe = hedges.count()
+      val seeds = c.select(col("user_id").as("id"))
+        .filter(col("id") % 16 === 0)
+      val t1 = System.nanoTime()
+      val bfs = queries.Graph.bfsLevels(hedges, seeds, maxRounds = 16)
+      val ba = bfs.agg(count(lit(1)), max("level"), max("rounds_run"),
+        max(col("converged").cast("int"))).head
+      println(f"[probe] bfs/$tag%-4s edges=$nhe reached=${ba.getLong(0)} " +
+        f"maxLevel=${ba.getInt(1)} rounds=${ba.getInt(2)} " +
+        f"converged=${ba.getInt(3) == 1} bfs_s=${(System.nanoTime() - t1) / 1e9}%6.2f")
+      // full sweep between legs — the fixpoint operators checkpoint
+      // their own per-round state internally (the lpaProbe rationale)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    probe("1x", 1)
+    probe(s"${times}x", times)
+  }
+
   /** CC algorithm face-off: the DEEP leg (a pathN-node path, diameter
     * pathN−1 — the topology min-label propagation is worst at: one round
     * per hop) vs the BULK leg (8·pathN random edges, shallow components
@@ -616,6 +659,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("lpa")) {
       lpaProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("truss")) {
+      trussProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }
