@@ -520,6 +520,9 @@ object ScaleProbe {
       dir: String, times: Int): Unit = {
     def probe(tag: String, t: Int): Unit = {
       val c = replicatedEvents(spark, dir, t, shiftTime = true)
+      // empty-result-safe: max() over zero rows is null
+      def gi(r: org.apache.spark.sql.Row, i: Int): Int =
+        if (r.isNullAt(i)) -1 else r.getInt(i)
       val edges = queries.Graph.userCoEdges(c, grain = "minute")
         .localCheckpoint(true)
       val ne = edges.count()
@@ -528,19 +531,25 @@ object ScaleProbe {
       val ka = kt.agg(count(lit(1)), max("rounds_run"),
         max(col("converged").cast("int"))).head
       println(f"[probe] truss/$tag%-4s edges=$ne " +
-        f"survivors=${ka.getLong(0)} rounds=${ka.getInt(1)} " +
-        f"converged=${ka.getInt(2) == 1} truss_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+        f"survivors=${ka.getLong(0)} rounds=${gi(ka, 1)} " +
+        f"converged=${gi(ka, 2) == 1} truss_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
       val hedges = queries.Graph.userCoEdges(c).localCheckpoint(true)
       val nhe = hedges.count()
+      // seed on the BASE residue: replicatedEvents shifts replica i's
+      // ids by i·maxU, so `id % 16` alone would pick a different
+      // residue class per replica whenever maxU % 16 ≠ 0 — the
+      // ×times reached-invariant must not depend on that accident
+      val maxU = Tables.load(spark, dir, "events")
+        .agg(max("user_id")).head.getLong(0) + 1
       val seeds = c.select(col("user_id").as("id"))
-        .filter(col("id") % 16 === 0)
+        .filter(col("id") % lit(maxU) % 16 === 0)
       val t1 = System.nanoTime()
       val bfs = queries.Graph.bfsLevels(hedges, seeds, maxRounds = 16)
       val ba = bfs.agg(count(lit(1)), max("level"), max("rounds_run"),
         max(col("converged").cast("int"))).head
       println(f"[probe] bfs/$tag%-4s edges=$nhe reached=${ba.getLong(0)} " +
-        f"maxLevel=${ba.getInt(1)} rounds=${ba.getInt(2)} " +
-        f"converged=${ba.getInt(3) == 1} bfs_s=${(System.nanoTime() - t1) / 1e9}%6.2f")
+        f"maxLevel=${gi(ba, 1)} rounds=${gi(ba, 2)} " +
+        f"converged=${gi(ba, 3) == 1} bfs_s=${(System.nanoTime() - t1) / 1e9}%6.2f")
       // full sweep between legs — the fixpoint operators checkpoint
       // their own per-round state internally (the lpaProbe rationale)
       spark.sparkContext.getPersistentRDDs.values

@@ -41,21 +41,14 @@ object Graph {
     * layout; nothing ever materializes per-node adjacency in memory.
     * The rank/degree tables are node-cardinality (≪ edges) and carry no
     * broadcast hint so AQE broadcasts them exactly when they fit. */
-  def pageRankInt(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 8,
-      s"unrolled power iteration wants 1..8 iterations, got $iters")
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
-    val n0 = nodes.select(col("id")).distinct()
-      .withColumn("pr0", lit(1000000L))
-    val ranked = (1 to iters).foldLeft(n0) { case (r, i) =>
-      prRound(e, deg, r, s"pr${i - 1}", s"pr$i")
-    }
-    ranked
-      .join(deg, ranked("id") === deg("src"), "left")
-      .withColumn("deg_out", coalesce(col("dg"), lit(0L)))
-      .drop("src", "dg")
-  }
+  def pageRankInt(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame =
+    // the unweighted face IS the w ≡ 1 special case (wt = deg exactly,
+    // so the recurrence is bit-identical — spec-asserted); one shared
+    // implementation keeps the exact-BIGINT contract in one place
+    pageRankWeightedInt(
+        edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+        nodes, iters)
+      .withColumnRenamed("w_out", "deg_out")
 
   /** One integer power-iteration step (the [[pageRankInt]] recurrence):
     * src-keyed equi-join of the edges against the rank table, dst-keyed
@@ -91,6 +84,12 @@ object Graph {
     * r(u)·7·w stays 5 decades under BIGINT while total mass × max
     * weight < 10¹⁵. Returns (id, w_out, pr1..prN).
     *
+    * Non-positive weights are DROPPED up front (a zero-weight edge
+    * carries no mass by definition, and a negative weight has no
+    * PageRank meaning) — without the filter a node whose weights sum
+    * to zero would divide by zero, and non-ANSI Spark turns that into
+    * a silently skipped null contribution rather than an error.
+    *
     * 100 TB shape: identical to [[pageRankInt]] — one src-keyed
     * equi-join + one dst-keyed BIGINT sum per step, weight riding
     * along as one extra integer column; adjacency never materializes. */
@@ -99,6 +98,7 @@ object Graph {
     require(iters >= 1 && iters <= 8,
       s"unrolled power iteration wants 1..8 iterations, got $iters")
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("w") > 0)
     val wout = e.groupBy("src").agg(sum(col("w")).as("wt"))
     val n0 = nodes.select(col("id")).distinct()
       .withColumn("pr0", lit(1000000L))
@@ -361,15 +361,11 @@ object Graph {
     *    dense 10× probe leg OOM'd an 8 GB driver). The window sort
     *    spills; for huge caps it is the honest tool. */
   def userCoEdges(events: DataFrame, grain: String = "hour",
-      cap: Int = 64): DataFrame = {
-    val ev = cappedBucketMembers(events, grain, cap)
-    ev.as("a").join(ev.as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.event_type") === col("b.event_type") &&
-          col("a.user_id") =!= col("b.user_id"))
-      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
-      .distinct()
-  }
+      cap: Int = 64): DataFrame =
+    // the weighted face's groupBy IS the distinct (same single
+    // shuffle); deriving one from the other keeps the bucket-join
+    // predicate in one place
+    userCoEdgesWeighted(events, grain, cap).select(col("src"), col("dst"))
 
   /** [[userCoEdges]]' WEIGHTED face: the same capped bucket membership
     * and self-join, but instead of collapsing to a 0/1 edge the pair's

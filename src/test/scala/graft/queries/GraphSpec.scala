@@ -95,9 +95,13 @@ class GraphSpec extends SparkSpec {
   test("userCoEdgesWeighted: multiplicity counts shared buckets; collapsing weights gives userCoEdges") {
     import spark.implicits._
     // users 1,2 share TWO (hour, type) buckets; 1,3 share one
+    // user 2 fires TWICE inside the 10:00 bucket: the weight must count
+    // shared BUCKETS, not event pairs — if the per-bucket member
+    // dedup ever regressed, w would read 3 for the (1,2) pair
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "view"),
       (2L, Timestamp.valueOf("2024-01-01 10:55:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-01 10:56:00"), "view"),
       (1L, Timestamp.valueOf("2024-01-01 11:05:00"), "view"),
       (2L, Timestamp.valueOf("2024-01-01 11:15:00"), "view"),
       (3L, Timestamp.valueOf("2024-01-01 11:20:00"), "view"))
