@@ -25,7 +25,14 @@ import org.apache.spark.sql.SparkSession
   *    Root-caused in round 9 (BASELINE.md): raising it took the full
   *    153-query bench 102.3 → 68.9 s. A production session serving a
   *    large query surface needs this on the FRONT DOOR, not just in the
-  *    benchmark harness. Sized to hold every stage of a large registry.
+  *    benchmark harness. Sized to hold every stage of a large registry
+  *    with headroom: the per-round plans of the fixpoint family and the
+  *    per-batch plans of the streaming rows each compile their own
+  *    stages, so the distinct-plan working set grows faster than the
+  *    registry count (4096 was sized at 141 registry queries; 16384
+  *    covers the 192-query surface with the same ×2-plus margin —
+  *    entries are soft-referenced class objects, so oversizing costs
+  *    only reclaimable heap).
   */
 object Graft {
   def sessionBuilder(appName: String = "graft",
@@ -41,7 +48,7 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       // The ANN ladder's per-query top-k runs as an ObjectHashAggregate
       // (graft.functions.TopKPairsAgg); past this many groups per task
       // Spark silently falls back to SORT-BASED aggregation, which
