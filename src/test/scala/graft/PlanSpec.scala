@@ -294,6 +294,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
 
+  test("q70: triangle attribution — no cartesian, corner counts as a " +
+    "HASH aggregate, wedge joins broadcast at this SF") {
+    // sf0.01, not the usual sf0.001: the sf0.001 minute-grain graph is
+    // (near-)empty and AQE's empty-relation propagation collapses the
+    // whole census to a LocalTableScan — nothing left to assert on
+    val df = SparkEntry.queries("q70_local_clustering")(spark, sf("sf0.01"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the wedge join must stay an equi-join (a<b<c closing on keys);
+    // a cartesian anywhere here is quadratic in nodes, not edges
+    assert(!p.contains("CartesianProduct"), s"cartesian in census:\n$p")
+    // per-corner triangle counts are a hash aggregate over the explode
+    // — a SortAggregate would re-introduce the per-node sort the family
+    // exists to avoid
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"corner counts fell back to sort aggregation:\n$p")
+    assert(p.contains("Generate explode"), s"no corner explode:\n$p")
+    // at sf0.001 the oriented edge list is tiny: AQE must pick
+    // broadcast for the wedge/closing joins, proving join-side stats
+    // reach the planner (at 100 TB the same joins degrade to SMJ, by
+    // design — the assert pins that broadcast IS selected when legal)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast wedge join:\n$p")
+  }
+
+  test("q72: weighted contributions combine map-side before the " +
+    "dst-keyed shuffle; recurrence is UDF-free") {
+    val df = run("q72_weighted_pagerank")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // (pr·7·w) div (8·wt) sums must show a partial_sum below the
+    // exchange — without map-side combine every edge row crosses the
+    // wire per iteration
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"UDF leaked into the recurrence:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in power step:\n$p")
+  }
+
   test("m9/CqlBind: the wire encode is pure codegen projection — " +
     "exactly ONE exchange (the partition-key routing), zero UDFs") {
     import org.apache.spark.sql.functions.col
