@@ -170,6 +170,27 @@ object Bench {
       "s16_stream_graph_maintain", "d49_winnow_fingerprints",
       "d50_altstar_components", "d51_winnow_matches", "e24_sq8_rerank",
       "q61_label_prop", "mm6_phash", "mm7_phash_pairs")
+    // Frozen round-13 registry membership (192 queries = the FULL
+    // registry at round-13 close) — fifth freeze: core167 plus the
+    // round-12 post-freeze five (d52/d53/d54/e25 + s17/s18 — see the
+    // core167 comment) and round 13's nineteen (fixpoint faces
+    // q62–q67, reachability/clustering/truss/weighted-PR q68–q72,
+    // streaming crash recovery s19, CQL wire bind m9, the multimodal
+    // dedup matrix mm8–mm10 + s20/s21, and e26 append-recall). Freeze
+    // value = the committed round-13 artifact's total (138.7 s,
+    // exactly this membership, quiet-box run at the 16384-entry
+    // codegen cache — BASELINE.md round-13 summary). Anything round 14
+    // adds lands outside it, as with every earlier freeze.
+    val core192: Set[String] = core167 ++ Set("d52_components_append",
+      "d53_bpe_apply", "d54_winnow_incremental", "e25_filtered_ann",
+      "e26_append_recall", "m9_cql_bind", "mm8_video_dup_pairs",
+      "mm9_audio_dup_pairs", "mm10_video_probe_pairs",
+      "q62_lpa_fixpoint", "q63_pagerank_fixpoint", "q64_lpa_resume",
+      "q65_pagerank_resume", "q66_kcore", "q67_trustrank",
+      "q68_modularity", "q69_bfs_levels", "q70_local_clustering",
+      "q71_ktruss", "q72_weighted_pagerank", "s17_stream_phash_dedup",
+      "s18_stream_winnow_dedup", "s19_crash_recovery",
+      "s20_stream_audio_dedup", "s21_stream_video_dedup")
     // The REAL-Structured-Streaming gate rows (s7–s13): each runs actual
     // micro-batches with checkpointed state, whose per-batch incremental
     // planning sets a ~0.9 s/batch floor that is certification cost, not
@@ -254,6 +275,10 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core167Total = core167Times.sum
     val core167N = core167Times.size
+    val core192Times = results.filter(r => core192(r._1))
+      .map(_._2).filter(_ >= 0)
+    val core192Total = core192Times.sum
+    val core192N = core192Times.size
     val streamOverhead = results.filter(r => streamRows(r._1))
       .map(_._2).filter(_ >= 0).sum
     // build_s: samples are prepended per rep, so .last is the rep-1
@@ -268,7 +293,7 @@ object Bench {
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"stream_overhead_s":$streamOverhead,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${

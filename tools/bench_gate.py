@@ -67,7 +67,7 @@ def main() -> int:
     else:
         check("core82_total", bench["core82_total"], ratio * base["core82_freeze_s"])
 
-    for core_n in (153, 158, 167):
+    for core_n in (153, 158, 167, 192):
         total_k, n_k, freeze_k = (f"core{core_n}_total", f"core{core_n}_n",
                                   f"core{core_n}_freeze_s")
         if total_k in bench and freeze_k in base:
