@@ -191,19 +191,15 @@ object Bench {
       "q71_ktruss", "q72_weighted_pagerank", "s17_stream_phash_dedup",
       "s18_stream_winnow_dedup", "s19_crash_recovery",
       "s20_stream_audio_dedup", "s21_stream_video_dedup")
-    // The REAL-Structured-Streaming gate rows (s7–s13): each runs actual
+    // The REAL-Structured-Streaming gate rows (s7+): each runs actual
     // micro-batches with checkpointed state, whose per-batch incremental
     // planning sets a ~0.9 s/batch floor that is certification cost, not
     // engine throughput. The artifact reports their subtotal so the
     // headline decomposes into engine cost vs stream-certification cost
     // — and so nobody "optimizes" certified semantics to win bench
-    // seconds.
-    val streamRows: Set[String] = Set("s7_stream_incr_dedup",
-      "s8_stream_ffill", "s9_stream_topk", "s10_stream_static_join",
-      "s11_stream_dedup", "s12_stream_stream_join", "s13_stream_outer_join",
-      "s14_stream_ann_serve", "s15_stream_index_build",
-      "s16_stream_graph_maintain", "s17_stream_phash_dedup",
-      "s18_stream_winnow_dedup")
+    // seconds. Membership is BY RULE (BenchGate.isStreamCert: s-id ≥ 7),
+    // not a hand list — the round-13 hand list silently omitted s19–s21.
+    val streamRows: String => Boolean = BenchGate.isStreamCert
     // Queries whose first execution pays a one-time physical-layout build
     // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
     // For these the artifact carries `build_s` = rep-1 time minus the
@@ -279,8 +275,10 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core192Total = core192Times.sum
     val core192N = core192Times.size
-    val streamOverhead = results.filter(r => streamRows(r._1))
-      .map(_._2).filter(_ >= 0).sum
+    val streamCert = results.filter(r => streamRows(r._1))
+      .map(_._2).filter(_ >= 0)
+    val streamOverhead = streamCert.sum
+    val streamN = streamCert.size
     // build_s: samples are prepended per rep, so .last is the rep-1
     // (chronologically first) run — the one that pays any build-once
     // cost. Attributable ONLY when every rep succeeded: if rep 1 threw,
@@ -293,30 +291,40 @@ object Bench {
     }
     // Full-precision artifact (times + spreads + reps) written to the repo
     // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${
       Graft.jsonString(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     System.err.println(s"[bench] full-precision artifact: bench.json (${full.length} chars)")
-    // Gate-drift early warning (VERDICT r8 item 7). The judge's 2× gate
-    // compares per-query seconds against BASELINE.md's authoritative
-    // driver row (round 4: 32.0 s / 78 queries = 0.41 s/query at sf0.1),
-    // and the core82 subtotal against its round-7 measurement (37.7 s).
-    // At 1.8× we print a loud warning one round BEFORE the gate would
-    // trip — warn-only by design: the bench must still emit its artifact
-    // on a slow box, so this never throws. Only meaningful at sf0.1.
+    // Gate-drift early warning (VERDICT r8 item 7, redone per r13 item
+    // 2). All thresholds come from BASELINE.md's bench-gate anchor —
+    // the warn text quotes the SAME max_ratio the machine gate
+    // (tools/bench_gate.py / BenchGateSpec) enforces, fires at 90% of
+    // it (i.e. BEFORE tripping), and covers every gated signal: the
+    // batch mean, the stream-cert mean, and ALL frozen subsets.
+    // Warn-only by design: the bench must still emit its artifact on a
+    // slow box, so this never throws. Only meaningful at sf0.1.
     if (sfDir.endsWith("sf0.1")) {
-      val perQuery = if (results.nonEmpty) total / results.size else 0.0
-      val perQueryBase = 32.0 / 78 // BASELINE.md authoritative row (r4)
-      val core82Base = 37.7       // BASELINE.md core82 at its freeze (r7)
-      if (perQuery > 1.8 * perQueryBase) System.err.println(
-        f"[bench][gate-warn] per-query $perQuery%.3f s/query is ${
-          perQuery / perQueryBase}%.2fx the 0.410 baseline (gate trips at 2x)")
-      if (core82N == 82 && core82Total > 1.8 * core82Base) System.err.println(
-        f"[bench][gate-warn] core82 $core82Total%.1f s is ${
-          core82Total / core82Base}%.2fx its 37.7 s freeze (gate trips at 2x)")
+      val anchor =
+        try BenchGate.parseAnchor(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BASELINE.md")))
+        catch { case _: java.io.IOException => None }
+      anchor match {
+        case Some(a) =>
+          val valid = results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap
+          val subsets = Seq(
+            ("core82", core82Total, core82N, 82),
+            ("core153", core153Total, core153N, 153),
+            ("core158", core158Total, core158N, 158),
+            ("core167", core167Total, core167N, 167),
+            ("core192", core192Total, core192N, 192))
+          BenchGate.warnings(valid, total, subsets, a)
+            .foreach(System.err.println)
+        case None => System.err.println(
+          "[bench][gate-warn] no bench-gate anchor in BASELINE.md — warns skipped")
+      }
     }
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     // Stdout carries only the headline: total, query count, the 5 heaviest

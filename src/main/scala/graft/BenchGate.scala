@@ -1,0 +1,111 @@
+package graft
+
+/** Gate-drift math shared by [[Bench]] (runtime early warnings) and
+  * `BenchGateSpec` (unit tests), mirroring `tools/bench_gate.py`.
+  *
+  * Single source of truth for every number is BASELINE.md's
+  * machine-readable `<!-- bench-gate: k=v ... -->` anchor — the warn
+  * text quotes `max_ratio` from there instead of hard-coding a
+  * threshold (VERDICT r13 item 2: the old warn said "trips at 2x"
+  * while the machine gate tripped at 1.8×, and covered only the
+  * per-query mean and core82).
+  *
+  * Gated signals (derivation in BASELINE.md "Per-query gate
+  * derivation"): the BATCH per-query mean (total minus the
+  * micro-batch stream-certification rows, over the non-cert count) vs
+  * the round-4 driver row; the STREAM-CERT per-row mean vs its
+  * round-13 driver freeze; and every frozen-subset total vs its
+  * freeze. Stream-certification membership is BY RULE (`s<K>_…`,
+  * K ≥ 7), not a hand list — round 13's hand list silently omitted
+  * s19–s21.
+  */
+object BenchGate {
+
+  /** s1–s6 are light single-drain streams that existed in the round-4
+    * baseline mix and stay inside the batch mean; s7+ are the real
+    * checkpointed micro-batch certifications with a per-batch planning
+    * floor. Mirrors STREAM_CERT_MIN_ID in tools/bench_gate.py. */
+  val streamCertMinId = 7
+  private val StreamCertRe = "^s(\\d+)_.*".r
+
+  def isStreamCert(name: String): Boolean = name match {
+    case StreamCertRe(id) => id.toInt >= streamCertMinId
+    case _                => false
+  }
+
+  /** Parse the bench-gate anchor out of BASELINE.md text. None when the
+    * anchor comment is absent (a clean checkout must still bench). */
+  def parseAnchor(md: String): Option[Map[String, Double]] = {
+    val re = "(?s)<!--\\s*bench-gate:\\s*(.*?)\\s*-->".r
+    re.findFirstMatchIn(md).map { m =>
+      m.group(1).trim.split("\\s+").iterator.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> v.toDouble
+      }.toMap
+    }
+  }
+
+  /** One gated signal: measured value against its anchor baseline. */
+  final case class Signal(name: String, measured: Double, baseline: Double) {
+    def ratio: Double = measured / baseline
+  }
+
+  /** Assemble every gated signal from a bench run.
+    *
+    * @param queries per-query best times (negative = errored, excluded
+    *                upstream — pass only valid times)
+    * @param subsets (name, total, n, expectedN) per frozen subset; a
+    *                partial subset (n != expectedN) is skipped here —
+    *                the python gate fails it outright, the runtime warn
+    *                cannot say anything comparable about it
+    */
+  def signals(
+      queries: Map[String, Double],
+      total: Double,
+      subsets: Seq[(String, Double, Int, Int)],
+      anchor: Map[String, Double]): Seq[Signal] = {
+    val streamTotal = queries.collect { case (k, v) if isStreamCert(k) => v }.sum
+    val nStream = queries.count(kv => isStreamCert(kv._1))
+    val nBatch = queries.size - nStream
+    val batch =
+      if (nBatch > 0 && anchor.contains("baseline_per_query_s"))
+        Seq(Signal("batch mean", (total - streamTotal) / nBatch,
+          anchor("baseline_per_query_s")))
+      else Nil
+    val stream =
+      if (nStream > 0 && anchor.contains("stream_cert_per_row_s"))
+        Seq(Signal("stream-cert mean", streamTotal / nStream,
+          anchor("stream_cert_per_row_s")))
+      else Nil
+    val subs = subsets.collect {
+      case (name, tot, n, expected)
+          if n == expected && anchor.contains(s"${name}_freeze_s") =>
+        Signal(s"${name}_total", tot, anchor(s"${name}_freeze_s"))
+    }
+    batch ++ stream ++ subs
+  }
+
+  /** Early-warning lines: fire at `warnFrac × max_ratio` (default 0.9 —
+    * BEFORE the machine gate trips, VERDICT r13 item 2) and escalate to
+    * a TRIPPING line at `max_ratio` itself. Empty when everything has
+    * headroom. */
+  def warnings(
+      queries: Map[String, Double],
+      total: Double,
+      subsets: Seq[(String, Double, Int, Int)],
+      anchor: Map[String, Double],
+      warnFrac: Double = 0.9): Seq[String] = {
+    val maxRatio = anchor.getOrElse("max_ratio", 1.8)
+    signals(queries, total, subsets, anchor).flatMap { s =>
+      if (s.ratio > maxRatio) Some(
+        f"[bench][gate-warn] ${s.name} ${s.measured}%.3f s is ${s.ratio}%.2fx " +
+          f"its ${s.baseline}%.3f baseline — TRIPPING the ${maxRatio}x machine " +
+          "gate (tools/bench_gate.py / BenchGateSpec will fail)")
+      else if (s.ratio > warnFrac * maxRatio) Some(
+        f"[bench][gate-warn] ${s.name} ${s.measured}%.3f s is ${s.ratio}%.2fx " +
+          f"its ${s.baseline}%.3f baseline — within ${(1 - warnFrac) * 100}%.0f%% " +
+          f"of the ${maxRatio}x machine gate")
+      else None
+    }
+  }
+}

@@ -47,4 +47,91 @@ class BenchGateSpec extends AnyFunSuite {
     assert(run("--poison", "10") === 1,
       "poisoned values did not trip the gate — the check is vacuous")
   }
+
+  // ---- BenchGate (the Scala warn twin of the python gate) ----------
+
+  private val anchor = Map(
+    "baseline_per_query_s" -> 0.5, "stream_cert_per_row_s" -> 2.0,
+    "core82_freeze_s" -> 40.0, "max_ratio" -> 1.8)
+
+  test("BenchGate warn fires on a poisoned artifact, quoting max_ratio") {
+    // batch mean = (20 - 8) / 4 = 3.0 s vs 0.5 baseline → 6.0x: TRIPPING.
+    val qs = Map("q1_a" -> 1.0, "q2_b" -> 1.0, "d1_c" -> 5.0, "e1_d" -> 5.0,
+      "s7_e" -> 5.0, "s19_f" -> 3.0)
+    val warns = BenchGate.warnings(qs, 20.0, Nil, anchor)
+    assert(warns.exists(w => w.contains("batch mean") && w.contains("TRIPPING")),
+      s"no tripping batch-mean warn in: $warns")
+    assert(warns.forall(_.contains("1.8x")),
+      s"warn text must quote max_ratio from the anchor: $warns")
+  }
+
+  test("BenchGate warns BEFORE the gate trips (90% of max_ratio)") {
+    // batch mean = 0.85 s vs 0.5 → 1.70x: over 0.9*1.8=1.62, under 1.8.
+    val qs = Map("q1_a" -> 0.85, "q2_b" -> 0.85)
+    val warns = BenchGate.warnings(qs, 1.7, Nil, anchor)
+    assert(warns.exists(w => w.contains("batch mean") && !w.contains("TRIPPING")),
+      s"expected a pre-trip warn: $warns")
+  }
+
+  test("BenchGate covers stream-cert mean and every frozen subset") {
+    // streams: s7 (6.0) + s21 (2.0) → mean 4.0 vs 2.0 → 2.0x TRIPPING;
+    // core82 poisoned to 80 vs 40 freeze → 2.0x TRIPPING; a partial
+    // subset (n != expected) must stay silent, not mis-warn.
+    val qs = Map("q1_a" -> 0.1, "s7_e" -> 6.0, "s21_f" -> 2.0)
+    val subsets = Seq(("core82", 80.0, 82, 82), ("core153", 999.0, 150, 153))
+    val warns = BenchGate.warnings(qs, 8.1, subsets, anchor)
+    assert(warns.exists(w => w.contains("stream-cert mean") && w.contains("TRIPPING")))
+    assert(warns.exists(w => w.contains("core82_total") && w.contains("TRIPPING")))
+    assert(!warns.exists(_.contains("core153")), s"partial subset mis-warned: $warns")
+  }
+
+  test("BenchGate is quiet when everything has headroom") {
+    val qs = Map("q1_a" -> 0.4, "s7_e" -> 1.5)
+    assert(BenchGate.warnings(qs, 1.9, Seq(("core82", 30.0, 82, 82)), anchor).isEmpty)
+  }
+
+  test("BenchGate stream-cert membership is by rule: s7+ yes, s1-s6/q/d no") {
+    assert(BenchGate.isStreamCert("s7_stream_incr_dedup"))
+    assert(BenchGate.isStreamCert("s19_crash_recovery"))
+    assert(BenchGate.isStreamCert("s21_stream_video_dedup"))
+    assert(!BenchGate.isStreamCert("s1_event_deltas"))
+    assert(!BenchGate.isStreamCert("s6_gap_detect"))
+    assert(!BenchGate.isStreamCert("q55_triangle_census"))
+    assert(!BenchGate.isStreamCert("d7_minhash_lsh"))
+  }
+
+  test("BenchGate.parseAnchor reads BASELINE.md's authoritative row") {
+    preconditions()
+    val md = Files.readString(Paths.get("BASELINE.md"))
+    val a = BenchGate.parseAnchor(md).getOrElse(fail("no bench-gate anchor"))
+    // The Scala warn and the python gate must read the SAME numbers.
+    assert(a.contains("baseline_per_query_s") && a.contains("stream_cert_per_row_s")
+      && a.contains("max_ratio") && a.contains("core192_freeze_s"))
+    assert(a("max_ratio") === 1.8)
+  }
+
+  test("BenchGate agrees with the python gate on the committed artifact") {
+    preconditions()
+    // Parse bench.json minimally (flat JSON, numeric fields + queries map).
+    val txt = Files.readString(Paths.get("bench.json"))
+    val qre = """"queries":\{(.*?)\}""".r
+    val qs = qre.findFirstMatchIn(txt).map(_.group(1)).getOrElse(fail("no queries"))
+      .split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.replaceAll("\"", "") -> v.toDouble
+      }.filter(_._2 >= 0).toMap
+    def num(field: String): Double =
+      (s""""$field":([-0-9.eE]+)""".r).findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse(fail(s"no $field"))
+    val md = Files.readString(Paths.get("BASELINE.md"))
+    val a = BenchGate.parseAnchor(md).getOrElse(fail("no anchor"))
+    val subsets = Seq(82, 153, 158, 167, 192).flatMap { n =>
+      try Seq((s"core$n", num(s"core${n}_total"), num(s"core${n}_n").toInt, n))
+      catch { case _: org.scalatest.exceptions.TestFailedException => Nil }
+    }
+    val warns = BenchGate.warnings(qs, num("value"), subsets, a)
+    // The python gate passes on the committed artifact (first test above),
+    // so the Scala twin must see no TRIPPING signal either.
+    assert(!warns.exists(_.contains("TRIPPING")), s"scala/python gate disagree: $warns")
+  }
 }

@@ -54,6 +54,9 @@ def doc_ids(path: Path) -> set:
     return ids
 
 
+COUNT_CLAIM_RE = re.compile(r"\*\*(\d+) registered queries, (\d+) with DuckDB oracles")
+
+
 def main() -> int:
     root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(__file__).parent.parent
     reg = registry_ids(root)
@@ -61,6 +64,19 @@ def main() -> int:
 
     readme = doc_ids(root / "README.md")
     survey = doc_ids(root / "SURVEY.md")
+
+    # SURVEY's prose count claim must match the registry size (VERDICT r13
+    # item 3: the prose said 188 while the registry was 192 and nothing
+    # caught it). The oracle count is cross-checked against the compiled
+    # registry by DocDriftSpec, which can see SparkEntry.oracleSql.
+    claims = COUNT_CLAIM_RE.findall((root / "SURVEY.md").read_text())
+    if not claims:
+        failures.append("SURVEY.md has no '**N registered queries, M with "
+                        "DuckDB oracles' count claim to cross-check")
+    for total, _ in claims:
+        if int(total) != len(reg):
+            failures.append(f"SURVEY.md claims {total} registered queries; "
+                            f"the QueryDef registry has {len(reg)}")
 
     missing = sorted(set(reg) - readme, key=lambda s: (s[:1], len(s), s))
     if missing:
