@@ -45,7 +45,8 @@ final class ParquetSink(baseDir: String,
   * counter increments.
   */
 final class CassandraSinkShape(keyspace: String,
-    extraOptions: Map[String, String] = Map.empty) extends SinkAdapter {
+    extraOptions: Map[String, String] = Map.empty,
+    format: String = CassandraSinkShape.Format) extends SinkAdapter {
   import CassandraSinkShape._
 
   /** The exact writer configuration the connector invocation would use —
@@ -67,11 +68,43 @@ final class CassandraSinkShape(keyspace: String,
   }
 
   override def write(df: DataFrame, table: String): Unit = {
-    writeConfig(table) // config must parse even where the save cannot run
-    throw new UnsupportedOperationException(
+    val cfg = writeConfig(table) // must parse even where the save cannot run
+    if (format == Format) throw new UnsupportedOperationException(
       "Cassandra connector not available in this offline environment; " +
-        "writeConfig(table) carries the validated invocation and " +
-        "bindRows(df, table, ...) the wire-serialized row stream.")
+        "writeConfig(table) carries the validated invocation, " +
+        "bindRows(df, table, ...) the wire-serialized row stream, and " +
+        "writeBound(...) drives the same invocation against a substitute " +
+        "format (e.g. RecordingSink.Format).")
+    df.write.format(format).options(cfg.options).mode(cfg.mode).save()
+  }
+
+  /** The row-level write path, end to end: serialize every row through
+    * the CQL wire encoders ([[bindRows]] — partition-key routed,
+    * clustering-ordered, protocol-v4 value frames) and DRIVE the
+    * connector-shaped invocation `df.write.format(...).options(...)
+    * .mode(...).save()` with the validated config plus the table's DDL
+    * key metadata. The production path for a live cluster stays
+    * [[write]] (raw columns — the connector does its own encoding);
+    * THIS path certifies the row-level wire stream: under
+    * [[RecordingSink.Format]] the invocation lands in an in-JVM V2
+    * table that records the rows —
+    * how SinkAdapterSpec certifies, offline, that the option plumbing
+    * drives an actual DataSource V2 write whose recorded bytes equal
+    * the m9 golden vectors. */
+  def writeBound(df: DataFrame, table: String, partitionKeys: Seq[String],
+      clusteringKeys: Seq[String]): Unit = {
+    val cfg = writeConfig(table)
+    if (format == Format) throw new UnsupportedOperationException(
+      "Cassandra connector not available in this offline environment; " +
+        "substitute a format (e.g. RecordingSink.Format) to drive the " +
+        "row-level write path")
+    val bound = bindRows(df, table, partitionKeys, clusteringKeys)
+    bound.write.format(format)
+      .options(cfg.options)
+      .option("partition_key", partitionKeys.mkString(","))
+      .option("clustering_key", clusteringKeys.mkString(","))
+      .mode(cfg.mode)
+      .save()
   }
 
   /** The row stream the connector's executors would consume: every row
