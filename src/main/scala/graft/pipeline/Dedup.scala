@@ -261,6 +261,67 @@ object Dedup {
     merged.unionByName(untouched.select(col("id"), col("component")))
   }
 
+  /** RETRACTION face of the dedup-groups artifact — the delete twin of
+    * [[componentsAppend]] (VERDICT r13 item 5): remove documents
+    * (takedowns, robots changes) from a persisted labelling and return
+    * labels row-identical to a from-scratch CC over the surviving pair
+    * set. Unlike append, retraction cannot work from the labels alone:
+    * a component labelling is a lossless contraction for CONNECTIVITY
+    * but not for cut structure — removing a bridge node must SPLIT its
+    * group, and which survivors stay connected is decided by the
+    * surviving pair evidence, not the star. So this face takes the pair
+    * artifact too (the same persisted evidence [[componentsAppend]]'s
+    * callers already keep, d21's index-family contract).
+    *
+    * Only components TOUCHED by a removal re-cluster: untouched
+    * components pass their labels through verbatim (their pair set is
+    * unchanged and their label is already the min member id, so the
+    * from-scratch result is identical for them — what makes the
+    * equivalence exact, not approximate). A removed center (the label
+    * IS a member) always marks its component touched. Cost is one
+    * labels-scan + one pairs-scan (semi/anti joins) + CC over the
+    * affected slice only — O(touched components), independent of the
+    * archive's component count, the retract twin of append's
+    * O(increment) shape.
+    *
+    * `removedIds`: one-column DataFrame of ids to retract (ids absent
+    * from the labelling are ignored). `pairs` must be the evidence set
+    * the labelling was built from, minus nothing — a pair between two
+    * different old components would mean `oldLabels` was not a CC of
+    * `pairs` in the first place. */
+  def componentsRetract(oldLabels: DataFrame, pairs: DataFrame,
+      removedIds: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val rem = removedIds
+      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val affectedComps = oldLabels
+      .join(rem, col("id") === col("rid"), "left_semi")
+      .select("component").distinct()
+    val untouched = oldLabels
+      .join(affectedComps, Seq("component"), "left_anti")
+    val affectedSurvivors = oldLabels
+      .join(affectedComps, Seq("component"), "left_semi")
+      .join(rem, col("id") === col("rid"), "left_anti")
+      .select("id")
+    // Surviving evidence among affected members: both endpoints must
+    // survive; the membership semi-join needs only ONE endpoint — a
+    // pair's endpoints share a component by CC's definition.
+    val survPairs = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .join(rem, col("u") === col("rid"), "left_anti")
+      .join(rem, col("v") === col("rid"), "left_anti")
+      .join(affectedSurvivors.select(col("id").as("u")), Seq("u"),
+        "left_semi")
+    // Re-cluster the affected slice only; self-pairs restore pairless
+    // survivors (including split-off leaves) as singletons.
+    val relabeled = componentsAltStar(
+      survPairs.unionByName(affectedSurvivors
+        .select(col("id").as("u"), col("id").as("v"))),
+      "u", "v", maxIter)
+    untouched.select(col("id"), col("component"))
+      .unionByName(relabeled.select(col("id"), col("component")))
+  }
+
   /** End-to-end near-dup dedup: every document keeps its component's
     * minimum id as `keep_id` (documents in no pair keep themselves). */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -325,6 +325,51 @@ object PipelineQueries {
   // reproduce the from-scratch closure over the full pair set.
   private def d52Oracle: String = d50Oracle
 
+  // ---- d55: RETRACTION face of the dedup-groups artifact
+  // (Dedup.componentsRetract) — the delete twin of d52's append: the
+  // full corpus is clustered once (survivors view: every doc labeled,
+  // pairless docs label themselves), then doc_id % 10 = 3 is retracted
+  // (a takedown batch). Only components touched by a removal
+  // re-cluster over their SURVIVING pair evidence — untouched labels
+  // pass through verbatim — and the result must equal a from-scratch
+  // closure over pairs among surviving docs (bridge removals SPLIT
+  // groups; the degenerate cut-vertex face is spec-certified in
+  // DedupSpec). Oracle: the d11 recursive closure seeded from the
+  // surviving documents with both pair endpoints surviving. ----
+  private def d55(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100).localCheckpoint(true)
+    val old = Dedup.survivors(d, pairs, "doc_id")
+      .select(col("doc_id").as("id"), col("keep_id").as("component"))
+    val removed = d.filter(col("doc_id") % 10 === 3).select("doc_id")
+    Dedup.componentsRetract(old, pairs, removed, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  private val d55Oracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |jp AS (
+      |  SELECT p.id_a, p.id_b FROM p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+      |surv AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 3),
+      |jps AS (
+      |  SELECT id_a, id_b FROM jp
+      |  JOIN surv va ON jp.id_a = va.doc_id
+      |  JOIN surv vb ON jp.id_b = vb.doc_id),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jps
+      |  UNION SELECT id_b, id_a FROM jps),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM surv
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+      |SELECT id AS doc_id, MIN(comp) AS component FROM cc
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- d34: leakage-safe train/val/test split — assignment keyed on
   // the near-dup GROUP (d11's component minimum), so near-duplicates
   // never straddle a train/test boundary. Oracle = d11's recursive-CC
@@ -2784,6 +2829,7 @@ object PipelineQueries {
     QueryDef("d11_neardup_groups", d11, Some(d11Oracle)),
     QueryDef("d50_altstar_components", d50, Some(d50Oracle)),
     QueryDef("d52_components_append", d52, Some(d52Oracle)),
+    QueryDef("d55_components_retract", d55, Some(d55Oracle)),
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
     QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),

@@ -966,6 +966,53 @@ class PipelineSpec extends SparkSpec {
     assert(out - 9L === scratch)
   }
 
+  test("componentsRetract: cut-vertex removal SPLITS its group; untouched " +
+      "labels carry through; equals from-scratch over surviving pairs") {
+    import spark.implicits._
+    // archive graph: path 1-2-3 (2 is a cut vertex), clique {5,6,7},
+    // pair {10,11}, labelled singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (10L, 11L)).toDF("doc_a", "doc_b")
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (7L, 5L), (10L, 10L), (11L, 10L), (9L, 9L)).toDF("id", "component")
+    // retract the bridge 2 AND clique member 5 (its component's CENTER —
+    // the label itself goes away) in one batch
+    val removed = Seq(2L, 5L).toDF("rid")
+    val out = Dedup.componentsRetract(oldLabels, pairs, removed,
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bridge removal splits {1,2,3} into singletons {1} and {3}
+    assert(out(1L) === 1L && out(3L) === 3L,
+      s"cut-vertex removal must SPLIT the path component: $out")
+    // center removal relabels the surviving clique edge {6,7} to min 6
+    assert(out(6L) === 6L && out(7L) === 6L,
+      s"removed center must hand the label to the surviving min: $out")
+    // untouched component and singleton carry through verbatim
+    assert(out(10L) === 10L && out(11L) === 10L && out(9L) === 9L)
+    // no removed id may appear in the output
+    assert(!out.contains(2L) && !out.contains(5L))
+    // row-identical to from-scratch CC over the surviving pair set plus
+    // surviving singletons
+    val survPairs = Seq((6L, 7L), (10L, 11L), (1L, 1L), (3L, 3L),
+      (9L, 9L)).toDF("doc_a", "doc_b")
+    val scratch = Dedup.componentsAltStar(survPairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === scratch)
+  }
+
+  test("componentsRetract: retracting every member of a component, and " +
+      "ids the labelling never saw, is clean") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (9L, 9L)).toDF("id", "component")
+    // remove the whole {1,2} component plus an id that was never labelled
+    val removed = Seq(1L, 2L, 777L).toDF("rid")
+    val out = Dedup.componentsRetract(oldLabels, pairs, removed,
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(9L -> 9L))
+  }
+
   test("components releases its per-round checkpoint blocks (r2 leak regression)") {
     import spark.implicits._
     val sc = spark.sparkContext
