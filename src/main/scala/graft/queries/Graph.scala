@@ -889,6 +889,55 @@ object Graph {
         col("m"))
   }
 
+  /** WEIGHTED Newman modularity — [[modularity]]'s face over the
+    * weighted co-occurrence MULTIGRAPH ([[userCoEdgesWeighted]]), the
+    * standard community-quality metric when edges carry multiplicity
+    * (Newman 2004, "Analysis of weighted networks"): with W the total
+    * undirected edge weight, e_c the intra-community weight and d_c the
+    * community's weighted-degree sum, Q_w = Σ_c [e_c/W − (d_c/2W)²],
+    * scaled here to the exact-BIGINT Q_w·4W² = Σ_c [4W·e_c − d_c²]
+    * (same d45/q57 pattern; at w ≡ 1 every number degenerates to
+    * [[modularity]]'s, spec-asserted). Output (community, e_c, d_c,
+    * q_num, tw); Σ q_num / (4·tw²) is the global score.
+    *
+    * `edges` is the [[userCoEdgesWeighted]] shape — (src, dst, w) with
+    * BOTH directions present, w symmetric, one row per directed pair
+    * (the groupBy IS the uniqueness guarantee); canonicalized by
+    * src < dst, which keeps exactly one copy of each undirected weight
+    * (a duplicate canonical row would double-count, so no distinct —
+    * the weighted shape's contract is already grouped). Same exactness
+    * regime as [[modularity]]: both q_num terms bounded by 4W², exact
+    * while W < 1.5×10⁹ (weights multiply the bound's USE, not its
+    * math). Same 100 TB shape too: two hash aggregations, two
+    * node-keyed joins, a broadcast single-row total — nothing collects,
+    * nothing quadratic. */
+  def modularityWeighted(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") < col("dst"))
+      .localCheckpoint(false) // three consumers: W, degrees, intra
+    val lab = labels.select(col("id"), col("community"))
+    val wrow = und.agg(sum(col("w")).as("tw"))
+    val deg = und.select(col("src").as("id"), col("w"))
+      .unionAll(und.select(col("dst").as("id"), col("w")))
+      .groupBy("id").agg(sum(col("w")).as("dg"))
+    val dc = deg.join(lab, "id")
+      .groupBy("community").agg(sum(col("dg")).as("d_c"))
+    val ec = und
+      .join(lab.select(col("id").as("src"), col("community").as("ca")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")),
+        "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("e_c"))
+    dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(wrow))
+      .select(col("community"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+        (lit(4L) * col("tw") * coalesce(col("e_c"), lit(0L))
+          - col("d_c") * col("d_c")).as("q_num"),
+        col("tw"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), determinized: every node starts in its own community
     * (label = id), and each round simultaneously adopts the label most
@@ -1826,6 +1875,52 @@ object GraphQueries {
       |  JOIN r2 ON r2.id = n.id
       |ORDER BY r2.pr2 DESC, n.id LIMIT 20""".stripMargin
 
+  // ---- q73: WEIGHTED modularity of the minute-grain weighted
+  // co-occurrence multigraph (q72's derivation at q68's grain) under
+  // the same customers' NATION partition as q68 — the weighted twin:
+  // does geography explain the interaction structure once edge
+  // MULTIPLICITY (shared-bucket counts) carries the mass? Q_w·4W² =
+  // Σ_c [4W·e_c − d_c²] keeps every contribution an exact BIGINT; at
+  // w ≡ 1 the operator degenerates to q68's (GraphSpec-asserted). ----
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Graph.modularityWeighted(
+        Graph.userCoEdgesWeighted(events(s, dir), grain = "minute"),
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            col("c_nationkey").cast("long").as("community")))
+      .orderBy("community")
+
+  private val q73Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |e AS (
+      |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*)::BIGINT AS w
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id < b.user_id GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT c_custkey AS id, c_nationkey::BIGINT AS community
+      |  FROM customer),
+      |ww AS (SELECT SUM(w)::BIGINT AS tw FROM e),
+      |deg AS (
+      |  SELECT id, SUM(w)::BIGINT AS dg FROM (
+      |    SELECT src AS id, w FROM e UNION ALL SELECT dst, w FROM e)
+      |  GROUP BY id),
+      |dc AS (
+      |  SELECT l.community, SUM(d.dg)::BIGINT AS d_c
+      |  FROM deg d JOIN lab l ON l.id = d.id GROUP BY 1),
+      |ec AS (
+      |  SELECT la.community, SUM(e.w)::BIGINT AS e_c
+      |  FROM e JOIN lab la ON la.id = e.src
+      |  JOIN lab lb ON lb.id = e.dst
+      |  WHERE la.community = lb.community GROUP BY 1)
+      |SELECT dc.community, COALESCE(ec.e_c, 0)::BIGINT AS e_c, dc.d_c,
+      |  (4 * ww.tw * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c)::BIGINT
+      |    AS q_num,
+      |  ww.tw
+      |FROM dc LEFT JOIN ec USING (community), ww
+      |ORDER BY dc.community""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1844,5 +1939,6 @@ object GraphQueries {
     QueryDef("q69_bfs_levels", q69, Some(q69Oracle)),
     QueryDef("q70_local_clustering", q70, Some(q70Oracle)),
     QueryDef("q71_ktruss", q71, Some(q71Oracle)),
-    QueryDef("q72_weighted_pagerank", q72, Some(q72Oracle)))
+    QueryDef("q72_weighted_pagerank", q72, Some(q72Oracle)),
+    QueryDef("q73_weighted_modularity", q73, Some(q73Oracle)))
 }

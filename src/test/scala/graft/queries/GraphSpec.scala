@@ -319,6 +319,40 @@ class GraphSpec extends SparkSpec {
     assert(l(7L) === ((0L, 3L, -9L)))
   }
 
+  test("modularityWeighted: w ≡ 1 degenerates to modularity; weighted " +
+      "barbell hand value") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val dirEdges = und ++ und.map(_.swap)
+    val byTriangle = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "community")
+    // w ≡ 1: every output row equals modularity's (tw = m), the
+    // degeneracy contract the VERDICT asked to pin
+    val unit = dirEdges.map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val wRows = Graph.modularityWeighted(unit, byTriangle)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val uRows = Graph.modularity(dirEdges.toDF("src", "dst"), byTriangle)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(wRows === uRows)
+    // weighted hand value: triple the intra-triangle weights (w = 3),
+    // keep the bridge at 1. W = 6·3 + 1 = 19; per triangle e_c = 9,
+    // d_c = 6+6+(6+1) = 19 → q_num = 4·19·9 − 19² = 323;
+    // Q_w = 646/(4·361) = 0.447... — heavier intra mass scores HIGHER
+    // than the unweighted 5/14.
+    val weighted = dirEdges.map { case (s, d) =>
+      (s, d, if (Set(s, d) == Set(3L, 4L)) 1L else 3L)
+    }.toDF("src", "dst", "w")
+    val got = Graph.modularityWeighted(weighted, byTriangle)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(0L -> ((9L, 19L, 323L, 19L)),
+      1L -> ((9L, 19L, 323L, 19L))))
+  }
+
   test("labelPropagate: hand-computed two rounds on bridged triangles") {
     import spark.implicits._
     // Triangles {1,2,3} and {4,5,6} bridged by 3–4; 7 isolated.
