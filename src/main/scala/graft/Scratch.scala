@@ -37,6 +37,49 @@ object Scratch {
       s32.stop()
       return
     }
+    // q55 derivation A/B (round 14): the round-13 refactor re-derived
+    // userCoEdges through the weighted groupBy; time the census over
+    // both edge derivations, plus the raw edge materialization alone,
+    // to locate the q55 regression the r13 driver bench flagged (1.29 →
+    // 2.62 s round-over-round).
+    if (args.headOption.contains("q55ab")) {
+      val s32 = Graft.sessionBuilder("scratch-q55", "local[32]", 32)
+        .getOrCreate()
+      s32.sparkContext.setLogLevel("WARN")
+      val ev = Tables.load(s32, dir, "events")
+      def evd = ev.select(col("user_id"),
+        date_trunc("minute", col("ts")).as("h"), col("event_type"))
+      (1 to 3).foreach { rep =>
+        time(s"A(distinct) edges rep$rep") {
+          val e = evd.distinct()
+          e.as("a").join(e.as("b"),
+              col("a.h") === col("b.h") &&
+                col("a.event_type") === col("b.event_type") &&
+                col("a.user_id") =!= col("b.user_id"))
+            .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+            .distinct().count()
+        }
+        time(s"B(current)  edges rep$rep") {
+          graft.queries.Graph.userCoEdges(ev, grain = "minute").count()
+        }
+        time(s"A census rep$rep") {
+          val e = evd.distinct()
+          graft.queries.Graph.triangleCensus(
+            e.as("a").join(e.as("b"),
+                col("a.h") === col("b.h") &&
+                  col("a.event_type") === col("b.event_type") &&
+                  col("a.user_id") =!= col("b.user_id"))
+              .select(col("a.user_id").as("src"),
+                col("b.user_id").as("dst"))).count()
+        }
+        time(s"B census rep$rep") {
+          graft.queries.Graph.triangleCensus(
+            graft.queries.Graph.userCoEdges(ev, grain = "minute")).count()
+        }
+      }
+      s32.stop()
+      return
+    }
     // Decomposed ANN marginal-cost experiment (round 10): at `times`×
     // corpus and nq queries, materialize the encoded index ONCE, then
     // time each stage of the candidate pipeline separately for three

@@ -439,6 +439,13 @@ object Graph {
   def triangleCensus(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") < col("dst")).distinct()
+      // four consumers (degrees, the orientation's two join legs, the
+      // n_edges count): without this each re-derives the full upstream
+      // edge plan — the round-13 userCoEdges re-derivation made that
+      // upstream pricier and q55 alone of the census family lacked the
+      // materialization q70 got (driver bench flagged 1.29 → 2.62 s;
+      // solo A/B probe pinned ~1 s of it to exactly this recompute)
+      .localCheckpoint(false)
     val deg = und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
