@@ -1005,19 +1005,48 @@ object Graph {
     * against the label table, (dst, label) integer vote count, per-node
     * `min(struct(-votes, label))` argmax — the no-adjacency-list layout
     * [[labelPropagate]]'s scaladoc documents. Input labels in
-    * `prevCol`; output appends `outCol`. */
+    * `prevCol`; output appends `outCol`. With `weightCol` set, a
+    * neighbour's vote carries its integer edge weight (votes = Σw
+    * instead of a count) — the same total tie-break order
+    * (votes DESC, label ASC) over exact BIGINTs either way. */
   private def lpaRound(e: DataFrame, lab: DataFrame, prevCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, weightCol: Option[String] = None): DataFrame = {
     val winners = e
       .join(lab.select(col("id").as("src"), col(prevCol).as("nl")), "src")
       .groupBy(col("dst"), col("nl"))
-      .agg(count(lit(1)).as("v"))
+      .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("v"))
       .groupBy(col("dst"))
       .agg(min(struct((-col("v")).as("nv"), col("nl").as("lb"))).as("best"))
       .select(col("dst"), col("best.lb").as("wl"))
     lab.join(winners, lab("id") === winners("dst"), "left")
       .withColumn(outCol, coalesce(col("wl"), col(prevCol)))
       .drop("dst", "wl")
+  }
+
+  /** WEIGHTED label propagation — [[labelPropagate]]'s face over the
+    * weighted co-occurrence multigraph ([[userCoEdgesWeighted]]): a
+    * neighbour's vote carries the edge's integer multiplicity, so two
+    * users sharing many buckets pull each other's community harder
+    * than a one-bucket acquaintance (Raghavan's w_xy generalization —
+    * the standard form on weighted graphs, completing the weighted
+    * family beside [[pageRankWeightedInt]] and
+    * [[modularityWeighted]]). Votes are Σw in exact BIGINT and the
+    * argmax tie-break is unchanged (votes DESC, label ASC), so the
+    * round recurrence stays oracle-replayable; at w ≡ 1 every round
+    * column equals [[labelPropagate]]'s (Σ1 = count, spec-asserted).
+    * Same seed (`nodes` ∪ edge endpoints), same unrolled-rounds
+    * contract, same 100 TB shape — the weight is one extra narrow
+    * column riding the existing vote join/aggregate, no new shuffle. */
+  def labelPropagateWeighted(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"unrolled propagation wants 1..6 rounds, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    val l0 = labelSeed(e, nodes)
+    (1 to rounds).foldLeft(l0) { (lab, i) =>
+      lpaRound(e, lab, s"lbl${i - 1}", s"lbl$i", weightCol = Some("w"))
+    }
   }
 }
 
@@ -1928,6 +1957,52 @@ object GraphQueries {
       |FROM dc LEFT JOIN ec USING (community), ww
       |ORDER BY dc.community""".stripMargin
 
+  // ---- q74: WEIGHTED label propagation on the minute-grain weighted
+  // co-occurrence multigraph — q61's recurrence with votes carrying
+  // edge multiplicity (Σw instead of a count), two synchronous rounds,
+  // same total tie-break (votes DESC, label ASC) so the oracle replays
+  // the weighted trajectory exactly; at w ≡ 1 the operator degenerates
+  // to q61's (GraphSpec-asserted). Completes the weighted family:
+  // PageRank (q72), modularity (q73), LPA (q74). ----
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Graph.labelPropagateWeighted(
+        Graph.userCoEdgesWeighted(ev, grain = "minute"),
+        ev.select(col("user_id").as("id")), rounds = 2)
+      .select(col("id").as("user_id"), col("lbl1"), col("lbl2"))
+      .orderBy("user_id")
+  }
+
+  private val q74Oracle =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h, event_type
+      |  FROM events),
+      |e AS (
+      |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*)::BIGINT AS w
+      |  FROM ev a JOIN ev b USING (h, event_type)
+      |  WHERE a.user_id <> b.user_id GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT user_id AS id FROM events),
+      |w1 AS (
+      |  SELECT dst, nl AS wl FROM (
+      |    SELECT e.dst, e.src AS nl, SUM(e.w) AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY SUM(e.w) DESC, e.src) AS rn
+      |    FROM e GROUP BY e.dst, e.src) WHERE rn = 1),
+      |l1 AS (
+      |  SELECT n.id, COALESCE(w1.wl, n.id) AS lbl1
+      |  FROM nodes n LEFT JOIN w1 ON w1.dst = n.id),
+      |w2 AS (
+      |  SELECT dst, nl AS wl FROM (
+      |    SELECT e.dst, l1.lbl1 AS nl, SUM(e.w) AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY SUM(e.w) DESC, l1.lbl1) AS rn
+      |    FROM e JOIN l1 ON l1.id = e.src
+      |    GROUP BY e.dst, l1.lbl1) WHERE rn = 1),
+      |l2 AS (
+      |  SELECT l1.id, l1.lbl1, COALESCE(w2.wl, l1.lbl1) AS lbl2
+      |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.id)
+      |SELECT id AS user_id, lbl1, lbl2 FROM l2 ORDER BY user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q51_pagerank", q51, Some(q51Oracle)),
     QueryDef("q55_triangle_census", q55, Some(q55Oracle)),
@@ -1947,5 +2022,6 @@ object GraphQueries {
     QueryDef("q70_local_clustering", q70, Some(q70Oracle)),
     QueryDef("q71_ktruss", q71, Some(q71Oracle)),
     QueryDef("q72_weighted_pagerank", q72, Some(q72Oracle)),
-    QueryDef("q73_weighted_modularity", q73, Some(q73Oracle)))
+    QueryDef("q73_weighted_modularity", q73, Some(q73Oracle)),
+    QueryDef("q74_weighted_lpa", q74, Some(q74Oracle)))
 }

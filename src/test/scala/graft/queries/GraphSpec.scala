@@ -353,6 +353,38 @@ class GraphSpec extends SparkSpec {
       1L -> ((9L, 19L, 323L, 19L))))
   }
 
+  test("labelPropagateWeighted: w ≡ 1 degenerates to labelPropagate; " +
+      "multiplicity flips an unweighted tie") {
+    import spark.implicits._
+    // degeneracy on the bridged triangles: w ≡ 1 must reproduce every
+    // round column of the unweighted operator
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val dirEdges = und ++ und.map(_.swap)
+    val nodes = (1L to 7L).toDF("id")
+    val unit = dirEdges.map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val wRows = Graph.labelPropagateWeighted(unit, nodes, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val uRows = Graph.labelPropagate(dirEdges.toDF("src", "dst"), nodes,
+        rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(wRows === uRows)
+    // multiplicity decides: node 3 hears 1 (w=1) and 2 (w=5). The
+    // unweighted round ties 1-vote-each and the min label 1 wins; the
+    // weighted round hands it to 2.
+    val star = Seq((1L, 3L, 1L), (3L, 1L, 1L), (2L, 3L, 5L), (3L, 2L, 5L))
+      .toDF("src", "dst", "w")
+    val w1 = Graph.labelPropagateWeighted(star, Seq(1L, 2L, 3L).toDF("id"),
+        rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w1 === Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+    val u1 = Graph.labelPropagate(star.select("src", "dst"),
+        Seq(1L, 2L, 3L).toDF("id"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(u1(3L) === 1L, "unweighted tie must fall to the min label")
+  }
+
   test("labelPropagate: hand-computed two rounds on bridged triangles") {
     import spark.implicits._
     // Triangles {1,2,3} and {4,5,6} bridged by 3–4; 7 isolated.
