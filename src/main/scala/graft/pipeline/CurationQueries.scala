@@ -1098,6 +1098,44 @@ object CurationQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- d56: winnow-index RETRACTION (TextAnalysis.winnowIndexRetract)
+  // — the fingerprint-family twin of d55's dedup-groups retract: the
+  // archive's UNCAPPED sketch is persisted once, a takedown batch
+  // (doc_id % 7 = 1) is retracted by one anti-join + one df recount
+  // (no re-winnowing), and the d54 increment then probes the retracted
+  // index. The oracle rebuilds from scratch over the surviving archive
+  // — green means retract ≡ rebuild-without-them END TO END through
+  // the serve path (removed docs' postings gone, df-cap re-applied
+  // over survivors; the cap-resurrection direction, where retraction
+  // brings a capped-out fingerprint back under maxDf, is spec-pinned
+  // in CurationSpec — the fixtures' dfs never reach 100). ----
+  private def d56(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val sketch = TextAnalysis.winnowSketch(d.filter(!isNew), "text",
+      "doc_id", k = 5, w = 4)
+    val retracted = TextAnalysis.winnowIndexRetract(sketch,
+      d.filter(!isNew && col("doc_id") % 7 === 1).select("doc_id"),
+      maxDf = 100)
+    TextAnalysis.winnowProbeMatches(d.filter(isNew), retracted, "text",
+        "doc_id", k = 5, w = 4, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val d56Oracle =
+    s"""WITH $winnowCtes,
+      |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      |arch AS (SELECT * FROM fps
+      |  WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 1),
+      |probe AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+      |ok AS (SELECT fp FROM arch GROUP BY fp HAVING COUNT(*) <= 100),
+      |ai AS (SELECT arch.* FROM arch JOIN ok USING (fp))
+      |SELECT probe.doc_id AS new_id, ai.doc_id AS corpus_id,
+      |  COUNT(*)::BIGINT AS shared
+      |FROM probe JOIN ai USING (fp)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // ---- d53: BPE merge APPLICATION — the usable half of d47: the three
   // learned merges segment every document's lowercase-alpha words
   // (two-space symbol encoding, '|' word boundaries the merge pattern
@@ -1232,6 +1270,7 @@ object CurationQueries {
     QueryDef("d51_winnow_matches", d51, Some(d51Oracle)),
     QueryDef("d53_bpe_apply", d53, Some(d53Oracle)),
     QueryDef("d54_winnow_incremental", d54, Some(d54Oracle)),
+    QueryDef("d56_winnow_retract", d56, Some(d56Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

@@ -588,6 +588,50 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("winnowIndexRetract: ≡ rebuild-without-them, including df-cap " +
+      "resurrection of a capped-out fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared plus some trailing words here"),
+      (2L, s"$shared plus some trailing words here"),
+      (3L, s"$shared plus some trailing words here"),
+      (9L, "wholly unrelated content that overlaps with nobody at all ever"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val sketch = TextAnalysis.winnowSketch(docs, "text", "doc_id",
+      k = 5, w = 4)
+    // at build time the triplet's shared fingerprints have df = 3 > cap:
+    // the capped index holds NOTHING for docs 1-3
+    val built = TextAnalysis.winnowIndex(docs, "text", "doc_id",
+      k = 5, w = 4, maxDf = maxDf)
+    assert(built.filter(col("id").isin(1L, 2L, 3L)).count() === 0,
+      "precondition: the shared fingerprints must be capped out at df 3")
+    // retract doc 3 → df drops to 2: a rebuild RE-ADMITS the surviving
+    // postings, and the sketch-based retract must match it exactly —
+    // the direction a capped-index anti-join can never recover
+    val retracted = TextAnalysis.winnowIndexRetract(sketch,
+      Seq(3L).toDF("doc_id"), maxDf = maxDf)
+    val rebuilt = TextAnalysis.winnowIndex(
+      docs.filter(col("doc_id") =!= 3L), "text", "doc_id",
+      k = 5, w = 4, maxDf = maxDf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("fp"))).toSet
+    val rSet = rows(retracted)
+    val bSet = rows(rebuilt)
+    assert(rSet === bSet)
+    assert(rSet.exists(_._1 == 1L),
+      "retraction must RESURRECT the now-under-cap shared fingerprints")
+    assert(!rSet.exists(_._1 == 3L), "retracted doc's postings must be gone")
+    // and with no cap pressure, retract ≡ plain anti-join rebuild
+    val r2 = TextAnalysis.winnowIndexRetract(sketch, Seq(9L).toDF("doc_id"),
+      maxDf = 100)
+    val b2 = TextAnalysis.winnowIndex(docs.filter(col("doc_id") =!= 9L),
+      "text", "doc_id", k = 5, w = 4, maxDf = 100)
+    assert(rows(r2) === rows(b2))
+  }
+
   test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     // w + k - 1 = 8 shared consecutive words embedded in different docs
