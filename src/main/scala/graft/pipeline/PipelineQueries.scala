@@ -2585,8 +2585,14 @@ object PipelineQueries {
 
   /** The shared adjacency-build CTE chain (through `adj1`, the
     * one-round NN-descent graph) — e22 certifies it directly; e23
-    * serves the e21 walk over it. */
-  private def nndAdjCtes(cos: (String, String) => String): String =
+    * serves the e21 walk over it; e27 re-enters it with the seed
+    * origins restricted to a post-takedown survivor set (`extraCtes`
+    * inserts the retraction CTEs after the frozen-quantizer `reps`;
+    * `seedOrigin` swaps the seed's origin relation — the quantizer
+    * CTEs above the swap stay full-corpus, exactly the frozen-quantizer
+    * discipline the engine's retract face keeps). */
+  private def nndAdjCtes(cos: (String, String) => String,
+      extraCtes: String = "", seedOrigin: String = "cells2"): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |samp AS (
       |  SELECT vec_id AS cid, v AS cv FROM e
@@ -2605,10 +2611,10 @@ object PipelineQueries {
       |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
       |        sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rn
       |    FROM cells2)
-      |  WHERE rn <= 8),
+      |  WHERE rn <= 8),$extraCtes
       |seedp AS (
       |  SELECT DISTINCT x.vec_id AS node, x.v AS xv, r.rep_id AS nbr, r.rv AS yv
-      |  FROM cells2 x JOIN reps r ON x.cell = r.cell AND x.vec_id <> r.rep_id),
+      |  FROM $seedOrigin x JOIN reps r ON x.cell = r.cell AND x.vec_id <> r.rep_id),
       |adj0 AS (
       |  SELECT node, nbr, nsim FROM (
       |    SELECT node, nbr, ${cos("xv", "yv")} AS nsim,
@@ -2651,6 +2657,52 @@ object PipelineQueries {
   }
 
   private val e22Oracle = nndBuildOracle(restrictNode = 25)
+
+  // ---- e27: graph-ANN index RETRACTION (Similarity.retractNndIndex)
+  // — the ANN-family delete face beside d55 (groups) and d56
+  // (fingerprints): build the e22 index, retract every 9th vector that
+  // is not a quantizer anchor (centroids/reps are the frozen artifact
+  // every incremental face shares — an anchor takedown needs a
+  // re-train, and the engine REFUSES it loudly; the predicate replays
+  // that exclusion), and emit the retracted REFINED face. The oracle
+  // is the e22 build chain re-entered with the seed origins restricted
+  // to the survivors under the SAME full-corpus frozen quantizer —
+  // i.e. a from-scratch rebuild-without-them — so green certifies
+  // retract ≡ rebuild at the gate, while the spec additionally pins
+  // both faces unrestricted, the serve-excludes-retracted contract,
+  // and the anchor refusal. ----
+  private def e27(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+    val removable = e.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .join(idx.quant.reps.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .filter(!col("vec_id").isInCollection(idx.quant.centIds.toSeq))
+    Similarity.retractNndIndex(idx, e, "vec_id", "embedding", removable)
+      .refined
+      .filter(col("node") < 25)
+      .orderBy("node", "rank")
+  }
+
+  private val e27Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    val retractCtes =
+      """
+        |rem AS (
+        |  SELECT vec_id FROM e
+        |  WHERE vec_id % 9 = 4
+        |    AND vec_id NOT IN (SELECT rep_id FROM reps)
+        |    AND vec_id NOT IN (SELECT cid FROM samp)),
+        |surv2 AS (
+        |  SELECT * FROM cells2
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),""".stripMargin
+    s"""WITH ${nndAdjCtes(cos, retractCtes, seedOrigin = "surv2")}
+      |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
+      |FROM adj1 WHERE rank <= 6 AND node < 25
+      |ORDER BY node, rank""".stripMargin
+  }
 
   // ---- e23: graph-ANN SERVING over the production-built index
   // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the
@@ -2809,6 +2861,7 @@ object PipelineQueries {
     QueryDef("e26_append_recall", e26, Some(e26Oracle)),
     QueryDef("e23_graph_serve", e23, Some(e23Oracle)),
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
+    QueryDef("e27_nnd_retract", e27, Some(e27Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

@@ -447,6 +447,60 @@ class PipelineSpec extends SparkSpec {
     assert(preserved > 0, "no archive rows survived the append untouched")
   }
 
+  test("nn-descent retract: equals the frozen-quantizer rebuild over " +
+      "survivors; serve excludes retracted ids; anchor takedown refuses") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildNndIndex(emb, "vec_id", "embedding")
+    // takedown batch: every 9th vector that is not a quantizer anchor
+    // (the documented fast-path contract)
+    val removable = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .join(idx.quant.reps.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .filter(!col("vec_id").isInCollection(idx.quant.centIds.toSeq))
+      .localCheckpoint(true)
+    assert(removable.count() > 0, "fixture must yield a non-empty takedown")
+    val surv = emb.join(removable, Seq("vec_id"), "left_anti")
+    val ret = Similarity.retractNndIndex(idx, emb, "vec_id", "embedding",
+      removable)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // contract: BOTH faces row-identical to a from-scratch build over
+    // the survivors under the same frozen quantizer
+    val scratch = Similarity.buildNndIndexWith(surv, "vec_id", "embedding",
+      idx.quant, idx.degree)
+    assert(rows(ret.seed) === rows(scratch.seed))
+    assert(rows(ret.refined) === rows(scratch.refined))
+    // the retraction is load-bearing: the refined face actually changed
+    assert(rows(ret.refined) !== rows(idx.refined))
+    // ... and incremental: some archive rows survive verbatim
+    val archRows = idx.refined.collect().map(_.toString).toSet
+    assert(rows(ret.refined).count(archRows.contains) > 0,
+      "no archive rows survived the retraction untouched")
+    // serve-after-retract: no retracted id is ever returned
+    val removedSet = removable.collect().map(_.getLong(0)).toSet
+    val served = Similarity.graphServeTopK(surv, "vec_id", "embedding",
+        ret, _ < 25, k = 5, beam = 8, hops = 2)
+      .collect().map(r => r.getLong(2))
+    assert(served.nonEmpty && !served.exists(removedSet.contains),
+      "a retracted id leaked out of the serve walk")
+    // anchor takedowns must refuse loudly, not silently corrupt
+    val repId = idx.quant.reps.select("rep_id").head.getLong(0)
+    val eRep = intercept[IllegalArgumentException] {
+      Similarity.retractNndIndex(idx, emb, "vec_id", "embedding",
+        Seq(repId).toDF("vec_id"))
+    }
+    assert(eRep.getMessage.contains("REPRESENTATIVE"))
+    val centId = idx.quant.centIds.head.asInstanceOf[Long]
+    val eCent = intercept[IllegalArgumentException] {
+      Similarity.retractNndIndex(idx, emb, "vec_id", "embedding",
+        Seq(centId).toDF("vec_id"))
+    }
+    // a centroid is usually also a rep of its own cell — either refusal
+    // message is correct; what matters is that it refuses
+    assert(eCent.getMessage.contains("quantizer"))
+  }
+
   test("graph index artifact: build/save/load lifecycle — serve and append from the loaded index") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val archive = emb.filter(col("vec_id") >= 5)
