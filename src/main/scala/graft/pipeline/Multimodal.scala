@@ -471,6 +471,47 @@ object Multimodal {
       kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes")))
   }
 
+  /** The UNCAPPED retractable archive sketch behind
+    * [[videoKeyframeIndex]] — the video-family twin of
+    * `TextAnalysis.winnowSketch`, and for the same reason: the
+    * bucket cap destroys information a retraction needs (a degenerate
+    * bucket capped out at build can fall back under `maxBucket` once
+    * its occupants are retracted — a rebuild re-admits the surviving
+    * chunk rows, a capped index lost them). A production archive
+    * persists THIS (chunks uncapped + counts) and derives the capped
+    * serving index as a view; the extra storage is exactly the
+    * capped-out slice, bounded by construction. */
+  def videoKeyframeSketch(keyframes: DataFrame): VideoIndex = {
+    val kf = keyframes.localCheckpoint(false)
+    VideoIndex(phashChunks(packKids(kf)),
+      kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes")))
+  }
+
+  /** RETRACTION face of the video-index artifact — the multimodal
+    * sibling of `winnowIndexRetract` (same algebra, video grain):
+    * drop the retracted videos' keyframe chunk rows and scene counts
+    * by doc id (chunk ids are PACKED doc·65536+scene, so the anti-join
+    * keys on `id div 65536`), then re-apply the bucket cap over the
+    * surviving chunk rows. One anti-join + one bucket recount —
+    * O(|sketch|), payloads never re-decoded, re-segmented, or
+    * re-hashed — and exactly `videoKeyframeIndex(surviving keyframes,
+    * maxBucket)` on both faces (spec + gate mm11, including the
+    * bucket-resurrection direction in the spec). */
+  def videoIndexRetract(sketch: VideoIndex, removedDocIds: DataFrame,
+      maxBucket: Int = 100): VideoIndex = {
+    val rem = removedDocIds
+      .select(col(removedDocIds.columns.head).as("rid")).distinct()
+    val survChunks = sketch.chunks
+      .join(rem, expr("id div 65536") === col("rid"), "left_anti")
+    val ok = survChunks.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= maxBucket)
+      .select("chunk", "chunk_val")
+    VideoIndex(survChunks.join(ok, Seq("chunk", "chunk_val")),
+      sketch.counts.join(rem, sketch.counts("doc_id") === col("rid"),
+        "left_anti"))
+  }
+
   /** Incremental [[videoDupPairs]]: NEW videos' keyframes probe a
     * persisted archive [[VideoIndex]] — per-batch cost is
     * |probe keyframes| × bounded archive bucket fan-out, the archive

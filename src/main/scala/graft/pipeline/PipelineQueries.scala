@@ -2024,13 +2024,56 @@ object PipelineQueries {
       .orderBy("doc_new", "doc_arch")
   }
 
+  // ---- mm11: VIDEO-INDEX RETRACTION (Multimodal.videoIndexRetract) —
+  // the multimodal leg of the round-14 delete lifecycle (d55 groups,
+  // d56 fingerprints, e27 ANN): the archive's UNCAPPED keyframe sketch
+  // is persisted once, a takedown batch (doc_id % 7 = 1) retracts by
+  // one packed-id anti-join + one bucket recount (payloads never
+  // re-decoded or re-hashed), and the mm10 increment probes the
+  // retracted index. Oracle = mm10's probe chain with the archive
+  // shrunk to the survivors — a from-scratch rebuild-without-them —
+  // so green certifies retract ≡ rebuild through the serve path; the
+  // bucket-resurrection direction is spec-pinned in MultimodalSpec. ----
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val sketch = Multimodal.videoKeyframeSketch(
+      Multimodal.keyframeHashes(media.filter(!isNew),
+        frameBytes = 72, cutPm = 8L).toDF())
+    val removed = docs(s, dir)
+      .filter(!isNew && col("doc_id") % 7 === 1).select("doc_id")
+    Multimodal.videoProbePairs(
+        Multimodal.keyframeHashes(media.filter(isNew),
+          frameBytes = 72, cutPm = 8L).toDF(),
+        Multimodal.videoIndexRetract(sketch, removed, maxBucket = 100),
+        maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+  }
+
+  private val mm11Oracle = videoProbeOracle(
+    akExtra = " AND (doc_id // 65536) % 7 <> 1",
+    caExtra = " AND doc_id % 7 <> 1")
+
   // shared with the s21 streaming gate: per-batch coverage rollups
   // partition the global result (videos arrive whole), so the batch
   // oracle adjudicates the drained stream verbatim
-  private[graft] val mm10Oracle =
+  private[graft] val mm10Oracle = videoProbeOracle()
+
+  /** The incremental-video-probe oracle chain, parameterized by extra
+    * ARCHIVE predicates so mm11 (retraction) replays the same probe
+    * against a shrunken archive: `akExtra` filters the packed keyframe
+    * rows (`doc_id` here is the packed kid), `caExtra` the per-video
+    * archive counts (plain doc ids). Empty strings = mm10/s21. */
+  private def videoProbeOracle(akExtra: String = "",
+      caExtra: String = ""): String =
     s"""WITH $keyframeCtes,
       |pk AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 = 0),
-      |ak AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 <> 0),
+      |ak AS (SELECT * FROM kid
+      |  WHERE (doc_id // 65536) % 10 <> 0$akExtra),
       |${phashChunkCtes("ac", "ak")},
       |ok AS (
       |  SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
@@ -2055,7 +2098,7 @@ object PipelineQueries {
       |  WHERE doc_id % 10 = 0 GROUP BY doc_id),
       |ca AS (
       |  SELECT doc_id, COUNT(*) AS n FROM kph
-      |  WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+      |  WHERE doc_id % 10 <> 0$caExtra GROUP BY doc_id)
       |SELECT cov.doc_new, cov.doc_arch, cn.n AS n_new, ca.n AS n_arch,
       |  cov.matched_new, cov.matched_arch
       |FROM cov
@@ -2916,6 +2959,7 @@ object PipelineQueries {
     QueryDef("mm8_video_dup_pairs", mm8, Some(mm8Oracle)),
     QueryDef("mm9_audio_dup_pairs", mm9, Some(mm9Oracle)),
     QueryDef("mm10_video_probe_pairs", mm10, Some(mm10Oracle)),
+    QueryDef("mm11_video_retract", mm11, Some(mm11Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

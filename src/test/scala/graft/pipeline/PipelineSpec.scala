@@ -1420,6 +1420,50 @@ class PipelineSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("videoIndexRetract: ≡ rebuild-without-them on both faces, " +
+      "including bucket resurrection of a capped-out chunk") {
+    import spark.implicits._
+    // three videos sharing one keyframe hash (h1) → its four chunk
+    // buckets hold 3 occupants each; a fourth video is unrelated
+    val h1 = (0x0f0f0f0fL, 0x0f0f0f0fL)
+    val kf = Seq(
+      (1L, 1L, h1._1, h1._2), (1L, 2L, 0x12345678L, 0x0a0b0c0dL),
+      (2L, 1L, h1._1, h1._2),
+      (3L, 1L, h1._1, h1._2),
+      (9L, 1L, 0xdeadbeefL, 0x0badf00dL))
+      .toDF("doc_id", "scene_id", "ph_lo", "ph_hi")
+    val maxBucket = 2
+    val sketch = Multimodal.videoKeyframeSketch(kf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // at build, h1's buckets (3 occupants) are capped out at 2
+    val built = Multimodal.videoKeyframeIndex(kf, maxBucket)
+    assert(built.chunks.filter(col("ph_lo") === h1._1 &&
+      col("ph_hi") === h1._2).count() === 0,
+      "precondition: the shared buckets must be capped out at 3 occupants")
+    // retract video 3 → h1's buckets fall to 2 occupants: a rebuild
+    // re-admits them, and the sketch-based retract must match exactly
+    val ret = Multimodal.videoIndexRetract(sketch, Seq(3L).toDF("doc_id"),
+      maxBucket)
+    val rebuilt = Multimodal.videoKeyframeIndex(
+      kf.filter(col("doc_id") =!= 3L), maxBucket)
+    assert(rows(ret.chunks) === rows(rebuilt.chunks))
+    assert(rows(ret.counts) === rows(rebuilt.counts))
+    assert(ret.chunks.filter(col("ph_lo") === h1._1 &&
+      col("ph_hi") === h1._2).count() > 0,
+      "retraction must RESURRECT the now-under-cap shared buckets")
+    // retracted video's rows are gone from BOTH faces
+    assert(ret.chunks.filter(expr("id div 65536") === 3L).count() === 0)
+    assert(ret.counts.filter(col("doc_id") === 3L).count() === 0)
+    // and with no cap pressure, retract ≡ plain anti-join rebuild
+    val r2 = Multimodal.videoIndexRetract(sketch, Seq(9L).toDF("doc_id"),
+      maxBucket = 100)
+    val b2 = Multimodal.videoKeyframeIndex(
+      kf.filter(col("doc_id") =!= 9L), maxBucket = 100)
+    assert(rows(r2.chunks) === rows(b2.chunks))
+    assert(rows(r2.counts) === rows(b2.counts))
+  }
+
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs, "text")
