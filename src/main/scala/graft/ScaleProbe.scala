@@ -657,10 +657,111 @@ object ScaleProbe {
     }
   }
 
+  /** Retraction-vs-rebuild cost asymmetry for the round-14 delete
+    * faces. The claim under test is O(touched) retraction: the retract
+    * wall must sit far below the from-scratch rebuild at the SAME
+    * archive scale, and the gap must WIDEN as the archive grows (the
+    * specs prove row equality on the fixture; this proves the COST
+    * shape at scale).
+    *
+    * Leg 1 — dedup groups (`Dedup.componentsRetract`): a synthetic
+    * archive of `n` path-of-4 components (labels + pairs materialized,
+    * the persisted artifacts), takedown = the bridge node of 0.1% of
+    * components. Retract re-clusters only touched components;
+    * the comparison leg is alt-star CC over ALL surviving pairs.
+    *
+    * Leg 2 — graph ANN (`Similarity.retractNndIndex`): archive at
+    * `times`× embedding replicas, takedown = ~2% non-anchor vectors;
+    * comparison leg is the frozen-quantizer rebuild over the
+    * survivors. Edge counts + quality sums printed from both so the
+    * equality contract is visible at scale, not just on fixtures. */
+  private def retractProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    // ---- leg 1: dedup groups ----
+    for (n <- Seq(times * 20000L, times * 80000L)) {
+      val base = spark.range(n).select((col("id") * 4).as("b"))
+        .localCheckpoint(true)
+      val pairs = base.select(col("b").as("doc_a"), (col("b") + 1).as("doc_b"))
+        .unionAll(base.select((col("b") + 1).as("doc_a"), (col("b") + 2).as("doc_b")))
+        .unionAll(base.select((col("b") + 2).as("doc_a"), (col("b") + 3).as("doc_b")))
+        .localCheckpoint(true)
+      val labels = base.select(explode(array(col("b"), col("b") + 1,
+          col("b") + 2, col("b") + 3)).as("id"),
+          col("b").as("component"))
+        .localCheckpoint(true)
+      val removed = base.filter(col("b") % 4000 === 0)
+        .select((col("b") + 1).as("rid"))
+      val t0 = System.nanoTime()
+      val r = pipeline.Dedup.componentsRetract(labels, pairs, removed,
+        "doc_a", "doc_b")
+      val rc = r.agg(count(lit(1)), sum("component")).head
+      val tRetract = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // the comparison leg must label the SAME node universe: surviving
+      // pairs plus self-pairs for every surviving labelled node, so a
+      // bridge removal's isolated neighbours (pairless survivors) keep
+      // a label row in both legs
+      val surv = pairs
+        .join(removed, col("doc_a") === col("rid"), "left_anti")
+        .join(removed, col("doc_b") === col("rid"), "left_anti")
+        .unionAll(labels
+          .join(removed, col("id") === col("rid"), "left_anti")
+          .select(col("id").as("doc_a"), col("id").as("doc_b")))
+      val s = pipeline.Dedup.componentsAltStar(surv, "doc_a", "doc_b")
+      val sc = s.agg(count(lit(1)), sum("component")).head
+      val tRebuild = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] retract/groups n=${4 * n} retract=$tRetract%6.2f s " +
+        f"rebuild=$tRebuild%6.2f s  rows=${rc.getLong(0)}/${sc.getLong(0)} " +
+        f"sum=${rc.getLong(1)}/${sc.getLong(1)}")
+      Seq(base, pairs, labels).foreach(_.unpersist(false))
+    }
+    // ---- leg 2: graph ANN ----
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n0 = emb.count()
+    val archive = emb.crossJoin(
+        spark.range(times.toLong).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * n0).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    println(s"[probe] retract/nnd archive=${archive.count()} nlist=64")
+    val t0 = System.nanoTime()
+    val built = pipeline.Similarity.buildNndIndex(archive, "vec_id",
+      "embedding", nlist = 64)
+    val idx = built.copy(
+      seed = built.seed.localCheckpoint(true),
+      refined = built.refined.localCheckpoint(true))
+    println(f"[probe] retract/nnd-build   ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    val removable = archive.filter(col("vec_id") % 53 === 4)
+      .select("vec_id")
+      .join(idx.quant.reps.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .filter(!col("vec_id").isInCollection(idx.quant.centIds.toSeq))
+      .localCheckpoint(true)
+    println(s"[probe] retract/nnd takedown=${removable.count()}")
+    val t1 = System.nanoTime()
+    val ret = pipeline.Similarity.retractNndIndex(idx, archive, "vec_id",
+      "embedding", removable)
+    val rAgg = ret.refined.agg(count(lit(1)), sum("nsim")).head
+    println(f"[probe] retract/nnd-retract ${(System.nanoTime() - t1) / 1e9}%7.2f s" +
+      f"  edges=${rAgg.getLong(0)} quality=${rAgg.getDouble(1)}%.1f")
+    val t2 = System.nanoTime()
+    val surv = archive.join(removable, Seq("vec_id"), "left_anti")
+    val sAgg = pipeline.Similarity
+      .buildNndIndexWith(surv, "vec_id", "embedding", idx.quant)
+      .refined.agg(count(lit(1)), sum("nsim")).head
+    println(f"[probe] retract/nnd-rebuild ${(System.nanoTime() - t2) / 1e9}%7.2f s" +
+      f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("retract")) {
+      retractProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("cc")) {
       ccProbe(spark, args.lift(1).map(_.toInt).getOrElse(2048))
       spark.stop()
