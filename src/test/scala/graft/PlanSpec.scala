@@ -332,6 +332,74 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in power step:\n$p")
   }
 
+  test("q73: weighted modularity — weight sums combine map-side, the " +
+    "only nested-loop is the broadcast single-row total, UDF-free") {
+    val df = SparkEntry.queries("q73_weighted_modularity")(spark, sf("sf0.01"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // e_c/d_c/W are all sum(w) hash aggregates — partial_sum below the
+    // exchange or every edge row crosses the wire un-combined
+    assert(p.contains("partial_sum"), s"no map-side weight combine:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"weight sums fell back to sort aggregation:\n$p")
+    // the q55-pattern single-row total joins back via broadcast; any
+    // OTHER nested loop would be a quadratic accident
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"unexpected non-broadcast product in modularity:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"UDF leaked into modularity:\n$p")
+  }
+
+  test("q74: weighted LPA — votes combine map-side, argmax is a hash " +
+    "aggregate (no per-node sort/window), UDF-free") {
+    val df = SparkEntry.queries("q74_weighted_lpa")(spark, sf("sf0.01"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("partial_sum"), s"no map-side vote combine:\n$p")
+    // the per-node argmax is min(struct(-votes, label)) — an AGGREGATE
+    // with a map-side partial_min, never a Window (a per-node
+    // row_number would sort every vote row globally per partition key).
+    // Struct-typed min has no hash-aggregate buffer, so Spark plans it
+    // as SortAggregate — that fallback is expected; the property pinned
+    // here is aggregate-with-partial, not the aggregate's physical kind
+    assert(!p.contains("Window"),
+      s"argmax fell back to a window sort:\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"no map-side argmax combine:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"UDF leaked into LPA:\n$p")
+  }
+
+  test("winnowIndexRetract over a persisted sketch: pure anti-join + " +
+    "recount — archive text machinery never re-enters the plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wret").toString
+    try {
+      val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      graft.pipeline.TextAnalysis
+        .winnowSketch(docs, "text", "doc_id", k = 5, w = 4)
+        .write.parquet(s"$dir/sketch")
+      val sketch = spark.read.parquet(s"$dir/sketch")
+      val df = graft.pipeline.TextAnalysis.winnowIndexRetract(sketch,
+        Seq(3L, 7L).toDF("doc_id"), maxDf = 100)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      // retraction is the point of the persisted sketch: the plan must
+      // be scan + anti-join + df recount + semi-join — any Generate
+      // (shingle/window explode) or regexp means the archive text got
+      // re-winnowed
+      assert(!p.contains("Generate") && !p.toLowerCase.contains("regexp"),
+        s"archive text machinery re-entered the retract plan:\n$p")
+      assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+        s"expected anti-join + semi-join shape:\n$p")
+      // both scans read the persisted sketch, nothing reads documents
+      assert(!p.contains("documents.parquet"),
+        s"retract plan scans the document table:\n$p")
+    } finally rmTree(dir)
+  }
+
   test("m9/CqlBind: the wire encode is pure codegen projection — " +
     "exactly ONE exchange (the partition-key routing), zero UDFs") {
     import org.apache.spark.sql.functions.col
