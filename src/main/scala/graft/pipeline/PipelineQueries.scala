@@ -348,7 +348,7 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val d55Oracle =
+  private[graft] val d55Oracle =
     s"""WITH RECURSIVE $jaccardCtes,
       |jp AS (
       |  SELECT p.id_a, p.id_b FROM p

@@ -1145,7 +1145,71 @@ object StreamQueries {
     result
   }
 
+  // ---- s22: streaming TAKEDOWN maintenance of the dedup-groups
+  // artifact — the retract column of the lifecycle matrix (s7/s11
+  // certify streaming append-side dedup; d52/d55 the batch
+  // append/retract; this closes streaming deletes): takedown batches
+  // arrive as a real three-micro-batch stream, and per batch the sink
+  // reads its PREDECESSOR'S persisted artifact pair (labels + the pair
+  // evidence — retraction needs both, the d55 contract), applies
+  // Dedup.componentsRetract plus the evidence anti-join, and persists
+  // the batch's artifact — the s16 read-predecessor discipline, so a
+  // replayed batch re-derives identical output from identical input
+  // (idempotent, never driver state). The oracle is d55's one-shot
+  // from-scratch closure over the survivors of ALL takedowns: green
+  // certifies RETRACTION COMPOSES — sequential per-batch retraction
+  // over the maintained evidence chain equals the single rebuild
+  // (the evidence chain is what makes it true: retracting against
+  // STALE pairs would let a removed doc's edges re-link the groups a
+  // removal split). ----
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Dedup
+    val d = Tables.load(s, dir, "documents")
+    val pairs0 = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = 100)
+    val out = java.nio.file.Files.createTempDirectory("graft_s22").toString
+    // snapshot build: the persisted artifact pair the stream maintains
+    Dedup.survivors(d, pairs0, "doc_id")
+      .select(col("doc_id").as("id"), col("keep_id").as("component"))
+      .write.parquet(s"$out/art/init/labels")
+    pairs0.select("doc_a", "doc_b").write.parquet(s"$out/art/init/pairs")
+    val takedowns = d.filter(col("doc_id") % 10 === 3)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = if (batchId == 0L) "init" else (batchId - 1).toString
+        val labelsPrev = s.read.parquet(s"$out/art/$prev/labels")
+        val pairsPrev = s.read.parquet(s"$out/art/$prev/pairs")
+        val rem = batch.select(col("doc_id").as("rid"))
+        Dedup.componentsRetract(labelsPrev, pairsPrev, batch,
+            "doc_a", "doc_b")
+          .write.mode("overwrite").parquet(s"$out/art/$batchId/labels")
+        pairsPrev
+          .join(rem, col("doc_a") === col("rid"), "left_anti")
+          .join(rem, col("doc_b") === col("rid"), "left_anti")
+          .write.mode("overwrite").parquet(s"$out/art/$batchId/pairs")
+      }
+      .option("checkpointLocation", s"$out/_cp").start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val last = new java.io.File(s"$out/art").listFiles()
+      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val result = s.read.parquet(s"$out/art/$last/labels")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    rmTree(out)
+    result
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s22_stream_retract", st(s22),
+      Some(graft.pipeline.PipelineQueries.d55Oracle)),
     QueryDef("s19_crash_recovery", st(s19), Some(s11Oracle)),
     QueryDef("s18_stream_winnow_dedup", st(s18),
       Some(graft.pipeline.CurationQueries.d54Oracle)),

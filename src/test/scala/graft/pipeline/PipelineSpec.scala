@@ -1054,6 +1054,36 @@ class PipelineSpec extends SparkSpec {
     assert(out === scratch)
   }
 
+  test("componentsRetract composes over the MAINTAINED evidence chain; " +
+      "stale evidence resurrects removed docs (the s22 contract)") {
+    import spark.implicits._
+    // path 1-2-3; takedown stream: batch 1 removes 3, batch 2 removes 1
+    val pairs0 = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels0 = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val l1 = Dedup.componentsRetract(labels0, pairs0, Seq(3L).toDF("rid"),
+      "doc_a", "doc_b").localCheckpoint(true)
+    val pairs1 = pairs0.filter(col("doc_a") =!= 3L && col("doc_b") =!= 3L)
+    // sequential retraction over the maintained (labels, pairs) chain
+    // equals the one-shot retraction of both ids — retraction COMPOSES
+    val l2 = Dedup.componentsRetract(l1, pairs1, Seq(1L).toDF("rid"),
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Dedup.componentsRetract(labels0, pairs0,
+        Seq(1L, 3L).toDF("rid"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(2L -> 2L) && oneShot === l2)
+    // the hazard the chain exists to prevent: retracting batch 2
+    // against the STALE batch-0 evidence lets the already-removed doc
+    // 3's edge (2,3) re-enter the re-clustering and RESURRECT it
+    val stale = Dedup.componentsRetract(l1, pairs0, Seq(1L).toDF("rid"),
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stale.contains(3L),
+      "expected the stale-evidence hazard to reproduce — if this stops " +
+        "resurrecting doc 3, componentsRetract's contract changed and " +
+        "the s22 evidence-chain rationale should be revisited")
+  }
+
   test("componentsRetract: retracting every member of a component, and " +
       "ids the labelling never saw, is clean") {
     import spark.implicits._
