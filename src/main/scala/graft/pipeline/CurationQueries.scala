@@ -170,9 +170,14 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private[graft] val d21Oracle =
-    """WITH w AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+  private[graft] val d21Oracle = incrementalDedupOracle()
+
+  /** d21's incremental-pair oracle chain, parameterized by an extra
+    * ARCHIVE predicate so d57 (shingle-index retraction) replays the
+    * same probe against a shrunken archive. Empty string = d21/s7. */
+  private def incrementalDedupOracle(archExtra: String = ""): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(ws) >= 5 THEN
@@ -181,7 +186,7 @@ object CurationQueries {
       |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
       |  FROM w),
       |idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |c AS (SELECT * FROM idx WHERE doc_id % 10 <> 0),
+      |c AS (SELECT * FROM idx WHERE doc_id % 10 <> 0$archExtra),
       |n AS (SELECT * FROM idx WHERE doc_id % 10 = 0),
       |dfok AS (SELECT shingle FROM c GROUP BY shingle HAVING COUNT(*) <= 100),
       |p AS (
@@ -1098,6 +1103,30 @@ object CurationQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- d57: SHINGLE-index retraction (Dedup.shingleIndexRetract) —
+  // the d21 original's delete face, completing the lifecycle across
+  // every persisted index family: the archive's UNCAPPED shingle
+  // sketch is persisted once, a takedown batch (doc_id % 7 = 1)
+  // retracts by one anti-join + df/size recounts (text never
+  // re-tokenized), and the d21 increment probes the retracted index
+  // through incrementalPairsFromIndex. Oracle = d21's chain with the
+  // archive shrunk to the survivors (rebuild-without-them). ----
+  private def d57(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val sketch = Dedup.hashedShingleSketch(d.filter(!isNew), "text",
+      "doc_id", k = 5)
+    val removed = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id")
+    Dedup.incrementalPairsFromIndex(
+        Dedup.shingleIndexRetract(sketch, removed, k = 5, maxDf = 100),
+        d.filter(isNew), "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val d57Oracle = incrementalDedupOracle(
+    archExtra = " AND doc_id % 7 <> 1")
+
   // ---- d56: winnow-index RETRACTION (TextAnalysis.winnowIndexRetract)
   // — the fingerprint-family twin of d55's dedup-groups retract: the
   // archive's UNCAPPED sketch is persisted once, a takedown batch
@@ -1271,6 +1300,7 @@ object CurationQueries {
     QueryDef("d53_bpe_apply", d53, Some(d53Oracle)),
     QueryDef("d54_winnow_incremental", d54, Some(d54Oracle)),
     QueryDef("d56_winnow_retract", d56, Some(d56Oracle)),
+    QueryDef("d57_shingle_retract", d57, Some(d57Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

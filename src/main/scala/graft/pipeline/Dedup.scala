@@ -534,6 +534,50 @@ object Dedup {
     * index join: the df-cap and corpus sizes were baked in at index
     * build, so nothing here aggregates over the whole corpus and
     * per-increment cost is |increment shingles| × bounded fan-out. */
+  /** The UNCAPPED retractable sketch behind [[hashedShingleIndex]] —
+    * the shingle-family twin of `TextAnalysis.winnowSketch`, for the
+    * same reason: the df-cap destroys information a retraction needs
+    * (a stock-phrase shingle past `maxDf` falls back under the cap once
+    * its carriers are retracted — a rebuild re-admits its surviving
+    * postings, a capped index lost them). Distinct (id, shingle_k<k>)
+    * rows only; the per-doc sizes and the cap are derived views
+    * ([[shingleIndexRetract]] recounts both). The k-in-column-name
+    * contract carries over so a k mismatch still fails fast. */
+  def hashedShingleSketch(corpus: DataFrame, textCol: String,
+      idCol: String, k: Int = 5): DataFrame =
+    TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
+      .dropDuplicates("id", "shingle")
+      .select(col("id"), col("shingle").as(s"shingle_k$k"))
+
+  /** RETRACTION face of the shingle-index artifact — completes the
+    * delete lifecycle across every persisted index family (groups d55,
+    * winnow d56, ANN e27, video mm11; this is the d21 original): one
+    * anti-join dropping the retracted ids, one df recount re-applying
+    * the cap, one size recount (n_c is intrinsic to a doc, so the
+    * recount equals the rebuild's by construction) — O(|sketch|) per
+    * takedown batch, archive text never re-tokenized, and exactly
+    * `hashedShingleIndex(corpus ∖ removed)` (spec, including cap
+    * resurrection). */
+  def shingleIndexRetract(sketch: DataFrame, removedIds: DataFrame,
+      k: Int = 5, maxDf: Int = 100): DataFrame = {
+    val shCol = s"shingle_k$k"
+    require(sketch.columns.contains(shCol),
+      s"sketch carries ${sketch.columns.filter(_.startsWith("shingle_k")).mkString(",")} " +
+        s"but retraction was asked for k=$k — a silent mismatch would " +
+        "emit a wrong index, not an error")
+    val rem = removedIds
+      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val surv = sketch.select(col("id"), col(shCol).as("shingle"))
+      .join(rem, col("id") === col("rid"), "left_anti")
+    val dfOk = surv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val sizes = surv.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+    surv.join(dfOk, "shingle").join(sizes, "id")
+      .select(col("id"), col("shingle").as(shCol), col("n_c"))
+  }
+
   def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, k: Int = 5,
       threshold: Double = 0.6): DataFrame = {

@@ -632,6 +632,42 @@ class CurationSpec extends SparkSpec {
     assert(rows(r2) === rows(b2))
   }
 
+  test("shingleIndexRetract: ≡ rebuild-without-them incl. df-cap " +
+      "resurrection; k mismatch fails fast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, shared), (2L, shared), (3L, shared),
+      (9L, "wholly unrelated content that overlaps with nobody at all"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val sketch = Dedup.hashedShingleSketch(df, "text", "doc_id", k = 5)
+    // build-time: the triplet's shared shingles have df = 3 > cap
+    val built = Dedup.hashedShingleIndex(df, "text", "doc_id",
+      k = 5, maxDf = maxDf)
+    assert(built.filter(col("id").isin(1L, 2L, 3L)).count() === 0,
+      "precondition: shared shingles must be capped out at df 3")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shingle_k5"),
+        r.getAs[Long]("n_c"))).toSet
+    // retract doc 3 → df 2: rebuild re-admits the survivors' postings
+    // (with their intrinsic n_c), and the sketch-based retract matches
+    val ret = Dedup.shingleIndexRetract(sketch, Seq(3L).toDF("doc_id"),
+      k = 5, maxDf = maxDf)
+    val rebuilt = Dedup.hashedShingleIndex(df.filter(col("doc_id") =!= 3L),
+      "text", "doc_id", k = 5, maxDf = maxDf)
+    assert(rows(ret) === rows(rebuilt))
+    assert(rows(ret).exists(_._1 == 1L),
+      "retraction must RESURRECT the now-under-cap shingles")
+    assert(!rows(ret).exists(_._1 == 3L))
+    // the k contract survives the sketch: asking for another k is loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.shingleIndexRetract(sketch, Seq(3L).toDF("doc_id"), k = 4)
+    }
+    assert(e.getMessage.contains("k=4"))
+  }
+
   test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     // w + k - 1 = 8 shared consecutive words embedded in different docs
