@@ -310,7 +310,13 @@ object Bench {
       val anchor =
         try BenchGate.parseAnchor(java.nio.file.Files.readString(
           java.nio.file.Paths.get("BASELINE.md")))
-        catch { case _: java.io.IOException => None }
+        catch {
+          // Warn-only contract: an unreadable BASELINE.md must degrade
+          // to "warns skipped", never crash the bench after the
+          // artifact is written (parseAnchor itself is total — a
+          // malformed anchor already returns None).
+          case scala.util.control.NonFatal(_) => None
+        }
       anchor match {
         case Some(a) =>
           val valid = results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap

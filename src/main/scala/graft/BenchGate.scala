@@ -33,15 +33,20 @@ object BenchGate {
     case _                => false
   }
 
-  /** Parse the bench-gate anchor out of BASELINE.md text. None when the
-    * anchor comment is absent (a clean checkout must still bench). */
+  /** Parse the bench-gate anchor out of BASELINE.md text. None when
+    * the anchor comment is absent (a clean checkout must still bench)
+    * OR malformed (a stray non-`k=v` token, a non-numeric value): the
+    * only consumer is the warn-only path, whose contract is "never
+    * throws" — a broken anchor degrades to "warns skipped", and the
+    * authoritative python gate fails loudly on the same text. */
   def parseAnchor(md: String): Option[Map[String, Double]] = {
     val re = "(?s)<!--\\s*bench-gate:\\s*(.*?)\\s*-->".r
-    re.findFirstMatchIn(md).map { m =>
-      m.group(1).trim.split("\\s+").iterator.map { kv =>
+    re.findFirstMatchIn(md).flatMap { m =>
+      try Some(m.group(1).trim.split("\\s+").iterator.map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k -> v.toDouble
-      }.toMap
+      }.toMap)
+      catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

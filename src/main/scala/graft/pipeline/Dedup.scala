@@ -289,11 +289,25 @@ object Dedup {
     * the labelling was built from, minus nothing — a pair between two
     * different old components would mean `oldLabels` was not a CC of
     * `pairs` in the first place. */
+  /** Normalize a caller-supplied removed-ids frame to the retract
+    * family's contract: exactly ONE column (any name), deduplicated,
+    * aliased `rid`. Held once for every retract face
+    * ([[componentsRetract]], [[shingleIndexRetract]],
+    * `TextAnalysis.winnowIndexRetract`, `Multimodal.videoIndexRetract`,
+    * `Similarity.retractNndIndex`) so the convention cannot drift per
+    * family; a multi-column frame is an error, not a silent
+    * head-column guess. */
+  private[graft] def normalizeRemovedIds(removedIds: DataFrame): DataFrame = {
+    require(removedIds.columns.length == 1,
+      s"removedIds must be a single id column, got " +
+        s"(${removedIds.columns.mkString(", ")})")
+    removedIds.select(col(removedIds.columns.head).as("rid")).distinct()
+  }
+
   def componentsRetract(oldLabels: DataFrame, pairs: DataFrame,
       removedIds: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val rem = removedIds
-      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val rem = normalizeRemovedIds(removedIds)
     val affectedComps = oldLabels
       .join(rem, col("id") === col("rid"), "left_semi")
       .select("component").distinct()
@@ -511,21 +525,38 @@ object Dedup {
     * alone. (Distinct from [[shingleIndex]], the string-shingle form —
     * this one carries 8-byte hashes, the shape every join keys on.) */
   def hashedShingleIndex(corpus: DataFrame, textCol: String,
-      idCol: String, k: Int = 5, maxDf: Int = 100): DataFrame = {
-    val idx = TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
-      .dropDuplicates("id", "shingle")
-    val dfOk = idx.groupBy(col("shingle"))
+      idCol: String, k: Int = 5, maxDf: Int = 100): DataFrame =
+    // BY CONSTRUCTION the capped view of the uncapped sketch — the
+    // same cap tail [[shingleIndexRetract]] re-applies, so the
+    // retract ≡ rebuild equivalence the d57 gate certifies cannot
+    // drift between parallel copies of the cap logic.
+    capShingleRows(
+      TextAnalysis.hashedShingleRows(corpus, textCol, idCol, k)
+        .dropDuplicates("id", "shingle"),
+      shCol = s"shingle_k$k", maxDf = maxDf)
+
+  /** The df-cap + per-doc-size tail shared by [[hashedShingleIndex]]
+    * (build) and [[shingleIndexRetract]] (delete): postings whose
+    * document frequency exceeds `maxDf` are dropped, and each
+    * surviving row carries `n_c`, the doc's PRE-cap distinct shingle
+    * count (the Jaccard denominator — intrinsic to the doc, so a
+    * recount over any id-complete row set equals the build's).
+    * `rows`: distinct (id, shingle) postings.
+    *
+    * k rides in the output column name: an xxhash64 over k word
+    * columns is meaningless against any other k, and a silent
+    * mismatch would return zero pairs (every duplicate admitted, no
+    * error anywhere). Schema-carried, so it survives the parquet
+    * round-trip and incrementalPairsFromIndex can fail fast instead. */
+  private def capShingleRows(rows: DataFrame, shCol: String,
+      maxDf: Int): DataFrame = {
+    val dfOk = rows.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
-    idx.join(dfOk, "shingle").join(sizes, "id")
-      // k rides in the column name: an xxhash64 over k word columns is
-      // meaningless against any other k, and a silent mismatch would
-      // return zero pairs (every duplicate admitted, no error anywhere).
-      // Schema-carried, so it survives the parquet round-trip and
-      // incrementalPairsFromIndex can fail fast instead.
-      .select(col("id"), col("shingle").as(s"shingle_k$k"), col("n_c"))
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+    rows.join(dfOk, "shingle").join(sizes, "id")
+      .select(col("id"), col("shingle").as(shCol), col("n_c"))
   }
 
   /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
@@ -565,17 +596,10 @@ object Dedup {
       s"sketch carries ${sketch.columns.filter(_.startsWith("shingle_k")).mkString(",")} " +
         s"but retraction was asked for k=$k — a silent mismatch would " +
         "emit a wrong index, not an error")
-    val rem = removedIds
-      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val rem = normalizeRemovedIds(removedIds)
     val surv = sketch.select(col("id"), col(shCol).as("shingle"))
       .join(rem, col("id") === col("rid"), "left_anti")
-    val dfOk = surv.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    val sizes = surv.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
-    surv.join(dfOk, "shingle").join(sizes, "id")
-      .select(col("id"), col("shingle").as(shCol), col("n_c"))
+    capShingleRows(surv, shCol, maxDf)
   }
 
   def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,

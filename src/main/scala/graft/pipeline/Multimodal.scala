@@ -301,13 +301,19 @@ object Multimodal {
     * localCheckpoint the result; [[phashProbePairs]] consumes it with
     * NO archive-side aggregation. */
   def phashChunkIndex(archiveHashes: DataFrame,
-      maxBucket: Int = 100): DataFrame = {
-    val ac = phashChunks(archiveHashes)
-    val ok = ac.groupBy("chunk", "chunk_val")
+      maxBucket: Int = 100): DataFrame =
+    capChunkRows(phashChunks(archiveHashes), maxBucket)
+
+  /** The bucket-cap tail shared by [[phashChunkIndex]] (build) and
+    * [[videoIndexRetract]] (delete): the capped serving index IS this
+    * derived view of uncapped chunk rows, held once so the two faces
+    * cannot diverge on cap semantics. */
+  private def capChunkRows(rows: DataFrame, maxBucket: Int): DataFrame = {
+    val ok = rows.groupBy("chunk", "chunk_val")
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") <= maxBucket)
       .select("chunk", "chunk_val")
-    ac.join(ok, Seq("chunk", "chunk_val"))
+    rows.join(ok, Seq("chunk", "chunk_val"))
   }
 
   /** Incremental [[phashPairs]]: new images (probe) matched against a
@@ -499,15 +505,10 @@ object Multimodal {
     * bucket-resurrection direction in the spec). */
   def videoIndexRetract(sketch: VideoIndex, removedDocIds: DataFrame,
       maxBucket: Int = 100): VideoIndex = {
-    val rem = removedDocIds
-      .select(col(removedDocIds.columns.head).as("rid")).distinct()
+    val rem = Dedup.normalizeRemovedIds(removedDocIds)
     val survChunks = sketch.chunks
       .join(rem, expr("id div 65536") === col("rid"), "left_anti")
-    val ok = survChunks.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") <= maxBucket)
-      .select("chunk", "chunk_val")
-    VideoIndex(survChunks.join(ok, Seq("chunk", "chunk_val")),
+    VideoIndex(capChunkRows(survChunks, maxBucket),
       sketch.counts.join(rem, sketch.counts("doc_id") === col("rid"),
         "left_anti"))
   }

@@ -1468,8 +1468,7 @@ object Similarity {
     * frontier are never rescored. */
   def retractNndIndex(index: NndIndex, emb: DataFrame, idCol: String,
       vecCol: String, removedIds: DataFrame): NndIndex = {
-    val rem = removedIds
-      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val rem = Dedup.normalizeRemovedIds(removedIds)
       .localCheckpoint(false) // precondition probes + several anti-joins
     require(rem.join(index.quant.reps,
         rem("rid") === index.quant.reps("rep_id"), "left_semi")

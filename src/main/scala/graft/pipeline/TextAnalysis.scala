@@ -218,9 +218,14 @@ object TextAnalysis {
     * archive occupants — the deliberate semantic difference between the
     * two faces, encoded here rather than in duplicated code). */
   private def cappedSketch(df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int, minDf: Int, maxDf: Int): DataFrame = {
-    val fps = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct()
+      k: Int, w: Int, minDf: Int, maxDf: Int): DataFrame =
+    capFpRows(winnowSketch(df, textCol, idCol, k, w), minDf, maxDf)
+
+  /** The df-band tail shared by [[cappedSketch]] (so [[winnowIndex]]'s
+    * build face) and [[winnowIndexRetract]]: the capped index IS this
+    * derived view of uncapped (id, fp) sketch rows, held once so the
+    * build and retract faces cannot diverge on cap semantics. */
+  private def capFpRows(fps: DataFrame, minDf: Int, maxDf: Int): DataFrame = {
     val ok = fps.groupBy("fp").agg(count(lit(1)).as("ndf"))
       .filter(col("ndf").between(minDf, maxDf)).select("fp")
     fps.join(ok, Seq("fp"), "left_semi")
@@ -345,13 +350,12 @@ object TextAnalysis {
     * trigger). */
   def winnowIndexRetract(sketch: DataFrame, removedIds: DataFrame,
       maxDf: Int = 100): DataFrame = {
-    val rem = removedIds
-      .select(col(removedIds.columns.head).as("rid")).distinct()
+    val rem = Dedup.normalizeRemovedIds(removedIds)
     val surv = sketch.select(col("id"), col("fp"))
       .join(rem, col("id") === col("rid"), "left_anti")
-    val ok = surv.groupBy("fp").agg(count(lit(1)).as("ndf"))
-      .filter(col("ndf") <= maxDf).select("fp")
-    surv.join(ok, Seq("fp"), "left_semi")
+    // the SAME cap tail winnowIndex applies at build (minDf = 1: the
+    // index face admits single occupants) — shared, not re-stated
+    capFpRows(surv, minDf = 1, maxDf = maxDf)
   }
 
   /** Incremental [[winnowMatchPairs]]: new documents fingerprinted and

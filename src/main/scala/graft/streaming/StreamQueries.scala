@@ -1168,8 +1168,12 @@ object StreamQueries {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import graft.pipeline.Dedup
     val d = Tables.load(s, dir, "documents")
+    // mined ONCE and materialized (the d52/d55 discipline): both the
+    // survivors snapshot (whose CC loop walks its pair input several
+    // times) and the evidence-snapshot write would otherwise re-run
+    // the full tokenize→shingle→index→self-join mining each.
     val pairs0 = Dedup.jaccardPairs(d, "text", "doc_id",
-      k = 5, threshold = 0.6, maxDf = 100)
+      k = 5, threshold = 0.6, maxDf = 100).localCheckpoint(true)
     val out = java.nio.file.Files.createTempDirectory("graft_s22").toString
     // snapshot build: the persisted artifact pair the stream maintains
     Dedup.survivors(d, pairs0, "doc_id")

@@ -110,6 +110,21 @@ class BenchGateSpec extends AnyFunSuite {
     assert(a("max_ratio") === 1.8)
   }
 
+  test("BenchGate.parseAnchor is total: a malformed anchor degrades to " +
+    "None (the warn path's never-throws contract), never an exception") {
+    // stray token without '='
+    assert(BenchGate.parseAnchor(
+      "<!-- bench-gate: max_ratio=1.8 stray -->").isEmpty)
+    // non-numeric value
+    assert(BenchGate.parseAnchor(
+      "<!-- bench-gate: max_ratio=1.8x -->").isEmpty)
+    // absent anchor
+    assert(BenchGate.parseAnchor("no anchor here").isEmpty)
+    // a well-formed anchor still parses
+    assert(BenchGate.parseAnchor(
+      "<!-- bench-gate: a=1 b=2.5 -->").contains(Map("a" -> 1.0, "b" -> 2.5)))
+  }
+
   test("BenchGate agrees with the python gate on the committed artifact") {
     preconditions()
     // Parse bench.json minimally (flat JSON, numeric fields + queries map).
