@@ -316,6 +316,34 @@ object Multimodal {
     rows.join(ok, Seq("chunk", "chunk_val"))
   }
 
+  /** The UNCAPPED retractable archive sketch behind [[phashChunkIndex]]
+    * — the image/audio-hash twin of [[videoKeyframeSketch]], for the
+    * same reason: the bucket cap destroys information a retraction
+    * needs (a degenerate bucket capped out at build falls back under
+    * `maxBucket` once its occupants are retracted — a rebuild re-admits
+    * the surviving chunk rows, a capped index lost them). A production
+    * archive persists THIS and derives the capped serving index as a
+    * view; the extra storage is exactly the capped-out slice. */
+  def phashChunkSketch(archiveHashes: DataFrame): DataFrame =
+    phashChunks(archiveHashes)
+
+  /** RETRACTION face of the image/audio hash-index artifact — the flat
+    * (unpacked) sibling of [[videoIndexRetract]], completing the delete
+    * column of the modality dedup matrix: chunk ids here ARE doc ids,
+    * so retraction is one doc-id anti-join over the uncapped
+    * [[phashChunkSketch]] plus one bucket recount — O(|sketch|) per
+    * takedown batch, payloads never re-decoded or re-hashed, and
+    * exactly `phashChunkIndex(surviving hashes, maxBucket)` (spec +
+    * gates mm12/mm13, including bucket resurrection in the spec).
+    * Because [[audioFingerprints]] emits the same two-word PHashRow
+    * face as [[dHash]], this ONE face serves both modalities. */
+  def phashIndexRetract(sketch: DataFrame, removedIds: DataFrame,
+      maxBucket: Int = 100): DataFrame = {
+    val rem = Dedup.normalizeRemovedIds(removedIds)
+    capChunkRows(
+      sketch.join(rem, col("id") === col("rid"), "left_anti"), maxBucket)
+  }
+
   /** Incremental [[phashPairs]]: new images (probe) matched against a
     * prebuilt [[phashChunkIndex]] through [[SimHash.bucketProbeJoin]] —
     * the archive is never re-decoded, re-hashed, re-capped, or

@@ -2058,6 +2058,74 @@ object PipelineQueries {
     akExtra = " AND (doc_id // 65536) % 7 <> 1",
     caExtra = " AND doc_id % 7 <> 1")
 
+  // ---- mm12/mm13: IMAGE and AUDIO hash-index RETRACTION
+  // (Multimodal.phashIndexRetract) — the flat-hash legs of the delete
+  // lifecycle, completing the retract column of the modality dedup
+  // matrix (text d57, winnow d56, groups d55, ANN e27, video mm11):
+  // the archive's UNCAPPED chunk sketch is persisted once, a takedown
+  // batch (doc_id % 7 = 1) retracts by one doc-id anti-join + one
+  // bucket recount (payloads never re-decoded or re-hashed), and the
+  // s17/s20 increment probes the retracted index. One engine face
+  // serves both modalities — audioFingerprints emits the same two-word
+  // hash layout as dHash — so the two gates differ ONLY in the
+  // fingerprint chain. Oracle = the shared probe chain with the
+  // archive shrunk to the survivors: a from-scratch
+  // rebuild-without-them, certifying retract ≡ rebuild through the
+  // serve path; bucket resurrection is spec-pinned in PipelineSpec. ----
+  private def phashRetractGate(s: SparkSession, dir: String,
+      hashFn: org.apache.spark.sql.Dataset[Multimodal.MediaRow]
+        => DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val sketch = Multimodal.phashChunkSketch(hashFn(media.filter(!isNew)))
+    val removed = docs(s, dir)
+      .filter(!isNew && col("doc_id") % 7 === 1).select("doc_id")
+    Multimodal.phashProbePairs(hashFn(media.filter(isNew)),
+        Multimodal.phashIndexRetract(sketch, removed, maxBucket = 100),
+        maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private def mm12(s: SparkSession, dir: String): DataFrame =
+    phashRetractGate(s, dir, Multimodal.dHash(_))
+
+  private def mm13(s: SparkSession, dir: String): DataFrame =
+    phashRetractGate(s, dir,
+      Multimodal.audioFingerprints(_, frameBytes = 8))
+
+  private val mm12Oracle =
+    phashProbeOracle(dHashCtes, archExtra = " AND doc_id % 7 <> 1")
+
+  private val mm13Oracle =
+    phashProbeOracle(audioFpCtes, archExtra = " AND doc_id % 7 <> 1")
+
+  /** The probe-vs-archive hash-dedup oracle shared by the streaming
+    * gates (s17 image, s20 audio) and the retraction gates (mm12,
+    * mm13): `ctes` must end in a `ph` face (doc_id, ph_lo, ph_hi) —
+    * [[dHashCtes]] or [[audioFpCtes]]; probes are the doc_id % 10 = 0
+    * docs, the archive is the rest, and `archExtra` further restricts
+    * the archive (the retraction gates' survivor filter). */
+  private[graft] def phashProbeOracle(ctes: String,
+      archExtra: String = ""): String =
+    s"""WITH $ctes,
+      |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
+      |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0$archExtra),
+      |${phashChunkCtes("ac", "arch")},
+      |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
+      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
+      |${phashChunkCtes("pc", "probe")},
+      |p AS (
+      |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
+      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
+      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
+      |  FROM pc2 JOIN af USING (ck, cv))
+      |SELECT new_id, corpus_id, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
+
   // shared with the s21 streaming gate: per-batch coverage rollups
   // partition the global result (videos arrive whole), so the batch
   // oracle adjudicates the drained stream verbatim
@@ -2960,6 +3028,8 @@ object PipelineQueries {
     QueryDef("mm9_audio_dup_pairs", mm9, Some(mm9Oracle)),
     QueryDef("mm10_video_probe_pairs", mm10, Some(mm10Oracle)),
     QueryDef("mm11_video_retract", mm11, Some(mm11Oracle)),
+    QueryDef("mm12_phash_retract", mm12, Some(mm12Oracle)),
+    QueryDef("mm13_audio_retract", mm13, Some(mm13Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

@@ -941,21 +941,10 @@ object StreamQueries {
   private def s17(s: SparkSession, dir: String): DataFrame =
     hashDedupGate(s, dir, graft.pipeline.Multimodal.dHash(_), "graft_s17")
 
-  private val s17Oracle =
-    s"""WITH ${graft.pipeline.PipelineQueries.dHashCtes},
-      |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
-      |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0),
-      |${graft.pipeline.PipelineQueries.phashChunkCtes("ac", "arch")},
-      |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
-      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
-      |${graft.pipeline.PipelineQueries.phashChunkCtes("pc", "probe")},
-      |p AS (
-      |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
-      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
-      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
-      |  FROM pc2 JOIN af USING (ck, cv))
-      |SELECT new_id, corpus_id, hamming FROM p
-      |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
+  // the mm12 oracle chain without the survivor filter — the streaming
+  // gate probes the UNRETRACTED archive index
+  private val s17Oracle = graft.pipeline.PipelineQueries
+    .phashProbeOracle(graft.pipeline.PipelineQueries.dHashCtes)
 
   // ---- s20: streaming acoustic-fingerprint audio dedup — the AUDIO
   // member of the s7/s17/s18 quartet, streamed through the
@@ -1005,21 +994,9 @@ object StreamQueries {
 
   private val s21Oracle = graft.pipeline.PipelineQueries.mm10Oracle
 
-  private val s20Oracle =
-    s"""WITH ${graft.pipeline.PipelineQueries.audioFpCtes},
-      |probe AS (SELECT * FROM ph WHERE doc_id % 10 = 0),
-      |arch AS (SELECT * FROM ph WHERE doc_id % 10 <> 0),
-      |${graft.pipeline.PipelineQueries.phashChunkCtes("ac", "arch")},
-      |ok AS (SELECT ck, cv FROM ac2 GROUP BY ck, cv HAVING COUNT(*) <= 100),
-      |af AS (SELECT ac2.* FROM ac2 JOIN ok USING (ck, cv)),
-      |${graft.pipeline.PipelineQueries.phashChunkCtes("pc", "probe")},
-      |p AS (
-      |  SELECT DISTINCT pc2.doc_id AS new_id, af.doc_id AS corpus_id,
-      |    CAST(bit_count(xor(pc2.ph_lo, af.ph_lo))
-      |      + bit_count(xor(pc2.ph_hi, af.ph_hi)) AS INT) AS hamming
-      |  FROM pc2 JOIN af USING (ck, cv))
-      |SELECT new_id, corpus_id, hamming FROM p
-      |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin
+  // mm13's chain without the survivor filter, as with s17/mm12
+  private val s20Oracle = graft.pipeline.PipelineQueries
+    .phashProbeOracle(graft.pipeline.PipelineQueries.audioFpCtes)
 
   // ---- s18: streaming incremental winnow matching under the gate —
   // the FINGERPRINT-family member of the s7/s17 trio: the d54

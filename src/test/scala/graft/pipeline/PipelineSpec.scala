@@ -1494,6 +1494,57 @@ class PipelineSpec extends SparkSpec {
     assert(rows(r2.counts) === rows(b2.counts))
   }
 
+  test("phashIndexRetract: ≡ rebuild-without-them, including bucket " +
+      "resurrection — and the one face serves the audio hash layout too") {
+    import spark.implicits._
+    // three docs share hash h1 → its four chunk buckets hold 3
+    // occupants each; doc 9 is unrelated (the flat-id twin of the
+    // videoIndexRetract fixture — doc ids, not packed keyframe ids)
+    val h1 = (0x0f0f0f0fL, 0x0f0f0f0fL)
+    val hashes = Seq(
+      (1L, h1._1, h1._2), (2L, h1._1, h1._2), (3L, h1._1, h1._2),
+      (9L, 0xdeadbeefL, 0x0badf00dL))
+      .toDF("doc_id", "ph_lo", "ph_hi")
+    val maxBucket = 2
+    val sketch = Multimodal.phashChunkSketch(hashes)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // at build, h1's buckets (3 occupants) are capped out at 2
+    val built = Multimodal.phashChunkIndex(hashes, maxBucket)
+    assert(built.filter(col("ph_lo") === h1._1 &&
+      col("ph_hi") === h1._2).count() === 0,
+      "precondition: the shared buckets must be capped out at 3 occupants")
+    // retract doc 3 → h1's buckets fall to 2: a rebuild re-admits
+    // them, and the sketch-based retract must match exactly
+    val ret = Multimodal.phashIndexRetract(sketch, Seq(3L).toDF("doc_id"),
+      maxBucket)
+    assert(rows(ret) === rows(Multimodal.phashChunkIndex(
+      hashes.filter(col("doc_id") =!= 3L), maxBucket)))
+    assert(ret.filter(col("ph_lo") === h1._1 &&
+      col("ph_hi") === h1._2).count() > 0,
+      "retraction must RESURRECT the now-under-cap shared buckets")
+    assert(ret.filter(col("id") === 3L).count() === 0)
+    // no cap pressure: retract ≡ plain anti-join rebuild
+    assert(rows(Multimodal.phashIndexRetract(sketch, Seq(9L).toDF("doc_id"),
+        maxBucket = 100))
+      === rows(Multimodal.phashChunkIndex(
+        hashes.filter(col("doc_id") =!= 9L), maxBucket = 100)))
+    // audio face: the SAME retract over audioFingerprints rows equals
+    // the rebuilt audio index (one face, both modalities)
+    val media = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val afp = Multimodal.audioFingerprints(media, frameBytes = 8)
+      .localCheckpoint(true)
+    val rem = Seq(afp.select("doc_id").as[Long].head).toDF("doc_id")
+    assert(rows(Multimodal.phashIndexRetract(
+        Multimodal.phashChunkSketch(afp), rem, maxBucket = 100))
+      === rows(Multimodal.phashChunkIndex(
+        afp.join(rem.select(col("doc_id").as("r")),
+          col("doc_id") === col("r"), "left_anti"),
+        maxBucket = 100)))
+  }
+
   test("multimodal resize and frame-sampling: shapes, determinism, 1→N") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs, "text")
