@@ -307,8 +307,8 @@ object Bench {
     // Warn-only by design: the bench must still emit its artifact on a
     // slow box, so this never throws. Only meaningful at sf0.1.
     if (sfDir.endsWith("sf0.1")) {
-      val anchor =
-        try BenchGate.parseAnchor(java.nio.file.Files.readString(
+      val mdText =
+        try Some(java.nio.file.Files.readString(
           java.nio.file.Paths.get("BASELINE.md")))
         catch {
           // Warn-only contract: an unreadable BASELINE.md must degrade
@@ -317,7 +317,7 @@ object Bench {
           // malformed anchor already returns None).
           case scala.util.control.NonFatal(_) => None
         }
-      anchor match {
+      mdText.flatMap(BenchGate.parseAnchor) match {
         case Some(a) =>
           val valid = results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap
           val subsets = Seq(
@@ -328,8 +328,15 @@ object Bench {
             ("core192", core192Total, core192N, 192))
           BenchGate.warnings(valid, total, subsets, a)
             .foreach(System.err.println)
-        case None => System.err.println(
-          "[bench][gate-warn] no bench-gate anchor in BASELINE.md — warns skipped")
+        case None =>
+          // distinguish absent from malformed: an operator who typo'd
+          // the anchor must not be told it does not exist
+          val why =
+            if (mdText.exists(_.contains("bench-gate:")))
+              "bench-gate anchor present but UNPARSEABLE"
+            else "no bench-gate anchor"
+          System.err.println(
+            s"[bench][gate-warn] $why in BASELINE.md — warns skipped")
       }
     }
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""

@@ -261,6 +261,21 @@ object Dedup {
     merged.unionByName(untouched.select(col("id"), col("component")))
   }
 
+  /** Normalize a caller-supplied removed-ids frame to the retract
+    * family's contract: exactly ONE column (any name), deduplicated,
+    * aliased `rid`. Held once for every retract face
+    * ([[componentsRetract]], [[shingleIndexRetract]],
+    * `TextAnalysis.winnowIndexRetract`, `Multimodal.videoIndexRetract`,
+    * `Multimodal.phashIndexRetract`, `Similarity.retractNndIndex`) so
+    * the convention cannot drift per family; a multi-column frame is
+    * an error, not a silent head-column guess. */
+  private[graft] def normalizeRemovedIds(removedIds: DataFrame): DataFrame = {
+    require(removedIds.columns.length == 1,
+      s"removedIds must be a single id column, got " +
+        s"(${removedIds.columns.mkString(", ")})")
+    removedIds.select(col(removedIds.columns.head).as("rid")).distinct()
+  }
+
   /** RETRACTION face of the dedup-groups artifact — the delete twin of
     * [[componentsAppend]] (VERDICT r13 item 5): remove documents
     * (takedowns, robots changes) from a persisted labelling and return
@@ -289,21 +304,6 @@ object Dedup {
     * the labelling was built from, minus nothing — a pair between two
     * different old components would mean `oldLabels` was not a CC of
     * `pairs` in the first place. */
-  /** Normalize a caller-supplied removed-ids frame to the retract
-    * family's contract: exactly ONE column (any name), deduplicated,
-    * aliased `rid`. Held once for every retract face
-    * ([[componentsRetract]], [[shingleIndexRetract]],
-    * `TextAnalysis.winnowIndexRetract`, `Multimodal.videoIndexRetract`,
-    * `Similarity.retractNndIndex`) so the convention cannot drift per
-    * family; a multi-column frame is an error, not a silent
-    * head-column guess. */
-  private[graft] def normalizeRemovedIds(removedIds: DataFrame): DataFrame = {
-    require(removedIds.columns.length == 1,
-      s"removedIds must be a single id column, got " +
-        s"(${removedIds.columns.mkString(", ")})")
-    removedIds.select(col(removedIds.columns.head).as("rid")).distinct()
-  }
-
   def componentsRetract(oldLabels: DataFrame, pairs: DataFrame,
       removedIds: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
