@@ -751,6 +751,47 @@ object ScaleProbe {
       .refined.agg(count(lit(1)), sum("nsim")).head
     println(f"[probe] retract/nnd-rebuild ${(System.nanoTime() - t2) / 1e9}%7.2f s" +
       f"  edges=${sAgg.getLong(0)} quality=${sAgg.getDouble(1)}%.1f")
+    // ---- leg 3: flat hash index (mm12/mm13's shared face) ----
+    // The asymmetry claim here is BYTES TOUCHED, not wall time on the
+    // stub: the retract leg reads only the persisted uncapped sketch
+    // (24 B/row: one anti-join + one bucket recount), while an honest
+    // rebuild must re-read and re-fingerprint every surviving PAYLOAD
+    // before it can re-chunk and re-cap. The stub decoder makes
+    // re-hashing nearly free (a byte stripe over tiny text payloads),
+    // so wall time alone cannot show the production gap — real corpora
+    // carry MB-scale image/audio payloads and a real decode, so the
+    // printed byte volumes are the honest 100 TB signal. Row counts
+    // printed from both legs so the equality contract is visible at
+    // scale.
+    locally {
+      import spark.implicits._
+      def media(c: org.apache.spark.sql.DataFrame) =
+        pipeline.Multimodal.withPayload(c, "text")
+          .select(col("doc_id"), col("payload"), col("media_type"))
+          .as[pipeline.Multimodal.MediaRow]
+      Seq(("1x", 1), (s"${times}x", times)).foreach { case (tag, t) =>
+        val c = replicatedDocs(spark, dir, t)
+        val sketch = pipeline.Multimodal.phashChunkSketch(
+          pipeline.Multimodal.dHash(media(c))).localCheckpoint(true)
+        val removed = c.filter(col("doc_id") % 97 === 3).select("doc_id")
+          .localCheckpoint(true)
+        val payloadB = c.agg(sum(octet_length(col("text")))).head.getLong(0)
+        val sketchRows = sketch.count()
+        val t0 = System.nanoTime()
+        val rRows = pipeline.Multimodal
+          .phashIndexRetract(sketch, removed).count()
+        val tRet = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val bRows = pipeline.Multimodal.phashChunkIndex(
+          pipeline.Multimodal.dHash(media(
+            c.join(removed, Seq("doc_id"), "left_anti")))).count()
+        val tReb = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] retract/phash $tag%-4s sketch=$sketchRows " +
+          f"retract=$tRet%6.2f s rebuild=$tReb%6.2f s rows=$rRows/$bRows " +
+          f"sketchMB=${sketchRows * 24 / 1e6}%.1f payloadMB=${payloadB / 1e6}%.1f")
+        Seq(sketch, removed, c).foreach(_.unpersist(false))
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
