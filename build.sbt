@@ -31,5 +31,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB box (was 8g). The 202-query bench runs
+  // local[32] in THIS forked JVM: at 8g the whole session — shuffle
+  // buffers, localCheckpoint blocks, broadcast vars, AND the
+  // soft-referenced compiled-codegen-class cache — competes for one
+  // small heap, so the collector reclaims the soft refs first and
+  // many-stage queries silently re-pay janino compilation mid-session
+  // (the round-14 in-bench-only inflation shape on d22/q71/d31;
+  // bench.json's queries_codegen/queries_gc_ms deltas now measure it).
+  // -Xmx is a ceiling, not a commitment: tests and small runs are
+  // unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

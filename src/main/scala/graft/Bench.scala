@@ -208,6 +208,37 @@ object Bench {
     val buildOnce: Set[String] = Set("q42_bucketed_join", "q49_dpp_join")
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // Residency instrumentation (VERDICT r14 item 1b): the round-14
+    // driver artifact showed three queries inflating ONLY inside the
+    // 202-query bench session (d22/q71/d31 ran 1.9–4× faster solo on
+    // the same box), and min+spread alone cannot localize why. Each
+    // timed run therefore also records, chronologically per rep:
+    //   - its RUN-ORDER index (is the inflation positional?),
+    //   - the JVM GC-time delta across it (heap pressure?),
+    //   - the janino COMPILE-count delta across it (codegen-cache
+    //     thrash — soft-referenced compiled classes reclaimed under
+    //     pressure force re-compilation; the round-9/12 failure shape),
+    //   - heap used after the post-query sweep (monotone growth = a
+    //     session-residency leak).
+    // All land in bench.json so the DRIVER's own artifact localizes
+    // the cause instead of hiding it in min+spread.
+    val gcDeltas = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val cgDeltas = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
+    val ordIdx = scala.collection.mutable.Map.empty[String, List[Int]]
+      .withDefaultValue(Nil)
+    val heapAfter = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    def gcMs: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.toDouble).sum
+    }
+    def heapMb: Double = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1024.0 * 1024.0)
+    }
     (1 to reps).foreach { rep =>
       // Deterministic per-rep order: rep 1 is the registry order, later
       // reps are seeded shuffles — same schedule every run, different
@@ -215,17 +246,25 @@ object Bench {
       val order =
         if (rep == 1) registry
         else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
-      order.foreach { case (name, fn) =>
+      order.zipWithIndex.foreach { case ((name, fn), idx) =>
+        val gc0 = gcMs
+        val cg0 = org.apache.spark.sql.graft.bridge.codegenCompileCount
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+          gcDeltas(name) = (gcMs - gc0) :: gcDeltas(name)
+          cgDeltas(name) =
+            (org.apache.spark.sql.graft.bridge.codegenCompileCount - cg0) ::
+              cgDeltas(name)
+          ordIdx(name) = idx :: ordIdx(name)
         } catch {
           case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(120)
         }
         sweep()
+        heapAfter(name) = heapMb :: heapAfter(name)
       }
     }
     val results = registry.map { case (name, _) =>
@@ -279,6 +318,13 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val streamOverhead = streamCert.sum
     val streamN = streamCert.size
+    // The GATED stream signal: frozen-membership subtotal (s7–s22, the
+    // 16 round-14 rows — BASELINE.md "Stream-cert gate re-derivation").
+    // s23+ rows stay in stream_overhead_s but outside this freeze.
+    val stream16 = results.filter(r => BenchGate.isStream16(r._1))
+      .map(_._2).filter(_ >= 0)
+    val stream16Total = stream16.sum
+    val stream16N = stream16.size
     // build_s: samples are prepended per rep, so .last is the rep-1
     // (chronologically first) run — the one that pays any build-once
     // cost. Attributable ONLY when every rep succeeded: if rep 1 threw,
@@ -289,11 +335,34 @@ object Bench {
           samples(name).size == reps =>
         name -> math.max(0.0, samples(name).last - best)
     }
-    // Full-precision artifact (times + spreads + reps) written to the repo
-    // root, where the per-round auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"queries":${
+    // Per-query chronological arrays (lists were PREPENDED per rep, so
+    // reverse restores rep order). Written only to the full artifact.
+    def jarr[A](kv: Seq[(String, Seq[A])]): String =
+      kv.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    def chron[A](m: collection.Map[String, List[A]]): Seq[(String, Seq[A])] =
+      registry.map { case (name, _) => name -> m(name).reverse }
+    // Locale-pinned like fmtT: a comma decimal separator would corrupt
+    // the JSON arrays.
+    def fmtD(digits: Int)(t: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        Double.box(t))
+    // Full-precision artifact (times + spreads + reps + residency
+    // instrumentation) written to the repo root, where the per-round
+    // auto-commit preserves it whole.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"jvm_max_heap_mb":${
+      Runtime.getRuntime.maxMemory / (1024 * 1024)},"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
-      jmap(results.map(r => r._1 -> r._3), _.toString)},"build_s":${
+      jmap(results.map(r => r._1 -> r._3), _.toString)},"queries_reps":${
+      jarr(chron(samples).map { case (k, vs) =>
+        k -> vs.map(fmtD(3)) })},"queries_order":${
+      jarr(chron(ordIdx))},"queries_gc_ms":${
+      jarr(chron(gcDeltas).map { case (k, vs) =>
+        k -> vs.map(fmtD(0)) })},"queries_codegen":${
+      jarr(chron(cgDeltas))},"queries_heap_mb":${
+      jarr(chron(heapAfter).map { case (k, vs) =>
+        k -> vs.map(fmtD(0)) })},"build_s":${
       jmap(buildS, _.toString)},"errors":$errJson,"sf":${
       Graft.jsonString(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
@@ -325,9 +394,16 @@ object Bench {
             ("core153", core153Total, core153N, 153),
             ("core158", core158Total, core158N, 158),
             ("core167", core167Total, core167N, 167),
-            ("core192", core192Total, core192N, 192))
+            ("core192", core192Total, core192N, 192),
+            ("stream16", stream16Total, stream16N, 16))
           BenchGate.warnings(valid, total, subsets, a)
             .foreach(System.err.println)
+        case None if mdText.isEmpty =>
+          // an I/O failure is neither "absent" nor "malformed" — say so
+          // (ADVICE r14: don't conflate an unreadable file with a
+          // genuinely missing anchor)
+          System.err.println(
+            "[bench][gate-warn] BASELINE.md unreadable — warns skipped")
         case None =>
           // distinguish absent from malformed: an operator who typo'd
           // the anchor must not be told it does not exist

@@ -11,13 +11,16 @@ package graft
   * per-query mean and core82).
   *
   * Gated signals (derivation in BASELINE.md "Per-query gate
-  * derivation"): the BATCH per-query mean (total minus the
-  * micro-batch stream-certification rows, over the non-cert count) vs
-  * the round-4 driver row; the STREAM-CERT per-row mean vs its
-  * round-13 driver freeze; and every frozen-subset total vs its
-  * freeze. Stream-certification membership is BY RULE (`s<K>_…`,
-  * K ≥ 7), not a hand list — round 13's hand list silently omitted
-  * s19–s21.
+  * derivation" + "Stream-cert gate re-derivation"): the BATCH
+  * per-query mean (total minus the micro-batch stream-certification
+  * rows, over the non-cert count) vs the round-4 driver row, and
+  * every frozen-subset total vs its freeze — including `stream16`,
+  * the frozen-membership stream-certification subtotal (s7–s22,
+  * round-15 re-derivation: the old all-rows per-row MEAN moved for
+  * mix reasons whenever a heavy certification row registered, so it
+  * is informational only now). Stream-certification membership is BY
+  * RULE (`s<K>_…`, K ≥ 7), not a hand list — round 13's hand list
+  * silently omitted s19–s21.
   */
 object BenchGate {
 
@@ -31,6 +34,19 @@ object BenchGate {
   def isStreamCert(name: String): Boolean = name match {
     case StreamCertRe(id) => id.toInt >= streamCertMinId
     case _                => false
+  }
+
+  /** FROZEN membership of the gated stream-certification subtotal:
+    * s7–s22, the 16 micro-batch rows of the round-14 registry, frozen
+    * at the round-14 driver artifact (BASELINE.md round-15
+    * re-derivation). s23+ land OUTSIDE it — this bound never moves,
+    * exactly as core192's membership never moves. */
+  val stream16MaxId = 22
+
+  def isStream16(name: String): Boolean = name match {
+    case StreamCertRe(id) =>
+      id.toInt >= streamCertMinId && id.toInt <= stream16MaxId
+    case _ => false
   }
 
   /** Parse the bench-gate anchor out of BASELINE.md text. None when
@@ -77,17 +93,16 @@ object BenchGate {
         Seq(Signal("batch mean", (total - streamTotal) / nBatch,
           anchor("baseline_per_query_s")))
       else Nil
-    val stream =
-      if (nStream > 0 && anchor.contains("stream_cert_per_row_s"))
-        Seq(Signal("stream-cert mean", streamTotal / nStream,
-          anchor("stream_cert_per_row_s")))
-      else Nil
+    // The stream-cert population is gated via the frozen-membership
+    // stream16 subtotal, passed in `subsets` like every coreNN freeze
+    // (round-15 re-derivation — the all-rows per-row mean was
+    // mix-sensitive and is informational only now).
     val subs = subsets.collect {
       case (name, tot, n, expected)
           if n == expected && anchor.contains(s"${name}_freeze_s") =>
         Signal(s"${name}_total", tot, anchor(s"${name}_freeze_s"))
     }
-    batch ++ stream ++ subs
+    batch ++ subs
   }
 
   /** Early-warning lines: fire at `warnFrac × max_ratio` (default 0.9 —

@@ -559,12 +559,6 @@ object Dedup {
       .select(col("id"), col("shingle").as(shCol), col("n_c"))
   }
 
-  /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
-    * the production entry point for repeated increments (batch backfills
-    * or a streaming foreachBatch). Touches the archive ONLY through the
-    * index join: the df-cap and corpus sizes were baked in at index
-    * build, so nothing here aggregates over the whole corpus and
-    * per-increment cost is |increment shingles| × bounded fan-out. */
   /** The UNCAPPED retractable sketch behind [[hashedShingleIndex]] —
     * the shingle-family twin of `TextAnalysis.winnowSketch`, for the
     * same reason: the df-cap destroys information a retraction needs
@@ -602,6 +596,12 @@ object Dedup {
     capShingleRows(surv, shCol, maxDf)
   }
 
+  /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
+    * the production entry point for repeated increments (batch backfills
+    * or a streaming foreachBatch). Touches the archive ONLY through the
+    * index join: the df-cap and corpus sizes were baked in at index
+    * build, so nothing here aggregates over the whole corpus and
+    * per-increment cost is |increment shingles| × bounded fan-out. */
   def incrementalPairsFromIndex(corpusIdx: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, k: Int = 5,
       threshold: Double = 0.6): DataFrame = {

@@ -23,6 +23,26 @@ object InfraQueries {
   private def tag(dir: String): String =
     (dir.hashCode & 0x7fffffff).toHexString
 
+  /** This JVM's own pid-keyed layout dirs, deleted at exit: sweepTmp
+    * only reclaims DEAD processes' dirs (after a grace window), so
+    * without this every session leaves its final q44/q45/q49 copies
+    * behind until some later session's sweep (VERDICT r14 item 2). A
+    * Set: the dirs are deliberately reused across bench reps, so each
+    * registers once. */
+  private val exitDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+    }))
+  }
+  private def deleteAtExit(dir: String): String = { exitDirs.add(dir); dir }
+
   /** GC tmp round-trip dirs (`<prefix>_<tag>_p<pid>`) left by DEAD
     * processes — q44/q45 write one per process, so without a sweep the
     * tmpdir accretes a table copy per run. Same deletion criteria as
@@ -141,8 +161,9 @@ object InfraQueries {
     // mid-read; within one process the path is stable so reps overwrite
     // their own copy.
     sweepTmp(s, "graft_q44")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}" +
-      s"_p${ProcessHandle.current().pid()}"
+    val tmp = deleteAtExit(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}" +
+        s"_p${ProcessHandle.current().pid()}")
     Formats.writeCsv(cust, s"$tmp/csv")
     Formats.writeJsonl(cust, s"$tmp/jsonl")
     Formats.readCsv(s, s"$tmp/csv", cust.schema)
@@ -164,8 +185,9 @@ object InfraQueries {
     val orders = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
     sweepTmp(s, "graft_q45")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q45_${tag(dir)}" +
-      s"_p${ProcessHandle.current().pid()}"
+    val tmp = deleteAtExit(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q45_${tag(dir)}" +
+        s"_p${ProcessHandle.current().pid()}")
     Formats.writeOrc(orders, s"$tmp/orc")
     Formats.readOrc(s, s"$tmp/orc", orders.schema)
       .orderBy("o_orderkey")
@@ -210,6 +232,7 @@ object InfraQueries {
 
   def writePartitionedEvents(s: SparkSession, dir: String): Unit = {
     sweepTmp(s, "graft_q49")
+    deleteAtExit(q49Path(dir))
     t(s, dir, "events")
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type")

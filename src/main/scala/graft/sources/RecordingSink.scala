@@ -17,11 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** An in-JVM, connector-shaped DataSource V2 sink that RECORDS rows
   * (VERDICT r12 item 8 / r13 item 4).
   *
-  * The reference writes through the Cassandra connector
-  * (`format("org.apache.spark.sql.cassandra")`, core.clj:100-153 +
-  * setup_and_notes.txt:16-44); this environment is offline, so the
-  * connector invocation in [[CassandraSinkShape]] could never be proven
-  * to DRIVE a write — only to parse. This provider closes that gap with
+  * The reference performs CLIENT-side CQL writes — async prepared-
+  * statement inserts through the Cassaforte CQL client against the
+  * `disagg.meter_samples` DDL (core.clj:100-153 +
+  * setup_and_notes.txt:16-44); no Spark Cassandra connector appears
+  * anywhere in it. The repo's Spark-first equivalent of that write path
+  * is a connector-shaped V2 sink, and this environment is offline, so
+  * the connector invocation in [[CassandraSinkShape]] could never be
+  * proven to DRIVE a write — only to parse. This provider closes that gap with
   * the full V2 write protocol, exactly the surface the real connector
   * implements: `TableProvider` → `SupportsWrite` table →
   * `WriteBuilder` → `BatchWrite` → per-task `DataWriter[InternalRow]`

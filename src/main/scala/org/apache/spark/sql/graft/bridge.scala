@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Cumulative count of whole-stage-codegen JANINO COMPILATIONS in
+    * this JVM (`private[spark]` CodegenMetrics; the histogram counts
+    * one update per actual compile, i.e. per codegen-cache MISS).
+    * Deltas across a bench query localize codegen-cache thrash — the
+    * round-9/round-12 failure shape where soft-referenced compiled
+    * classes are evicted/reclaimed and every re-run re-pays 50–200 ms
+    * per stage (VERDICT r14 item 1b: instrument, don't guess). */
+  def codegenCompileCount: Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
 }

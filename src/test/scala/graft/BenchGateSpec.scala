@@ -73,16 +73,31 @@ class BenchGateSpec extends AnyFunSuite {
       s"expected a pre-trip warn: $warns")
   }
 
-  test("BenchGate covers stream-cert mean and every frozen subset") {
-    // streams: s7 (6.0) + s21 (2.0) → mean 4.0 vs 2.0 → 2.0x TRIPPING;
-    // core82 poisoned to 80 vs 40 freeze → 2.0x TRIPPING; a partial
-    // subset (n != expected) must stay silent, not mis-warn.
+  test("BenchGate covers the stream16 freeze and every frozen subset") {
+    // stream16 subtotal poisoned to 30 vs its 10 freeze → 3.0x
+    // TRIPPING; core82 poisoned to 80 vs 40 freeze → 2.0x TRIPPING; a
+    // partial subset (n != expected) must stay silent, not mis-warn.
+    // (The all-rows stream-cert MEAN is informational only since the
+    // round-15 re-derivation — it must NOT warn.)
     val qs = Map("q1_a" -> 0.1, "s7_e" -> 6.0, "s21_f" -> 2.0)
-    val subsets = Seq(("core82", 80.0, 82, 82), ("core153", 999.0, 150, 153))
-    val warns = BenchGate.warnings(qs, 8.1, subsets, anchor)
-    assert(warns.exists(w => w.contains("stream-cert mean") && w.contains("TRIPPING")))
+    val a16 = anchor + ("stream16_freeze_s" -> 10.0)
+    val subsets = Seq(("core82", 80.0, 82, 82), ("core153", 999.0, 150, 153),
+      ("stream16", 30.0, 16, 16))
+    val warns = BenchGate.warnings(qs, 8.1, subsets, a16)
+    assert(warns.exists(w => w.contains("stream16_total") && w.contains("TRIPPING")))
     assert(warns.exists(w => w.contains("core82_total") && w.contains("TRIPPING")))
     assert(!warns.exists(_.contains("core153")), s"partial subset mis-warned: $warns")
+    assert(!warns.exists(_.contains("stream-cert mean")),
+      s"mix-sensitive stream mean must not warn since round 15: $warns")
+  }
+
+  test("BenchGate stream16 membership is frozen at s7..s22") {
+    assert(BenchGate.isStream16("s7_stream_incr_dedup"))
+    assert(BenchGate.isStream16("s22_stream_retract"))
+    assert(!BenchGate.isStream16("s6_gap_detect"))
+    assert(!BenchGate.isStream16("s23_stream_phash_retract"),
+      "post-freeze streaming rows must land OUTSIDE the frozen subtotal")
+    assert(!BenchGate.isStream16("q55_triangle_census"))
   }
 
   test("BenchGate is quiet when everything has headroom") {
@@ -142,6 +157,9 @@ class BenchGateSpec extends AnyFunSuite {
     val a = BenchGate.parseAnchor(md).getOrElse(fail("no anchor"))
     val subsets = Seq(82, 153, 158, 167, 192).flatMap { n =>
       try Seq((s"core$n", num(s"core${n}_total"), num(s"core${n}_n").toInt, n))
+      catch { case _: org.scalatest.exceptions.TestFailedException => Nil }
+    } ++ {
+      try Seq(("stream16", num("stream16_total"), num("stream16_n").toInt, 16))
       catch { case _: org.scalatest.exceptions.TestFailedException => Nil }
     }
     val warns = BenchGate.warnings(qs, num("value"), subsets, a)

@@ -16,7 +16,7 @@ import graft.sources.ParquetSink
 class EndToEndSpec extends SparkSpec {
 
   test("batch program: generator → 5-table sink → read-back golden chain") {
-    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val out = tmpDir("graft_e2e")
     // Fixed host string through the CLI's host-seeding path
     // (core.clj:27-35): seed derivation is exercised, but the value is
     // pinned so a failure reproduces identically on any machine (the live

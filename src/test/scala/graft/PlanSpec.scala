@@ -375,7 +375,7 @@ class PlanSpec extends SparkSpec {
     "recount — archive text machinery never re-enters the plan") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_wret").toString
+    val dir = tmpDir("graft_wret")
     try {
       val docs = Tables.load(spark, sf("sf0.001"), "documents")
       graft.pipeline.TextAnalysis

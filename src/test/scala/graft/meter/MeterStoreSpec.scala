@@ -18,7 +18,7 @@ class MeterStoreSpec extends SparkSpec {
     startEpochSec = 1704024000L)
 
   private lazy val store: MeterStore = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val dir = tmpDir("graft_store")
     val sec = spark.range(0, cfg.ticks * cfg.numMeters)
       .select((col("id") % cfg.numMeters).cast("int").as("said"),
         timestamp_seconds(expr(s"id DIV ${cfg.numMeters}") +

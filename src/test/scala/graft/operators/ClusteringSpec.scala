@@ -93,7 +93,7 @@ class ClusteringSpec extends SparkSpec {
       .selectExpr("id % 256 AS x", "id DIV 256 AS y", "id AS payload")
       .orderBy(xxhash64(col("payload")))
       .coalesce(1)
-    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val base = tmpDir("graft_zorder")
     def writeLayout(sorted: org.apache.spark.sql.DataFrame, name: String): String = {
       val dir = s"$base/$name"
       sorted.write.mode("overwrite")

@@ -12,7 +12,7 @@ class FormatsSpec extends SparkSpec {
   private lazy val nation = Tables.load(spark, sf(), "nation")
 
   test("csv round-trip preserves rows and schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = tmpDir("graft_csv")
     Formats.writeCsv(nation, dir)
     val back = Formats.readCsv(spark, dir, nation.schema)
     assert(back.schema == nation.schema)
@@ -21,7 +21,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("jsonl round-trip preserves rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val dir = tmpDir("graft_jsonl")
     Formats.writeJsonl(nation, dir)
     val back = Formats.readJsonl(spark, dir, nation.schema)
     assert(back.exceptAll(nation).count() == 0 &&
@@ -29,7 +29,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("orc round-trip preserves rows and schema, filters push down") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = tmpDir("graft_orc")
     Formats.writeOrc(nation, dir)
     val back = Formats.readOrc(spark, dir, nation.schema)
     assert(back.schema == nation.schema)
@@ -43,7 +43,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("malformed csv rows land in _corrupt_record, valid rows survive") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bad").toString
+    val dir = tmpDir("graft_bad")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/part.csv"),
       "k,v\n1,a\nnot_an_int,b\n2,c\n")

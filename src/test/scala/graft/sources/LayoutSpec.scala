@@ -21,7 +21,7 @@ class LayoutSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("raw table layout prunes partitions for meter/time-range reads") {
-    val dir = Files.createTempDirectory("graft_raw").toString
+    val dir = tmpDir("graft_raw")
     val cfg = GenConfig(numMeters = 4, ticks = 172800) // 2 days × 4 meters
     // write the second table through the raw layout (skip 15k arrays for
     // test speed; layout columns are what matters)

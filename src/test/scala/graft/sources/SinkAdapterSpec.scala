@@ -9,7 +9,7 @@ class SinkAdapterSpec extends SparkSpec {
 
   test("ParquetSink round-trips a partitioned table") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val dir = tmpDir("graft_sink")
     val sink = new ParquetSink(dir, Map("raw" -> Seq("day")))
     val df = Seq((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
       .toDF("said", "day", "joules")

@@ -21,8 +21,7 @@ class CurationStreamSpec extends SparkSpec {
 
     // index persisted once per corpus snapshot, read back as any
     // production run would
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_shidx").toString
+    val idxDir = tmpDir("graft_shidx")
     Dedup.hashedShingleIndex(corpus, "text", "doc_id").write
       .mode("overwrite").parquet(idxDir)
     val corpusIdx = spark.read.parquet(idxDir)
@@ -33,7 +32,7 @@ class CurationStreamSpec extends SparkSpec {
       (102L, "red orange yellow green blue indigo violet"), // dup of 2
       (103L, "alpha beta gamma delta epsilon zeta eta")) // dup of 3
 
-    val out = java.nio.file.Files.createTempDirectory("graft_cstr").toString
+    val out = tmpDir("graft_cstr")
     val input = MemoryStream[(Long, String)]
     val docsStream = input.toDF().toDF("doc_id", "text")
     val q = CurationStream.incrementalDedupSink(docsStream, corpusIdx,

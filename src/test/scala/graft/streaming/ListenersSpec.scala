@@ -10,7 +10,7 @@ class ListenersSpec extends SparkSpec {
     val l = Listeners.installAck(spark)
     try {
       val before = l.succeeded.get()
-      val out = java.nio.file.Files.createTempDirectory("graft_ack").toString
+      val out = tmpDir("graft_ack")
       Tables.load(spark, sf(), "nation").write.mode("overwrite").parquet(out)
       // listener callbacks are async — wait briefly
       val deadline = System.currentTimeMillis() + 10000

@@ -146,7 +146,7 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch rollup sink: idempotent multi-grain write, golden totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val out = tmpDir("graft_fb")
     val cfg = GenConfig(numMeters = 2, ticks = 120)
     val input = MemoryStream[Long]
     val sec = input.toDF()
@@ -177,7 +177,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file stream source: parquet directory drives the same rollup") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val dir = tmpDir("graft_fs")
     val cfg = GenConfig(numMeters = 2, ticks = 60)
     val batchSec = MeterGen.secondTable(spark, cfg)
     batchSec.write.mode("overwrite").parquet(dir)

@@ -14,13 +14,17 @@ Gated signals (round-14 derivation -- reasoning in BASELINE.md's
     them from today's mean is the apples-to-apples comparison; the
     light s1-s6 rows existed in the round-4 mix and stay INSIDE the
     batch mean on both sides).
-  - STREAM-CERT per-row mean: stream_cert_total / n_stream vs
-    `stream_cert_per_row_s` (frozen at the round-13 driver artifact's
-    own measurement). Stream-certification rows are the queries named
-    `s<K>_*` with K >= 7 -- the real micro-batch Structured Streaming
-    gates whose ~0.9 s/batch incremental-planning floor is
-    certification cost, not engine throughput. Membership is derived
-    from the artifact's queries map, so old artifacts gate too.
+  - STREAM16 subtotal: the FROZEN-membership stream-certification
+    population (queries named `s<K>_*`, 7 <= K <= 22 -- the 16
+    micro-batch rows of the round-14 registry) vs `stream16_freeze_s`
+    (the round-14 driver artifact's own subtotal). Frozen membership,
+    like the coreNN subsets: s23+ rows land outside it (round-15
+    re-derivation in BASELINE.md -- the old all-rows per-row MEAN
+    moved for mix reasons whenever a heavy certification row
+    registered, so it is now informational only). Gated only when the
+    artifact carries `stream16_total` (newer than round 14) and
+    `stream16_n == 16`; the per-row mean over ALL s7+ rows is still
+    printed against `stream_cert_per_row_s` when that anchor exists.
   - every frozen-subset total present in both artifact and anchor
     (core82, core153, core158, core167, core192) vs its freeze value.
     (A partial subset -- core82_n != 82 etc. -- is a failure in itself:
@@ -106,9 +110,25 @@ def main() -> int:
 
     check("batch mean", batch_total / n_batch,
           ratio * base["baseline_per_query_s"])
-    if n_stream > 0:
-        check("stream-cert mean", stream_total / n_stream,
-              ratio * base["stream_cert_per_row_s"])
+    # Informational only since round 15 (BASELINE.md "Stream-cert gate
+    # re-derivation"): the all-rows per-row mean moves for MIX reasons
+    # whenever a streaming row registers. Guarded: a historical
+    # BASELINE.md may predate the anchor key (ADVICE r14).
+    if n_stream > 0 and "stream_cert_per_row_s" in base:
+        mean = poison * stream_total / n_stream
+        print(f"info stream-cert mean  {mean:8.3f} s  "
+              f"({mean / base['stream_cert_per_row_s']:.2f}x the "
+              f"{base['stream_cert_per_row_s']} round-13 row; "
+              f"mix-sensitive, not gated -- stream16_total is)")
+    # The gated stream signal: frozen-membership subtotal (s7..s22).
+    if "stream16_total" in bench and "stream16_freeze_s" in base:
+        if bench.get("stream16_n") != 16:
+            print(f"FAIL stream16_n = {bench.get('stream16_n')} != 16 "
+                  "-- subtotal not comparable")
+            failures.append("stream16_n")
+        else:
+            check("stream16_total", bench["stream16_total"],
+                  ratio * base["stream16_freeze_s"])
 
     if bench.get("core82_n") != 82:
         print(f"FAIL core82_n = {bench.get('core82_n')} != 82 -- subtotal not comparable")
