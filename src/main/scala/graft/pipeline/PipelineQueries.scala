@@ -2815,6 +2815,66 @@ object PipelineQueries {
       |ORDER BY node, rank""".stripMargin
   }
 
+  // ---- e28: IVF-PQ index RETRACTION (Similarity.ivfPqIndexRetract) —
+  // the delete face of the OTHER persisted ANN artifact (VERDICT r14
+  // missing item 1; e27 covered the graph family, this row covers the
+  // cell/codes family that s15 builds and s14 serves): build the e9
+  // index, retract every 7th vector, and emit the surviving listed
+  // face — cell routing and codes verbatim, codes joined to a string
+  // for a DuckDB-comparable shape (s15's convention). The oracle
+  // replays s15's full build chain — quantizer-sample CTEs over the
+  // FULL corpus (the frozen-quantizer discipline: a takedown must not
+  // silently re-train the estimator) — and restricts only the encoded
+  // rows to survivors: a from-scratch rebuild-without-them under the
+  // frozen quantizer, so green certifies retract ≡ rebuild including
+  // per-cell membership (cell counts are a projection of this result
+  // set). The spec additionally pins the artifact leg (save → load →
+  // retract → serve never returns a retracted id) and the re-encode
+  // identity (anti-joined stored codes == survivors re-encoded from
+  // raw vectors). ----
+  private def e28(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding")
+    val removed = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.ivfPqIndexRetract(idx, removed).listed
+      .select(col("cell"), col("nn_id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), "-").as("codes_str"))
+      .orderBy("vec_id")
+  }
+
+  private val e28Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+      |assign AS (
+      |  SELECT x.vec_id, x.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+      |      ROUND(list_dot_product(x.v, s.v) /
+      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM surv x CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |enc0 AS (
+      |  SELECT x.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (x.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (x.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM surv x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY j) AS codes_str
+      |  FROM enc GROUP BY vec_id)
+      |SELECT cl.cell, c.vec_id, c.codes_str
+      |FROM codes c JOIN cells cl USING (vec_id)
+      |ORDER BY c.vec_id""".stripMargin
+
   // ---- e23: graph-ANN SERVING over the production-built index
   // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the
   // round-10 verdict flagged as missing #1: e22 certifies the linear
@@ -2973,6 +3033,7 @@ object PipelineQueries {
     QueryDef("e23_graph_serve", e23, Some(e23Oracle)),
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e27_nnd_retract", e27, Some(e27Oracle)),
+    QueryDef("e28_ivfpq_retract", e28, Some(e28Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

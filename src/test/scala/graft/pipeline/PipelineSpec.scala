@@ -375,7 +375,7 @@ class PipelineSpec extends SparkSpec {
   test("ivf-pq index artifact: build/save/load in a fresh session serves e9 identically") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val dir = tmpDir("graft_idx")
     try {
       Similarity.saveIvfPqIndex(idx, dir)
       // quantizer artifacts round-trip exactly
@@ -394,6 +394,58 @@ class PipelineSpec extends SparkSpec {
         .ivfPqQuery(loaded, embF, "vec_id", "embedding", _ < 20, k = 5)
         .collect().map(_.toString).sorted.toSeq
       assert(served === gate)
+    } finally rmTree(dir)
+  }
+
+  test("ivf-pq retract: anti-joined artifact equals survivors re-encoded " +
+      "under the frozen quantizer; serve-after-retract excludes retracted ids") {
+    import graft.functions.PqAdc.pq_encode
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val dir = tmpDir("graft_pqret")
+    try {
+      // the takedown-against-serving-artifact shape: save → load →
+      // retract the LOADED index (not the in-session build)
+      Similarity.saveIvfPqIndex(idx, dir)
+      val loaded = Similarity.loadIvfPqIndex(spark, dir)
+      val removed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+        .localCheckpoint(true)
+      assert(removed.count() > 0, "fixture must yield a non-empty takedown")
+      val ret = Similarity.ivfPqIndexRetract(loaded, removed)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      // estimator survives: quantizer + codebook untouched by design
+      assert(ret.centIds.toSeq === idx.centIds.toSeq)
+      assert(ret.cb.flatten.flatten.toSeq === idx.cb.flatten.flatten.toSeq)
+      // retract ≡ rebuild (frozen quantizer): the anti-joined stored
+      // codes equal the SURVIVORS re-encoded from raw vectors through
+      // the same frozen centroids/codebook — the from-scratch evidence
+      // table a rebuild-without-them would store
+      val surv = emb.join(removed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as("nn_id"),
+          col("embedding").cast("array<double>").as("nn_vec"))
+      val reenc = surv.withColumn("cell",
+          greatest((0 until idx.nlist).map(i =>
+            struct(round(Similarity.cosineFast(col("nn_vec"),
+              idx.centLit(i)), 9).as("s"),
+              lit(idx.centIds(i)).as("c"))): _*).getField("c"))
+        .select(col("cell"), col("nn_id"),
+          pq_encode(col("nn_vec"), idx.cb, idx.dim).as("codes"))
+      assert(rows(ret.listed) === rows(reenc))
+      // the retraction is load-bearing and per-cell membership shrank
+      val cellsBefore = loaded.listed.groupBy("cell").count()
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val cellsAfter = ret.listed.groupBy("cell").count()
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      assert(cellsAfter.values.sum < cellsBefore.values.sum)
+      assert(cellsAfter.keySet.subsetOf(cellsBefore.keySet))
+      // serve-after-retract: a retracted id is never returned
+      val removedSet = removed.collect().map(_.getLong(0)).toSet
+      val served = Similarity
+        .ivfPqQuery(ret, emb, "vec_id", "embedding", _ < 20, k = 5)
+        .collect().map(_.getLong(2))
+      assert(served.nonEmpty && !served.exists(removedSet.contains),
+        "a retracted id leaked out of the probed serve")
     } finally rmTree(dir)
   }
 
@@ -505,7 +557,7 @@ class PipelineSpec extends SparkSpec {
     val emb = Tables.load(spark, sf(), "embeddings")
     val archive = emb.filter(col("vec_id") >= 5)
     val idx = Similarity.buildNndIndex(archive, "vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    val dir = tmpDir("graft_gidx")
     try {
       Similarity.saveNndIndex(idx, dir)
       val fresh = spark.newSession()
@@ -1439,7 +1491,7 @@ class PipelineSpec extends SparkSpec {
     assert(got.size === 2)
     // the index is parquet-persistable state: probing the reloaded
     // artifact is row-identical (the NndIndex save/load convention)
-    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    val dir = tmpDir("graft_vidx")
     try {
       idx.chunks.write.parquet(s"$dir/chunks")
       idx.counts.write.parquet(s"$dir/counts")
