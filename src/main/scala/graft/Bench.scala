@@ -247,6 +247,13 @@ object Bench {
         if (rep == 1) registry
         else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
       order.zipWithIndex.foreach { case ((name, fn), idx) =>
+        // SPARK_GRAFT_TRACE=1: per-query start lines (stderr), so a
+        // stalled query can be caught in the act (jstack while the
+        // line is the log's last) — off by default to keep the
+        // driver-captured output tail on the min/spread summary.
+        if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+          System.err.println(
+            s"[bench][run] rep $rep idx $idx $name @${System.nanoTime() / 1000000000L}")
         val gc0 = gcMs
         val cg0 = org.apache.spark.sql.graft.bridge.codegenCompileCount
         val t0 = System.nanoTime()

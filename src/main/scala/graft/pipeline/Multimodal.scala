@@ -338,11 +338,28 @@ object Multimodal {
     * Because [[audioFingerprints]] emits the same two-word PHashRow
     * face as [[dHash]], this ONE face serves both modalities. */
   def phashIndexRetract(sketch: DataFrame, removedIds: DataFrame,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100): DataFrame =
+    phashServingIndex(phashSketchRetract(sketch, removedIds), maxBucket)
+
+  /** The sketch-maintenance HALF of [[phashIndexRetract]]: the uncapped
+    * survivor sketch a takedown batch leaves behind — what a streaming
+    * retract sink persists as the NEXT batch's retractable artifact
+    * (the s23 read-predecessor chain). One doc-id anti-join; no cap
+    * (the cap is a property of the SERVING view, not the artifact). */
+  def phashSketchRetract(sketch: DataFrame,
+      removedIds: DataFrame): DataFrame = {
     val rem = Dedup.normalizeRemovedIds(removedIds)
-    capChunkRows(
-      sketch.join(rem, col("id") === col("rid"), "left_anti"), maxBucket)
+    sketch.join(rem, col("id") === col("rid"), "left_anti")
   }
+
+  /** The capped SERVING view of an uncapped [[phashChunkSketch]] — the
+    * same cap tail [[phashChunkIndex]] bakes at build, exposed so a
+    * pipeline that persists the sketch and derives the index (the
+    * streaming retract sink) goes through the one shared cap
+    * implementation and cannot drift from the batch faces. */
+  def phashServingIndex(sketch: DataFrame,
+      maxBucket: Int = 100): DataFrame =
+    capChunkRows(sketch, maxBucket)
 
   /** Incremental [[phashPairs]]: new images (probe) matched against a
     * prebuilt [[phashChunkIndex]] through [[SimHash.bucketProbeJoin]] —

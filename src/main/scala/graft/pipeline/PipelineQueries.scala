@@ -2097,7 +2097,10 @@ object PipelineQueries {
     phashRetractGate(s, dir,
       Multimodal.audioFingerprints(_, frameBytes = 8))
 
-  private val mm12Oracle =
+  // shared with the s23 streaming gate: sequential per-batch retraction
+  // over the maintained sketch chain composes to the one-shot retract,
+  // so the same survivor-archive probe oracle adjudicates both
+  private[graft] val mm12Oracle =
     phashProbeOracle(dHashCtes, archExtra = " AND doc_id % 7 <> 1")
 
   private val mm13Oracle =

@@ -107,6 +107,54 @@ object CurationStream {
           .parquet(s"$outDir/pairs/batch=$batchId")
       }
 
+  /** Streaming TAKEDOWN maintenance of the flat hash-index artifact —
+    * the retract column's streaming face for the image/audio family
+    * (s22 closed it for the dedup-GROUPS artifact; this closes it for
+    * the mm12/mm13 hash indexes, and because
+    * [[graft.pipeline.Multimodal.audioFingerprints]] emits the same
+    * two-word layout as dHash, ONE sink serves both modalities):
+    * takedown doc-id batches arrive as a real stream, and per
+    * micro-batch the sink reads its PREDECESSOR'S persisted UNCAPPED
+    * chunk sketch (`artDir/<prev>/sketch` — the retractable artifact;
+    * the bucket cap destroys information a retraction needs, the
+    * mm11/mm12 algebra), applies the shared retract face, and persists
+    * BOTH faces of the batch's artifact:
+    *
+    *   artDir/<id>/sketch   the maintained uncapped survivor sketch
+    *                        ([[graft.pipeline.Multimodal.phashSketchRetract]])
+    *                        — the next batch's input
+    *   artDir/<id>/index    the capped serving index derived from it
+    *                        ([[graft.pipeline.Multimodal.phashServingIndex]])
+    *                        — what probes serve between takedowns
+    *
+    * Read-predecessor discipline (the s16/s22 idempotence contract): a
+    * replayed micro-batch re-derives identical output from identical
+    * PERSISTED input — never driver state — so the per-batch overwrite
+    * is exactly-once. Payloads are never re-decoded or re-hashed: the
+    * whole per-batch cost is one anti-join + one bucket recount over
+    * the sketch, O(|sketch|) bytes touched regardless of archive size. */
+  def hashRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    takedowns.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val prev = if (batchId == 0L) initName else (batchId - 1).toString
+        val prevSketch = sp.read.parquet(s"$artDir/$prev/sketch")
+        // two consumers (persisted sketch + derived index) of one
+        // anti-join — materialize once, release after the writes
+        val surv = graft.pipeline.Multimodal
+          .phashSketchRetract(prevSketch, batch)
+          .localCheckpoint(false)
+        try {
+          surv.write.mode("overwrite").parquet(s"$artDir/$batchId/sketch")
+          graft.pipeline.Multimodal.phashServingIndex(surv, maxBucket)
+            .write.mode("overwrite").parquet(s"$artDir/$batchId/index")
+        } finally { surv.unpersist(blocking = false); () }
+      }
+
   /** Streaming incremental VIDEO dedup — the streaming face of
     * [[graft.pipeline.Multimodal.videoProbePairs]]: per micro-batch,
     * new videos segment + keyframe-hash map-side (the only stage

@@ -1216,7 +1216,58 @@ object StreamQueries {
     result
   }
 
+  // ---- s23: streaming TAKEDOWN maintenance of the flat hash-index
+  // artifact — mm12's retraction as a real three-micro-batch stream,
+  // closing the retract column's STREAMING face for the image/audio
+  // hash family (s22 covers the groups family; with it, every
+  // persisted index family whose takedowns arrive continuously has a
+  // certified streaming delete path). The archive's UNCAPPED chunk
+  // sketch persists once as the init artifact; takedown id batches
+  // stream in terciles; per batch CurationStream.hashRetractSink reads
+  // its PREDECESSOR'S persisted sketch, applies the shared retract
+  // face, and persists the batch's sketch + derived capped serving
+  // index (the s16/s22 read-predecessor idempotence discipline). The
+  // FINAL serving index answers the s17 increment probe, and the
+  // oracle is mm12's one-shot survivor-archive probe: green certifies
+  // streaming retraction COMPOSES to the one-shot retract, which mm12
+  // separately certifies ≡ the from-scratch rebuild (the cap-
+  // resurrection algebra included — the maintained artifact is the
+  // uncapped sketch precisely so later batches can resurrect buckets
+  // earlier states had capped out). ----
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val d = Tables.load(s, dir, "documents")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s23")
+    Multimodal.phashChunkSketch(Multimodal.dHash(media.filter(!isNew)))
+      .write.parquet(s"$out/art/init/sketch")
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.hashRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val last = new java.io.File(s"$out/art").listFiles()
+      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val idx = s.read.parquet(s"$out/art/$last/index")
+    Multimodal.phashProbePairs(
+        Multimodal.dHash(media.filter(isNew)), idx, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s23_stream_phash_retract", st(s23),
+      Some(graft.pipeline.PipelineQueries.mm12Oracle)),
     QueryDef("s22_stream_retract", st(s22),
       Some(graft.pipeline.PipelineQueries.d55Oracle)),
     QueryDef("s19_crash_recovery", st(s19), Some(s11Oracle)),

@@ -553,6 +553,55 @@ class PipelineSpec extends SparkSpec {
     assert(eCent.getMessage.contains("quantizer"))
   }
 
+  test("anchor takedown routes to migrate: re-trained rebuild equals the " +
+      "fresh build over survivors; non-anchor routes to the fast path") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildNndIndex(emb, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // a takedown batch that HITS an anchor: one rep + ordinary ids —
+    // the case retractNndIndex refuses and round 14 left unroutable
+    val repId = idx.quant.reps.select("rep_id").head.getLong(0)
+    val takedown = emb.filter(col("vec_id") % 11 === 5).select("vec_id")
+      .union(Seq(repId).toDF("vec_id")).distinct().localCheckpoint(true)
+    assert(Similarity.hitsNndAnchor(idx, takedown))
+    val migrated = Similarity.retractOrMigrateNndIndex(idx, emb,
+      "vec_id", "embedding", takedown)
+    // contract: the migrated artifact IS the fresh build over the
+    // survivors — re-trained quantizer, both faces row-identical
+    val surv = emb.join(takedown, Seq("vec_id"), "left_anti")
+    val fresh = Similarity.buildNndIndex(surv, "vec_id", "embedding")
+    assert(rows(migrated.seed) === rows(fresh.seed))
+    assert(rows(migrated.refined) === rows(fresh.refined))
+    // the re-trained quantizer no longer anchors on the retracted rep
+    assert(migrated.quant.reps.filter(col("rep_id") === repId).count() === 0)
+    assert(!migrated.quant.centIds.contains(repId))
+    // the takedown is honored: serve never returns a retracted id
+    val removedSet = takedown.collect().map(_.getLong(0)).toSet
+    val served = Similarity.graphServeTopK(surv, "vec_id", "embedding",
+        migrated, _ < 25, k = 5, beam = 8, hops = 2)
+      .collect().map(_.getLong(2))
+    assert(served.nonEmpty && !served.exists(removedSet.contains),
+      "a retracted id leaked out of the migrated serve")
+    // a non-anchor batch routes to the INCREMENTAL fast path (same
+    // result as calling retractNndIndex directly — the quantizer stays
+    // frozen, nothing re-trains)
+    val plain = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .join(idx.quant.reps.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .filter(!col("vec_id").isInCollection(idx.quant.centIds.toSeq))
+      .localCheckpoint(true)
+    assert(!Similarity.hitsNndAnchor(idx, plain))
+    val routed = Similarity.retractOrMigrateNndIndex(idx, emb,
+      "vec_id", "embedding", plain)
+    assert(routed.quant.centIds.toSeq === idx.quant.centIds.toSeq,
+      "fast path must keep the frozen quantizer")
+    val fast = Similarity.retractNndIndex(idx, emb, "vec_id", "embedding",
+      plain)
+    assert(rows(routed.refined) === rows(fast.refined))
+  }
+
   test("graph index artifact: build/save/load lifecycle — serve and append from the loaded index") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val archive = emb.filter(col("vec_id") >= 5)

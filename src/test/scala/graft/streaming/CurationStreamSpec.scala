@@ -54,4 +54,47 @@ class CurationStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streamed takedowns maintain the hash-index artifact: every " +
+      "prefix equals the one-shot retract; index = capped sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val arch = media.filter(col("doc_id") % 10 =!= 0)
+    val sketch0 = Multimodal.phashChunkSketch(Multimodal.dHash(arch))
+      .localCheckpoint(true)
+    val art = tmpDir("graft_hret")
+    sketch0.write.mode("overwrite").parquet(s"$art/init/sketch")
+    val takedowns = d
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(takedowns.length >= 2, "fixture must yield a takedown per batch")
+    val (b0, b1) = takedowns.splitAt(takedowns.length / 2)
+    val input = MemoryStream[Long]
+    val q = CurationStream.hashRetractSink(input.toDF().toDF("doc_id"),
+      art, "init", s"$art/_cp").start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // after batch 0 the maintained sketch is the one-shot retract of b0
+    assert(rows(spark.read.parquet(s"$art/0/sketch")) ===
+      rows(Multimodal.phashSketchRetract(sketch0, b0.toSeq.toDF("doc_id"))))
+    // after batch 1 it composes to the one-shot retract of the union,
+    // and the serving index is exactly the shared capped view of it —
+    // what mm12's batch face would produce in one call
+    assert(rows(spark.read.parquet(s"$art/1/sketch")) ===
+      rows(Multimodal.phashSketchRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+    assert(rows(spark.read.parquet(s"$art/1/index")) ===
+      rows(Multimodal.phashIndexRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+  }
 }
