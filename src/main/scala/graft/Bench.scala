@@ -230,6 +230,13 @@ object Bench {
       .withDefaultValue(Nil)
     val heapAfter = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val jitDeltas = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val ccAfter = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val stealS = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    var stealRetries = 0
     def gcMs: Double = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -238,6 +245,52 @@ object Bench {
     def heapMb: Double = {
       val rt = Runtime.getRuntime
       (rt.totalMemory - rt.freeMemory) / (1024.0 * 1024.0)
+    }
+    // JIT churn telemetry: a query that stalls with ZERO GC delta (the
+    // round-15 q71 signature — 97 s wall, gc 0, normal janino counts)
+    // is waiting on something; if the JIT-compilation-time delta spikes
+    // with it and the code cache sits at its ceiling, the cause is
+    // CODE-CACHE exhaustion (thousands of generated classes' nmethods
+    // accumulate; when the fixed-size cache fills, the JVM flushes/
+    // deoptimizes and hot loops run interpreted until recompiled).
+    // Hypervisor CPU-steal telemetry (/proc/stat, cumulative CPU-seconds
+    // summed over cores): the round-15 stall investigation found
+    // minutes-long windows (104 s on s10 whose steady min is 0.3 s; zero
+    // GC, JIT and code-cache flat, CONSECUTIVE run-order neighbors slowed
+    // together regardless of query) — the box is a VM guest and the host
+    // steals its cores in bursts. A box-wide sampler caught one window
+    // at steal = 24 CPU-s per 8 s interval against ~4 CPU-s of demand:
+    // ~80% of every runnable slice stolen, which serializes the session
+    // on Spark's single-threaded scheduler path while 94% of the box
+    // reads idle. The honest contamination measure is therefore steal as
+    // a fraction of DEMANDED cpu — stealΔ / (stealΔ + busyΔ) — NOT of
+    // elapsed × cores (the guest is mostly blocked during a burst, so
+    // that fraction stays deceptively small; the first cut of this gate
+    // used it and missed the windows). A contaminated sample is
+    // DISCARDED and re-measured (bounded retries; a heavily-stolen
+    // attempt sleeps first, since bursts outlast an immediate retry), so
+    // a hypervisor burst cannot masquerade as an engine regression in
+    // min-of-reps. Both counters -1 when unreadable (non-Linux).
+    def cpuStat: (Double, Double) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          // fields: cpu user nice system idle iowait irq softirq steal
+          ((f(1).toDouble + f(3).toDouble) / 100.0, f(8).toDouble / 100.0)
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
+    val stealFracLimit = 0.15
+    var stealRetryBudget = 60
+    def jitMs: Double =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime.toDouble).getOrElse(-1.0)
+    def codeCacheMb: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
     }
     (1 to reps).foreach { rep =>
       // Deterministic per-rep order: rep 1 is the registry order, later
@@ -254,24 +307,53 @@ object Bench {
         if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
           System.err.println(
             s"[bench][run] rep $rep idx $idx $name @${System.nanoTime() / 1000000000L}")
-        val gc0 = gcMs
-        val cg0 = org.apache.spark.sql.graft.bridge.codegenCompileCount
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-          gcDeltas(name) = (gcMs - gc0) :: gcDeltas(name)
-          cgDeltas(name) =
-            (org.apache.spark.sql.graft.bridge.codegenCompileCount - cg0) ::
-              cgDeltas(name)
-          ordIdx(name) = idx :: ordIdx(name)
-        } catch {
-          case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).take(120)
+        var attempt = 0
+        var recorded = false
+        while (!recorded) {
+          val (busy0, st0) = cpuStat
+          val gc0 = gcMs
+          val jit0 = jitMs
+          val cg0 = org.apache.spark.sql.graft.bridge.codegenCompileCount
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            val (busy1, st1) = cpuStat
+            val stDelta = if (st0 < 0) 0.0 else st1 - st0
+            val busyDelta = if (busy0 < 0) 1.0 else math.max(0.0, busy1 - busy0)
+            val frac = stDelta / math.max(1e-9, stDelta + busyDelta)
+            if (frac > stealFracLimit && stDelta > 0.5 && attempt < 2 &&
+                stealRetryBudget > 0) {
+              // contaminated by a hypervisor steal burst: discard and
+              // re-measure; a heavily-stolen attempt waits the burst out
+              // first (windows run minutes — an immediate retry lands
+              // right back inside). Sleep is untimed wall-clock only.
+              attempt += 1
+              stealRetryBudget -= 1
+              stealRetries += 1
+              if (frac > 0.3) Thread.sleep(15000)
+              sweep()
+            } else {
+              samples(name) = elapsed :: samples(name)
+              stealS(name) = stDelta :: stealS(name)
+              gcDeltas(name) = (gcMs - gc0) :: gcDeltas(name)
+              jitDeltas(name) = (jitMs - jit0) :: jitDeltas(name)
+              cgDeltas(name) =
+                (org.apache.spark.sql.graft.bridge.codegenCompileCount - cg0) ::
+                  cgDeltas(name)
+              ordIdx(name) = idx :: ordIdx(name)
+              recorded = true
+            }
+          } catch {
+            case e: Throwable =>
+              errors += s"$name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(120)
+              recorded = true
+          }
         }
         sweep()
         heapAfter(name) = heapMb :: heapAfter(name)
+        ccAfter(name) = codeCacheMb :: ccAfter(name)
       }
     }
     val results = registry.map { case (name, _) =>
@@ -366,6 +448,12 @@ object Bench {
         k -> vs.map(fmtD(3)) })},"queries_order":${
       jarr(chron(ordIdx))},"queries_gc_ms":${
       jarr(chron(gcDeltas).map { case (k, vs) =>
+        k -> vs.map(fmtD(0)) })},"queries_jit_ms":${
+      jarr(chron(jitDeltas).map { case (k, vs) =>
+        k -> vs.map(fmtD(0)) })},"queries_steal_cpu_s":${
+      jarr(chron(stealS).map { case (k, vs) =>
+        k -> vs.map(fmtD(1)) })},"steal_retries":$stealRetries,"queries_codecache_mb":${
+      jarr(chron(ccAfter).map { case (k, vs) =>
         k -> vs.map(fmtD(0)) })},"queries_codegen":${
       jarr(chron(cgDeltas))},"queries_heap_mb":${
       jarr(chron(heapAfter).map { case (k, vs) =>

@@ -792,6 +792,54 @@ object ScaleProbe {
         Seq(sketch, removed, c).foreach(_.unpersist(false))
       }
     }
+    // ---- leg 4: IVF-PQ codes index (e28's face) ----
+    // Here the wall-time gap IS honest even on the fixture: the retract
+    // leg anti-joins the (cell, id, codes) table — never touches a
+    // vector — while the rebuild must re-route and re-encode every
+    // surviving vector through the codebook (dim FMAs × m subspaces ×
+    // ksub candidates per row). Both legs run under the SAME frozen
+    // quantizer (the certified equivalence), so the printed row counts
+    // must agree.
+    locally {
+      val emb2 = Tables.load(spark, dir, "embeddings")
+      val m0 = emb2.count()
+      Seq(("1x", 1), (s"${times}x", times)).foreach { case (tag, t) =>
+        val arch = emb2.crossJoin(
+            spark.range(t.toLong).select(col("id").as("rep")))
+          .select((col("vec_id") + col("rep") * m0).as("vec_id"),
+            col("embedding"))
+          .localCheckpoint(true)
+        val built = pipeline.Similarity.buildIvfPqIndex(arch, "vec_id",
+          "embedding")
+        val idx = built.copy(listed = built.listed.localCheckpoint(true))
+        val removed = arch.filter(col("vec_id") % 97 === 3)
+          .select("vec_id").localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val rRows = pipeline.Similarity.ivfPqIndexRetract(idx, removed)
+          .listed.count()
+        val tRet = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        // rebuild under the SAME frozen quantizer: survivors re-routed
+        // + re-encoded from raw vectors (what a takedown without the
+        // retract face would cost a serving tier)
+        val surv = arch.join(removed, Seq("vec_id"), "left_anti")
+          .select(col("vec_id").as("nn_id"),
+            col("embedding").cast("array<double>").as("nn_vec"))
+        val bRows = surv.withColumn("cell",
+            greatest((0 until idx.nlist).map(i =>
+              struct(round(pipeline.Similarity.cosineFast(col("nn_vec"),
+                idx.centLit(i)), 9).as("s"),
+                lit(idx.centIds(i)).as("c"))): _*).getField("c"))
+          .select(col("cell"), col("nn_id"),
+            graft.functions.PqAdc.pq_encode(col("nn_vec"), idx.cb,
+              idx.dim).as("codes"))
+          .count()
+        val tReb = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] retract/ivfpq $tag%-4s listed=${idx.listed.count()} " +
+          f"retract=$tRet%6.2f s rebuild=$tReb%6.2f s rows=$rRows/$bRows")
+        Seq(arch, idx.listed, removed).foreach(_.unpersist(false))
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
