@@ -309,6 +309,14 @@ object Bench {
             s"[bench][run] rep $rep idx $idx $name @${System.nanoTime() / 1000000000L}")
         var attempt = 0
         var recorded = false
+        var sampled = false
+        // A buildOnce query's rep-1 run pays its one-time layout build;
+        // discarding that attempt would let the retry find the layout
+        // already built and record a warm time as "rep 1" — build_s
+        // would silently read ≈ 0 (the exact misreport its guard
+        // comment forbids). A contaminated build sample stays, visible
+        // in its steal column, rather than silently deflating build_s.
+        val retryable = !(buildOnce(name) && rep == 1)
         while (!recorded) {
           val (busy0, st0) = cpuStat
           val gc0 = gcMs
@@ -323,7 +331,7 @@ object Bench {
             val busyDelta = if (busy0 < 0) 1.0 else math.max(0.0, busy1 - busy0)
             val frac = stDelta / math.max(1e-9, stDelta + busyDelta)
             if (frac > stealFracLimit && stDelta > 0.5 && attempt < 2 &&
-                stealRetryBudget > 0) {
+                retryable && stealRetryBudget > 0) {
               // contaminated by a hypervisor steal burst: discard and
               // re-measure; a heavily-stolen attempt waits the burst out
               // first (windows run minutes — an immediate retry lands
@@ -335,7 +343,9 @@ object Bench {
               sweep()
             } else {
               samples(name) = elapsed :: samples(name)
-              stealS(name) = stDelta :: stealS(name)
+              // -1 sentinel when /proc/stat is unreadable: an
+              // unmeasurable box must not read as a steal-free one
+              stealS(name) = (if (st0 < 0) -1.0 else stDelta) :: stealS(name)
               gcDeltas(name) = (gcMs - gc0) :: gcDeltas(name)
               jitDeltas(name) = (jitMs - jit0) :: jitDeltas(name)
               cgDeltas(name) =
@@ -343,6 +353,7 @@ object Bench {
                   cgDeltas(name)
               ordIdx(name) = idx :: ordIdx(name)
               recorded = true
+              sampled = true
             }
           } catch {
             case e: Throwable =>
@@ -352,8 +363,14 @@ object Bench {
           }
         }
         sweep()
-        heapAfter(name) = heapMb :: heapAfter(name)
-        ccAfter(name) = codeCacheMb :: ccAfter(name)
+        // appended ONLY for recorded samples: an errored rep must not
+        // shift these chronological arrays out of alignment with
+        // queries_reps/queries_order (the correlation the telemetry
+        // exists for)
+        if (sampled) {
+          heapAfter(name) = heapMb :: heapAfter(name)
+          ccAfter(name) = codeCacheMb :: ccAfter(name)
+        }
       }
     }
     val results = registry.map { case (name, _) =>
@@ -471,43 +488,47 @@ object Bench {
     // Warn-only by design: the bench must still emit its artifact on a
     // slow box, so this never throws. Only meaningful at sf0.1.
     if (sfDir.endsWith("sf0.1")) {
-      val mdText =
-        try Some(java.nio.file.Files.readString(
+      // Warn-only contract: a missing or unreadable BASELINE.md must
+      // degrade to "warns skipped", never crash the bench after the
+      // artifact is written (parseAnchor itself is total — a malformed
+      // anchor already returns None). The three failure shapes are
+      // told apart (ADVICE r14): file ABSENT (a clean checkout),
+      // file UNREADABLE (a real I/O problem to investigate), and
+      // anchor absent/malformed inside a readable file.
+      val mdRead: Either[String, String] =
+        try Right(java.nio.file.Files.readString(
           java.nio.file.Paths.get("BASELINE.md")))
         catch {
-          // Warn-only contract: an unreadable BASELINE.md must degrade
-          // to "warns skipped", never crash the bench after the
-          // artifact is written (parseAnchor itself is total — a
-          // malformed anchor already returns None).
-          case scala.util.control.NonFatal(_) => None
+          case _: java.nio.file.NoSuchFileException =>
+            Left("no BASELINE.md found")
+          case scala.util.control.NonFatal(_) =>
+            Left("BASELINE.md unreadable")
         }
-      mdText.flatMap(BenchGate.parseAnchor) match {
-        case Some(a) =>
-          val valid = results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap
-          val subsets = Seq(
-            ("core82", core82Total, core82N, 82),
-            ("core153", core153Total, core153N, 153),
-            ("core158", core158Total, core158N, 158),
-            ("core167", core167Total, core167N, 167),
-            ("core192", core192Total, core192N, 192),
-            ("stream16", stream16Total, stream16N, 16))
-          BenchGate.warnings(valid, total, subsets, a)
-            .foreach(System.err.println)
-        case None if mdText.isEmpty =>
-          // an I/O failure is neither "absent" nor "malformed" — say so
-          // (ADVICE r14: don't conflate an unreadable file with a
-          // genuinely missing anchor)
-          System.err.println(
-            "[bench][gate-warn] BASELINE.md unreadable — warns skipped")
-        case None =>
-          // distinguish absent from malformed: an operator who typo'd
-          // the anchor must not be told it does not exist
-          val why =
-            if (mdText.exists(_.contains("bench-gate:")))
-              "bench-gate anchor present but UNPARSEABLE"
-            else "no bench-gate anchor"
-          System.err.println(
-            s"[bench][gate-warn] $why in BASELINE.md — warns skipped")
+      mdRead match {
+        case Right(md) => BenchGate.parseAnchor(md) match {
+          case Some(a) =>
+            val valid = results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap
+            val subsets = Seq(
+              ("core82", core82Total, core82N, 82),
+              ("core153", core153Total, core153N, 153),
+              ("core158", core158Total, core158N, 158),
+              ("core167", core167Total, core167N, 167),
+              ("core192", core192Total, core192N, 192),
+              ("stream16", stream16Total, stream16N, 16))
+            BenchGate.warnings(valid, total, subsets, a)
+              .foreach(System.err.println)
+          case None =>
+            // distinguish absent from malformed: an operator who typo'd
+            // the anchor must not be told it does not exist
+            val why =
+              if (md.contains("bench-gate:"))
+                "bench-gate anchor present but UNPARSEABLE"
+              else "no bench-gate anchor"
+            System.err.println(
+              s"[bench][gate-warn] $why in BASELINE.md — warns skipped")
+        }
+        case Left(why) =>
+          System.err.println(s"[bench][gate-warn] $why — warns skipped")
       }
     }
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""

@@ -803,7 +803,12 @@ object ScaleProbe {
     locally {
       val emb2 = Tables.load(spark, dir, "embeddings")
       val m0 = emb2.count()
-      Seq(("1x", 1), (s"${times}x", times)).foreach { case (tag, t) =>
+      // 10× the other legs' multiplier: at 100k rows both legs sit on
+      // the ~0.2 s per-job floor and the wall gap is invisible; at 1M
+      // the rebuild's per-row re-encode (nlist cosines + m·ksub
+      // subspace distances over dim doubles) dominates and the
+      // asymmetry the face exists for is measurable, not asserted.
+      Seq(("1x", 1), (s"${10 * times}x", 10 * times)).foreach { case (tag, t) =>
         val arch = emb2.crossJoin(
             spark.range(t.toLong).select(col("id").as("rep")))
           .select((col("vec_id") + col("rep") * m0).as("vec_id"),

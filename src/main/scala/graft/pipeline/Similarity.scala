@@ -1502,17 +1502,35 @@ object Similarity {
       vecCol: String, removedIds: DataFrame): NndIndex = {
     val rem = Dedup.normalizeRemovedIds(removedIds)
       .localCheckpoint(false) // precondition probes + several anti-joins
-    require(rem.join(index.quant.reps,
-        rem("rid") === index.quant.reps("rep_id"), "left_semi")
-        .limit(1).count() == 0,
+    require(!repHitNorm(index, rem),
       "retractNndIndex: a retracted id is a quantizer REPRESENTATIVE — " +
         "anchor takedowns invalidate the frozen quantizer; re-train and " +
         "rebuild instead")
-    require(rem.filter(col("rid").isInCollection(index.quant.centIds.toSeq))
-        .limit(1).count() == 0,
+    require(!centHitNorm(index, rem),
       "retractNndIndex: a retracted id is a quantizer CENTROID — " +
         "anchor takedowns invalidate the frozen quantizer; re-train and " +
         "rebuild instead")
+    retractNndIndexNorm(index, emb, idCol, vecCol, rem)
+  }
+
+  /** The two anchor probes over a pre-normalized takedown set — shared
+    * by [[retractNndIndex]]'s refusal, [[hitsNndAnchor]]'s question
+    * form, and [[retractOrMigrateNndIndex]]'s routing, so the routing
+    * face never pays them twice (once to route, once inside the
+    * refusal). Bounded: limit-1 counts against the tiny anchor set. */
+  private def repHitNorm(index: NndIndex, rem: DataFrame): Boolean =
+    rem.join(index.quant.reps,
+        rem("rid") === index.quant.reps("rep_id"), "left_semi")
+      .limit(1).count() > 0
+
+  private def centHitNorm(index: NndIndex, rem: DataFrame): Boolean =
+    rem.filter(col("rid").isInCollection(index.quant.centIds.toSeq))
+      .limit(1).count() > 0
+
+  /** [[retractNndIndex]] body under an already-normalized,
+    * already-precondition-checked takedown set. */
+  private def retractNndIndexNorm(index: NndIndex, emb: DataFrame,
+      idCol: String, vecCol: String, rem: DataFrame): NndIndex = {
     val corpus = emb.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
     val surv = corpus.join(rem, corpus("nn_id") === rem("rid"), "left_anti")
@@ -1553,11 +1571,7 @@ object Similarity {
     * error. Bounded: two limit-1 probes against the tiny anchor set. */
   def hitsNndAnchor(index: NndIndex, removedIds: DataFrame): Boolean = {
     val rem = Dedup.normalizeRemovedIds(removedIds)
-    rem.join(index.quant.reps,
-        rem("rid") === index.quant.reps("rep_id"), "left_semi")
-      .limit(1).count() > 0 ||
-      rem.filter(col("rid").isInCollection(index.quant.centIds.toSeq))
-        .limit(1).count() > 0
+    repHitNorm(index, rem) || centHitNorm(index, rem)
   }
 
   /** Anchor-takedown MIGRATION — the routed slow path behind
@@ -1594,10 +1608,16 @@ object Similarity {
     * never served — spec-pinned on both paths). */
   def retractOrMigrateNndIndex(index: NndIndex, emb: DataFrame,
       idCol: String, vecCol: String, removedIds: DataFrame,
-      reps: Int = 8): NndIndex =
-    if (hitsNndAnchor(index, removedIds))
-      migrateNndIndex(index, emb, idCol, vecCol, removedIds, reps)
-    else retractNndIndex(index, emb, idCol, vecCol, removedIds)
+      reps: Int = 8): NndIndex = {
+    // normalize + probe ONCE: the fast path re-enters the retract body
+    // directly (its preconditions are exactly the probes just answered
+    // false), so a routine non-anchor takedown pays 2 limit-1 probes
+    // and 1 normalization, not 4 and 3
+    val rem = Dedup.normalizeRemovedIds(removedIds).localCheckpoint(false)
+    if (repHitNorm(index, rem) || centHitNorm(index, rem))
+      migrateNndIndex(index, emb, idCol, vecCol, rem, reps)
+    else retractNndIndexNorm(index, emb, idCol, vecCol, rem)
+  }
 
   /** Serve the greedy beam walk from a graph-index ARTIFACT: entries
     * default to the quantizer's centroid nodes (one per cell — the

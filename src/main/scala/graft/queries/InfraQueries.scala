@@ -23,25 +23,14 @@ object InfraQueries {
   private def tag(dir: String): String =
     (dir.hashCode & 0x7fffffff).toHexString
 
-  /** This JVM's own pid-keyed layout dirs, deleted at exit: sweepTmp
-    * only reclaims DEAD processes' dirs (after a grace window), so
-    * without this every session leaves its final q44/q45/q49 copies
-    * behind until some later session's sweep (VERDICT r14 item 2). A
-    * Set: the dirs are deliberately reused across bench reps, so each
-    * registers once. */
-  private val exitDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      exitDirs.forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }
-    }))
-  }
-  private def deleteAtExit(dir: String): String = { exitDirs.add(dir); dir }
+  /** This JVM's own pid-keyed layout dirs, deleted at exit (shared
+    * [[graft.TmpHygiene]] registry): sweepTmp only reclaims DEAD
+    * processes' dirs (after a grace window), so without this every
+    * session leaves its final q44/q45/q49 copies behind until some
+    * later session's sweep (VERDICT r14 item 2). The dirs are
+    * deliberately reused across bench reps, so each registers once. */
+  private def deleteAtExit(dir: String): String =
+    graft.TmpHygiene.deleteAtExit(dir)
 
   /** GC tmp round-trip dirs (`<prefix>_<tag>_p<pid>`) left by DEAD
     * processes — q44/q45 write one per process, so without a sweep the

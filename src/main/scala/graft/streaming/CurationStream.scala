@@ -141,6 +141,27 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // The predecessor chain is keyed to the CHECKPOINT's batchId:
+        // restarting against an existing artifact chain with a fresh
+        // (lost/cleared) checkpoint would reset batchId to 0 and
+        // silently re-derive from the ORIGINAL init sketch —
+        // resurrecting every previously retracted document into the
+        // serving index. A takedown pipeline must never fail open, so
+        // that misbinding is refused loudly: checkpoint and artDir
+        // lifetimes are bound together (recover both, or start a fresh
+        // artDir from a fresh snapshot).
+        if (batchId == 0L) {
+          val stale = Option(new java.io.File(artDir).listFiles())
+            .getOrElse(Array.empty)
+            .map(_.getName).filter(_.forall(_.isDigit))
+          require(stale.isEmpty,
+            s"hashRetractSink: artifact dir $artDir already holds batch " +
+              s"artifacts (${stale.sorted.mkString(", ")}) but the " +
+              "checkpoint restarted at batch 0 — retracting from the " +
+              "init sketch would RESURRECT previously retracted docs; " +
+              "restore the matching checkpoint or rebuild the init " +
+              "snapshot in a fresh artifact dir")
+        }
         val prev = if (batchId == 0L) initName else (batchId - 1).toString
         val prevSketch = sp.read.parquet(s"$artDir/$prev/sketch")
         // two consumers (persisted sketch + derived index) of one

@@ -252,16 +252,9 @@ object StreamQueries {
     out
   }
 
-  /** Recursive delete for the temp dirs a foreachBatch gate row writes. */
-  private def rmTree(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  /** Recursive delete for the temp dirs a foreachBatch gate row writes
+    * (the shared [[graft.TmpHygiene]] implementation). */
+  private def rmTree(root: String): Unit = graft.TmpHygiene.rmTree(root)
 
   // ---- s7: the STREAMING incremental-dedup face under the gate. A real
   // Structured Streaming query (MemoryStream → foreachBatch parquet sink,

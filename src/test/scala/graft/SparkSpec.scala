@@ -21,33 +21,18 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  def rmTree(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
-  }
+  // one shared hygiene implementation (graft.TmpHygiene) — the test
+  // scaffolding must not grow its own drift-prone copy of deletion
+  // semantics (review r15)
+  def rmTree(dir: String): Unit = graft.TmpHygiene.rmTree(dir)
 
-  private val exitDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      exitDirs.forEach(rmTree(_))
-    }))
-  }
+  def tmpDir(prefix: String): String =
+    graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory(prefix).toString)
 
-  def tmpDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
-    exitDirs.add(d)
-    d
-  }
-
-  /** Dirs handed out by [[tmpDir]] that still exist — TempHygieneSpec
-    * excludes these (they die at JVM exit by contract). */
-  def liveTmpDirs: Set[String] = {
-    import scala.jdk.CollectionConverters._
-    exitDirs.asScala.toSet
-  }
+  /** Dirs registered for JVM-exit deletion — TempHygieneSpec excludes
+    * these (they die at JVM exit by contract). */
+  def liveTmpDirs: Set[String] = graft.TmpHygiene.registered
 
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

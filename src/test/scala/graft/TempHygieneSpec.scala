@@ -35,14 +35,16 @@ class TempHygieneSpec extends SparkSpec {
   test("format-roundtrip gate dirs are registered for exit deletion") {
     val before = graftTmp()
     assert(SparkEntry.queries("q44_text_roundtrip")(spark, sf()).count() > 0)
-    val after = graftTmp() -- before -- SparkSpec.liveTmpDirs
     // q44's pid-keyed dir survives the query BY DESIGN (bench reps
-    // reuse it); the hygiene contract is that this JVM deletes it at
-    // exit. InfraQueries registers it in a private exit hook, so the
-    // assertable surface is: anything new is q44's own pid-keyed dir,
-    // nothing else.
+    // reuse it); the hygiene contract is that it is REGISTERED in the
+    // shared exit-deletion registry (dies with this JVM), and that
+    // nothing new escaped registration.
     val pid = ProcessHandle.current().pid()
-    assert(after.forall(d => d.contains("graft_q44") && d.endsWith(s"_p$pid")),
-      s"q44 left unexpected residue: ${after.mkString(", ")}")
+    assert(TmpHygiene.registered
+        .exists(d => d.contains("graft_q44") && d.endsWith(s"_p$pid")),
+      "q44's layout dir is not registered for exit deletion")
+    val leaked = graftTmp() -- before -- TmpHygiene.registered
+    assert(leaked.isEmpty,
+      s"q44 left unregistered residue: ${leaked.mkString(", ")}")
   }
 }

@@ -120,15 +120,26 @@ def main() -> int:
               f"({mean / base['stream_cert_per_row_s']:.2f}x the "
               f"{base['stream_cert_per_row_s']} round-13 row; "
               f"mix-sensitive, not gated -- stream16_total is)")
-    # The gated stream signal: frozen-membership subtotal (s7..s22).
-    if "stream16_total" in bench and "stream16_freeze_s" in base:
-        if bench.get("stream16_n") != 16:
-            print(f"FAIL stream16_n = {bench.get('stream16_n')} != 16 "
-                  "-- subtotal not comparable")
-            failures.append("stream16_n")
-        else:
-            check("stream16_total", bench["stream16_total"],
+    # The gated stream signal: frozen-membership subtotal (s7..s22),
+    # DERIVED from the queries map by rule so artifacts predating the
+    # stream16_total field stay gated too (review r15: requiring the
+    # field silently un-gated every older artifact's stream signal). A
+    # population smaller than the frozen 16 (e.g. round-13's s7..s21)
+    # predates the freeze membership and is reported, not failed.
+    if "stream16_freeze_s" in base:
+        s16 = {k: v for k, v in stream_cert.items()
+               if int(STREAM_CERT_RE.match(k).group(1)) <= 22}
+        if len(s16) == 16:
+            check("stream16_total", sum(s16.values()),
                   ratio * base["stream16_freeze_s"])
+            if "stream16_total" in bench and \
+                    abs(bench["stream16_total"] - sum(s16.values())) > 1e-6:
+                print(f"FAIL stream16_total field {bench['stream16_total']} "
+                      f"!= derived {sum(s16.values())}")
+                failures.append("stream16_total_field")
+        else:
+            print(f"info stream16 population has {len(s16)} of 16 frozen "
+                  "members -- predates the freeze membership; skipped")
 
     if bench.get("core82_n") != 82:
         print(f"FAIL core82_n = {bench.get('core82_n')} != 82 -- subtotal not comparable")
