@@ -1124,7 +1124,10 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private val d57Oracle = incrementalDedupOracle(
+  // shared with the s24 streaming gate: sequential per-batch retraction
+  // over the maintained sketch chain composes to the one-shot retract,
+  // so the same survivor-archive probe oracle adjudicates both
+  private[graft] val d57Oracle = incrementalDedupOracle(
     archExtra = " AND doc_id % 7 <> 1")
 
   // ---- d56: winnow-index RETRACTION (TextAnalysis.winnowIndexRetract)

@@ -584,17 +584,41 @@ object Dedup {
     * `hashedShingleIndex(corpus ∖ removed)` (spec, including cap
     * resurrection). */
   def shingleIndexRetract(sketch: DataFrame, removedIds: DataFrame,
-      k: Int = 5, maxDf: Int = 100): DataFrame = {
-    val shCol = s"shingle_k$k"
-    require(sketch.columns.contains(shCol),
-      s"sketch carries ${sketch.columns.filter(_.startsWith("shingle_k")).mkString(",")} " +
-        s"but retraction was asked for k=$k — a silent mismatch would " +
-        "emit a wrong index, not an error")
+      k: Int = 5, maxDf: Int = 100): DataFrame =
+    shingleServingIndex(shingleSketchRetract(sketch, removedIds, k),
+      k, maxDf)
+
+  /** The sketch-maintenance HALF of [[shingleIndexRetract]] — the
+    * text-family twin of `Multimodal.phashSketchRetract`: the uncapped
+    * survivor sketch a takedown batch leaves behind, persisted by the
+    * s24 streaming retract sink as the NEXT batch's retractable
+    * artifact. One doc-id anti-join; no cap (the df-cap is a property
+    * of the SERVING view, not the artifact — cap resurrection needs
+    * the uncapped rows). Keeps the k-in-column-name contract. */
+  def shingleSketchRetract(sketch: DataFrame, removedIds: DataFrame,
+      k: Int = 5): DataFrame = {
+    requireShingleK(sketch, k)
     val rem = normalizeRemovedIds(removedIds)
-    val surv = sketch.select(col("id"), col(shCol).as("shingle"))
-      .join(rem, col("id") === col("rid"), "left_anti")
-    capShingleRows(surv, shCol, maxDf)
+    sketch.join(rem, sketch("id") === rem("rid"), "left_anti")
   }
+
+  /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —
+    * the same cap+size tail [[hashedShingleIndex]] bakes at build
+    * ([[capShingleRows]]), exposed so the streaming retract chain
+    * derives its probe index through the one shared implementation. */
+  def shingleServingIndex(sketch: DataFrame, k: Int = 5,
+      maxDf: Int = 100): DataFrame = {
+    requireShingleK(sketch, k)
+    capShingleRows(
+      sketch.select(col("id"), col(s"shingle_k$k").as("shingle")),
+      shCol = s"shingle_k$k", maxDf = maxDf)
+  }
+
+  private def requireShingleK(sketch: DataFrame, k: Int): Unit =
+    require(sketch.columns.contains(s"shingle_k$k"),
+      s"sketch carries ${sketch.columns.filter(_.startsWith("shingle_k")).mkString(",")} " +
+        s"but k=$k was asked — a silent mismatch would emit a wrong " +
+        "index, not an error")
 
   /** [[incrementalPairs]] against a pre-built [[hashedShingleIndex]] —
     * the production entry point for repeated increments (batch backfills

@@ -136,6 +136,38 @@ object CurationStream {
   def hashRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String,
       maxBucket: Int = 100): DataStreamWriter[Row] =
+    retractChainSink(takedowns, artDir, initName, checkpoint)(
+      graft.pipeline.Multimodal.phashSketchRetract(_, _),
+      graft.pipeline.Multimodal.phashServingIndex(_, maxBucket))
+
+  /** The TEXT-family twin of [[hashRetractSink]]: takedowns maintain a
+    * persisted uncapped [[graft.pipeline.Dedup.hashedShingleSketch]]
+    * chain, with the df-capped serving index (what
+    * `incrementalPairsFromIndex` probes) re-derived per batch through
+    * the one shared cap implementation. With s22 (groups), s23
+    * (image/audio hashes), and this, every dedup family whose
+    * takedowns arrive continuously has a certified streaming delete
+    * path. */
+  def shingleRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String, k: Int = 5,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    retractChainSink(takedowns, artDir, initName, checkpoint)(
+      graft.pipeline.Dedup.shingleSketchRetract(_, _, k),
+      graft.pipeline.Dedup.shingleServingIndex(_, k, maxDf))
+
+  /** The shared retract-chain machinery behind the family-named sinks:
+    * per micro-batch, read the PREDECESSOR'S persisted uncapped sketch,
+    * apply the family's sketch-retract face, and persist BOTH faces of
+    * the batch's artifact (`<id>/sketch` — the maintained uncapped
+    * artifact, the next batch's input; `<id>/index` — the capped
+    * serving view derived from it). Read-predecessor discipline
+    * (s16/s22): a replayed batch re-derives identical output from
+    * identical PERSISTED input, never driver state, so the per-batch
+    * overwrite is exactly-once. */
+  private def retractChainSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String)(
+      retractSketch: (DataFrame, DataFrame) => DataFrame,
+      serveIndex: DataFrame => DataFrame): DataStreamWriter[Row] =
     takedowns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -155,7 +187,7 @@ object CurationStream {
             .getOrElse(Array.empty)
             .map(_.getName).filter(_.forall(_.isDigit))
           require(stale.isEmpty,
-            s"hashRetractSink: artifact dir $artDir already holds batch " +
+            s"retractChainSink: artifact dir $artDir already holds batch " +
               s"artifacts (${stale.sorted.mkString(", ")}) but the " +
               "checkpoint restarted at batch 0 — retracting from the " +
               "init sketch would RESURRECT previously retracted docs; " +
@@ -166,12 +198,10 @@ object CurationStream {
         val prevSketch = sp.read.parquet(s"$artDir/$prev/sketch")
         // two consumers (persisted sketch + derived index) of one
         // anti-join — materialize once, release after the writes
-        val surv = graft.pipeline.Multimodal
-          .phashSketchRetract(prevSketch, batch)
-          .localCheckpoint(false)
+        val surv = retractSketch(prevSketch, batch).localCheckpoint(false)
         try {
           surv.write.mode("overwrite").parquet(s"$artDir/$batchId/sketch")
-          graft.pipeline.Multimodal.phashServingIndex(surv, maxBucket)
+          serveIndex(surv)
             .write.mode("overwrite").parquet(s"$artDir/$batchId/index")
         } finally { surv.unpersist(blocking = false); () }
       }

@@ -1258,7 +1258,53 @@ object StreamQueries {
       .localCheckpoint(true)
   }
 
+  // ---- s24: streaming TAKEDOWN maintenance of the SHINGLE-index
+  // artifact — d57's retraction as a real three-micro-batch stream,
+  // the TEXT-family leg beside s22 (groups) and s23 (image/audio
+  // hashes): with it, every dedup family whose takedowns arrive
+  // continuously has a certified streaming delete path, through ONE
+  // shared retract-chain sink parameterized only by the family's
+  // sketch-retract and serving-view faces. Same shape as s23: the
+  // archive's UNCAPPED shingle sketch persists once as init; takedown
+  // id batches stream in terciles; per batch the sink reads its
+  // predecessor's persisted sketch, anti-joins, and re-derives the
+  // df-capped serving index through the one shared cap tail; the
+  // FINAL index answers the d21 increment probe and d57's one-shot
+  // survivor-archive oracle adjudicates it — green certifies
+  // streaming retraction COMPOSES (cap resurrection included: the
+  // maintained artifact is uncapped precisely so later batches can
+  // resurrect postings earlier states had capped out). ----
+  private def s24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Dedup
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s24")
+    Dedup.hashedShingleSketch(d.filter(!isNew), "text", "doc_id", k = 5)
+      .write.parquet(s"$out/art/init/sketch")
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.shingleRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val last = new java.io.File(s"$out/art").listFiles()
+      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val idx = s.read.parquet(s"$out/art/$last/index")
+    Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s24_stream_shingle_retract", st(s24),
+      Some(graft.pipeline.CurationQueries.d57Oracle)),
     QueryDef("s23_stream_phash_retract", st(s23),
       Some(graft.pipeline.PipelineQueries.mm12Oracle)),
     QueryDef("s22_stream_retract", st(s22),

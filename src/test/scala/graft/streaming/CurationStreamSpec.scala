@@ -97,4 +97,71 @@ class CurationStreamSpec extends SparkSpec {
       rows(Multimodal.phashIndexRetract(sketch0,
         takedowns.toSeq.toDF("doc_id"))))
   }
+
+  test("streamed shingle takedowns compose to the one-shot retract " +
+      "through the shared chain sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val arch = d.filter(col("doc_id") % 10 =!= 0)
+    val sketch0 = Dedup.hashedShingleSketch(arch, "text", "doc_id", k = 5)
+      .localCheckpoint(true)
+    val art = tmpDir("graft_sret")
+    sketch0.write.mode("overwrite").parquet(s"$art/init/sketch")
+    val takedowns = d
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(takedowns.length >= 2, "fixture must yield a takedown per batch")
+    val (b0, b1) = takedowns.splitAt(takedowns.length / 2)
+    val input = MemoryStream[Long]
+    val q = CurationStream.shingleRetractSink(input.toDF().toDF("doc_id"),
+      art, "init", s"$art/_cp").start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // prefix 0 == one-shot sketch retract of b0; final sketch == the
+    // union's; final serving index == the batch face's one-shot output
+    assert(rows(spark.read.parquet(s"$art/0/sketch")) ===
+      rows(Dedup.shingleSketchRetract(sketch0, b0.toSeq.toDF("doc_id"))))
+    assert(rows(spark.read.parquet(s"$art/1/sketch")) ===
+      rows(Dedup.shingleSketchRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+    assert(rows(spark.read.parquet(s"$art/1/index")) ===
+      rows(Dedup.shingleIndexRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+  }
+
+  test("retract chain refuses a batch-0 restart against an existing " +
+      "artifact chain (lost checkpoint must not resurrect takedowns)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val arch = d.filter(col("doc_id") % 10 =!= 0)
+    val art = tmpDir("graft_gret")
+    Dedup.hashedShingleSketch(arch, "text", "doc_id", k = 5)
+      .write.mode("overwrite").parquet(s"$art/init/sketch")
+    // simulate a prior run's surviving batch artifact...
+    Dedup.hashedShingleSketch(arch.filter(col("doc_id") % 7 =!= 1),
+        "text", "doc_id", k = 5)
+      .write.mode("overwrite").parquet(s"$art/0/sketch")
+    // ...then restart with a FRESH checkpoint: batch 0 must refuse
+    val input = MemoryStream[Long]
+    val q = CurationStream.shingleRetractSink(input.toDF().toDF("doc_id"),
+      art, "init", s"$art/_cp_fresh").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input.addData(1L); q.processAllAvailable()
+      } finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("RESURRECT")),
+      s"expected the resurrect refusal, got: ${messages(e).mkString(" | ")}")
+  }
 }
