@@ -327,7 +327,11 @@ object Bench {
             fn(spark, sfDir).count()
             val elapsed = (System.nanoTime() - t0) / 1e9
             val (busy1, st1) = cpuStat
-            val stDelta = if (st0 < 0) 0.0 else st1 - st0
+            // EITHER read failing means the interval is unmeasurable:
+            // st1 - (-1) or -1 - st0 would be garbage (a large negative
+            // delta recorded verbatim corrupts the steal telemetry the
+            // round-15 stall analysis reads)
+            val stDelta = if (st0 < 0 || st1 < 0) 0.0 else st1 - st0
             val busyDelta = if (busy0 < 0) 1.0 else math.max(0.0, busy1 - busy0)
             val frac = stDelta / math.max(1e-9, stDelta + busyDelta)
             if (frac > stealFracLimit && stDelta > 0.5 && attempt < 2 &&
@@ -345,7 +349,8 @@ object Bench {
               samples(name) = elapsed :: samples(name)
               // -1 sentinel when /proc/stat is unreadable: an
               // unmeasurable box must not read as a steal-free one
-              stealS(name) = (if (st0 < 0) -1.0 else stDelta) :: stealS(name)
+              stealS(name) =
+                (if (st0 < 0 || st1 < 0) -1.0 else stDelta) :: stealS(name)
               gcDeltas(name) = (gcMs - gc0) :: gcDeltas(name)
               jitDeltas(name) = (jitMs - jit0) :: jitDeltas(name)
               cgDeltas(name) =

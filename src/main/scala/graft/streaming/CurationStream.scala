@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
@@ -182,18 +182,7 @@ object CurationStream {
         // that misbinding is refused loudly: checkpoint and artDir
         // lifetimes are bound together (recover both, or start a fresh
         // artDir from a fresh snapshot).
-        if (batchId == 0L) {
-          val stale = Option(new java.io.File(artDir).listFiles())
-            .getOrElse(Array.empty)
-            .map(_.getName).filter(_.forall(_.isDigit))
-          require(stale.isEmpty,
-            s"retractChainSink: artifact dir $artDir already holds batch " +
-              s"artifacts (${stale.sorted.mkString(", ")}) but the " +
-              "checkpoint restarted at batch 0 — retracting from the " +
-              "init sketch would RESURRECT previously retracted docs; " +
-              "restore the matching checkpoint or rebuild the init " +
-              "snapshot in a fresh artifact dir")
-        }
+        refuseStaleChain(sp, artDir, batchId)
         val prev = if (batchId == 0L) initName else (batchId - 1).toString
         val prevSketch = sp.read.parquet(s"$artDir/$prev/sketch")
         // two consumers (persisted sketch + derived index) of one
@@ -205,6 +194,42 @@ object CurationStream {
             .write.mode("overwrite").parquet(s"$artDir/$batchId/index")
         } finally { surv.unpersist(blocking = false); () }
       }
+
+  /** The chain-misbinding refusal shared by every retract sink: a
+    * restart at batch 0 against an artifact dir that already holds
+    * LATER batch artifacts means the checkpoint was lost or cleared —
+    * re-deriving from the init sketch would RESURRECT every previously
+    * retracted document into the serving index, and a takedown
+    * pipeline must never fail open. Two deliberate subtleties:
+    *
+    *  - batch 0's OWN artifact is tolerated: a crash after writing
+    *    `artDir/0/...` but before the checkpoint commit replays
+    *    batchId 0, and the per-batch overwrite is exactly the
+    *    idempotent-replay contract — refusing it would brick a
+    *    legitimate recovery (ADVICE r15). Only names OTHER than "0"
+    *    prove a longer chain existed.
+    *  - the listing goes through the Hadoop FileSystem API (the same
+    *    resolver the parquet reads below use), not `java.io.File`: on
+    *    an object-store/HDFS artifact dir a local-file listing returns
+    *    null and the guard would pass vacuously — exactly the
+    *    fail-open case it exists to refuse (VERDICT r15). */
+  private def refuseStaleChain(sp: SparkSession, artDir: String,
+      batchId: Long): Unit =
+    if (batchId == 0L) {
+      val p = new org.apache.hadoop.fs.Path(artDir)
+      val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val stale =
+        if (!fs.exists(p)) Array.empty[String]
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit) && n != "0")
+      require(stale.isEmpty,
+        s"retractChainSink: artifact dir $artDir already holds batch " +
+          s"artifacts (${stale.sorted.mkString(", ")}) but the " +
+          "checkpoint restarted at batch 0 — retracting from the " +
+          "init sketch would RESURRECT previously retracted docs; " +
+          "restore the matching checkpoint or rebuild the init " +
+          "snapshot in a fresh artifact dir")
+    }
 
   /** Streaming incremental VIDEO dedup — the streaming face of
     * [[graft.pipeline.Multimodal.videoProbePairs]]: per micro-batch,

@@ -256,6 +256,26 @@ object StreamQueries {
     * (the shared [[graft.TmpHygiene]] implementation). */
   private def rmTree(root: String): Unit = graft.TmpHygiene.rmTree(root)
 
+  /** Last committed micro-batch id under a chain-artifact dir —
+    * defensively: `listFiles` returns null on an unreadable/missing
+    * dir and `max` throws on an empty collection, so a stream that
+    * died before batch 0 (or an empty takedown fixture) would surface
+    * as an opaque NPE/USOE instead of a diagnostic naming the dir
+    * (ADVICE r15). `exclude` names the init artifact, which is not a
+    * batch. */
+  private def lastBatchId(artDir: String,
+      exclude: String = "init"): Long = {
+    val ids = Option(new java.io.File(artDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName)
+      .filter(n => n != exclude && n.nonEmpty && n.forall(_.isDigit))
+    require(ids.nonEmpty,
+      s"no committed micro-batch artifact under $artDir — the stream " +
+        "never wrote a batch (empty fixture, or it failed before " +
+        "batch 0 committed)")
+    ids.map(_.toLong).max
+  }
+
   // ---- s7: the STREAMING incremental-dedup face under the gate. A real
   // Structured Streaming query (MemoryStream → foreachBatch parquet sink,
   // the production CurationStream.incrementalDedupSink) processes the d21
@@ -867,8 +887,7 @@ object StreamQueries {
     try {
       feedInTerciles(input, q, rows.toSeq, (r: (Long, Seq[Double])) => r._1)
     } finally q.stop()
-    val last = new java.io.File(s"$out/idx").listFiles()
-      .map(_.getName.toLong).max
+    val last = lastBatchId(s"$out/idx")
     val result = s.read.parquet(s"$out/idx/$last/refined")
       .filter(col("node") < 25)
       .orderBy("node", "rank")
@@ -1199,8 +1218,7 @@ object StreamQueries {
     try {
       feedInTerciles(input, q, takedowns.toSeq, identity[Long])
     } finally q.stop()
-    val last = new java.io.File(s"$out/art").listFiles()
-      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val last = lastBatchId(s"$out/art")
     val result = s.read.parquet(s"$out/art/$last/labels")
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
@@ -1249,8 +1267,7 @@ object StreamQueries {
     try {
       feedInTerciles(input, q, takedowns.toSeq, identity[Long])
     } finally q.stop()
-    val last = new java.io.File(s"$out/art").listFiles()
-      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val last = lastBatchId(s"$out/art")
     val idx = s.read.parquet(s"$out/art/$last/index")
     Multimodal.phashProbePairs(
         Multimodal.dHash(media.filter(isNew)), idx, maxHamming = 3)
@@ -1293,8 +1310,7 @@ object StreamQueries {
     try {
       feedInTerciles(input, q, takedowns.toSeq, identity[Long])
     } finally q.stop()
-    val last = new java.io.File(s"$out/art").listFiles()
-      .map(_.getName).filter(_ != "init").map(_.toLong).max
+    val last = lastBatchId(s"$out/art")
     val idx = s.read.parquet(s"$out/art/$last/index")
     Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
         "text", "doc_id", k = 5, threshold = 0.6)
