@@ -436,6 +436,12 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val stream16Total = stream16.sum
     val stream16N = stream16.size
+    // The round-15 freeze nesting it (s7–s24 — BASELINE.md "stream18
+    // freeze"); s25+ rows stay in stream_overhead_s but outside both.
+    val stream18 = results.filter(r => BenchGate.isStream18(r._1))
+      .map(_._2).filter(_ >= 0)
+    val stream18Total = stream18.sum
+    val stream18N = stream18.size
     // build_s: samples are prepended per rep, so .last is the rep-1
     // (chronologically first) run — the one that pays any build-once
     // cost. Attributable ONLY when every rep succeeded: if rep 1 threw,
@@ -462,7 +468,7 @@ object Bench {
     // Full-precision artifact (times + spreads + reps + residency
     // instrumentation) written to the repo root, where the per-round
     // auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"jvm_max_heap_mb":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"stream18_total":$stream18Total,"stream18_n":$stream18N,"jvm_max_heap_mb":${
       Runtime.getRuntime.maxMemory / (1024 * 1024)},"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"queries_reps":${
@@ -519,7 +525,8 @@ object Bench {
               ("core158", core158Total, core158N, 158),
               ("core167", core167Total, core167N, 167),
               ("core192", core192Total, core192N, 192),
-              ("stream16", stream16Total, stream16N, 16))
+              ("stream16", stream16Total, stream16N, 16),
+              ("stream18", stream18Total, stream18N, 18))
             BenchGate.warnings(valid, total, subsets, a)
               .foreach(System.err.println)
           case None =>

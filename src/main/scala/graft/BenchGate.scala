@@ -49,6 +49,19 @@ object BenchGate {
     case _ => false
   }
 
+  /** FROZEN membership of the round-15 stream-certification subtotal:
+    * s7–s24, the 18 micro-batch rows of the round-15 registry, frozen
+    * at the round-15 driver artifact (BASELINE.md "stream18 freeze").
+    * Nested over stream16 exactly as core153 nests core82; s25+ land
+    * OUTSIDE it. */
+  val stream18MaxId = 24
+
+  def isStream18(name: String): Boolean = name match {
+    case StreamCertRe(id) =>
+      id.toInt >= streamCertMinId && id.toInt <= stream18MaxId
+    case _ => false
+  }
+
   /** Parse the bench-gate anchor out of BASELINE.md text. None when
     * the anchor comment is absent (a clean checkout must still bench)
     * OR malformed (a stray non-`k=v` token, a non-numeric value): the

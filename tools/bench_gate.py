@@ -140,6 +140,25 @@ def main() -> int:
         else:
             print(f"info stream16 population has {len(s16)} of 16 frozen "
                   "members -- predates the freeze membership; skipped")
+    # The round-15 freeze nesting it: s7..s24, the 18 rows of the
+    # round-15 registry, frozen at the round-15 driver artifact
+    # (BASELINE.md "stream18 freeze"). Derived by rule like stream16 so
+    # the round-15 artifact (which predates the stream18_total field)
+    # is still gated; s25+ rows land outside.
+    if "stream18_freeze_s" in base:
+        s18 = {k: v for k, v in stream_cert.items()
+               if int(STREAM_CERT_RE.match(k).group(1)) <= 24}
+        if len(s18) == 18:
+            check("stream18_total", sum(s18.values()),
+                  ratio * base["stream18_freeze_s"])
+            if "stream18_total" in bench and \
+                    abs(bench["stream18_total"] - sum(s18.values())) > 1e-6:
+                print(f"FAIL stream18_total field {bench['stream18_total']} "
+                      f"!= derived {sum(s18.values())}")
+                failures.append("stream18_total_field")
+        else:
+            print(f"info stream18 population has {len(s18)} of 18 frozen "
+                  "members -- predates the freeze membership; skipped")
 
     if bench.get("core82_n") != 82:
         print(f"FAIL core82_n = {bench.get('core82_n')} != 82 -- subtotal not comparable")
