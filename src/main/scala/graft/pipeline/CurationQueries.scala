@@ -174,10 +174,13 @@ object CurationQueries {
 
   /** d21's incremental-pair oracle chain, parameterized by an extra
     * ARCHIVE predicate so d57 (shingle-index retraction) replays the
-    * same probe against a shrunken archive. Empty string = d21/s7. */
-  private def incrementalDedupOracle(archExtra: String = ""): String =
+    * same probe against a shrunken archive, and by the documents
+    * source so d58 (shingle-index UPDATE) replays it against the
+    * corpus-with-new-versions. Empty/default = d21/s7. */
+  private def incrementalDedupOracle(archExtra: String = "",
+      docsSrc: String = "documents"): String =
     s"""WITH w AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM $docsSrc),
       |sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(ws) >= 5 THEN
@@ -1130,6 +1133,40 @@ object CurationQueries {
   private[graft] val d57Oracle = incrementalDedupOracle(
     archExtra = " AND doc_id % 7 <> 1")
 
+  // ---- d58: SHINGLE-index UPDATE (Dedup.shingleSketchUpdate) — the
+  // re-crawl edit path over the persisted artifact (VERDICT r15
+  // missing item 1): every archive doc with doc_id % 7 = 1 is
+  // re-crawled as a CHANGED version (its text doubled — the distinct
+  // shingle set gains the seam shingles, so postings, sizes n_c, and
+  // jaccard denominators all move), the update face retracts the old
+  // versions' postings and appends the new versions' against the same
+  // uncapped sketch, and the d21 increment probes the re-derived
+  // serving index. Oracle = d21's chain over the
+  // corpus-with-new-versions (rebuild-with-them) — green certifies
+  // update ≡ rebuild end-to-end through the serve path, the
+  // composition whose ordering bug (append-before-retract drops the
+  // doc entirely) is spec-pinned in CurationSpec. ----
+  private def d58(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val sketch = Dedup.hashedShingleSketch(arch, "text", "doc_id", k = 5)
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val updated = Dedup.shingleSketchUpdate(sketch, newVersions,
+      "text", "doc_id", k = 5)
+    Dedup.incrementalPairsFromIndex(
+        Dedup.shingleServingIndex(updated, k = 5, maxDf = 100),
+        d.filter(isNew), "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val d58Oracle = incrementalDedupOracle(docsSrc =
+    """(SELECT doc_id,
+      |   CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
+      |        THEN text || ' ' || text ELSE text END AS text
+      | FROM documents)""".stripMargin)
+
   // ---- d56: winnow-index RETRACTION (TextAnalysis.winnowIndexRetract)
   // — the fingerprint-family twin of d55's dedup-groups retract: the
   // archive's UNCAPPED sketch is persisted once, a takedown batch
@@ -1304,6 +1341,7 @@ object CurationQueries {
     QueryDef("d54_winnow_incremental", d54, Some(d54Oracle)),
     QueryDef("d56_winnow_retract", d56, Some(d56Oracle)),
     QueryDef("d57_shingle_retract", d57, Some(d57Oracle)),
+    QueryDef("d58_shingle_update", d58, Some(d58Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

@@ -602,6 +602,39 @@ object Dedup {
     sketch.join(rem, sketch("id") === rem("rid"), "left_anti")
   }
 
+  /** APPEND face of the shingle-sketch artifact: the new documents'
+    * distinct postings unioned in — nothing existing is touched, so an
+    * append is O(|increment|) (the d21 contract; the df-cap and sizes
+    * are properties of the SERVING view and re-derive through
+    * [[shingleServingIndex]]). PRECONDITION: the appended ids are not
+    * already present — an id appended twice would double its postings;
+    * the re-crawl upsert is [[shingleSketchUpdate]]. */
+  def shingleSketchAppend(sketch: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    requireShingleK(sketch, k)
+    sketch.unionAll(hashedShingleSketch(newDocs, textCol, idCol, k))
+  }
+
+  /** UPDATE face of the shingle-sketch artifact — the re-crawl edit
+    * path (VERDICT r15 missing item 1): a changed document is a
+    * retract of its OLD postings composed with an append of its NEW
+    * version's, against the same persisted artifact. The composition
+    * order is load-bearing and fixed HERE so no caller re-derives it:
+    * retract-then-append. The reverse order (append the new version's
+    * postings, then retract "the updated ids") anti-joins the id out
+    * of BOTH versions — the document vanishes from the index entirely
+    * instead of serving its new text (spec-pinned, CurationSpec).
+    * Result ≡ `hashedShingleSketch(corpus with the new versions)` —
+    * the d58 gate replays that rebuild as its oracle — at
+    * O(|updated docs|) cost: one id anti-join plus the increment's
+    * own tokenization; the archive is never re-tokenized. Ids not
+    * previously present append cleanly (an upsert). */
+  def shingleSketchUpdate(sketch: DataFrame, newVersions: DataFrame,
+      textCol: String, idCol: String, k: Int = 5): DataFrame =
+    shingleSketchAppend(
+      shingleSketchRetract(sketch, newVersions.select(col(idCol)), k),
+      newVersions, textCol, idCol, k)
+
   /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —
     * the same cap+size tail [[hashedShingleIndex]] bakes at build
     * ([[capShingleRows]]), exposed so the streaming retract chain

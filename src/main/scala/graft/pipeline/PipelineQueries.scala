@@ -2878,6 +2878,70 @@ object PipelineQueries {
       |FROM codes c JOIN cells cl USING (vec_id)
       |ORDER BY c.vec_id""".stripMargin
 
+  // ---- e29: IVF-PQ index UPDATE (Similarity.ivfPqIndexUpdate) — the
+  // re-crawl edit path over the persisted ANN artifact (VERDICT r15
+  // missing item 1, the composition of e28's retract with the s15
+  // append face on ONE artifact): every 7th vector is re-crawled as a
+  // CHANGED version (its embedding reversed — routing cell and codes
+  // both move for a non-palindromic vector), the update face retracts
+  // the old list rows and appends the new versions re-encoded under
+  // the FROZEN quantizer, and the gate emits the updated listed face
+  // (e28's shape). The oracle keeps e28's full-corpus quantizer-sample
+  // CTEs (a re-crawl must not silently re-train the estimator) and
+  // encodes the UPDATED corpus: a from-scratch
+  // rebuild-with-the-new-versions under the frozen quantizer, so green
+  // certifies update ≡ rebuild including per-cell membership. The
+  // ordering hazard (append-before-retract anti-joins BOTH versions
+  // out — the vector vanishes instead of serving its new embedding) is
+  // spec-pinned in PipelineSpec. ----
+  private def e29(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding")
+    val newVersions = e.filter(col("vec_id") % 7 === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+    Similarity.ivfPqIndexUpdate(idx, newVersions, "vec_id", "embedding")
+      .listed
+      .select(col("cell"), col("nn_id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), "-").as("codes_str"))
+      .orderBy("vec_id")
+  }
+
+  private val e29Oracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
+      |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
+      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
+      |upd AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 7 = 3 THEN list_reverse(v) ELSE v END AS v
+      |  FROM e),
+      |assign AS (
+      |  SELECT x.vec_id, x.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+      |      ROUND(list_dot_product(x.v, s.v) /
+      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
+      |      s.cid DESC) AS rn
+      |  FROM upd x CROSS JOIN samp s),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |enc0 AS (
+      |  SELECT x.vec_id, js.j, s.c,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (x.v[js.j*8 + i] - s.v[js.j*8 + i])
+      |           * (x.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
+      |  FROM upd x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY j) AS codes_str
+      |  FROM enc GROUP BY vec_id)
+      |SELECT cl.cell, c.vec_id, c.codes_str
+      |FROM codes c JOIN cells cl USING (vec_id)
+      |ORDER BY c.vec_id""".stripMargin
+
   // ---- e23: graph-ANN SERVING over the production-built index
   // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the
   // round-10 verdict flagged as missing #1: e22 certifies the linear
@@ -3037,6 +3101,7 @@ object PipelineQueries {
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e27_nnd_retract", e27, Some(e27Oracle)),
     QueryDef("e28_ivfpq_retract", e28, Some(e28Oracle)),
+    QueryDef("e29_ivfpq_update", e29, Some(e29Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

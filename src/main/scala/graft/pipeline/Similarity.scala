@@ -771,6 +771,50 @@ object Similarity {
       .join(rem, index.listed("nn_id") === rem("rid"), "left_anti"))
   }
 
+  /** APPEND face of the IVF-PQ index artifact — the batch twin of the
+    * s15 streaming build: route and encode the new vectors under the
+    * FROZEN quantizer (centroids + codebook are trained parameters;
+    * every incremental face in this file keeps them fixed) and union
+    * the rows into `listed`. Cost is O(|increment|) encode work plus
+    * the union — archive rows are never re-read, re-routed, or
+    * re-encoded. The routing/encode expressions are the build's own
+    * (the s15 spec pins streamed ≡ batch), so append ≡
+    * rebuild-under-the-frozen-quantizer over the union, row for row.
+    * PRECONDITION: appended ids are NEW — the re-crawl upsert is
+    * [[ivfPqIndexUpdate]]. */
+  def ivfPqIndexAppend(index: IvfPqIndex, emb: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex = {
+    import graft.functions.PqAdc.pq_encode
+    val newRows = emb
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec"))
+      .select(
+        element_at(sort_array(index.cellScores(col("nn_vec")),
+          asc = false), 1).getField("c").as("cell"),
+        col("nn_id"),
+        pq_encode(col("nn_vec"), index.cb, index.dim).as("codes"))
+    // re-clustered by cell so the appended index keeps the build's
+    // fix-2 evaluation boundary and serving-join layout
+    index.copy(listed = index.listed.unionAll(newRows)
+      .repartition(col("cell")))
+  }
+
+  /** UPDATE face of the IVF-PQ index artifact — the re-crawl edit path
+    * (VERDICT r15 missing item 1): a changed vector is a retract of
+    * its old list row composed with an append of its re-encoded new
+    * version, against the same persisted artifact, under the same
+    * frozen quantizer. The order is load-bearing and fixed HERE:
+    * retract-then-append. Reversed (append the new encoding, then
+    * retract "the updated ids"), the anti-join removes BOTH versions'
+    * rows and the vector vanishes from the index instead of serving
+    * its new embedding (spec-pinned, PipelineSpec). Result ≡
+    * encode-the-updated-corpus-under-the-frozen-quantizer — the e29
+    * gate replays that rebuild in SQL — at O(|updated|) cost. Ids not
+    * previously present append cleanly (an upsert). */
+  def ivfPqIndexUpdate(index: IvfPqIndex, emb: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex =
+    ivfPqIndexAppend(ivfPqIndexRetract(index, emb.select(col(idCol))),
+      emb, idCol, vecCol)
+
   /** Residual IVF-PQ ANN top-k — the classic refinement over
     * [[ivfPqTopK]] (and the default in production ANN libraries): codes
     * quantize the RESIDUAL v − centroid(cell) instead of the raw vector.

@@ -668,6 +668,47 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("k=4"))
   }
 
+  test("shingleSketchUpdate: ≡ rebuild-with-the-new-versions through " +
+      "the serving view; append-before-retract loses the doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "red orange yellow green blue indigo violet"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val sketch = Dedup.hashedShingleSketch(df, "text", "doc_id", k = 5)
+    val newV = Seq(
+      (2L, "red orange yellow fresh green blue indigo violet"), // changed
+      (4L, "an upserted document never seen before right here")) // upsert
+      .toDF("doc_id", "text")
+    val updatedCorpus = df.filter(col("doc_id") =!= 2L).unionAll(newV)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val upd = Dedup.shingleSketchUpdate(sketch, newV, "text", "doc_id",
+      k = 5)
+    // sketch face ≡ from-scratch build over the corpus with the new
+    // versions (the changed doc serves its NEW shingles, the upsert
+    // appends cleanly)
+    assert(rows(upd) ===
+      rows(Dedup.hashedShingleSketch(updatedCorpus, "text", "doc_id",
+        k = 5)))
+    // serving view: df-cap and intrinsic n_c re-derive to the rebuild's
+    assert(rows(Dedup.shingleServingIndex(upd, k = 5, maxDf = 100)) ===
+      rows(Dedup.hashedShingleIndex(updatedCorpus, "text", "doc_id",
+        k = 5, maxDf = 100)))
+    // THE ORDERING HAZARD the update face exists to fix: appending the
+    // new version first, then retracting "the updated ids", anti-joins
+    // BOTH versions' postings out — the document vanishes from the
+    // index instead of serving its new text
+    val wrong = Dedup.shingleSketchRetract(
+      Dedup.shingleSketchAppend(sketch, newV, "text", "doc_id", k = 5),
+      newV.select("doc_id"), k = 5)
+    assert(wrong.filter(col("id").isin(2L, 4L)).count() === 0,
+      "reversed composition must demonstrate the vanished-doc bug")
+    assert(upd.filter(col("id") === 2L).count() > 0)
+  }
+
   test("winnowing guarantee: a shared w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     // w + k - 1 = 8 shared consecutive words embedded in different docs

@@ -449,6 +449,42 @@ class PipelineSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("ivf-pq update: retract-then-append ≡ frozen-quantizer re-encode " +
+      "of the updated corpus; append-before-retract loses the vector") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val newV = emb.filter(col("vec_id") % 7 === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+      .localCheckpoint(true)
+    val nUpd = newV.count()
+    assert(nUpd > 0, "fixture must yield a non-empty update batch")
+    val upd = Similarity.ivfPqIndexUpdate(idx, newV, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // estimator survives: a re-crawl must not silently re-train
+    assert(upd.centIds.toSeq === idx.centIds.toSeq)
+    assert(upd.cb.flatten.flatten.toSeq === idx.cb.flatten.flatten.toSeq)
+    // update ≡ the UPDATED corpus freshly routed + encoded under the
+    // frozen quantizer (kept archive rows' stored codes included —
+    // the e28 re-encode identity, now on the update path)
+    val updatedCorpus = emb.filter(col("vec_id") % 7 =!= 3).unionAll(newV)
+    val expected = Similarity.ivfPqIndexAppend(
+      idx.copy(listed = idx.listed.limit(0)), updatedCorpus,
+      "vec_id", "embedding")
+    assert(rows(upd.listed) === rows(expected.listed))
+    // load-bearing: at least one changed vector moved cell or codes
+    assert(rows(upd.listed) !== rows(idx.listed))
+    // THE ORDERING HAZARD: append the new encoding first, then retract
+    // "the updated ids" — the anti-join removes BOTH versions' rows and
+    // the vector vanishes instead of serving its new embedding
+    val wrong = Similarity.ivfPqIndexRetract(
+      Similarity.ivfPqIndexAppend(idx, newV, "vec_id", "embedding"),
+      newV.select("vec_id"))
+    assert(wrong.listed.filter(col("nn_id") % 7 === 3).count() === 0,
+      "reversed composition must demonstrate the vanished-vector bug")
+    assert(upd.listed.filter(col("nn_id") % 7 === 3).count() === nUpd)
+  }
+
   test("pq adc kernels reject out-of-range codes (cross-subspace read guard)") {
     import spark.implicits._
     import graft.functions.PqAdc.{pq_adc, pq_lut, pq_lut_adc}
