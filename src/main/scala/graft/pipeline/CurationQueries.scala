@@ -1191,7 +1191,7 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private val d56Oracle =
+  private[graft] val d56Oracle =
     s"""WITH $winnowCtes,
       |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
       |arch AS (SELECT * FROM fps

@@ -550,10 +550,24 @@ object Multimodal {
     * bucket-resurrection direction in the spec). */
   def videoIndexRetract(sketch: VideoIndex, removedDocIds: DataFrame,
       maxBucket: Int = 100): VideoIndex = {
+    val surv = videoSketchRetract(sketch, removedDocIds)
+    VideoIndex(capChunkRows(surv.chunks, maxBucket), surv.counts)
+  }
+
+  /** The sketch-maintenance HALF of [[videoIndexRetract]] — the
+    * video-family twin of [[phashSketchRetract]]: the uncapped
+    * survivor sketch pair (chunks + scene counts) a takedown batch
+    * leaves behind, persisted by the s26 streaming retract sink as the
+    * NEXT batch's retractable artifact. Chunk ids are PACKED
+    * doc·65536+scene, so the chunk anti-join keys on `id div 65536`;
+    * no cap (the bucket cap is a property of the SERVING view —
+    * bucket resurrection needs the uncapped rows). */
+  def videoSketchRetract(sketch: VideoIndex,
+      removedDocIds: DataFrame): VideoIndex = {
     val rem = Dedup.normalizeRemovedIds(removedDocIds)
-    val survChunks = sketch.chunks
-      .join(rem, expr("id div 65536") === col("rid"), "left_anti")
-    VideoIndex(capChunkRows(survChunks, maxBucket),
+    VideoIndex(
+      sketch.chunks
+        .join(rem, expr("id div 65536") === col("rid"), "left_anti"),
       sketch.counts.join(rem, sketch.counts("doc_id") === col("rid"),
         "left_anti"))
   }

@@ -2054,7 +2054,7 @@ object PipelineQueries {
       .orderBy("doc_new", "doc_arch")
   }
 
-  private val mm11Oracle = videoProbeOracle(
+  private[graft] val mm11Oracle = videoProbeOracle(
     akExtra = " AND (doc_id // 65536) % 7 <> 1",
     caExtra = " AND doc_id % 7 <> 1")
 

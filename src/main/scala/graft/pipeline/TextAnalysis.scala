@@ -349,14 +349,30 @@ object TextAnalysis {
     * the cap-resurrection face the gate fixtures are too small to
     * trigger). */
   def winnowIndexRetract(sketch: DataFrame, removedIds: DataFrame,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100): DataFrame =
+    winnowServingIndex(winnowSketchRetract(sketch, removedIds), maxDf)
+
+  /** The sketch-maintenance HALF of [[winnowIndexRetract]] — the
+    * fingerprint-family twin of `Dedup.shingleSketchRetract`: the
+    * uncapped survivor sketch a takedown batch leaves behind, persisted
+    * by the s25 streaming retract sink as the NEXT batch's retractable
+    * artifact. One doc-id anti-join; no cap (the df-cap is a property
+    * of the SERVING view — cap resurrection needs the uncapped rows). */
+  def winnowSketchRetract(sketch: DataFrame,
+      removedIds: DataFrame): DataFrame = {
     val rem = Dedup.normalizeRemovedIds(removedIds)
-    val surv = sketch.select(col("id"), col("fp"))
+    sketch.select(col("id"), col("fp"))
       .join(rem, col("id") === col("rid"), "left_anti")
-    // the SAME cap tail winnowIndex applies at build (minDf = 1: the
-    // index face admits single occupants) — shared, not re-stated
-    capFpRows(surv, minDf = 1, maxDf = maxDf)
   }
+
+  /** The capped SERVING view of an uncapped [[winnowSketch]] — the
+    * SAME cap tail [[winnowIndex]] bakes at build (minDf = 1: the index
+    * face admits single occupants), exposed so the streaming retract
+    * chain derives its probe index through the one shared
+    * implementation and cannot drift from the batch faces. */
+  def winnowServingIndex(sketch: DataFrame, maxDf: Int = 100): DataFrame =
+    capFpRows(sketch.select(col("id"), col("fp")), minDf = 1,
+      maxDf = maxDf)
 
   /** Incremental [[winnowMatchPairs]]: new documents fingerprinted and
     * matched against a prebuilt [[winnowIndex]] — the archive is never

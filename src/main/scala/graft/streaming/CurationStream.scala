@@ -145,9 +145,9 @@ object CurationStream {
     * chain, with the df-capped serving index (what
     * `incrementalPairsFromIndex` probes) re-derived per batch through
     * the one shared cap implementation. With s22 (groups), s23
-    * (image/audio hashes), and this, every dedup family whose
-    * takedowns arrive continuously has a certified streaming delete
-    * path. */
+    * (image/audio hashes), this (s24), s25 ([[winnowRetractSink]]) and
+    * s26 ([[videoRetractSink]]), every dedup family whose takedowns
+    * arrive continuously has a certified streaming delete path. */
   def shingleRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String, k: Int = 5,
       maxDf: Int = 100): DataStreamWriter[Row] =
@@ -168,6 +168,35 @@ object CurationStream {
       initName: String, checkpoint: String)(
       retractSketch: (DataFrame, DataFrame) => DataFrame,
       serveIndex: DataFrame => DataFrame): DataStreamWriter[Row] =
+    retractChainCore(takedowns, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        val prevSketch = sp.read.parquet(s"$prevDir/sketch")
+        // two consumers (persisted sketch + derived index) of one
+        // anti-join — materialize once, release after the writes
+        val surv = retractSketch(prevSketch, batch).localCheckpoint(false)
+        try {
+          surv.write.mode("overwrite").parquet(s"$outDir/sketch")
+          serveIndex(surv)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { surv.unpersist(blocking = false); () }
+    }
+
+  /** The chain DISCIPLINE shared by every takedown sink, independent of
+    * the family's artifact shape: per micro-batch, resolve the
+    * PREDECESSOR'S persisted artifact dir (init for batch 0, else the
+    * previous batch's) and hand the family's `step` both dirs to
+    * read → retract → overwrite. Read-predecessor (s16/s22): a
+    * replayed batch re-derives identical output from identical
+    * PERSISTED input, never driver state, so the per-batch overwrite
+    * is exactly-once; [[refuseStaleChain]] binds checkpoint and artDir
+    * lifetimes together (a lost checkpoint must not resurrect
+    * takedowns). Single-DataFrame sketches go through
+    * [[retractChainSink]]; multi-face artifacts (the video sketch's
+    * chunks + counts pair) parameterize this core directly. */
+  private def retractChainCore(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String)(
+      step: (SparkSession, DataFrame, String, String) => Unit)
+      : DataStreamWriter[Row] =
     takedowns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -184,16 +213,55 @@ object CurationStream {
         // artDir from a fresh snapshot).
         refuseStaleChain(sp, artDir, batchId)
         val prev = if (batchId == 0L) initName else (batchId - 1).toString
-        val prevSketch = sp.read.parquet(s"$artDir/$prev/sketch")
-        // two consumers (persisted sketch + derived index) of one
-        // anti-join — materialize once, release after the writes
-        val surv = retractSketch(prevSketch, batch).localCheckpoint(false)
-        try {
-          surv.write.mode("overwrite").parquet(s"$artDir/$batchId/sketch")
-          serveIndex(surv)
-            .write.mode("overwrite").parquet(s"$artDir/$batchId/index")
-        } finally { surv.unpersist(blocking = false); () }
+        step(sp, batch, s"$artDir/$prev", s"$artDir/$batchId")
       }
+
+  /** The WINNOW-family leg of the streaming retract column — the
+    * fingerprint twin of [[shingleRetractSink]] (s25): takedowns
+    * maintain a persisted uncapped
+    * [[graft.pipeline.TextAnalysis.winnowSketch]] chain, with the
+    * df-capped serving index (what [[winnowDedupSink]]'s probe reads)
+    * re-derived per batch through the one shared cap tail
+    * ([[graft.pipeline.TextAnalysis.winnowServingIndex]]). Documents
+    * are never re-tokenized or re-winnowed: per-batch cost is one
+    * anti-join + the df recount over the 8-byte-keyed sketch. */
+  def winnowRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    retractChainSink(takedowns, artDir, initName, checkpoint)(
+      graft.pipeline.TextAnalysis.winnowSketchRetract(_, _),
+      graft.pipeline.TextAnalysis.winnowServingIndex(_, maxDf))
+
+  /** The VIDEO-family leg of the streaming retract column (s26),
+    * closing the last batch-only retract face: the maintained artifact
+    * is the uncapped [[graft.pipeline.Multimodal.videoKeyframeSketch]]
+    * PAIR — packed keyframe chunk rows (`<id>/chunks`) plus per-video
+    * scene counts (`<id>/counts`, the coverage denominators a probe's
+    * half-coverage rollup reads) — and the bucket-capped serving chunk
+    * index derives per batch through the one shared cap tail
+    * (`<id>/index`). Same read-predecessor / refuse-stale-chain
+    * discipline as every other leg, through [[retractChainCore]];
+    * payloads are never re-decoded, re-segmented, or re-hashed. */
+  def videoRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    retractChainCore(takedowns, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        import graft.pipeline.Multimodal
+        val prev = Multimodal.VideoIndex(
+          sp.read.parquet(s"$prevDir/chunks"),
+          sp.read.parquet(s"$prevDir/counts"))
+        val surv = Multimodal.videoSketchRetract(prev, batch)
+        // chunks feed two writes (sketch + derived capped index);
+        // counts feed one and stay lazy
+        val chunks = surv.chunks.localCheckpoint(false)
+        try {
+          chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+          surv.counts.write.mode("overwrite").parquet(s"$outDir/counts")
+          Multimodal.phashServingIndex(chunks, maxBucket)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { chunks.unpersist(blocking = false); () }
+    }
 
   /** The chain-misbinding refusal shared by every retract sink: a
     * restart at batch 0 against an artifact dir that already holds

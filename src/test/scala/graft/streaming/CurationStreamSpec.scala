@@ -135,6 +135,94 @@ class CurationStreamSpec extends SparkSpec {
         takedowns.toSeq.toDF("doc_id"))))
   }
 
+  test("streamed winnow takedowns compose to the one-shot retract " +
+      "through the shared chain sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val arch = d.filter(col("doc_id") % 10 =!= 0)
+    val sketch0 = TextAnalysis.winnowSketch(arch, "text", "doc_id",
+      k = 5, w = 4).localCheckpoint(true)
+    val art = tmpDir("graft_wret")
+    sketch0.write.mode("overwrite").parquet(s"$art/init/sketch")
+    val takedowns = d
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(takedowns.length >= 2, "fixture must yield a takedown per batch")
+    val (b0, b1) = takedowns.splitAt(takedowns.length / 2)
+    val input = MemoryStream[Long]
+    val q = CurationStream.winnowRetractSink(input.toDF().toDF("doc_id"),
+      art, "init", s"$art/_cp").start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(s"$art/0/sketch")) ===
+      rows(TextAnalysis.winnowSketchRetract(sketch0,
+        b0.toSeq.toDF("doc_id"))))
+    assert(rows(spark.read.parquet(s"$art/1/sketch")) ===
+      rows(TextAnalysis.winnowSketchRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+    assert(rows(spark.read.parquet(s"$art/1/index")) ===
+      rows(TextAnalysis.winnowIndexRetract(sketch0,
+        takedowns.toSeq.toDF("doc_id"))))
+  }
+
+  test("streamed video takedowns compose to the one-shot retract on " +
+      "both artifact faces (chunks + counts) through the chain core") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val arch = media.filter(col("doc_id") % 10 =!= 0)
+    val sk0 = Multimodal.videoKeyframeSketch(
+      Multimodal.keyframeHashes(arch, frameBytes = 72, cutPm = 8L).toDF())
+    val sketch0 = Multimodal.VideoIndex(
+      sk0.chunks.localCheckpoint(true), sk0.counts.localCheckpoint(true))
+    val art = tmpDir("graft_vret")
+    sketch0.chunks.write.mode("overwrite").parquet(s"$art/init/chunks")
+    sketch0.counts.write.mode("overwrite").parquet(s"$art/init/counts")
+    val takedowns = d
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(takedowns.length >= 2, "fixture must yield a takedown per batch")
+    val (b0, b1) = takedowns.splitAt(takedowns.length / 2)
+    val input = MemoryStream[Long]
+    val q = CurationStream.videoRetractSink(input.toDF().toDF("doc_id"),
+      art, "init", s"$art/_cp").start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // prefix 0 == one-shot sketch retract of b0 (both faces)
+    val ret0 = Multimodal.videoSketchRetract(sketch0,
+      b0.toSeq.toDF("doc_id"))
+    assert(rows(spark.read.parquet(s"$art/0/chunks")) === rows(ret0.chunks))
+    assert(rows(spark.read.parquet(s"$art/0/counts")) === rows(ret0.counts))
+    // final state composes to the union's one-shot retract, and the
+    // serving index is the batch face's one-shot output
+    val retAll = Multimodal.videoIndexRetract(sketch0,
+      takedowns.toSeq.toDF("doc_id"))
+    val sketchAll = Multimodal.videoSketchRetract(sketch0,
+      takedowns.toSeq.toDF("doc_id"))
+    assert(rows(spark.read.parquet(s"$art/1/chunks")) ===
+      rows(sketchAll.chunks))
+    assert(rows(spark.read.parquet(s"$art/1/counts")) ===
+      rows(retAll.counts))
+    assert(rows(spark.read.parquet(s"$art/1/index")) ===
+      rows(retAll.chunks))
+  }
+
   test("retract chain refuses a batch-0 restart against an existing " +
       "artifact chain (lost checkpoint must not resurrect takedowns)") {
     import spark.implicits._
