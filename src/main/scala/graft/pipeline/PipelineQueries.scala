@@ -2845,27 +2845,34 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  private val e28Oracle =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The IVF-PQ listed-face rebuild oracle shared by e28 (retract),
+    * e29 (update) and e31 (migrate): train the 16-row sha-sampled
+    * quantizer over `sampSrc`, route + PQ-encode `encSrc`, emit
+    * (cell, vec_id, codes_str). The three gate rows differ ONLY in
+    * which corpus face trains the ESTIMATOR vs which rows are the
+    * EVIDENCE — exactly the line the engine faces draw (retract/update
+    * freeze the quantizer; migrate deliberately re-trains it). */
+  private def ivfPqListedOracle(extraCtes: String, sampSrc: String,
+      encSrc: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),$extraCtes
       |samp AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
       |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
-      |        FROM e ORDER BY sha, vec_id LIMIT 16)),
-      |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+      |        FROM $sampSrc ORDER BY sha, vec_id LIMIT 16)),
       |assign AS (
       |  SELECT x.vec_id, x.v, s.cid,
       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
       |      ROUND(list_dot_product(x.v, s.v) /
       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
       |      s.cid DESC) AS rn
-      |  FROM surv x CROSS JOIN samp s),
+      |  FROM $encSrc x CROSS JOIN samp s),
       |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
       |enc0 AS (
       |  SELECT x.vec_id, js.j, s.c,
       |    list_sum(list_transform(generate_series(1, 8),
       |      i -> (x.v[js.j*8 + i] - s.v[js.j*8 + i])
       |           * (x.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
-      |  FROM surv x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |  FROM $encSrc x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
       |enc AS (
       |  SELECT vec_id, j, c FROM (
       |    SELECT vec_id, j, c,
@@ -2877,6 +2884,11 @@ object PipelineQueries {
       |SELECT cl.cell, c.vec_id, c.codes_str
       |FROM codes c JOIN cells cl USING (vec_id)
       |ORDER BY c.vec_id""".stripMargin
+
+  private val e28Oracle = ivfPqListedOracle(
+    """
+      |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),""".stripMargin,
+    sampSrc = "e", encSrc = "surv")
 
   // ---- e29: IVF-PQ index UPDATE (Similarity.ivfPqIndexUpdate) — the
   // re-crawl edit path over the persisted ANN artifact (VERDICT r15
@@ -2906,41 +2918,153 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  private val e29Oracle =
+  private val e29Oracle = ivfPqListedOracle(
+    """
+      |upd AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 7 = 3 THEN list_reverse(v) ELSE v END AS v
+      |  FROM e),""".stripMargin,
+    sampSrc = "e", encSrc = "upd")
+
+  // ---- e30: recall-after-heavy-retract — the index-QUALITY face of
+  // the delete lifecycle, e26's twin on the retract side (VERDICT r15
+  // missing item 3): e28 certifies the retracted artifact is exactly
+  // the frozen-quantizer rebuild, but after a MASS takedown the frozen
+  // estimator drifts from the surviving distribution and recall decays
+  // with no row-level certification ever failing. This row measures
+  // the thing an operator pages on: recall@5 of serve-after-retract
+  // (two thirds of the archive retracted, queries survive) vs brute
+  // force over the survivors — the instrument that says WHEN to pay
+  // for migrateIvfPqIndex (e31, whose re-train is the refresh this
+  // number triggers). Oracle = e18's serve/exact/recall chain with the
+  // quantizer CTEs kept FULL-corpus (frozen) and cells/codes/exact
+  // restricted to survivors. ----
+  private def e30(s: SparkSession, dir: String): DataFrame = {
+    // five consumers of the small vector table (build, takedown list,
+    // survivor serve + brute force) — pinned once, the e26 shape
+    val e = emb(s, dir).localCheckpoint(false)
+    val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding")
+    val removed = e.filter(col("vec_id") >= 20 && col("vec_id") % 3 =!= 0)
+      .select("vec_id")
+    val surv = e.join(removed, Seq("vec_id"), "left_anti")
+    val ret = Similarity.ivfPqIndexRetract(idx, removed)
+    val approx = Similarity.ivfPqQuery(ret, surv, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val exact = Similarity.bruteForceTopK(surv, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e30Oracle =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |surv AS (SELECT vec_id, v FROM e WHERE vec_id < 20 OR vec_id % 3 = 0),
+      |q AS (SELECT * FROM surv WHERE vec_id < 20),
+      |sc AS (
+      |  SELECT q.vec_id AS q_id, t.vec_id AS nn_id,
+      |    ROUND(list_dot_product(q.v, t.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 6) AS sim
+      |  FROM q JOIN surv t ON q.vec_id <> t.vec_id),
+      |er AS (
+      |  SELECT q_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rank
+      |  FROM sc),
       |samp AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY sha, vec_id) - 1 AS c, vec_id AS cid, v
       |  FROM (SELECT vec_id, v, sha256(CAST(vec_id AS VARCHAR)) AS sha
       |        FROM e ORDER BY sha, vec_id LIMIT 16)),
-      |upd AS (
-      |  SELECT vec_id,
-      |    CASE WHEN vec_id % 7 = 3 THEN list_reverse(v) ELSE v END AS v
-      |  FROM e),
       |assign AS (
       |  SELECT x.vec_id, x.v, s.cid,
       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
       |      ROUND(list_dot_product(x.v, s.v) /
       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(s.v, s.v))), 9) DESC,
       |      s.cid DESC) AS rn
-      |  FROM upd x CROSS JOIN samp s),
+      |  FROM surv x CROSS JOIN samp s),
       |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cid AS cell FROM assign
+      |  WHERE vec_id < 20 AND rn <= 4),
       |enc0 AS (
       |  SELECT x.vec_id, js.j, s.c,
       |    list_sum(list_transform(generate_series(1, 8),
       |      i -> (x.v[js.j*8 + i] - s.v[js.j*8 + i])
       |           * (x.v[js.j*8 + i] - s.v[js.j*8 + i]))) AS d
-      |  FROM upd x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
+      |  FROM surv x CROSS JOIN generate_series(0, 7) AS js(j) CROSS JOIN samp s),
       |enc AS (
       |  SELECT vec_id, j, c FROM (
       |    SELECT vec_id, j, c,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
       |    FROM enc0) WHERE rn = 1),
-      |codes AS (
-      |  SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY j) AS codes_str
-      |  FROM enc GROUP BY vec_id)
-      |SELECT cl.cell, c.vec_id, c.codes_str
-      |FROM codes c JOIN cells cl USING (vec_id)
-      |ORDER BY c.vec_id""".stripMargin
+      |recon AS (
+      |  SELECT enc.vec_id,
+      |    flatten(list(s.v[enc.j*8+1 : enc.j*8+8] ORDER BY enc.j)) AS rv
+      |  FROM enc JOIN samp s ON s.c = enc.c
+      |  GROUP BY enc.vec_id),
+      |adc AS (
+      |  SELECT p.q_id, cl.vec_id AS nn_id,
+      |    ROUND(list_sum(list_transform(generate_series(0, 7),
+      |      j -> list_sum(list_transform(generate_series(1, 8),
+      |        i -> (p.qv[j*8+i] - r.rv[j*8+i])
+      |             * (p.qv[j*8+i] - r.rv[j*8+i]))))), 6) AS adist
+      |  FROM probes p
+      |  JOIN cells cl ON p.cell = cl.cell AND p.q_id <> cl.vec_id
+      |  JOIN recon r ON r.vec_id = cl.vec_id),
+      |rk AS (
+      |  SELECT q_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rank
+      |  FROM adc),
+      |ex AS (SELECT q_id, nn_id FROM er WHERE rank <= 5),
+      |ap AS (SELECT q_id, nn_id FROM rk WHERE rank <= 5),
+      |h AS (
+      |  SELECT ex.q_id, COUNT(*) AS hits
+      |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.nn_id = ap.nn_id
+      |  GROUP BY ex.q_id),
+      |b AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY q_id)
+      |SELECT b.q_id, COALESCE(h.hits, 0)::BIGINT AS hits, b.k::BIGINT AS k,
+      |  CAST(COALESCE(h.hits, 0) * 100 / b.k AS BIGINT) AS recall_pct
+      |FROM b LEFT JOIN h ON h.q_id = b.q_id
+      |ORDER BY b.q_id""".stripMargin
+
+  // ---- e31: IVF-PQ index MIGRATION (Similarity.migrateIvfPqIndex) —
+  // the re-train/refresh face behind e30's drift instrument (VERDICT
+  // r15 missing item 3; the IVF-PQ twin of the NndIndex family's
+  // migrateNndIndex): after e30's heavy takedown (two thirds of the
+  // archive), re-train centroids AND codebook on the survivors and
+  // re-encode them — the one operation in this family that
+  // deliberately breaks the frozen-quantizer discipline, because the
+  // estimator itself drifted. Emits the migrated listed face (e28's
+  // shape); the oracle is the shared listed-face chain with BOTH the
+  // quantizer sample and the encoded rows over the survivors — a
+  // from-scratch re-trained rebuild, so green certifies migrate ≡
+  // buildIvfPqIndex(survivors) end to end in SQL; the fresh-build
+  // equivalence on all faces plus serve-after-migrate exclusion are
+  // spec-pinned in PipelineSpec. ----
+  private def e31(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding")
+    val removed = e.filter(col("vec_id") >= 20 && col("vec_id") % 3 =!= 0)
+      .select("vec_id")
+    Similarity.migrateIvfPqIndex(idx, e, "vec_id", "embedding", removed)
+      .listed
+      .select(col("cell"), col("nn_id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), "-").as("codes_str"))
+      .orderBy("vec_id")
+  }
+
+  private val e31Oracle = ivfPqListedOracle(
+    """
+      |surv AS (SELECT vec_id, v FROM e WHERE vec_id < 20 OR vec_id % 3 = 0),""".stripMargin,
+    sampSrc = "surv", encSrc = "surv")
 
   // ---- e23: graph-ANN SERVING over the production-built index
   // (Similarity.graphServeTopK ∘ nnDescentAdj) — the composition the
@@ -3102,6 +3226,8 @@ object PipelineQueries {
     QueryDef("e27_nnd_retract", e27, Some(e27Oracle)),
     QueryDef("e28_ivfpq_retract", e28, Some(e28Oracle)),
     QueryDef("e29_ivfpq_update", e29, Some(e29Oracle)),
+    QueryDef("e30_retract_recall", e30, Some(e30Oracle)),
+    QueryDef("e31_ivfpq_migrate", e31, Some(e31Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

@@ -485,6 +485,40 @@ class PipelineSpec extends SparkSpec {
     assert(upd.listed.filter(col("nn_id") % 7 === 3).count() === nUpd)
   }
 
+  test("ivf-pq migrate: re-trains both quantizers on the survivors ≡ " +
+      "fresh build; serve-after-migrate never returns a retracted id") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val removed = emb
+      .filter(col("vec_id") >= 20 && col("vec_id") % 3 =!= 0)
+      .select("vec_id").localCheckpoint(true)
+    assert(removed.count() > 0, "fixture must yield a non-empty takedown")
+    val surv = emb.join(removed, Seq("vec_id"), "left_anti")
+    val mig = Similarity.migrateIvfPqIndex(idx, emb, "vec_id",
+      "embedding", removed)
+    val fresh = Similarity.buildIvfPqIndex(surv, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // migrate ≡ fresh-build-over-survivors on EVERY face
+    assert(mig.centIds.toSeq === fresh.centIds.toSeq)
+    assert(mig.cents.flatten.toSeq === fresh.cents.flatten.toSeq)
+    assert(mig.cb.flatten.flatten.toSeq === fresh.cb.flatten.flatten.toSeq)
+    assert(rows(mig.listed) === rows(fresh.listed))
+    // the re-train is load-bearing at a 2/3 takedown: the survivor
+    // sample diverges from the frozen quantizer's (this is the drift
+    // e30's recall row instruments and migration repairs)
+    assert(mig.centIds.toSeq !== idx.centIds.toSeq,
+      "a 2/3 takedown left the quantizer sample unchanged — the " +
+        "fixture no longer exercises the re-train")
+    // serve-after-migrate: a retracted id is never returned
+    val removedSet = removed.collect().map(_.getLong(0)).toSet
+    val served = Similarity
+      .ivfPqQuery(mig, surv, "vec_id", "embedding", _ < 20, k = 5)
+      .collect().map(_.getLong(2))
+    assert(served.nonEmpty && !served.exists(removedSet.contains),
+      "a retracted id leaked out of the migrated serve")
+  }
+
   test("pq adc kernels reject out-of-range codes (cross-subspace read guard)") {
     import spark.implicits._
     import graft.functions.PqAdc.{pq_adc, pq_lut, pq_lut_adc}
