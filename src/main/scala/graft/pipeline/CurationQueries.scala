@@ -1161,11 +1161,63 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private val d58Oracle = incrementalDedupOracle(docsSrc =
+  // shared with the s31 streaming gate: sequential per-batch updates
+  // over the maintained sketch chain compose to the one-shot update,
+  // so the same rebuild-with-the-new-versions oracle adjudicates both
+  private[graft] val d58Oracle = incrementalDedupOracle(docsSrc =
     """(SELECT doc_id,
       |   CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
       |        THEN text || ' ' || text ELSE text END AS text
       | FROM documents)""".stripMargin)
+
+  // ---- d59: WINNOW-index UPDATE (TextAnalysis.winnowSketchUpdate) —
+  // the re-crawl edit path for the fingerprint family, d58's twin:
+  // every archive doc with doc_id % 7 = 1 is re-crawled as a CHANGED
+  // version (text doubled — the winnow window walk shifts, so the
+  // selected fingerprints move, not just grow), the update face
+  // retracts the old versions' fingerprints and appends the new
+  // versions' against the same uncapped sketch, and the d54 increment
+  // probes the re-derived serving index. Oracle = d54's chain over
+  // the corpus-with-new-versions (rebuild-with-them); the
+  // retract-then-append ordering is spec-pinned in UpdateFacesSpec. ----
+  private def d59(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val sketch = TextAnalysis.winnowSketch(arch, "text", "doc_id",
+      k = 5, w = 4)
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val updated = TextAnalysis.winnowSketchUpdate(sketch, newVersions,
+      "text", "doc_id", k = 5, w = 4)
+    TextAnalysis.winnowProbeMatches(d.filter(isNew),
+        TextAnalysis.winnowServingIndex(updated, maxDf = 100),
+        "text", "doc_id", k = 5, w = 4, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** The re-crawled corpus every UPDATE-face oracle replays its family
+    * chain over: archive docs (doc_id % 10 <> 0) with doc_id % 7 = 1
+    * carry their new (doubled) text, everything else is unchanged —
+    * the SQL twin of the gates' `concat(text, ' ', text)`. */
+  private[graft] val updatedDocsSrc =
+    """(SELECT doc_id,
+      |   CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
+      |        THEN text || ' ' || text ELSE text END AS text
+      | FROM documents)""".stripMargin
+
+  private val d59Oracle =
+    s"""WITH ${winnowCtesFrom(updatedDocsSrc)},
+      |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      |arch AS (SELECT * FROM fps WHERE doc_id % 10 <> 0),
+      |probe AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+      |ok AS (SELECT fp FROM arch GROUP BY fp HAVING COUNT(*) <= 100),
+      |ai AS (SELECT arch.* FROM arch JOIN ok USING (fp))
+      |SELECT probe.doc_id AS new_id, ai.doc_id AS corpus_id,
+      |  COUNT(*)::BIGINT AS shared
+      |FROM probe JOIN ai USING (fp)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY new_id, corpus_id""".stripMargin
 
   // ---- d56: winnow-index RETRACTION (TextAnalysis.winnowIndexRetract)
   // — the fingerprint-family twin of d55's dedup-groups retract: the
@@ -1280,9 +1332,14 @@ object CurationQueries {
     * oracles (s18 reuses d54Oracle whole, not this fragment). A `def`,
     * not a `val`: d54Oracle interpolates it from EARLIER in this
     * object's initialization order (a val would still be null there). */
-  private def winnowCtes: String =
-    """wds AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+  private def winnowCtes: String = winnowCtesFrom("documents")
+
+  /** [[winnowCtes]] over an arbitrary documents source — the d59
+    * update oracle replays the winnow chain against the
+    * corpus-with-new-versions (the d58 docsSrc pattern). */
+  private def winnowCtesFrom(docsSrc: String): String =
+    s"""wds AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM $docsSrc),
       |sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
       |    i -> {'pos': i, 'h': ('0x' || substr(sha256(
@@ -1342,6 +1399,7 @@ object CurationQueries {
     QueryDef("d56_winnow_retract", d56, Some(d56Oracle)),
     QueryDef("d57_shingle_retract", d57, Some(d57Oracle)),
     QueryDef("d58_shingle_update", d58, Some(d58Oracle)),
+    QueryDef("d59_winnow_update", d59, Some(d59Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
     QueryDef("d46_source_overlap", d46, Some(d46Oracle)),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a 100 TB training-data pipeline.
@@ -634,6 +634,26 @@ object Dedup {
     shingleSketchAppend(
       shingleSketchRetract(sketch, newVersions.select(col(idCol)), k),
       newVersions, textCol, idCol, k)
+
+  /** Base-snapshot faces for the shingle family's O(delta) retract
+    * chain ([[DeltaRetract]]): the uncapped sketch, its per-shingle
+    * build counts, the capped serving view (derived through the one
+    * shared [[shingleServingIndex]] tail so the delta chain cannot
+    * drift on cap semantics), plus the family-specific `sizes` face —
+    * (id, n_c), the pre-cap per-doc distinct-shingle count a
+    * resurrected posting must carry back into the serving view (n_c is
+    * intrinsic to the document, so the build-time count stays correct
+    * for survivors forever). One tokenize pass: every derived face
+    * reads the persisted sketch. */
+  def shingleDeltaBase(sp: SparkSession, corpus: DataFrame,
+      textCol: String, idCol: String, baseDir: String, k: Int = 5,
+      maxDf: Int = 100): Unit = {
+    val sk = DeltaRetract.initBase(sp, baseDir,
+      hashedShingleSketch(corpus, textCol, idCol, k),
+      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
+    sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+      .write.mode("overwrite").parquet(s"$baseDir/sizes")
+  }
 
   /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —
     * the same cap+size tail [[hashedShingleIndex]] bakes at build

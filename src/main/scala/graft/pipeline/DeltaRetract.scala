@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O(delta) maintenance of a CAPPED serving index under continuous
+  * takedowns — the successor to the per-batch full recount the
+  * streaming retract chain shipped with (VERDICT r15 "what's wrong"
+  * item 1: `shingleServingIndex` / `phashServingIndex` re-aggregate
+  * document frequency over the ENTIRE surviving sketch every
+  * micro-batch, an archive-proportional shuffle per takedown batch).
+  *
+  * The algebra that makes a delta possible: retraction only ever
+  * DECREMENTS a key's count, so
+  *
+  *   - a serving row (its key was under the cap) stays valid until its
+  *     OWN document is tombstoned — no recheck needed;
+  *   - the only rows that ever ENTER the serving view are cap
+  *     resurrections: a key whose count crosses from above `maxCnt` to
+  *     at-or-below it, which happens AT MOST ONCE per key (counts are
+  *     monotone under retraction);
+  *   - whether a key crosses this batch is decidable from its BUILD
+  *     count (persisted once), the accumulated prior decrements
+  *     (delta-sized), and this batch's decrements (computed from the
+  *     takedown docs' own postings).
+  *
+  * So the maintained artifact is the base snapshot plus PER-BATCH
+  * delta faces, and per-batch WRITES are delta-sized:
+  *
+  *   baseDir/sketch      uncapped (id, key…) postings — written once
+  *   baseDir/stats       (key…, cnt) build counts — written once
+  *   baseDir/index       the capped serving view at build — written once
+  *   artDir/<b>/tombs      this batch's takedown ids (rid)
+  *   artDir/<b>/statsdelta (key…, dec) — decrements from the takedown
+  *                         docs' postings, NOT from a sketch recount
+  *   artDir/<b>/resurrect  serving-shaped rows admitted this batch
+  *
+  * and the serving view at batch b is assembled WITHOUT any
+  * archive-wide aggregate:
+  *
+  *   (base index ∪ resurrect/0..b) ⟕̸ tombs/0..b   (id anti-join)
+  *
+  * Per-batch SHUFFLED bytes are delta-proportional: every join against
+  * a base face broadcasts the delta side (takedown ids, candidate
+  * keys), so the base sketch/stats are only ever SCANNED map-side —
+  * and the resurrection scan short-circuits to zero when no key
+  * crosses the cap (the common case; `candidates.count()` is a
+  * delta-sized aggregate, driver-safe). The residual archive-
+  * proportional cost is those map-side scans of 8–16-byte-keyed rows;
+  * at cluster scale both lookups prune to touched files under an
+  * id-/key-bucketed layout, and neither pays the recount's
+  * archive-wide hash aggregate (measured: `ScaleProbe delta`).
+  *
+  * Equivalence contract (spec-pinned, DeltaRetractSpec; gates s27/s28
+  * replay it under the driver oracle): after every batch,
+  * [[servingView]] is row-identical to the recount
+  * (`shingleServingIndex(shingleSketchRetract(…))` and the phash
+  * twin), cap resurrection included. Read-predecessor discipline
+  * (s16/s22): batch b reads only the base faces and batches 0..b-1,
+  * overwrites only its own faces — a replayed batch re-derives
+  * identical output from identical persisted input. */
+object DeltaRetract {
+
+  /** Write the base (build-time) faces: the uncapped sketch, its
+    * per-key build counts, and the capped serving view — the latter
+    * through the FAMILY's own serving function so delta maintenance
+    * cannot drift from the batch faces on cap semantics. The sketch is
+    * persisted first and every derived face computed from the re-read
+    * persisted rows (one upstream materialization, and what the chain
+    * later reads is byte-identical to what the derivations saw).
+    * Returns the re-read sketch so family wrappers can derive extra
+    * faces (the shingle family's `sizes`) without re-tokenizing. */
+  def initBase(sp: SparkSession, baseDir: String, sketch: DataFrame,
+      keyCols: Seq[String])(serveIndex: DataFrame => DataFrame)
+      : DataFrame = {
+    sketch.write.mode("overwrite").parquet(s"$baseDir/sketch")
+    val sk = sp.read.parquet(s"$baseDir/sketch")
+    sk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$baseDir/stats")
+    serveIndex(sk).write.mode("overwrite").parquet(s"$baseDir/index")
+    sk
+  }
+
+  /** One takedown batch of the delta chain: write this batch's three
+    * delta faces (tombs, statsdelta, resurrect) from the base faces
+    * and batches 0..batchId-1 only. `decorate` maps resurrected SKETCH
+    * rows to serving-index-shaped rows (the shingle family joins its
+    * per-doc `n_c` back on; the phash family's sketch rows already ARE
+    * serving-shaped); the result is column-aligned to the base index
+    * before writing. Idempotent per batch: inputs are persisted faces
+    * of STRICTLY EARLIER batches, outputs overwrite, and every
+    * downstream consumer inside the step re-reads what was just
+    * persisted rather than trusting the in-flight plan. */
+  def step(sp: SparkSession, artDir: String, initName: String,
+      batchId: Long, takedownIds: DataFrame, keyCols: Seq[String],
+      maxCnt: Int, decorate: DataFrame => DataFrame,
+      docId: org.apache.spark.sql.Column = col("id")): Unit = {
+    val base = s"$artDir/$initName"
+    val baseSketch = sp.read.parquet(s"$base/sketch")
+    val idxCols = sp.read.parquet(s"$base/index").columns.toSeq
+    val keyCs = keyCols.map(col)
+
+    val priorTombs =
+      if (batchId == 0L) Dedup.normalizeRemovedIds(takedownIds).limit(0)
+      else sp.read.parquet(
+        (0L until batchId).map(i => s"$artDir/$i/tombs"): _*)
+    // drop ids already tombstoned (a re-submitted takedown must not
+    // decrement its postings a second time)
+    Dedup.normalizeRemovedIds(takedownIds)
+      .join(priorTombs.select(col("rid").as("prid")),
+        col("rid") === col("prid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
+    val rids = sp.read.parquet(s"$artDir/$batchId/tombs")
+
+    // decrements from the takedown docs' OWN postings — an id-keyed
+    // lookup into the base sketch (broadcast delta side; prunes to
+    // touched files under an id-bucketed layout), never a recount
+    baseSketch.join(broadcast(rids), docId === col("rid"))
+      .groupBy(keyCs: _*).agg(count(lit(1)).as("dec"))
+      .write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
+    val dec = sp.read.parquet(s"$artDir/$batchId/statsdelta")
+
+    val priorDec =
+      if (batchId == 0L) dec.withColumnRenamed("dec", "pdec").limit(0)
+      else sp.read.parquet(
+          (0L until batchId).map(i => s"$artDir/$i/statsdelta"): _*)
+        .groupBy(keyCs: _*).agg(sum("dec").as("pdec"))
+
+    // cap-crossing keys: above the cap BEFORE this batch (build count
+    // minus prior decrements), at-or-below it after — checked only for
+    // keys this batch actually decremented
+    val candidates = dec
+      .join(sp.read.parquet(s"$base/stats"), keyCols)
+      .join(priorDec, keyCols, "left")
+      .na.fill(0L, Seq("pdec"))
+      .filter(col("cnt") - col("pdec") > maxCnt &&
+        col("cnt") - col("pdec") - col("dec") <= maxCnt)
+      .select(keyCs: _*)
+      .localCheckpoint(true)
+    val resurrect =
+      if (candidates.isEmpty)
+        sp.read.parquet(s"$base/index").limit(0)
+      else {
+        val allTombs = priorTombs.unionAll(rids)
+        decorate(baseSketch.join(broadcast(candidates), keyCols))
+          .join(allTombs, docId === col("rid"), "left_anti")
+          .select(idxCols.map(col): _*)
+      }
+    resurrect.write.mode("overwrite")
+      .parquet(s"$artDir/$batchId/resurrect")
+    candidates.unpersist(blocking = false)
+    ()
+  }
+
+  /** The serving view after batch `upTo` — base index plus every
+    * admitted resurrection, minus every tombstoned document. No
+    * aggregate anywhere: one union and one id anti-join against the
+    * (delta-sized) accumulated tombstones. Row-identical to the
+    * from-scratch recount over the surviving sketch (the spec-pinned
+    * equivalence). */
+  def servingView(sp: SparkSession, artDir: String, initName: String,
+      upTo: Long,
+      docId: org.apache.spark.sql.Column = col("id")): DataFrame = {
+    val idx = sp.read.parquet(s"$artDir/$initName/index")
+    val res = sp.read.parquet(
+      (0L to upTo).map(i => s"$artDir/$i/resurrect"): _*)
+    // no broadcast hint: per-batch tombs are tiny but the ACCUMULATED
+    // history is unbounded over a chain's lifetime — let AQE promote
+    // the anti-join to broadcast while it fits instead of forcing it
+    idx.unionByName(res.select(idx.columns.map(col): _*))
+      .join(tombstones(sp, artDir, upTo), docId === col("rid"),
+        "left_anti")
+  }
+
+  /** The accumulated tombstones through batch `upTo` — exposed for
+    * family faces the generic view does not assemble (the video
+    * family's per-doc scene counts are maintained as base counts ∖
+    * tombstones at view time, the same algebra as the index face). */
+  def tombstones(sp: SparkSession, artDir: String,
+      upTo: Long): DataFrame =
+    sp.read.parquet((0L to upTo).map(i => s"$artDir/$i/tombs"): _*)
+}

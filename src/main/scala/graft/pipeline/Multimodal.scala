@@ -352,6 +352,53 @@ object Multimodal {
     sketch.join(rem, col("id") === col("rid"), "left_anti")
   }
 
+  /** Base-snapshot faces for the hash family's O(delta) retract chain
+    * ([[graft.pipeline.DeltaRetract]]): uncapped chunk sketch,
+    * per-(chunk, chunk_val) build bucket counts, and the capped serving
+    * view — derived through the one shared [[phashServingIndex]] tail.
+    * No extra face: a chunk row already carries everything the serving
+    * index needs (id, both hash words, chunk, chunk_val), so a
+    * resurrected row is serving-shaped as-is. Serves image AND audio
+    * (both emit the two-word PHashRow face). */
+  def phashDeltaBase(sp: SparkSession, hashes: DataFrame,
+      baseDir: String, maxBucket: Int = 100): Unit = {
+    DeltaRetract.initBase(sp, baseDir, phashChunkSketch(hashes),
+      Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
+    ()
+  }
+
+  /** UPDATE face of the image/audio hash-sketch artifact — the
+    * re-crawl edit path for re-encoded or re-fetched media: a changed
+    * payload is a retract of the doc's OLD chunk rows composed with an
+    * append of its NEW fingerprint's, against the same persisted
+    * uncapped sketch. Composition order fixed HERE (retract-then-
+    * append, the d58 ordering contract — the reverse drops the doc
+    * from the index entirely). `newHashes` carries the RE-FINGERPRINTED
+    * payloads (the only stage that touches bytes, upstream map-side);
+    * result ≡ `phashChunkSketch(updated corpus hashes)` (gate mm14),
+    * at O(|updated docs|) cost. Upserts compose cleanly. */
+  def phashSketchUpdate(sketch: DataFrame,
+      newHashes: DataFrame): DataFrame =
+    phashSketchRetract(sketch, newHashes.select("doc_id").distinct())
+      .unionByName(phashChunkSketch(newHashes))
+
+  /** UPDATE face of the two-face video-sketch artifact: retract the
+    * changed videos' packed chunk rows AND scene counts, then append
+    * the new versions' (a re-edited video changes BOTH faces — its
+    * scene segmentation moves, so the coverage denominators must move
+    * with the postings or the half-coverage rollup silently divides by
+    * the stale cut count). Same fixed retract-then-append ordering as
+    * every update face (d58 contract); ≡ `videoKeyframeSketch(updated
+    * corpus keyframes)` on both faces (gate mm15). */
+  def videoSketchUpdate(sketch: VideoIndex,
+      newKeyframes: DataFrame): VideoIndex = {
+    val surv = videoSketchRetract(sketch,
+      newKeyframes.select("doc_id").distinct())
+    val inc = videoKeyframeSketch(newKeyframes)
+    VideoIndex(surv.chunks.unionByName(inc.chunks),
+      surv.counts.unionByName(inc.counts))
+  }
+
   /** The capped SERVING view of an uncapped [[phashChunkSketch]] — the
     * same cap tail [[phashChunkIndex]] bakes at build, exposed so a
     * pipeline that persists the sketch and derives the index (the
@@ -536,6 +583,40 @@ object Multimodal {
     val kf = keyframes.localCheckpoint(false)
     VideoIndex(phashChunks(packKids(kf)),
       kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes")))
+  }
+
+  /** Base-snapshot faces for the video family's O(delta) retract chain
+    * ([[graft.pipeline.DeltaRetract]]): the uncapped packed-keyframe
+    * chunk sketch with its bucket build counts and capped serving view
+    * (the generic three faces), plus the family-specific `counts` face
+    * — (doc_id, n_scenes), the coverage denominators a probe's
+    * half-coverage rollup reads. Counts are intrinsic per video (the
+    * n_c algebra), so delta maintenance of that face is pure view
+    * assembly: base counts ∖ tombstones, no per-batch write at all
+    * ([[videoDeltaServing]]). */
+  def videoDeltaBase(sp: SparkSession, keyframes: DataFrame,
+      baseDir: String, maxBucket: Int = 100): Unit = {
+    val kf = keyframes.localCheckpoint(false)
+    try {
+      DeltaRetract.initBase(sp, baseDir, phashChunks(packKids(kf)),
+        Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
+      kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+        .write.mode("overwrite").parquet(s"$baseDir/counts")
+    } finally { kf.unpersist(blocking = false); () }
+  }
+
+  /** The video family's serving [[VideoIndex]] after delta batch
+    * `upTo`: the generic capped-chunk view (tombstone matching keys on
+    * the PACKED id's document half, `id div 65536`) paired with the
+    * survivor scene counts. */
+  def videoDeltaServing(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long): VideoIndex = {
+    val tombs = DeltaRetract.tombstones(sp, artDir, upTo)
+    VideoIndex(
+      DeltaRetract.servingView(sp, artDir, initName, upTo,
+        docId = expr("id div 65536")),
+      sp.read.parquet(s"$artDir/$initName/counts")
+        .join(tombs, col("doc_id") === col("rid"), "left_anti"))
   }
 
   /** RETRACTION face of the video-index artifact — the multimodal

@@ -1723,9 +1723,14 @@ object PipelineQueries {
   /** Shared dHash replay: byte stripes → 72-cell grid (absent stripes
     * 0) → packed gradient bits. Used by the mm6 and mm7 oracles and the
     * s17 streaming-phash-dedup oracle in [[graft.streaming.StreamQueries]]. */
-  private[graft] val dHashCtes =
-    """d AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+  private[graft] val dHashCtes = dHashCtesFrom("documents")
+
+  /** [[dHashCtes]] over an arbitrary documents source — the mm14
+    * update oracle replays the dHash chain against the
+    * corpus-with-new-payloads (the d58 docsSrc pattern). */
+  private[graft] def dHashCtesFrom(docsSrc: String): String =
+    s"""d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM $docsSrc),
       |bt AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, n),
       |    p -> {'c': (p - 1) % 72,
@@ -1840,9 +1845,14 @@ object PipelineQueries {
     * the doc·2^16+scene packed hash face) — the SQL twin of
     * `Multimodal.keyframeHashes(frameBytes = 72, cutPm = 8)`, shared
     * by the mm8 and mm10 oracles. */
-  private[graft] val keyframeCtes: String =
-    """d AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+  private[graft] val keyframeCtes: String = keyframeCtesFrom("documents")
+
+  /** [[keyframeCtes]] over an arbitrary documents source — the mm15
+    * update oracle replays the keyframe chain against the
+    * corpus-with-new-payloads (the d58 docsSrc pattern). */
+  private[graft] def keyframeCtesFrom(docsSrc: String): String =
+    s"""d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM $docsSrc),
       |f AS (
       |  SELECT doc_id, n,
       |    unnest(generate_series(0, (n + 71) // 72 - 1)) AS fi
@@ -2106,6 +2116,76 @@ object PipelineQueries {
   private val mm13Oracle =
     phashProbeOracle(audioFpCtes, archExtra = " AND doc_id % 7 <> 1")
 
+  // ---- mm14: IMAGE hash-index UPDATE (Multimodal.phashSketchUpdate)
+  // — d58's multimodal twin, the re-crawl/re-encode edit path: every
+  // archive doc with doc_id % 7 = 1 ships a CHANGED payload (text
+  // doubled — the byte stripes shift, so the dHash and every chunk
+  // bucket move), the update face retracts the old versions' chunk
+  // rows and appends the re-fingerprinted versions' against the same
+  // uncapped sketch, and the s17 increment probes the re-derived
+  // serving index. Because audioFingerprints emits the same two-word
+  // face, this ONE update face serves both modalities (the mm12/mm13
+  // symmetry); the gate certifies the image leg. Oracle = the shared
+  // probe chain over the corpus-with-new-payloads
+  // (rebuild-with-them); retract-then-append ordering spec-pinned in
+  // UpdateFacesSpec. ----
+  private def mm14(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    def media(c: DataFrame) = Multimodal.withPayload(c, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val sketch = Multimodal.phashChunkSketch(
+      Multimodal.dHash(media(arch)))
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val updated = Multimodal.phashSketchUpdate(sketch,
+      Multimodal.dHash(media(newVersions)))
+    Multimodal.phashProbePairs(Multimodal.dHash(media(d.filter(isNew))),
+        Multimodal.phashServingIndex(updated, maxBucket = 100),
+        maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val mm14Oracle = phashProbeOracle(
+    dHashCtesFrom(CurationQueries.updatedDocsSrc))
+
+  // ---- mm15: VIDEO-index UPDATE (Multimodal.videoSketchUpdate) — the
+  // two-face twin of mm14: a re-edited video changes BOTH artifact
+  // faces (its scene segmentation moves with the new payload, so the
+  // coverage denominators must move with the postings), and the gate
+  // certifies the update through the mm10 increment probe against the
+  // re-derived serving VideoIndex. Oracle = mm10's chain over the
+  // corpus-with-new-payloads. ----
+  private def mm15(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    def media(c: DataFrame) = Multimodal.withPayload(c, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    def kf(c: DataFrame) = Multimodal.keyframeHashes(media(c),
+      frameBytes = 72, cutPm = 8L).toDF()
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val sketch = Multimodal.videoKeyframeSketch(kf(arch))
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val updated = Multimodal.videoSketchUpdate(sketch, kf(newVersions))
+    Multimodal.videoProbePairs(kf(d.filter(isNew)),
+        Multimodal.VideoIndex(
+          Multimodal.phashServingIndex(updated.chunks, maxBucket = 100),
+          updated.counts),
+        maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+  }
+
+  private val mm15Oracle = videoProbeOracle(
+    docsSrc = CurationQueries.updatedDocsSrc)
+
   /** The probe-vs-archive hash-dedup oracle shared by the streaming
     * gates (s17 image, s20 audio) and the retraction gates (mm12,
     * mm13): `ctes` must end in a `ph` face (doc_id, ph_lo, ph_hi) —
@@ -2140,8 +2220,8 @@ object PipelineQueries {
     * rows (`doc_id` here is the packed kid), `caExtra` the per-video
     * archive counts (plain doc ids). Empty strings = mm10/s21. */
   private def videoProbeOracle(akExtra: String = "",
-      caExtra: String = ""): String =
-    s"""WITH $keyframeCtes,
+      caExtra: String = "", docsSrc: String = "documents"): String =
+    s"""WITH ${keyframeCtesFrom(docsSrc)},
       |pk AS (SELECT * FROM kid WHERE (doc_id // 65536) % 10 = 0),
       |ak AS (SELECT * FROM kid
       |  WHERE (doc_id // 65536) % 10 <> 0$akExtra),
@@ -3285,6 +3365,8 @@ object PipelineQueries {
     QueryDef("mm11_video_retract", mm11, Some(mm11Oracle)),
     QueryDef("mm12_phash_retract", mm12, Some(mm12Oracle)),
     QueryDef("mm13_audio_retract", mm13, Some(mm13Oracle)),
+    QueryDef("mm14_phash_update", mm14, Some(mm14Oracle)),
+    QueryDef("mm15_video_update", mm15, Some(mm15Oracle)),
     QueryDef("d34_leakage_safe_split", d34, Some(d34Oracle)),
     QueryDef("d35_cms_estimates", d35, Some(d35Oracle)),
     QueryDef("d36_weighted_sample", d36, Some(d36Oracle)),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -363,6 +363,39 @@ object TextAnalysis {
     val rem = Dedup.normalizeRemovedIds(removedIds)
     sketch.select(col("id"), col("fp"))
       .join(rem, col("id") === col("rid"), "left_anti")
+  }
+
+  /** UPDATE face of the winnow-sketch artifact — the re-crawl edit
+    * path, the fingerprint twin of `Dedup.shingleSketchUpdate`: a
+    * changed document is a retract of its OLD fingerprints composed
+    * with an append of its NEW version's, against the same persisted
+    * uncapped sketch. Composition order fixed HERE (retract-then-
+    * append): the reverse anti-joins the id out of BOTH versions and
+    * the document vanishes instead of serving its new text (the d58
+    * ordering contract, spec-pinned). Result ≡ `winnowSketch(corpus
+    * with the new versions)` — the d59 gate replays that rebuild — at
+    * O(|updated docs|) cost: one id anti-join plus the increment's own
+    * winnowing; the archive is never re-tokenized. Ids not previously
+    * present append cleanly (an upsert). */
+  def winnowSketchUpdate(sketch: DataFrame, newVersions: DataFrame,
+      textCol: String, idCol: String, k: Int = 5,
+      w: Int = 4): DataFrame =
+    winnowSketchRetract(sketch, newVersions.select(col(idCol)))
+      .unionByName(winnowSketch(newVersions, textCol, idCol, k, w))
+
+  /** Base-snapshot faces for the winnow family's O(delta) retract
+    * chain ([[DeltaRetract]]) — the fingerprint twin of
+    * `Dedup.shingleDeltaBase`, without a sizes face (a winnow serving
+    * row is just (id, fp), so a resurrected sketch row is
+    * serving-shaped as-is). Serving face derived through the one
+    * shared [[winnowServingIndex]] cap tail. */
+  def winnowDeltaBase(sp: SparkSession, corpus: DataFrame,
+      textCol: String, idCol: String, baseDir: String, k: Int = 5,
+      w: Int = 4, maxDf: Int = 100): Unit = {
+    DeltaRetract.initBase(sp, baseDir,
+      winnowSketch(corpus, textCol, idCol, k, w),
+      Seq("fp"))(winnowServingIndex(_, maxDf))
+    ()
   }
 
   /** The capped SERVING view of an uncapped [[winnowSketch]] — the

@@ -216,6 +216,113 @@ object CurationStream {
         step(sp, batch, s"$artDir/$prev", s"$artDir/$batchId")
       }
 
+  /** The O(delta) successor of [[shingleRetractSink]] (VERDICT r15
+    * "wrong" item 1): same takedown stream, same serving semantics
+    * (spec-pinned row-identical to the recount chain, the s24 oracle
+    * adjudicates the gate), but per-batch cost no longer pays an
+    * archive-proportional hash aggregate — the batch writes only
+    * delta-sized faces (tombs, statsdelta, resurrect; see
+    * [[graft.pipeline.DeltaRetract]]) and probes read the serving view
+    * assembled as base ∪ resurrections ∖ tombstones. The base snapshot
+    * is [[graft.pipeline.Dedup.shingleDeltaBase]] at `artDir/<init>`. */
+  def shingleDeltaRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String, k: Int = 5,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
+      Seq(s"shingle_k$k"), maxDf) { (sp, rows) =>
+      rows.join(sp.read.parquet(s"$artDir/$initName/sizes"), "id")
+    }
+
+  /** The O(delta) successor of [[hashRetractSink]] — the image/audio
+    * twin of [[shingleDeltaRetractSink]] (phash chunk rows are already
+    * serving-shaped, so no decoration face). Base snapshot:
+    * [[graft.pipeline.Multimodal.phashDeltaBase]]. */
+  def hashDeltaRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
+      Seq("chunk", "chunk_val"), maxBucket)((_, rows) => rows)
+
+  /** Streaming RE-CRAWL maintenance of the shingle-sketch artifact —
+    * the UPDATE column's streaming face (the batch face is d58's
+    * [[graft.pipeline.Dedup.shingleSketchUpdate]]): changed documents
+    * arrive as a real stream of NEW VERSIONS (id + new text), and per
+    * micro-batch the sink reads its PREDECESSOR'S persisted uncapped
+    * sketch, applies the update face (retract-then-append — the order
+    * is fixed inside the face, so no batch can re-derive it wrong and
+    * vanish a document), and persists both artifact faces
+    * (`<id>/sketch`, `<id>/index`). Same read-predecessor idempotence
+    * and batch-0 chain-misbinding refusal as the takedown sinks — a
+    * lost checkpoint restarting against a longer chain would silently
+    * serve STALE versions of every previously updated document, the
+    * update column's own fail-open. */
+  def shingleUpdateSink(newVersions: DataFrame, artDir: String,
+      initName: String, checkpoint: String, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 5,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    retractChainCore(newVersions, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        val prevSketch = sp.read.parquet(s"$prevDir/sketch")
+        val upd = graft.pipeline.Dedup.shingleSketchUpdate(prevSketch,
+          batch, textCol, idCol, k).localCheckpoint(false)
+        try {
+          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
+          graft.pipeline.Dedup.shingleServingIndex(upd, k, maxDf)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { upd.unpersist(blocking = false); () }
+    }
+
+  /** The O(delta) successor of [[winnowRetractSink]] — the fingerprint
+    * twin of [[shingleDeltaRetractSink]] (a winnow serving row is just
+    * (id, fp), so like the phash leg there is no decoration face).
+    * Base snapshot: [[graft.pipeline.TextAnalysis.winnowDeltaBase]]. */
+  def winnowDeltaRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
+      Seq("fp"), maxDf)((_, rows) => rows)
+
+  /** The O(delta) successor of [[videoRetractSink]]: the chunk face
+    * rides the generic delta machinery with tombstone matching keyed
+    * on the PACKED id's document half (`id div 65536` — chunk ids are
+    * doc·65536+scene), and the per-video scene counts need NO per-batch
+    * maintenance at all (intrinsic per video, the n_c algebra): the
+    * serving [[graft.pipeline.Multimodal.VideoIndex]] assembles counts
+    * as base ∖ tombstones at read time
+    * ([[graft.pipeline.Multimodal.videoDeltaServing]]). Base snapshot:
+    * [[graft.pipeline.Multimodal.videoDeltaBase]]. */
+  def videoDeltaRetractSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
+      Seq("chunk", "chunk_val"), maxBucket,
+      docId = org.apache.spark.sql.functions.expr("id div 65536"))(
+      (_, rows) => rows)
+
+  /** The delta-chain twin of [[retractChainCore]]: same checkpoint/
+    * artDir lifetime binding ([[refuseStaleChain]] — a lost checkpoint
+    * restarting at batch 0 against a longer delta chain would replay
+    * decrements and resurrect serving rows, the same fail-open the
+    * recount chain refuses), same read-predecessor idempotence (batch
+    * b reads base faces + batches 0..b-1, overwrites only its own
+    * three faces). The family parameterizes only its cap key columns
+    * and the resurrected-row decoration. */
+  private def deltaRetractChainSink(takedowns: DataFrame, artDir: String,
+      initName: String, checkpoint: String, keyCols: Seq[String],
+      maxCnt: Int,
+      docId: org.apache.spark.sql.Column = col("id"))(
+      decorate: (SparkSession, DataFrame) => DataFrame)
+      : DataStreamWriter[Row] =
+    takedowns.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        refuseStaleChain(sp, artDir, batchId)
+        graft.pipeline.DeltaRetract.step(sp, artDir, initName, batchId,
+          batch, keyCols, maxCnt, decorate(sp, _), docId)
+      }
+
   /** The WINNOW-family leg of the streaming retract column — the
     * fingerprint twin of [[shingleRetractSink]] (s25): takedowns
     * maintain a persisted uncapped

@@ -1363,6 +1363,203 @@ object StreamQueries {
       .localCheckpoint(true)
   }
 
+  // ---- s31: streaming RE-CRAWL (UPDATE) maintenance of the
+  // shingle-sketch artifact — d58's edit path as a real
+  // three-micro-batch stream, the UPDATE column's streaming face
+  // beside the retract column's s22-s26: changed documents arrive as
+  // new versions (id + doubled text) in doc-id terciles; per batch
+  // CurationStream.shingleUpdateSink reads its predecessor's persisted
+  // uncapped sketch, applies the update face (retract-then-append,
+  // order fixed inside the face), and persists sketch + serving
+  // index; the FINAL index answers the d21 increment probe and d58's
+  // rebuild-with-the-new-versions oracle adjudicates it — green
+  // certifies sequential per-batch updates COMPOSE to the one-shot
+  // update, which d58 separately certifies ≡ the rebuild. ----
+  private def s31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Dedup
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val out = scopedTmpDir("graft_s31")
+    Dedup.hashedShingleSketch(arch, "text", "doc_id", k = 5)
+      .write.parquet(s"$out/art/init/sketch")
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.shingleUpdateSink(
+      input.toDF().toDF("doc_id", "text"), s"$out/art", "init",
+      s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, newVersions.toSeq,
+        (v: (Long, String)) => v._1)
+    } finally q.stop()
+    val last = lastBatchId(s"$out/art")
+    val idx = s.read.parquet(s"$out/art/$last/index")
+    Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
+  // ---- s29: the O(delta) retract chain for the WINNOW family —
+  // s25's exact scenario (same init sketch, same takedowns, same
+  // final d54-shape probe, same d56 oracle) through
+  // CurationStream.winnowDeltaRetractSink. A winnow serving row is
+  // (id, fp) — sketch rows are serving-shaped, so this leg rides the
+  // no-decoration path with a single-column cap key. ----
+  private def s29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.TextAnalysis
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s29")
+    TextAnalysis.winnowDeltaBase(s, d.filter(!isNew), "text", "doc_id",
+      s"$out/art/init", k = 5, w = 4, maxDf = 100)
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.winnowDeltaRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val idx = graft.pipeline.DeltaRetract.servingView(s, s"$out/art",
+      "init", lastBatchId(s"$out/art"))
+    TextAnalysis.winnowProbeMatches(d.filter(isNew), idx, "text",
+        "doc_id", k = 5, w = 4, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
+  // ---- s30: the O(delta) retract chain for the VIDEO family — s26's
+  // exact scenario (same two-face init artifact, same takedowns, same
+  // final mm10-shape probe, same mm11 oracle) through
+  // CurationStream.videoDeltaRetractSink. The family's two quirks both
+  // land here: tombstone matching keys on the PACKED chunk id's
+  // document half (id div 65536), and the per-video scene counts need
+  // no per-batch maintenance at all — the serving VideoIndex
+  // assembles counts as base ∖ tombstones at read time (the n_c
+  // algebra: counts are intrinsic per video). ----
+  private def s30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val d = Tables.load(s, dir, "documents")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s30")
+    Multimodal.videoDeltaBase(s,
+      Multimodal.keyframeHashes(media.filter(!isNew),
+        frameBytes = 72, cutPm = 8L).toDF(), s"$out/art/init")
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.videoDeltaRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val idx = Multimodal.videoDeltaServing(s, s"$out/art", "init",
+      lastBatchId(s"$out/art"))
+    Multimodal.videoProbePairs(
+        Multimodal.keyframeHashes(media.filter(isNew),
+          frameBytes = 72, cutPm = 8L).toDF(),
+        idx, maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+      .localCheckpoint(true)
+  }
+
+  // ---- s27: the O(delta) retract chain for the SHINGLE family —
+  // s24's exact scenario (same init archive, same tercile takedown
+  // stream, same final d21 increment probe, ADJUDICATED BY THE SAME
+  // d57 survivor-rebuild oracle) run through
+  // CurationStream.shingleDeltaRetractSink instead of the recount
+  // chain (VERDICT r15 "wrong" item 1: the recount pays an
+  // archive-proportional hash aggregate per takedown batch; the delta
+  // chain writes only delta-sized faces and assembles the serving
+  // view as base ∪ resurrections ∖ tombstones). Same takedowns +
+  // same oracle + different maintenance algebra is the strongest
+  // certification the gate can give the successor; the per-batch
+  // view ≡ recount equivalence (cap resurrection included) is
+  // spec-pinned in DeltaRetractSpec, and the cost shape is measured
+  // in `ScaleProbe delta`. ----
+  private def s27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Dedup
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s27")
+    Dedup.shingleDeltaBase(s, d.filter(!isNew), "text", "doc_id",
+      s"$out/art/init", k = 5, maxDf = 100)
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.shingleDeltaRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val idx = graft.pipeline.DeltaRetract.servingView(s, s"$out/art",
+      "init", lastBatchId(s"$out/art"))
+    Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
+  // ---- s28: the O(delta) retract chain for the IMAGE/AUDIO hash
+  // family — s23's exact scenario (same init sketch, same takedowns,
+  // same final s17-shape probe, same mm12 oracle) through
+  // CurationStream.hashDeltaRetractSink. Chunk rows are already
+  // serving-shaped, so this leg exercises the no-decoration path of
+  // the shared delta machinery (the shingle leg exercises the sizes
+  // join). ----
+  private def s28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val d = Tables.load(s, dir, "documents")
+    val media = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val out = scopedTmpDir("graft_s28")
+    Multimodal.phashDeltaBase(s,
+      Multimodal.dHash(media.filter(!isNew)), s"$out/art/init")
+    val takedowns = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id").as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = CurationStream.hashDeltaRetractSink(
+      input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+    } finally q.stop()
+    val idx = graft.pipeline.DeltaRetract.servingView(s, s"$out/art",
+      "init", lastBatchId(s"$out/art"))
+    Multimodal.phashProbePairs(
+        Multimodal.dHash(media.filter(isNew)), idx, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
   // ---- s26: streaming TAKEDOWN maintenance of the VIDEO-index
   // artifact — mm11's retraction as a real three-micro-batch stream,
   // closing the LAST batch-only retract face (VERDICT r15 missing
@@ -1413,6 +1610,16 @@ object StreamQueries {
   }
 
   def all: Seq[QueryDef] = Seq(
+    QueryDef("s31_stream_shingle_update", st(s31),
+      Some(graft.pipeline.CurationQueries.d58Oracle)),
+    QueryDef("s30_stream_video_retract_delta", st(s30),
+      Some(graft.pipeline.PipelineQueries.mm11Oracle)),
+    QueryDef("s29_stream_winnow_retract_delta", st(s29),
+      Some(graft.pipeline.CurationQueries.d56Oracle)),
+    QueryDef("s28_stream_phash_retract_delta", st(s28),
+      Some(graft.pipeline.PipelineQueries.mm12Oracle)),
+    QueryDef("s27_stream_shingle_retract_delta", st(s27),
+      Some(graft.pipeline.CurationQueries.d57Oracle)),
     QueryDef("s26_stream_video_retract", st(s26),
       Some(graft.pipeline.PipelineQueries.mm11Oracle)),
     QueryDef("s25_stream_winnow_retract", st(s25),

@@ -1,0 +1,211 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The O(delta) retract chain's equivalence contract: after every
+  * takedown batch, [[DeltaRetract.servingView]] is row-identical to
+  * the full recount over the surviving sketch
+  * ([[Dedup.shingleIndexRetract]] / [[Multimodal.phashIndexRetract]] —
+  * the round-15 implementation, which stays on as the oracle), cap
+  * resurrection included. The recount shuffles the whole sketch per
+  * batch; the delta chain writes only delta faces — same rows, by
+  * construction here, not by luck. */
+class DeltaRetractSpec extends SparkSpec {
+
+  private def shingleRows(d: DataFrame) = d.collect()
+    .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shingle_k5"),
+      r.getAs[Long]("n_c"))).toSet
+
+  test("shingle delta chain: serving view ≡ recount after every batch " +
+      "(cap resurrection, retract-of-resurrected, duplicate takedown)") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared), (4L, shared),
+      (8L, "first wholly unrelated content that overlaps with nobody"),
+      (9L, "second wholly unrelated content that overlaps with nothing"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_deltaspec")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, maxDf = maxDf)
+    val sketch = spark.read.parquet(s"$art/init/sketch")
+    assert(spark.read.parquet(s"$art/init/index")
+        .filter(col("id").isin(1L, 2L, 3L, 4L)).count() === 0,
+      "precondition: the quad's shared shingles must be capped out (df 4)")
+
+    // batch 0: retract an unrelated doc — no cap crossing (the empty-
+    // candidates short-circuit), view drops only its own rows
+    // batch 1: retract carrier 4 — df 4→3, still over the cap
+    // batch 2: retract carrier 3 AND re-submit 8 (already tombstoned;
+    //          must not decrement twice) — df 3→2 RESURRECTS the
+    //          survivors' postings
+    // batch 3: retract carrier 1 — a RESURRECTED doc leaves the view
+    //          (and df 2→1 must not re-admit anything twice)
+    val batches = Seq(Seq(8L), Seq(4L), Seq(3L, 8L), Seq(1L))
+    var removed = Seq.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DeltaRetract.step(spark, art, "init", i.toLong,
+        b.toDF("doc_id"), Seq("shingle_k5"), maxDf,
+        rows => rows.join(spark.read.parquet(s"$art/init/sizes"), "id"))
+      removed = removed ++ b
+      val got = shingleRows(
+        DeltaRetract.servingView(spark, art, "init", i.toLong))
+      val want = shingleRows(Dedup.shingleIndexRetract(sketch,
+        removed.toDF("doc_id"), k = 5, maxDf = maxDf))
+      assert(got === want, s"batch $i diverged from the recount")
+      if (i == 2) assert(got.exists(_._1 == 1L),
+        "batch 2 must RESURRECT the now-under-cap survivors")
+      if (i == 3) assert(!got.exists(_._1 == 1L),
+        "a resurrected doc retracted later must leave the view")
+    }
+    // resurrected rows carry the doc's intrinsic pre-cap n_c
+    val nc = spark.read.parquet(s"$art/2/resurrect")
+      .select("id", "n_c").distinct().as[(Long, Long)].collect().toMap
+    val sizes = spark.read.parquet(s"$art/init/sizes")
+      .as[(Long, Long)].collect().toMap
+    nc.foreach { case (id, n) => assert(n === sizes(id)) }
+  }
+
+  test("shingle delta chain: a replayed batch overwrites its own faces " +
+      "with identical rows (read-predecessor idempotence)") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, shared), (2L, shared), (3L, shared),
+      (9L, "wholly unrelated content that overlaps with nobody at all"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("graft_deltareplay")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, maxDf = 2)
+    def run(b: Long, ids: Seq[Long]): Set[(Long, Long, Long)] = {
+      DeltaRetract.step(spark, art, "init", b, ids.toDF("doc_id"),
+        Seq("shingle_k5"), 2,
+        rows => rows.join(spark.read.parquet(s"$art/init/sizes"), "id"))
+      shingleRows(DeltaRetract.servingView(spark, art, "init", b))
+    }
+    run(0L, Seq(9L))
+    val first = run(1L, Seq(3L)) // df 3→2: resurrection batch
+    val replay = run(1L, Seq(3L)) // crash-before-checkpoint replay
+    assert(first === replay)
+  }
+
+  test("winnow delta chain: serving view ≡ recount incl. df-cap " +
+      "resurrection (fingerprint family)") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared plus some trailing words here"),
+      (2L, s"$shared plus some trailing words here"),
+      (3L, s"$shared plus some trailing words here"),
+      (9L, "wholly unrelated content that overlaps with nobody at all ever"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_deltawinnow")
+    TextAnalysis.winnowDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, w = 4, maxDf = maxDf)
+    val sketch = spark.read.parquet(s"$art/init/sketch")
+    assert(spark.read.parquet(s"$art/init/index")
+        .filter(col("id").isin(1L, 2L, 3L)).count() === 0,
+      "precondition: the triplet's shared fingerprints must be capped out")
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("fp"))).toSet
+    // batch 0: retract carrier 3 — df 3→2 resurrects the survivors
+    val batches = Seq(Seq(3L), Seq(9L))
+    var removed = Seq.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DeltaRetract.step(spark, art, "init", i.toLong, b.toDF("doc_id"),
+        Seq("fp"), maxDf, identity)
+      removed = removed ++ b
+      val got = rows(DeltaRetract.servingView(spark, art, "init", i.toLong))
+      val want = rows(TextAnalysis.winnowIndexRetract(sketch,
+        removed.toDF("doc_id"), maxDf))
+      assert(got === want, s"batch $i diverged from the recount")
+      if (i == 0) assert(got.exists(_._1 == 1L),
+        "batch 0 must RESURRECT the now-under-cap fingerprints")
+    }
+  }
+
+  test("video delta chain: serving VideoIndex ≡ recount on BOTH faces " +
+      "(packed-id tombstone matching; counts as base ∖ tombstones)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "identical payload bytes"), (2L, "identical payload bytes"),
+      (3L, "identical payload bytes"), (4L, "identical payload bytes"),
+      (9L, "a different payload that buckets elsewhere entirely"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val kf = Multimodal.keyframeHashes(media, frameBytes = 72,
+      cutPm = 8L).toDF().localCheckpoint(true)
+    val maxBucket = 2
+    val art = tmpDir("graft_deltavideo")
+    Multimodal.videoDeltaBase(spark, kf, s"$art/init", maxBucket)
+    val persisted = Multimodal.VideoIndex(
+      spark.read.parquet(s"$art/init/sketch"),
+      spark.read.parquet(s"$art/init/counts"))
+    def chunkRows(d: DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk"),
+        r.getAs[Long]("chunk_val"))).toSet
+    def countRows(d: DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_scenes")))
+      .toSet
+    // batch 0: two carriers — bucket n 4→2 resurrects the survivors;
+    // batch 1: one more carrier
+    val batches = Seq(Seq(1L, 2L), Seq(3L))
+    var removed = Seq.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DeltaRetract.step(spark, art, "init", i.toLong, b.toDF("doc_id"),
+        Seq("chunk", "chunk_val"), maxBucket, identity,
+        docId = org.apache.spark.sql.functions.expr("id div 65536"))
+      removed = removed ++ b
+      val got = Multimodal.videoDeltaServing(spark, art, "init", i.toLong)
+      val want = Multimodal.videoIndexRetract(persisted,
+        removed.toDF("doc_id"), maxBucket)
+      assert(chunkRows(got.chunks) === chunkRows(want.chunks),
+        s"batch $i chunk face diverged from the recount")
+      assert(countRows(got.counts) === countRows(want.counts),
+        s"batch $i counts face diverged from the recount")
+    }
+  }
+
+  test("phash delta chain: serving view ≡ recount incl. bucket " +
+      "resurrection (image/audio hash family)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "identical payload bytes"), (2L, "identical payload bytes"),
+      (3L, "identical payload bytes"), (4L, "identical payload bytes"),
+      (9L, "a different payload that buckets elsewhere entirely"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val hashes = Multimodal.dHash(media).localCheckpoint(true)
+    val maxBucket = 2
+    val art = tmpDir("graft_deltaphash")
+    Multimodal.phashDeltaBase(spark, hashes, s"$art/init", maxBucket)
+    val sketch = spark.read.parquet(s"$art/init/sketch")
+    assert(spark.read.parquet(s"$art/init/index")
+        .filter(col("id").isin(1L, 2L, 3L, 4L)).count() === 0,
+      "precondition: the quad's buckets must be capped out (n 4)")
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk"),
+        r.getAs[Long]("chunk_val"))).toSet
+    // batch 0: two carriers at once — n 4→2 crosses in ONE batch
+    // batch 1: another carrier — no second resurrection, view shrinks
+    val batches = Seq(Seq(1L, 2L), Seq(3L))
+    var removed = Seq.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DeltaRetract.step(spark, art, "init", i.toLong, b.toDF("doc_id"),
+        Seq("chunk", "chunk_val"), maxBucket, identity)
+      removed = removed ++ b
+      val got = rows(DeltaRetract.servingView(spark, art, "init", i.toLong))
+      val want = rows(Multimodal.phashIndexRetract(sketch,
+        removed.toDF("doc_id"), maxBucket))
+      assert(got === want, s"batch $i diverged from the recount")
+    }
+  }
+}
