@@ -876,14 +876,23 @@ object ScaleProbe {
           ()
         }
       })
+    // min-of-3 walls: this box's steal bursts (BASELINE.md round-15
+    // notes) swing single-shot walls 2-4x; the min is the honest
+    // steady-state. Shuffle bytes are load-independent — reported from
+    // the last rep.
     def measured(f: => Unit): (Double, Long) = {
-      Thread.sleep(300) // settle the listener bus before resetting
-      shuffleBytes.set(0L)
-      val t0 = System.nanoTime()
-      f
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let trailing stage-completed events land
-      (wall, shuffleBytes.get())
+      var best = Double.MaxValue
+      var bytes = 0L
+      for (_ <- 1 to 3) {
+        Thread.sleep(300) // settle the listener bus before resetting
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Thread.sleep(300) // let trailing stage-completed events land
+        bytes = shuffleBytes.get()
+      }
+      (best, bytes)
     }
     val takedown = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 97 === 3).select("doc_id").limit(200)

@@ -44,7 +44,7 @@ import org.apache.spark.sql.functions._
   * a base face broadcasts the delta side (takedown ids, candidate
   * keys), so the base sketch/stats are only ever SCANNED map-side —
   * and the resurrection scan short-circuits to zero when no key
-  * crosses the cap (the common case; `candidates.count()` is a
+  * crosses the cap (the common case; the candidate check is a
   * delta-sized aggregate, driver-safe). The residual archive-
   * proportional cost is those map-side scans of 8–16-byte-keyed rows;
   * at cluster scale both lookups prune to touched files under an
@@ -101,7 +101,8 @@ object DeltaRetract {
     val keyCs = keyCols.map(col)
 
     val priorTombs =
-      if (batchId == 0L) Dedup.normalizeRemovedIds(takedownIds).limit(0)
+      if (batchId == 0L)
+        emptyLike(sp, Dedup.normalizeRemovedIds(takedownIds))
       else sp.read.parquet(
         (0L until batchId).map(i => s"$artDir/$i/tombs"): _*)
     // drop ids already tombstoned (a re-submitted takedown must not
@@ -112,16 +113,21 @@ object DeltaRetract {
       .write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
     val rids = sp.read.parquet(s"$artDir/$batchId/tombs")
 
+    // a fully-duplicate (replayed upstream) batch decrements nothing:
+    // write schema-only empty faces without touching either base scan
+    val batchDead = rids.isEmpty
     // decrements from the takedown docs' OWN postings — an id-keyed
     // lookup into the base sketch (broadcast delta side; prunes to
     // touched files under an id-bucketed layout), never a recount
-    baseSketch.join(broadcast(rids), docId === col("rid"))
+    val decSrc = baseSketch.join(broadcast(rids), docId === col("rid"))
       .groupBy(keyCs: _*).agg(count(lit(1)).as("dec"))
+    (if (batchDead) emptyLike(sp, decSrc) else decSrc)
       .write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
     val dec = sp.read.parquet(s"$artDir/$batchId/statsdelta")
 
     val priorDec =
-      if (batchId == 0L) dec.withColumnRenamed("dec", "pdec").limit(0)
+      if (batchId == 0L)
+        emptyLike(sp, dec.withColumnRenamed("dec", "pdec"))
       else sp.read.parquet(
           (0L until batchId).map(i => s"$artDir/$i/statsdelta"): _*)
         .groupBy(keyCs: _*).agg(sum("dec").as("pdec"))
@@ -129,28 +135,38 @@ object DeltaRetract {
     // cap-crossing keys: above the cap BEFORE this batch (build count
     // minus prior decrements), at-or-below it after — checked only for
     // keys this batch actually decremented
-    val candidates = dec
-      .join(sp.read.parquet(s"$base/stats"), keyCols)
-      .join(priorDec, keyCols, "left")
-      .na.fill(0L, Seq("pdec"))
-      .filter(col("cnt") - col("pdec") > maxCnt &&
-        col("cnt") - col("pdec") - col("dec") <= maxCnt)
-      .select(keyCs: _*)
-      .localCheckpoint(true)
-    val resurrect =
-      if (candidates.isEmpty)
-        sp.read.parquet(s"$base/index").limit(0)
-      else {
+    val candidates =
+      if (batchDead) None
+      else Some(dec
+        .join(sp.read.parquet(s"$base/stats"), keyCols)
+        .join(priorDec, keyCols, "left")
+        .na.fill(0L, Seq("pdec"))
+        .filter(col("cnt") - col("pdec") > maxCnt &&
+          col("cnt") - col("pdec") - col("dec") <= maxCnt)
+        .select(keyCs: _*)
+        .localCheckpoint(true))
+    val resurrect = candidates match {
+      case Some(cand) if !cand.isEmpty =>
         val allTombs = priorTombs.unionAll(rids)
-        decorate(baseSketch.join(broadcast(candidates), keyCols))
+        decorate(baseSketch.join(broadcast(cand), keyCols))
           .join(allTombs, docId === col("rid"), "left_anti")
           .select(idxCols.map(col): _*)
-      }
+      case _ =>
+        // schema-only: no scan hides behind a limit(0) over the index
+        emptyLike(sp, sp.read.parquet(s"$base/index"))
+    }
     resurrect.write.mode("overwrite")
       .parquet(s"$artDir/$batchId/resurrect")
-    candidates.unpersist(blocking = false)
+    candidates.foreach(_.unpersist(blocking = false))
     ()
   }
+
+  /** A zero-row DataFrame with `of`'s schema that plans NO scan —
+    * `df.limit(0)` still carries the source in its plan and a write of
+    * it can launch the whole scan job just to emit nothing. */
+  private def emptyLike(sp: SparkSession, of: DataFrame): DataFrame =
+    sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      of.schema)
 
   /** The serving view after batch `upTo` — base index plus every
     * admitted resurrection, minus every tombstoned document. No
