@@ -336,6 +336,47 @@ object Dedup {
       .unionByName(relabeled.select(col("id"), col("component")))
   }
 
+  /** The dedup-groups artifact pair every incremental face maintains:
+    * the labelling plus the pair EVIDENCE it was clustered from
+    * ([[componentsRetract]]'s documented requirement — cut structure
+    * lives in the pairs, not the labels). */
+  final case class GroupsArtifact(labels: DataFrame, pairs: DataFrame)
+
+  /** UPDATE face of the dedup-groups artifact — the re-crawl edit path
+    * (d58's contract at the GROUPS grain): a changed document's pair
+    * EVIDENCE changes, so the update retracts the old versions from
+    * both faces ([[componentsRetract]] + a pair anti-join) and appends
+    * the re-mined evidence ([[componentsAppend]], with self-pairs so a
+    * now-pairless updated doc re-enters as a singleton instead of
+    * vanishing). Composition order fixed HERE, retract-then-append:
+    * the reverse clusters the new evidence in and then anti-joins the
+    * updated ids out of the labelling — the documents vanish instead
+    * of serving their new groups (spec-pinned, UpdateFacesSpec).
+    *
+    * `newPairs` is the changed docs' re-mined near-dup evidence —
+    * against the archive AND among themselves — e.g.
+    * [[incrementalPairsFromIndex]] probed at the d58-updated serving
+    * index (self-pairs filtered); the archive is never re-mined
+    * (labels contract + O(touched) retract + O(increment) append).
+    * Returns both maintained faces; labels ≡ a from-scratch CC over
+    * the updated corpus's full pair set (gate d60). */
+  def componentsUpdate(art: GroupsArtifact, updatedIds: DataFrame,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): GroupsArtifact = {
+    val rem = normalizeRemovedIds(updatedIds).localCheckpoint(false)
+    val labels1 = componentsRetract(art.labels, art.pairs,
+      rem.select(col("rid")), aCol, bCol, maxIter)
+    val pairs1 = art.pairs
+      .join(rem, col(aCol) === col("rid"), "left_anti")
+      .join(rem, col(bCol) === col("rid"), "left_anti")
+    val np = newPairs.select(col(aCol), col(bCol))
+    val withSelf = np
+      .unionByName(rem.select(col("rid").as(aCol), col("rid").as(bCol)))
+    GroupsArtifact(
+      componentsAppend(labels1, withSelf, aCol, bCol, maxIter),
+      pairs1.unionByName(np))
+  }
+
   /** End-to-end near-dup dedup: every document keeps its component's
     * minimum id as `keep_id` (documents in no pair keep themselves). */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -192,9 +192,15 @@ object PipelineQueries {
 
   /** Shared CTE chain computing exact word-5-shingle Jaccard pairs — used
     * by both the d6 oracle and (under WITH RECURSIVE) the d11 oracle. */
-  private val jaccardCtes =
-    """w AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+  private val jaccardCtes = jaccardCtesFrom("documents")
+
+  /** [[jaccardCtes]] over an arbitrary documents source — the d60
+    * update oracle replays the pair-mining + CC chain against the
+    * corpus-with-new-versions (the d58 docsSrc pattern). */
+  private def jaccardCtesFrom(docsSrc: String,
+      maxDf: Int = 100): String =
+    s"""w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM $docsSrc),
       |sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(ws) >= 5 THEN
@@ -205,7 +211,8 @@ object PipelineQueries {
       |idx AS (
       |  SELECT doc_id, unnest(shingles) AS shingle FROM sh),
       |df_ok AS (
-      |  SELECT shingle FROM idx GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+      |  SELECT shingle FROM idx GROUP BY shingle
+      |  HAVING COUNT(*) BETWEEN 2 AND $maxDf),
       |f AS (SELECT idx.* FROM idx JOIN df_ok USING (shingle)),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -369,6 +376,78 @@ object PipelineQueries {
       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
       |SELECT id AS doc_id, MIN(comp) AS component FROM cc
       |GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // ---- d60: dedup-groups UPDATE (Dedup.componentsUpdate) — the
+  // re-crawl edit path for the GROUPS family, completing the
+  // UPDATE-face matrix (shingle d58, winnow d59, IVF-PQ e29, hash
+  // mm14, video mm15, graph-ANN e32): every doc with doc_id % 7 = 1
+  // is re-crawled as a CHANGED version (text doubled — its jaccard
+  // denominators grow, so some of its old near-dup edges dissolve:
+  // groups split; identically-doubled near-dups re-pair: groups
+  // re-form), the update face retracts the old versions from the
+  // (labels, pairs) artifact and appends the re-mined evidence
+  // (incrementalPairsFromIndex at the d58-updated serving index —
+  // the archive is never re-mined or re-clustered), and the oracle is
+  // a from-scratch pair-mine + recursive CC over the
+  // corpus-with-new-versions. The gate runs UNCAPPED (maxDf high
+  // enough to never bind): evidence kept verbatim for unchanged docs
+  // is exact only while the increment moves no shingle across the df
+  // cap — the cap is a property of the MINING snapshot (the d21
+  // freshness contract, documented on the face); the cap-maintenance
+  // problem itself is the shingle family's, solved by its uncapped
+  // sketch (d58/s27). Ordering spec-pinned in UpdateFacesSpec. ----
+  private def d60(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isUpd = col("doc_id") % 7 === 1
+    val maxDf = 10000
+    val pairs0 = Dedup.jaccardPairs(d, "text", "doc_id",
+      k = 5, threshold = 0.6, maxDf = maxDf).localCheckpoint(true)
+    val labels0 = Dedup.survivors(d, pairs0, "doc_id")
+      .select(col("doc_id").as("id"), col("keep_id").as("component"))
+    val newVersions = d.filter(isUpd)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    // re-mine ONLY the changed docs' evidence, against the
+    // d58-updated serving index (caps + sizes re-derived over the
+    // updated corpus, so probe arithmetic matches the rebuild's)
+    val updIdx = Dedup.shingleServingIndex(
+      Dedup.shingleSketchUpdate(
+        Dedup.hashedShingleSketch(d, "text", "doc_id", k = 5),
+        newVersions, "text", "doc_id", k = 5),
+      k = 5, maxDf = maxDf)
+    val newPairs = Dedup.incrementalPairsFromIndex(updIdx, newVersions,
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"))
+    Dedup.componentsUpdate(
+        Dedup.GroupsArtifact(labels0, pairs0.select("doc_a", "doc_b")),
+        newVersions.select("doc_id"), newPairs, "doc_a", "doc_b")
+      .labels
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  private val d60Oracle = {
+    val src =
+      """(SELECT doc_id,
+        |   CASE WHEN doc_id % 7 = 1 THEN text || ' ' || text
+        |        ELSE text END AS text
+        | FROM documents)""".stripMargin
+    s"""WITH RECURSIVE ${jaccardCtesFrom(src, maxDf = 10000)},
+      |jp AS (
+      |  SELECT p.id_a, p.id_b FROM p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE ROUND(p.inter / (sa.n + sb.n - p.inter), 6) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+      |SELECT id AS doc_id, MIN(comp) AS component FROM cc
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
 
   // ---- d34: leakage-safe train/val/test split — assignment keyed on
   // the near-dup GROUP (d11's component minimum), so near-duplicates
@@ -2786,7 +2865,8 @@ object PipelineQueries {
     * CTEs above the swap stay full-corpus, exactly the frozen-quantizer
     * discipline the engine's retract face keeps). */
   private def nndAdjCtes(cos: (String, String) => String,
-      extraCtes: String = "", seedOrigin: String = "cells2"): String =
+      extraCtes: String = "", seedOrigin: String = "cells2",
+      scoreSrc: String = "e"): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |samp AS (
       |  SELECT vec_id AS cid, v AS cv FROM e
@@ -2831,7 +2911,8 @@ object PipelineQueries {
       |  WHERE a.node <> b.nbr),
       |scored AS (
       |  SELECT c.node, c.nbr, ${cos("x.v", "y.v")} AS nsim
-      |  FROM cand c JOIN e x ON x.vec_id = c.node JOIN e y ON y.vec_id = c.nbr),
+      |  FROM cand c JOIN $scoreSrc x ON x.vec_id = c.node
+      |  JOIN $scoreSrc y ON y.vec_id = c.nbr),
       |adj1 AS (
       |  SELECT node, nbr, nsim,
       |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nsim DESC, nbr) AS rank
@@ -2893,6 +2974,66 @@ object PipelineQueries {
         |  SELECT * FROM cells2
         |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),""".stripMargin
     s"""WITH ${nndAdjCtes(cos, retractCtes, seedOrigin = "surv2")}
+      |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
+      |FROM adj1 WHERE rank <= 6 AND node < 25
+      |ORDER BY node, rank""".stripMargin
+  }
+
+  // ---- e32: graph-ANN index UPDATE (Similarity.updateNndIndex) —
+  // the re-embed edit path for the NndIndex family, e29's graph-ANN
+  // twin: every 9th vector that is not a quantizer anchor is
+  // re-crawled with a CHANGED embedding (list-reversed — an exact
+  // permutation: norms identical, neighbourhoods genuinely move, no
+  // float drift between Spark and DuckDB), the update face retracts
+  // the old vector and appends the new one against the same FROZEN
+  // quantizer, and the oracle replays the e22 build chain with cell
+  // assignment + seed + refinement scoring over the UPDATED corpus
+  // under the frozen (full-corpus) quantizer — a from-scratch
+  // rebuild-with-the-new-vectors. Anchor updates are REFUSED by the
+  // retract leg (the quantizer stores anchor vectors; an anchor edit
+  // invalidates the estimator — the migrate path's job), exactly like
+  // anchor takedowns; the predicate replays that exclusion. Ordering
+  // spec-pinned in UpdateFacesSpec. ----
+  private def e32(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+    val anchorIds = idx.quant.reps.select(col("rep_id")).collect()
+      .map(_.getLong(0)).toSet ++ idx.quant.centIds
+    val isUpd = (c: org.apache.spark.sql.Column) =>
+      c % 9 === 4 && !c.isInCollection(anchorIds.toSeq)
+    val updated = e.select(col("vec_id"),
+      when(isUpd(col("vec_id")), reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    Similarity.updateNndIndex(idx, updated, "vec_id", "embedding",
+        isUpd)
+      .refined
+      .filter(col("node") < 25)
+      .orderBy("node", "rank")
+  }
+
+  private val e32Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    val updCtes =
+      """
+        |e2 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 9 = 4
+        |           AND vec_id NOT IN (SELECT rep_id FROM reps)
+        |           AND vec_id NOT IN (SELECT cid FROM samp)
+        |      THEN list_reverse(v) ELSE v END AS v
+        |  FROM e),
+        |assign2 AS (
+        |  SELECT e2.vec_id, e2.v, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
+        |      ROUND(list_dot_product(e2.v, s.cv) /
+        |        (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
+        |      s.cid DESC) AS rn
+        |  FROM e2 CROSS JOIN samp s),
+        |cells2u AS (SELECT vec_id, v, cid AS cell FROM assign2 WHERE rn <= 2),""".stripMargin
+    s"""WITH ${nndAdjCtes(cos, updCtes, seedOrigin = "cells2u",
+        scoreSrc = "e2")}
       |SELECT node, CAST(rank AS INT) AS rank, nbr, nsim
       |FROM adj1 WHERE rank <= 6 AND node < 25
       |ORDER BY node, rank""".stripMargin
@@ -3304,6 +3445,7 @@ object PipelineQueries {
     QueryDef("e23_graph_serve", e23, Some(e23Oracle)),
     QueryDef("e22_nn_descent", e22, Some(e22Oracle)),
     QueryDef("e27_nnd_retract", e27, Some(e27Oracle)),
+    QueryDef("e32_nnd_update", e32, Some(e32Oracle)),
     QueryDef("e28_ivfpq_retract", e28, Some(e28Oracle)),
     QueryDef("e29_ivfpq_update", e29, Some(e29Oracle)),
     QueryDef("e30_retract_recall", e30, Some(e30Oracle)),
@@ -3329,6 +3471,7 @@ object PipelineQueries {
     QueryDef("d50_altstar_components", d50, Some(d50Oracle)),
     QueryDef("d52_components_append", d52, Some(d52Oracle)),
     QueryDef("d55_components_retract", d55, Some(d55Oracle)),
+    QueryDef("d60_groups_update", d60, Some(d60Oracle)),
     QueryDef("d12_stratified_sample", d12, Some(d12Oracle)),
     QueryDef("d13_simhash_sha", d13, Some(d13Oracle)),
     QueryDef("d14_minhash_sha", d14, Some(d14Oracle)),

@@ -83,6 +83,73 @@ class UpdateFacesSpec extends SparkSpec {
     assert(upd.filter(col("id") === 2L).count() > 0)
   }
 
+  test("componentsUpdate: splits the old group, re-links through the " +
+      "new evidence ≡ from-scratch CC; reversed composition loses the doc") {
+    import spark.implicits._
+    // archive: component {1,2,3} (2 is the bridge) and component {5,6}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val allIds = Seq(1L, 2L, 3L, 5L, 6L).toDF("id")
+    def ccOver(pairs: DataFrame): DataFrame =
+      Dedup.componentsAltStar(
+        pairs.unionByName(allIds.select(col("id").as("doc_a"),
+          col("id").as("doc_b"))), "doc_a", "doc_b")
+    val labels0 = ccOver(oldPairs)
+    // doc 2 re-crawled: its evidence is now (2,6) — the old bridge
+    // dissolves ({1},{3} split off) and 2 joins {5,6}
+    val newPairs = Seq((2L, 6L)).toDF("doc_a", "doc_b")
+    val upd = Dedup.componentsUpdate(
+      Dedup.GroupsArtifact(labels0, oldPairs),
+      Seq(2L).toDF("doc_id"), newPairs, "doc_a", "doc_b")
+    val survPairs = oldPairs.filter(col("doc_a") =!= 2L &&
+      col("doc_b") =!= 2L).unionByName(newPairs)
+    assert(rows(upd.labels) === rows(ccOver(survPairs)))
+    assert(rows(upd.pairs.orderBy("doc_a", "doc_b")) ===
+      rows(survPairs.orderBy("doc_a", "doc_b")))
+    // the ordering hazard: appending the new evidence first and then
+    // retracting "the updated ids" removes doc 2 from the labelling
+    // entirely (and its new evidence with it)
+    val wrong = Dedup.componentsRetract(
+      Dedup.componentsAppend(labels0, newPairs, "doc_a", "doc_b"),
+      oldPairs.unionByName(newPairs), Seq(2L).toDF("doc_id"),
+      "doc_a", "doc_b")
+    assert(wrong.filter(col("id") === 2L).count() === 0,
+      "reversed composition must demonstrate the vanished-doc bug")
+    assert(upd.labels.filter(col("id") === 2L).count() === 1)
+  }
+
+  test("updateNndIndex: ≡ frozen-quantizer rebuild over the updated " +
+      "corpus on both faces; anchor update refused") {
+    import org.apache.spark.sql.functions.{reverse, when}
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+    val anchorIds = idx.quant.reps.select(col("rep_id")).collect()
+      .map(_.getLong(0)).toSet ++ idx.quant.centIds
+    val isUpd = (c: org.apache.spark.sql.Column) =>
+      c % 9 === 4 && !c.isInCollection(anchorIds.toSeq)
+    val updated = e.select(col("vec_id"),
+      when(isUpd(col("vec_id")), reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    assert(updated.filter(isUpd(col("vec_id"))).count() > 0,
+      "fixture must yield a non-empty update batch")
+    val upd = Similarity.updateNndIndex(idx, updated, "vec_id",
+      "embedding", isUpd)
+    val scratch = Similarity.buildNndIndexWith(updated, "vec_id",
+      "embedding", idx.quant, idx.degree)
+    assert(rows(upd.seed) === rows(scratch.seed))
+    assert(rows(upd.refined) === rows(scratch.refined))
+    // load-bearing: the refined face actually moved
+    assert(rows(upd.refined) !== rows(idx.refined))
+    // an anchor update invalidates the frozen quantizer — refused
+    val anAnchor = anchorIds.head
+    val err = intercept[IllegalArgumentException] {
+      Similarity.updateNndIndex(idx, updated, "vec_id", "embedding",
+        c => c === anAnchor || isUpd(c))
+    }
+    assert(err.getMessage.contains("re-train"))
+  }
+
   test("videoSketchUpdate: ≡ rebuild-with-the-new-payloads on BOTH " +
       "faces (a re-edit moves the scene counts with the postings)") {
     import spark.implicits._
