@@ -1206,7 +1206,8 @@ object CurationQueries {
       |        THEN text || ' ' || text ELSE text END AS text
       | FROM documents)""".stripMargin
 
-  private val d59Oracle =
+  // shared with the s33 streaming gate
+  private[graft] val d59Oracle =
     s"""WITH ${winnowCtesFrom(updatedDocsSrc)},
       |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
       |arch AS (SELECT * FROM fps WHERE doc_id % 10 <> 0),

@@ -2229,7 +2229,9 @@ object PipelineQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  private val mm14Oracle = phashProbeOracle(
+  // shared with the s32 streaming gate (sequential per-batch updates
+  // compose to the one-shot update)
+  private[graft] val mm14Oracle = phashProbeOracle(
     dHashCtesFrom(CurationQueries.updatedDocsSrc))
 
   // ---- mm15: VIDEO-index UPDATE (Multimodal.videoSketchUpdate) — the
@@ -2262,7 +2264,8 @@ object PipelineQueries {
       .orderBy("doc_new", "doc_arch")
   }
 
-  private val mm15Oracle = videoProbeOracle(
+  // shared with the s34 streaming gate
+  private[graft] val mm15Oracle = videoProbeOracle(
     docsSrc = CurationQueries.updatedDocsSrc)
 
   /** The probe-vs-archive hash-dedup oracle shared by the streaming

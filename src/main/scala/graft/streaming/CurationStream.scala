@@ -272,6 +272,96 @@ object CurationStream {
         } finally { upd.unpersist(blocking = false); () }
     }
 
+  /** The WINNOW-family leg of the streaming UPDATE column — the
+    * fingerprint twin of [[shingleUpdateSink]] (s33): per micro-batch
+    * of re-crawled versions, read the predecessor's persisted uncapped
+    * winnow sketch, apply
+    * [[graft.pipeline.TextAnalysis.winnowSketchUpdate]]
+    * (retract-then-append fixed inside the face), persist sketch +
+    * df-capped serving index through the one shared cap tail. */
+  def winnowUpdateSink(newVersions: DataFrame, artDir: String,
+      initName: String, checkpoint: String, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 5, w: Int = 4,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    retractChainCore(newVersions, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        val upd = graft.pipeline.TextAnalysis.winnowSketchUpdate(
+          sp.read.parquet(s"$prevDir/sketch"), batch, textCol, idCol,
+          k, w).localCheckpoint(false)
+        try {
+          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
+          graft.pipeline.TextAnalysis.winnowServingIndex(upd, maxDf)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { upd.unpersist(blocking = false); () }
+    }
+
+  /** The IMAGE/AUDIO-family leg of the streaming UPDATE column (s32):
+    * re-encoded payloads arrive as a media stream, the per-batch
+    * fingerprint stage (the only stage touching payload bytes, map-side
+    * — [[hashDedupSink]]'s convention, so ONE sink serves both
+    * modalities) re-hashes the batch, and
+    * [[graft.pipeline.Multimodal.phashSketchUpdate]] maintains the
+    * predecessor's uncapped chunk sketch; the bucket-capped serving
+    * index re-derives through the one shared cap tail. */
+  def hashUpdateSink(newMedia: DataFrame,
+      hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
+        => DataFrame,
+      artDir: String, initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    retractChainCore(newMedia, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        import sp.implicits._
+        val hashes = hashFn(
+          batch.select(col("doc_id"), col("payload"), col("media_type"))
+            .as[graft.pipeline.Multimodal.MediaRow])
+        val upd = graft.pipeline.Multimodal.phashSketchUpdate(
+          sp.read.parquet(s"$prevDir/sketch"), hashes)
+          .localCheckpoint(false)
+        try {
+          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
+          graft.pipeline.Multimodal.phashServingIndex(upd, maxBucket)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { upd.unpersist(blocking = false); () }
+    }
+
+  /** [[hashUpdateSink]] with the image fingerprint pre-bound. */
+  def phashUpdateSink(newMedia: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    hashUpdateSink(newMedia, graft.pipeline.Multimodal.dHash(_),
+      artDir, initName, checkpoint, maxBucket)
+
+  /** The VIDEO-family leg of the streaming UPDATE column (s34): a
+    * re-edited video's payload re-segments and re-hashes map-side per
+    * batch, and [[graft.pipeline.Multimodal.videoSketchUpdate]]
+    * maintains BOTH faces of the predecessor's artifact — the packed
+    * chunk sketch AND the per-video scene counts (a re-edit moves the
+    * coverage denominators with the postings); the capped serving
+    * chunk index re-derives through the shared cap tail. */
+  def videoUpdateSink(newMedia: DataFrame, artDir: String,
+      initName: String, checkpoint: String,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
+    retractChainCore(newMedia, artDir, initName, checkpoint) {
+      (sp, batch, prevDir, outDir) =>
+        import sp.implicits._
+        import graft.pipeline.Multimodal
+        val kf = Multimodal.keyframeHashes(
+          batch.select(col("doc_id"), col("payload"), col("media_type"))
+            .as[Multimodal.MediaRow],
+          frameBytes = 72, cutPm = 8L).toDF()
+        val prev = Multimodal.VideoIndex(
+          sp.read.parquet(s"$prevDir/chunks"),
+          sp.read.parquet(s"$prevDir/counts"))
+        val upd = Multimodal.videoSketchUpdate(prev, kf)
+        val chunks = upd.chunks.localCheckpoint(false)
+        try {
+          chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+          upd.counts.write.mode("overwrite").parquet(s"$outDir/counts")
+          Multimodal.phashServingIndex(chunks, maxBucket)
+            .write.mode("overwrite").parquet(s"$outDir/index")
+        } finally { chunks.unpersist(blocking = false); () }
+    }
+
   /** The O(delta) successor of [[winnowRetractSink]] — the fingerprint
     * twin of [[shingleDeltaRetractSink]] (a winnow serving row is just
     * (id, fp), so like the phash leg there is no decoration face).

@@ -1407,6 +1407,122 @@ object StreamQueries {
       .localCheckpoint(true)
   }
 
+  // ---- s32/s33/s34: the streaming UPDATE column closed for every
+  // re-crawlable family — mm14 (image/audio hash), d59 (winnow) and
+  // mm15 (video) as real three-micro-batch streams through the family
+  // update sinks, each adjudicated by its batch gate's
+  // rebuild-with-the-new-versions oracle: green certifies sequential
+  // per-batch updates COMPOSE to the one-shot update, which the batch
+  // gate separately certifies ≡ the rebuild (the s31 induction,
+  // replicated per family). Payload-bearing families re-fingerprint
+  // ONLY the batch (map-side); the archive is never re-hashed,
+  // re-winnowed, or re-segmented on the update path. ----
+  private def s32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val d = Tables.load(s, dir, "documents")
+    def media(c: DataFrame) = Multimodal.withPayload(c, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val out = scopedTmpDir("graft_s32")
+    Multimodal.phashChunkSketch(Multimodal.dHash(media(arch)))
+      .write.parquet(s"$out/art/init/sketch")
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.phashUpdateSink(
+      Multimodal.withPayload(input.toDF().toDF("doc_id", "text"), "text")
+        .select(col("doc_id"), col("payload"), col("media_type")),
+      s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, newVersions.toSeq,
+        (v: (Long, String)) => v._1)
+    } finally q.stop()
+    val idx = s.read.parquet(s"$out/art/${lastBatchId(s"$out/art")}/index")
+    Multimodal.phashProbePairs(
+        Multimodal.dHash(media(d.filter(isNew))), idx, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
+  private def s33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.TextAnalysis
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val out = scopedTmpDir("graft_s33")
+    TextAnalysis.winnowSketch(arch, "text", "doc_id", k = 5, w = 4)
+      .write.parquet(s"$out/art/init/sketch")
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.winnowUpdateSink(
+      input.toDF().toDF("doc_id", "text"), s"$out/art", "init",
+      s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, newVersions.toSeq,
+        (v: (Long, String)) => v._1)
+    } finally q.stop()
+    val idx = s.read.parquet(s"$out/art/${lastBatchId(s"$out/art")}/index")
+    TextAnalysis.winnowProbeMatches(d.filter(isNew), idx, "text",
+        "doc_id", k = 5, w = 4, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
+  private def s34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val d = Tables.load(s, dir, "documents")
+    def media(c: DataFrame) = Multimodal.withPayload(c, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    def kf(c: DataFrame) = Multimodal.keyframeHashes(media(c),
+      frameBytes = 72, cutPm = 8L).toDF()
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val out = scopedTmpDir("graft_s34")
+    val sk = Multimodal.videoKeyframeSketch(kf(arch))
+    sk.chunks.write.parquet(s"$out/art/init/chunks")
+    sk.counts.write.parquet(s"$out/art/init/counts")
+    val newVersions = arch.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.videoUpdateSink(
+      Multimodal.withPayload(input.toDF().toDF("doc_id", "text"), "text")
+        .select(col("doc_id"), col("payload"), col("media_type")),
+      s"$out/art", "init", s"$out/_cp")
+      .start()
+    try {
+      feedInTerciles(input, q, newVersions.toSeq,
+        (v: (Long, String)) => v._1)
+    } finally q.stop()
+    val last = lastBatchId(s"$out/art")
+    val idx = Multimodal.VideoIndex(
+      s.read.parquet(s"$out/art/$last/index"),
+      s.read.parquet(s"$out/art/$last/counts"))
+    Multimodal.videoProbePairs(kf(d.filter(isNew)), idx, maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+      .localCheckpoint(true)
+  }
+
   // ---- s29: the O(delta) retract chain for the WINNOW family —
   // s25's exact scenario (same init sketch, same takedowns, same
   // final d54-shape probe, same d56 oracle) through
@@ -1612,6 +1728,12 @@ object StreamQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("s31_stream_shingle_update", st(s31),
       Some(graft.pipeline.CurationQueries.d58Oracle)),
+    QueryDef("s32_stream_phash_update", st(s32),
+      Some(graft.pipeline.PipelineQueries.mm14Oracle)),
+    QueryDef("s33_stream_winnow_update", st(s33),
+      Some(graft.pipeline.CurationQueries.d59Oracle)),
+    QueryDef("s34_stream_video_update", st(s34),
+      Some(graft.pipeline.PipelineQueries.mm15Oracle)),
     QueryDef("s30_stream_video_retract_delta", st(s30),
       Some(graft.pipeline.PipelineQueries.mm11Oracle)),
     QueryDef("s29_stream_winnow_retract_delta", st(s29),
