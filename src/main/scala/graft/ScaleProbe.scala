@@ -934,10 +934,95 @@ object ScaleProbe {
     }
   }
 
+  /** Update-vs-rebuild cost asymmetry for the round-16 UPDATE faces
+    * (the d58/d59 re-crawl edit path): a FIXED 200-doc update batch
+    * against a growing archive, update = `shingleSketchUpdate` over
+    * the persisted sketch (one broadcast anti-join + the increment's
+    * own tokenize), rebuild = `hashedShingleSketch` over the whole
+    * updated corpus (archive-wide tokenize + distinct shuffle). Both
+    * legs persist the resulting sketch face, so the write cost is
+    * shared and the measured gap is the COMPUTE asymmetry the face
+    * claims: O(|updated docs|) vs O(|corpus|). min-of-3 (steal-burst
+    * hygiene, the delta probe's convention); shuffle-write bytes
+    * printed beside walls; row equality asserted in-probe. */
+  private def updateProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def measured(f: => Unit): (Double, Long) = {
+      var best = Double.MaxValue
+      var bytes = 0L
+      for (_ <- 1 to 3) {
+        Thread.sleep(300)
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Thread.sleep(300)
+        bytes = shuffleBytes.get()
+      }
+      (best, bytes)
+    }
+    val newVersions = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 3).limit(200)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .localCheckpoint(true)
+    for (t <- Seq(1, math.max(2, times / 2), times)) {
+      val art = java.nio.file.Files
+        .createTempDirectory("graft_updprobe").toString
+      try {
+        val c = replicatedDocs(spark, dir, t)
+        pipeline.Dedup.hashedShingleSketch(c, "text", "doc_id", k = 5)
+          .write.parquet(s"$art/sketch")
+        val sketch = spark.read.parquet(s"$art/sketch")
+        val updatedCorpus = c
+          .join(newVersions.select(col("doc_id").as("uid")),
+            col("doc_id") === col("uid"), "left_anti")
+          .unionByName(newVersions)
+        val (wUpd, bUpd) = measured {
+          pipeline.Dedup.shingleSketchUpdate(sketch, newVersions,
+              "text", "doc_id", k = 5)
+            .write.mode("overwrite").parquet(s"$art/upd")
+        }
+        val (wReb, bReb) = measured {
+          pipeline.Dedup.hashedShingleSketch(updatedCorpus,
+              "text", "doc_id", k = 5)
+            .write.mode("overwrite").parquet(s"$art/reb")
+        }
+        val u = spark.read.parquet(s"$art/upd")
+        val r = spark.read.parquet(s"$art/reb")
+        val nU = u.count()
+        val nR = r.count()
+        require(nU == nR && u.unionAll(r).groupBy("id", "shingle_k5")
+            .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty,
+          s"update diverged from rebuild at ${t}x ($nU vs $nR rows)")
+        val tag = s"${t}x"
+        println(f"[probe] update/$tag%-4s sketch=$nU " +
+          f"rebuild=$wReb%6.2f s ${bReb / 1e6}%8.1f MB-shuffled  " +
+          f"update=$wUpd%6.2f s ${bUpd / 1e6}%8.1f MB-shuffled")
+      } finally graft.TmpHygiene.rmTree(art)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("update")) {
+      updateProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(8))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("delta")) {
       deltaProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(8))
       spark.stop()
