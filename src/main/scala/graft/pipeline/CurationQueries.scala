@@ -1196,6 +1196,43 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ---- d61: delta-chain COMPACTION (DeltaRetract.compact) — the LSM
+  // fold that keeps the O(delta) retract chain viable forever: after
+  // enough takedown batches the accumulated tombstone/resurrect
+  // history is itself a probe cost, so compaction folds it into a
+  // fresh base (survivor sketch + re-derived stats/index/sizes — the
+  // ONE amortized recount the per-batch algebra saves) and the chain
+  // restarts against the new base. The gate certifies the full cycle:
+  // half the takedowns through delta steps on the original base,
+  // compact, the other half through delta steps on the COMPACTED
+  // base; the final serving view answers the d21 increment probe and
+  // d57's one-shot survivor-archive oracle adjudicates — deltas →
+  // compact → deltas ≡ the one-shot retract of everything. ----
+  private def d61(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val takedown = d.filter(!isNew && col("doc_id") % 7 === 1)
+      .select("doc_id")
+    val out = graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory("graft_d61").toString)
+    Dedup.shingleDeltaBase(s, d.filter(!isNew), "text", "doc_id",
+      s"$out/a/init", k = 5, maxDf = 100)
+    val deco = (baseDir: String) => (rows: DataFrame) =>
+      rows.join(s.read.parquet(s"$baseDir/sizes"), "id")
+    DeltaRetract.step(s, s"$out/a", "init", 0L,
+      takedown.filter(col("doc_id") % 2 === 1), Seq("shingle_k5"),
+      100, deco(s"$out/a/init"))
+    Dedup.shingleDeltaCompact(s, s"$out/a", "init", 0L, s"$out/b/init",
+      k = 5, maxDf = 100)
+    DeltaRetract.step(s, s"$out/b", "init", 0L,
+      takedown.filter(col("doc_id") % 2 === 0), Seq("shingle_k5"),
+      100, deco(s"$out/b/init"))
+    val idx = DeltaRetract.servingView(s, s"$out/b", "init", 0L)
+    Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The re-crawled corpus every UPDATE-face oracle replays its family
     * chain over: archive docs (doc_id % 10 <> 0) with doc_id % 7 = 1
     * carry their new (doubled) text, everything else is unchanged —
@@ -1400,6 +1437,7 @@ object CurationQueries {
     QueryDef("d56_winnow_retract", d56, Some(d56Oracle)),
     QueryDef("d57_shingle_retract", d57, Some(d57Oracle)),
     QueryDef("d58_shingle_update", d58, Some(d58Oracle)),
+    QueryDef("d61_delta_compact", d61, Some(d57Oracle)),
     QueryDef("d59_winnow_update", d59, Some(d59Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),

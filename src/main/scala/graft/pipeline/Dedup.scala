@@ -696,6 +696,22 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$baseDir/sizes")
   }
 
+  /** Shingle-family COMPACTION of a delta retract chain
+    * ([[DeltaRetract.compact]]): fold the accumulated history into a
+    * fresh base at `newBaseDir`, including the family's `sizes` face —
+    * n_c is intrinsic per doc, so its compaction is one tombstone
+    * anti-join over the 16-byte sizes face, not a recount. */
+  def shingleDeltaCompact(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, newBaseDir: String, k: Int = 5,
+      maxDf: Int = 100): Unit = {
+    DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
+    sp.read.parquet(s"$artDir/$initName/sizes")
+      .join(DeltaRetract.tombstones(sp, artDir, upTo),
+        col("id") === col("rid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
+  }
+
   /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —
     * the same cap+size tail [[hashedShingleIndex]] bakes at build
     * ([[capShingleRows]]), exposed so the streaming retract chain

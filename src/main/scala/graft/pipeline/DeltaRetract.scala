@@ -188,6 +188,35 @@ object DeltaRetract {
         "left_anti")
   }
 
+  /** COMPACTION of a delta chain into a fresh base snapshot — the LSM
+    * fold: every probe of [[servingView]] pays a union over the
+    * accumulated resurrect faces and an anti-join over the accumulated
+    * tombstones, so after enough takedown batches the history itself
+    * becomes the cost. Compaction rewrites the three base faces over
+    * the SURVIVORS (sketch ∖ tombstones; stats and serving index
+    * re-derived through [[initBase]] — the ONE amortized
+    * archive-proportional recount the delta algebra saves per batch),
+    * and the chain restarts from batch 0 against the new base dir
+    * (a FRESH artifact dir + checkpoint, per the refuse-stale-chain
+    * lifetime contract). By construction the compacted base equals the
+    * family's deltaBase over the surviving corpus — the same
+    * derivations run on the same survivor rows — and the d61 gate
+    * certifies the full cycle: deltas → compact → more deltas ≡ the
+    * one-shot recount over all takedowns. Family faces beyond the
+    * generic three (shingle `sizes`, video `counts`) compact in the
+    * family wrappers ([[Dedup.shingleDeltaCompact]]) — both are
+    * per-doc-intrinsic, so their compaction is one tombstone
+    * anti-join, no recount. */
+  def compact(sp: SparkSession, artDir: String, initName: String,
+      upTo: Long, newBaseDir: String, keyCols: Seq[String],
+      docId: org.apache.spark.sql.Column = col("id"))(
+      serveIndex: DataFrame => DataFrame): DataFrame = {
+    val sketch = sp.read.parquet(s"$artDir/$initName/sketch")
+    val surv = sketch.join(tombstones(sp, artDir, upTo),
+      docId === col("rid"), "left_anti")
+    initBase(sp, newBaseDir, surv, keyCols)(serveIndex)
+  }
+
   /** The accumulated tombstones through batch `upTo` — exposed for
     * family faces the generic view does not assemble (the video
     * family's per-doc scene counts are maintained as base counts ∖

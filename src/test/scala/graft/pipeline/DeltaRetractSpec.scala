@@ -172,6 +172,51 @@ class DeltaRetractSpec extends SparkSpec {
     }
   }
 
+  test("compact: folds the chain into a fresh base ≡ family base over " +
+      "survivors; the restarted chain keeps the recount equivalence") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared), (4L, shared),
+      (8L, "first wholly unrelated content that overlaps with nobody"),
+      (9L, "second wholly unrelated content that overlaps with nothing"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_deltacompact")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/a/init", k = 5, maxDf = maxDf)
+    def deco(baseDir: String): DataFrame => DataFrame =
+      rows => rows.join(spark.read.parquet(s"$baseDir/sizes"), "id")
+    // chain a: retract carrier 4 (df 4→3, still capped)
+    DeltaRetract.step(spark, art + "/a", "init", 0L, Seq(4L).toDF("doc_id"),
+      Seq("shingle_k5"), maxDf, deco(s"$art/a/init"))
+    // fold into base b — must equal the family base over the survivors
+    Dedup.shingleDeltaCompact(spark, s"$art/a", "init", 0L,
+      s"$art/b/init", k = 5, maxDf = maxDf)
+    Dedup.shingleDeltaBase(spark, docs.filter(col("doc_id") =!= 4L),
+      "text", "doc_id", s"$art/ref/init", k = 5, maxDf = maxDf)
+    for (face <- Seq("sketch", "stats", "index", "sizes")) {
+      val got = spark.read.parquet(s"$art/b/init/$face")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.read.parquet(s"$art/ref/init/$face")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"compacted $face diverged from the " +
+        "family base over survivors")
+    }
+    // the restarted chain: retract carrier 3 on the COMPACTED base —
+    // df 3→2 must RESURRECT through the new base's stats
+    DeltaRetract.step(spark, s"$art/b", "init", 0L, Seq(3L).toDF("doc_id"),
+      Seq("shingle_k5"), maxDf, deco(s"$art/b/init"))
+    val got = shingleRows(
+      DeltaRetract.servingView(spark, s"$art/b", "init", 0L))
+    val want = shingleRows(Dedup.shingleIndexRetract(
+      spark.read.parquet(s"$art/a/init/sketch"),
+      Seq(4L, 3L).toDF("doc_id"), k = 5, maxDf = maxDf))
+    assert(got === want)
+    assert(got.exists(_._1 == 1L),
+      "the post-compaction step must resurrect through the new base")
+  }
+
   test("phash delta chain: serving view ≡ recount incl. bucket " +
       "resurrection (image/audio hash family)") {
     import spark.implicits._
