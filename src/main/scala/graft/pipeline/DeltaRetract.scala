@@ -88,9 +88,10 @@ object DeltaRetract {
     * per-doc `n_c` back on; the phash family's sketch rows already ARE
     * serving-shaped); the result is column-aligned to the base index
     * before writing. Idempotent per batch: inputs are persisted faces
-    * of STRICTLY EARLIER batches, outputs overwrite, and every
-    * downstream consumer inside the step re-reads what was just
-    * persisted rather than trusting the in-flight plan. */
+    * of STRICTLY EARLIER batches, outputs overwrite, and each derived
+    * face is materialized ONCE (localCheckpoint) before being both
+    * persisted and consumed downstream — a nondeterministic upstream
+    * batch cannot diverge between the write and the joins. */
   def step(sp: SparkSession, artDir: String, initName: String,
       batchId: Long, takedownIds: DataFrame, keyCols: Seq[String],
       maxCnt: Int, decorate: DataFrame => DataFrame,
@@ -106,12 +107,16 @@ object DeltaRetract {
       else sp.read.parquet(
         (0L until batchId).map(i => s"$artDir/$i/tombs"): _*)
     // drop ids already tombstoned (a re-submitted takedown must not
-    // decrement its postings a second time)
-    Dedup.normalizeRemovedIds(takedownIds)
+    // decrement its postings a second time). Materialized ONCE
+    // (localCheckpoint) and shared by the persisted face and every
+    // downstream consumer — same determinism as re-reading the written
+    // parquet (a nondeterministic upstream batch cannot diverge
+    // between the write and the joins), one job cheaper per face.
+    val rids = Dedup.normalizeRemovedIds(takedownIds)
       .join(priorTombs.select(col("rid").as("prid")),
         col("rid") === col("prid"), "left_anti")
-      .write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
-    val rids = sp.read.parquet(s"$artDir/$batchId/tombs")
+      .localCheckpoint(true)
+    rids.write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
 
     // a fully-duplicate (replayed upstream) batch decrements nothing:
     // write schema-only empty faces without touching either base scan
@@ -119,11 +124,14 @@ object DeltaRetract {
     // decrements from the takedown docs' OWN postings — an id-keyed
     // lookup into the base sketch (broadcast delta side; prunes to
     // touched files under an id-bucketed layout), never a recount
-    val decSrc = baseSketch.join(broadcast(rids), docId === col("rid"))
-      .groupBy(keyCs: _*).agg(count(lit(1)).as("dec"))
-    (if (batchDead) emptyLike(sp, decSrc) else decSrc)
-      .write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
-    val dec = sp.read.parquet(s"$artDir/$batchId/statsdelta")
+    val dec =
+      (if (batchDead)
+        emptyLike(sp, baseSketch.groupBy(keyCs: _*)
+          .agg(count(lit(1)).as("dec")))
+      else baseSketch.join(broadcast(rids), docId === col("rid"))
+        .groupBy(keyCs: _*).agg(count(lit(1)).as("dec")))
+        .localCheckpoint(true)
+    dec.write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
 
     val priorDec =
       if (batchId == 0L)
@@ -158,6 +166,8 @@ object DeltaRetract {
     resurrect.write.mode("overwrite")
       .parquet(s"$artDir/$batchId/resurrect")
     candidates.foreach(_.unpersist(blocking = false))
+    rids.unpersist(blocking = false)
+    dec.unpersist(blocking = false)
     ()
   }
 
