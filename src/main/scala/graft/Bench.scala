@@ -28,6 +28,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // Stream-certification rows (s7+) sample fewer reps (round-17
+    // harness-budget derivation, BASELINE.md "Certification-row
+    // job-count cuts": the round-16 driver bench TIMED OUT; these rows
+    // are job-count-bound certification floors whose per-rep cost is
+    // per-micro-batch planning + checkpoint I/O, the steal-discard
+    // retry already guards contaminated samples, and every gated
+    // stream subtotal holds ≥2x margin). Min-of-2 still samples two
+    // different seeded neighborhoods.
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2")
+      .toInt.max(1).min(reps)
     // The shared front-door builder (Graft.sessionBuilder) carries the
     // engine confs the bench must inherit — notably the codegen-cache
     // sizing root-caused in round 9 (the default 100-entry LRU thrashes
@@ -191,6 +201,76 @@ object Bench {
       "q71_ktruss", "q72_weighted_pagerank", "s17_stream_phash_dedup",
       "s18_stream_winnow_dedup", "s19_crash_recovery",
       "s20_stream_audio_dedup", "s21_stream_video_dedup")
+    // FROZEN membership of the gated batch subtotal (round-17
+    // derivation, BASELINE.md "batch187 freeze"): the 187 non-stream-
+    // certification rows of the ROUND-15 driver artifact — the last
+    // complete driver measurement — listed mechanically from that
+    // artifact's own keys. The mix-sensitive all-rows batch MEAN became
+    // informational the moment this subtotal exists in an artifact
+    // (the round-14/15 stream-mean playbook applied to the batch
+    // population after the round-16 DNF): a new batch certification
+    // row lands OUTSIDE this set and can never again move a gated
+    // batch signal for mix reasons. Membership NEVER changes.
+    val batch187: Set[String] = Set(
+      "d10_hash_split", "d11_neardup_groups", "d12_stratified_sample",
+      "d13_simhash_sha", "d14_minhash_sha", "d15_neardup_pipeline",
+      "d16_contamination", "d17_repetition_quality", "d18_source_quota",
+      "d19_weighted_mix", "d1_exact_dedup", "d20_dup_shingles",
+      "d21_incremental_dedup", "d22_token_budget", "d23_pii_redact",
+      "d24_line_dedup", "d25_bm25_rank", "d26_fuzzy_join",
+      "d27_quality_model", "d28_unigram_surprisal", "d29_sequence_pack",
+      "d2_token_stats", "d30_heavy_hitters", "d31_curation_pipeline",
+      "d32_substr_dedup", "d33_bigram_surprisal", "d34_leakage_safe_split",
+      "d35_cms_estimates", "d36_weighted_sample", "d37_nfc_normalize",
+      "d38_url_filter", "d39_c4_line_filter", "d3_lang_id",
+      "d40_corpus_report", "d41_containment_pairs", "d42_dsir_select",
+      "d43_cluster_sample", "d44_token_pmi", "d45_zipf_fit",
+      "d46_source_overlap", "d47_bpe_merges", "d48_minhash_accuracy",
+      "d49_winnow_fingerprints", "d4_quality_score", "d50_altstar_components",
+      "d51_winnow_matches", "d52_components_append", "d53_bpe_apply",
+      "d54_winnow_incremental", "d55_components_retract",
+      "d56_winnow_retract", "d57_shingle_retract", "d5_fingerprint",
+      "d6_jaccard_pairs", "d7_minhash_pairs", "d8_simhash_pairs",
+      "d9_bpe_tokens", "e10_semantic_dedup", "e11_pq_rerank",
+      "e12_ivfpq_residual", "e13_kmeans_refined_ann", "e14_hamming_rerank",
+      "e15_matryoshka_rerank", "e16_hybrid_retrieval", "e17_triplet_mine",
+      "e18_ann_recall", "e19_centroid_outliers", "e1_cosine_topk",
+      "e20_rrf_fusion", "e21_graph_ann", "e22_nn_descent", "e23_graph_serve",
+      "e24_sq8_rerank", "e25_filtered_ann", "e26_append_recall",
+      "e27_nnd_retract", "e28_ivfpq_retract", "e2_knn_classify", "e3_lsh_ann",
+      "e4_cosine_neardup", "e5_ivf_ann", "e6_quantized_topk", "e7_ivf2_ann",
+      "e8_pq_adc_ann", "e9_ivfpq_ann", "m1_gen_raw", "m2_gen_second",
+      "m3_rollup_minute", "m4_rollup_hour", "m5_rollup_day", "m6_said_seed",
+      "m7_dedup_rollup", "m8_routed_report", "m9_cql_bind",
+      "mm10_video_probe_pairs", "mm11_video_retract", "mm12_phash_retract",
+      "mm13_audio_retract", "mm1_multimodal_meta", "mm2_frame_sample",
+      "mm3_visual_topk", "mm4_audio_segments", "mm5_scene_cuts", "mm6_phash",
+      "mm7_phash_pairs", "mm8_video_dup_pairs", "mm9_audio_dup_pairs",
+      "q10_cube", "q11_distinct", "q12_topk_global", "q13_conditional",
+      "q14_strings", "q15_datetime", "q16_json", "q17_scalar_stats",
+      "q18_asof_join", "q19_ranking", "q1_agg", "q20_correlated_avg",
+      "q21_sql_entry", "q22_array_agg", "q23_range_join", "q24_map_functions",
+      "q25_multiset_ops", "q26_typed_agg", "q27_approx_distinct",
+      "q28_explode_words", "q29_pivot", "q2_selective_filter",
+      "q30_lateral_topn", "q31_range_frame", "q32_grouping_sets",
+      "q33_unpivot", "q34_from_json", "q35_clustered_layout",
+      "q36_window_extras", "q37_sketch_rollup", "q38_corr_moments",
+      "q39_approx_percentile", "q3_join_topk", "q40_bloom_pruned_join",
+      "q41_zorder_layout", "q42_bucketed_join", "q43_salted_sum",
+      "q44_text_roundtrip", "q45_orc_roundtrip", "q46_gapfill_ffill",
+      "q47_sessionize", "q48_gapfill_interp", "q49_dpp_join",
+      "q4_star_broadcast", "q50_scd2_intervals", "q51_pagerank",
+      "q52_ewma_smooth", "q53_full_outer", "q54_funnel",
+      "q55_triangle_census", "q56_cohort_retention", "q57_assortativity",
+      "q58_link_predict", "q59_hierarchy_rollup", "q5_semi_anti",
+      "q60_capped_coedges", "q61_label_prop", "q62_lpa_fixpoint",
+      "q63_pagerank_fixpoint", "q64_lpa_resume", "q65_pagerank_resume",
+      "q66_kcore", "q67_trustrank", "q68_modularity", "q69_bfs_levels",
+      "q6_window_topk", "q70_local_clustering", "q71_ktruss",
+      "q72_weighted_pagerank", "q73_weighted_modularity", "q74_weighted_lpa",
+      "q7_window_running", "q8_setops", "q9_rollup", "s1_event_deltas",
+      "s2_tumbling_hour", "s3_sliding_2h1h", "s4_session_window",
+      "s5_interval_join", "s6_gap_detect")
     // The REAL-Structured-Streaming gate rows (s7+): each runs actual
     // micro-batches with checkpointed state, whose per-batch incremental
     // planning sets a ~0.9 s/batch floor that is certification cost, not
@@ -296,9 +376,16 @@ object Bench {
       // Deterministic per-rep order: rep 1 is the registry order, later
       // reps are seeded shuffles — same schedule every run, different
       // neighbors every rep.
-      val order =
+      val fullOrder =
         if (rep == 1) registry
         else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
+      // Stream-cert rows sample only the first `streamReps` reps —
+      // later reps drop them from the schedule entirely (min-of-reps
+      // just has fewer stream samples to take the min over; batch
+      // rows' neighborhoods still vary per rep via the seeded shuffle).
+      val order =
+        if (rep <= streamReps) fullOrder
+        else fullOrder.filterNot(q => streamRows(q._1))
       order.zipWithIndex.foreach { case ((name, fn), idx) =>
         // SPARK_GRAFT_TRACE=1: per-query start lines (stderr), so a
         // stalled query can be caught in the act (jstack while the
@@ -382,8 +469,9 @@ object Bench {
       val times = samples(name)
       val best = if (times.isEmpty) -1.0 else times.min
       val spread = if (times.isEmpty) -1.0 else times.max - times.min
+      val expReps = if (streamRows(name)) streamReps else reps
       System.err.println(
-        f"[bench] $name%-24s min $best%8.2f s  spread $spread%6.2f s  (${times.size}/$reps ok)")
+        f"[bench] $name%-24s min $best%8.2f s  spread $spread%6.2f s  (${times.size}/$expReps ok)")
       (name, best, spread)
     }
     def jmap(kv: Seq[(String, Double)], fmt: Double => String): String =
@@ -425,6 +513,14 @@ object Bench {
       .map(_._2).filter(_ >= 0)
     val core192Total = core192Times.sum
     val core192N = core192Times.size
+    // The GATED batch signal since round 17 (BASELINE.md "batch187
+    // freeze"): frozen-membership subtotal over the round-15 driver
+    // artifact's 187 batch rows. The all-rows batch mean is
+    // informational once this field exists in the artifact.
+    val batch187Times = results.filter(r => batch187(r._1))
+      .map(_._2).filter(_ >= 0)
+    val batch187Total = batch187Times.sum
+    val batch187N = batch187Times.size
     val streamCert = results.filter(r => streamRows(r._1))
       .map(_._2).filter(_ >= 0)
     val streamOverhead = streamCert.sum
@@ -468,7 +564,7 @@ object Bench {
     // Full-precision artifact (times + spreads + reps + residency
     // instrumentation) written to the repo root, where the per-round
     // auto-commit preserves it whole.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"stream18_total":$stream18Total,"stream18_n":$stream18N,"jvm_max_heap_mb":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"batch187_total":$batch187Total,"batch187_n":$batch187N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"stream18_total":$stream18Total,"stream18_n":$stream18N,"jvm_max_heap_mb":${
       Runtime.getRuntime.maxMemory / (1024 * 1024)},"queries":${
       jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"queries_reps":${
@@ -525,6 +621,7 @@ object Bench {
               ("core158", core158Total, core158N, 158),
               ("core167", core167Total, core167N, 167),
               ("core192", core192Total, core192N, 192),
+              ("batch187", batch187Total, batch187N, 187),
               ("stream16", stream16Total, stream16N, 16),
               ("stream18", stream18Total, stream18N, 18))
             BenchGate.warnings(valid, total, subsets, a)

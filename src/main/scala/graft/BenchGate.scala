@@ -101,8 +101,19 @@ object BenchGate {
     val streamTotal = queries.collect { case (k, v) if isStreamCert(k) => v }.sum
     val nStream = queries.count(kv => isStreamCert(kv._1))
     val nBatch = queries.size - nStream
+    // Round-17 re-derivation (BASELINE.md "batch187 freeze", after the
+    // round-16 DNF): once a run carries a COMPLETE batch187 frozen
+    // subtotal with an anchor freeze, the mix-sensitive all-rows batch
+    // mean is informational only — new batch certification rows land
+    // outside the freeze and can no longer move a gated signal for mix
+    // reasons (the same rule that retired the stream-cert mean in
+    // round 15). Without the subtotal (historical artifacts), the mean
+    // stays gated as before.
+    val batch187Gated = subsets.exists { case (n, _, cnt, exp) =>
+      n == "batch187" && cnt == exp } && anchor.contains("batch187_freeze_s")
     val batch =
-      if (nBatch > 0 && anchor.contains("baseline_per_query_s"))
+      if (!batch187Gated && nBatch > 0 &&
+          anchor.contains("baseline_per_query_s"))
         Seq(Signal("batch mean", (total - streamTotal) / nBatch,
           anchor("baseline_per_query_s")))
       else Nil

@@ -1014,10 +1014,114 @@ object ScaleProbe {
     }
   }
 
+  /** Per-update-batch cost of the STREAMING update column: the
+    * round-16 rewrite sink shape (read the predecessor's FULL sketch,
+    * apply the update face, REWRITE the whole sketch, re-derive the
+    * serving index by an archive-wide df recount — exactly what
+    * s31–s34 shipped with) vs the round-17 O(delta) chain
+    * ([[pipeline.DeltaUpdate.step]]: three delta-sized faces), at a
+    * FIXED 200-doc update batch while the archive grows `times`×. The
+    * claim under test is VERDICT r16 "wrong" item 2: per-batch WRITTEN
+    * bytes — the number that was archive-proportional — must be flat
+    * in archive size for the delta chain, alongside the shuffle-bytes
+    * claim the retract probe established. Output bytes come from the
+    * task output metrics (parquet write volume), shuffle bytes from
+    * the shuffle-write metrics; min-of-3 walls (steal-burst hygiene).
+    * Row equality of the two serving views asserted in-probe. */
+  private def upDeltaProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, times: Int): Unit = {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val outBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          outBytes.addAndGet(
+            sc.stageInfo.taskMetrics.outputMetrics.bytesWritten)
+          ()
+        }
+      })
+    def measured(f: => Unit): (Double, Long, Long) = {
+      var best = Double.MaxValue
+      var sb = 0L
+      var ob = 0L
+      for (_ <- 1 to 3) {
+        Thread.sleep(300)
+        shuffleBytes.set(0L)
+        outBytes.set(0L)
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Thread.sleep(300)
+        sb = shuffleBytes.get()
+        ob = outBytes.get()
+      }
+      (best, sb, ob)
+    }
+    val newVersions = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 3).limit(200)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      .localCheckpoint(true)
+    for (t <- Seq(1, math.max(2, times / 2), times)) {
+      val art = java.nio.file.Files
+        .createTempDirectory("graft_updeltaprobe").toString
+      try {
+        val c = replicatedDocs(spark, dir, t)
+        pipeline.Dedup.shingleDeltaBase(spark, c, "text", "doc_id",
+          s"$art/init", k = 5, maxDf = 100)
+        val skRows = spark.read.parquet(s"$art/init/sketch").count()
+        // the superseded per-batch shape: full-sketch rewrite + index
+        // recount (both writes, exactly what the r16 sink persisted)
+        val (wRw, sRw, oRw) = measured {
+          val upd = pipeline.Dedup.shingleSketchUpdate(
+            spark.read.parquet(s"$art/init/sketch"), newVersions,
+            "text", "doc_id", k = 5).localCheckpoint(false)
+          try {
+            upd.write.mode("overwrite").parquet(s"$art/rw/sketch")
+            pipeline.Dedup.shingleServingIndex(upd, k = 5, maxDf = 100)
+              .write.mode("overwrite").parquet(s"$art/rw/index")
+          } finally { upd.unpersist(blocking = false); () }
+        }
+        val (wDl, sDl, oDl) = measured {
+          pipeline.DeltaUpdate.step(spark, art, "init", 0L,
+            newVersions.select("doc_id"),
+            pipeline.Dedup.hashedShingleSketch(newVersions, "text",
+              "doc_id", k = 5),
+            Seq("shingle_k5"))
+        }
+        val rw = spark.read.parquet(s"$art/rw/index")
+        val view = pipeline.Dedup.shingleUpdateServing(spark, art,
+          "init", 0L, k = 5, maxDf = 100)
+        val nR = rw.count()
+        val nD = view.count()
+        require(nD == nR && view.unionAll(rw)
+            .groupBy("id", "shingle_k5", "n_c")
+            .agg(count(lit(1)).as("n")).filter(col("n") =!= 2)
+            .isEmpty,
+          s"update view diverged from rewrite at ${t}x ($nD vs $nR rows)")
+        val tag = s"${t}x"
+        println(f"[probe] updelta/$tag%-4s sketch=$skRows idx=$nR " +
+          f"rewrite=$wRw%6.2f s ${sRw / 1e6}%7.1f MB-shuffled " +
+          f"${oRw / 1e6}%7.1f MB-written  " +
+          f"delta=$wDl%6.2f s ${sDl / 1e6}%7.1f MB-shuffled " +
+          f"${oDl / 1e6}%7.1f MB-written")
+      } finally graft.TmpHygiene.rmTree(art)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("updelta")) {
+      upDeltaProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(8))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("update")) {
       updateProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(8))
       spark.stop()

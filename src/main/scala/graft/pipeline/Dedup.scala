@@ -492,8 +492,8 @@ object Dedup {
     * df-capped inverted index → co-occurring pairs with intersection and
     * both shingle-set sizes — (id_a, id_b, inter, n_a, n_b). */
   private def shinglePairStats(df: DataFrame, textCol: String,
-      idCol: String, k: Int, maxDf: Int): DataFrame = {
-    // No .cache(): the index subtree below ends in the dropDuplicates
+      idCol: String, k: Int, maxDf: Int): DataFrame =
+    // No .cache(): the index subtree ends in the dropDuplicates
     // hash-aggregate's Exchange, and all three consumers (df-cap, join,
     // sizes) contain that identical Exchange — Spark's ReuseExchange
     // executes the scan→tokenize→hash→dedup stage ONCE and the consumers
@@ -502,8 +502,15 @@ object Dedup {
     // so a long-lived session (a bench, a notebook, a server) accumulates
     // nothing. (r2 lesson: a library function that persists and never
     // unpersists leaks pinned blocks into every later query.)
-    val idx = TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
-      .dropDuplicates("id", "shingle")
+    shinglePairStatsOn(
+      TextAnalysis.hashedShingleRows(df, textCol, idCol, k)
+        .dropDuplicates("id", "shingle"), maxDf)
+
+  /** [[shinglePairStats]] over already-distinct (id, shingle) posting
+    * rows — the entry point for callers holding a materialized
+    * [[hashedShingleSketch]] (same rows as the from-docs path, since
+    * that path's first stage IS this distinct posting set). */
+  private def shinglePairStatsOn(idx: DataFrame, maxDf: Int): DataFrame = {
     val dfOk = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -527,7 +534,28 @@ object Dedup {
 
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
-    shinglePairStats(df, textCol, idCol, k, maxDf)
+    jaccardScreen(shinglePairStats(df, textCol, idCol, k, maxDf),
+      threshold)
+
+  /** [[jaccardPairs]] over an already-materialized uncapped
+    * [[hashedShingleSketch]] — row-identical to the from-docs path
+    * (whose first stage IS the sketch's distinct posting set), for
+    * callers that hold the sketch anyway and must not pay a second
+    * corpus tokenization (the d60 update gate derives BOTH its
+    * uncapped pair-mine and its d58-update serving index from one
+    * checkpointed sketch; VERDICT r16 task 1b). */
+  def jaccardPairsFromSketch(sketch: DataFrame, k: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    requireShingleK(sketch, k)
+    jaccardScreen(shinglePairStatsOn(
+      sketch.select(col("id"), col(s"shingle_k$k").as("shingle")),
+      maxDf), threshold)
+  }
+
+  /** The exact-Jaccard screen shared by both pair entry points. */
+  private def jaccardScreen(stats: DataFrame,
+      threshold: Double): DataFrame =
+    stats
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -694,6 +722,28 @@ object Dedup {
       Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
     sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
       .write.mode("overwrite").parquet(s"$baseDir/sizes")
+  }
+
+  /** The shingle family's serving view over an UPDATE delta chain
+    * ([[DeltaUpdate]]) after batch `upTo` — the O(delta) successor of
+    * deriving [[shingleServingIndex]] from a per-batch-rewritten
+    * sketch (the s31 gate's serve path). Decoration is the family's
+    * one quirk: a serving row carries `n_c`, the doc's CURRENT
+    * pre-cap distinct-shingle count, which an update MOVES — so the
+    * sizes frame is base sizes for never-updated docs plus counts
+    * derived from the updated docs' latest newrows (both delta-sized
+    * or map-side). Base faces from [[shingleDeltaBase]] — the SAME
+    * base serves retract and update chains. */
+  def shingleUpdateServing(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, k: Int = 5,
+      maxDf: Int = 100): DataFrame = {
+    val curSizes = sp.read.parquet(s"$artDir/$initName/sizes")
+      .join(DeltaUpdate.updatedDocs(sp, artDir, upTo),
+        col("id") === col("rid"), "left_anti")
+      .unionByName(DeltaUpdate.latestRows(sp, artDir, upTo)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_c")))
+    DeltaUpdate.servingView(sp, artDir, initName, upTo,
+      Seq(s"shingle_k$k"), maxDf)(_.join(curSizes, "id"))
   }
 
   /** Shingle-family COMPACTION of a delta retract chain

@@ -105,7 +105,7 @@ object DeltaRetract {
       if (batchId == 0L)
         emptyLike(sp, Dedup.normalizeRemovedIds(takedownIds))
       else sp.read.parquet(
-        (0L until batchId).map(i => s"$artDir/$i/tombs"): _*)
+        facePaths(sp, artDir, "tombs", 0L until batchId): _*)
     // drop ids already tombstoned (a re-submitted takedown must not
     // decrement its postings a second time). Materialized ONCE
     // (localCheckpoint) and shared by the persisted face and every
@@ -137,7 +137,7 @@ object DeltaRetract {
       if (batchId == 0L)
         emptyLike(sp, dec.withColumnRenamed("dec", "pdec"))
       else sp.read.parquet(
-          (0L until batchId).map(i => s"$artDir/$i/statsdelta"): _*)
+          facePaths(sp, artDir, "statsdelta", 0L until batchId): _*)
         .groupBy(keyCs: _*).agg(sum("dec").as("pdec"))
 
     // cap-crossing keys: above the cap BEFORE this batch (build count
@@ -173,8 +173,9 @@ object DeltaRetract {
 
   /** A zero-row DataFrame with `of`'s schema that plans NO scan —
     * `df.limit(0)` still carries the source in its plan and a write of
-    * it can launch the whole scan job just to emit nothing. */
-  private def emptyLike(sp: SparkSession, of: DataFrame): DataFrame =
+    * it can launch the whole scan job just to emit nothing. (Shared
+    * with [[DeltaUpdate]], the signed-delta twin.) */
+  private[pipeline] def emptyLike(sp: SparkSession, of: DataFrame): DataFrame =
     sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       of.schema)
 
@@ -189,7 +190,7 @@ object DeltaRetract {
       docId: org.apache.spark.sql.Column = col("id")): DataFrame = {
     val idx = sp.read.parquet(s"$artDir/$initName/index")
     val res = sp.read.parquet(
-      (0L to upTo).map(i => s"$artDir/$i/resurrect"): _*)
+      facePaths(sp, artDir, "resurrect", 0L to upTo): _*)
     // no broadcast hint: per-batch tombs are tiny but the ACCUMULATED
     // history is unbounded over a chain's lifetime — let AQE promote
     // the anti-join to broadcast while it fits instead of forcing it
@@ -214,9 +215,12 @@ object DeltaRetract {
     * certifies the full cycle: deltas → compact → more deltas ≡ the
     * one-shot recount over all takedowns. Family faces beyond the
     * generic three (shingle `sizes`, video `counts`) compact in the
-    * family wrappers ([[Dedup.shingleDeltaCompact]]) — both are
-    * per-doc-intrinsic, so their compaction is one tombstone
-    * anti-join, no recount. */
+    * family wrappers ([[Dedup.shingleDeltaCompact]],
+    * [[Multimodal.videoDeltaCompact]]) — both are per-doc-intrinsic,
+    * so their compaction is one tombstone anti-join, no recount; the
+    * phash and winnow chains have no extra face and compact through
+    * this generic fold directly (spec-certified cycles in
+    * DeltaRetractSpec; the video two-face cycle is gate d62). */
   def compact(sp: SparkSession, artDir: String, initName: String,
       upTo: Long, newBaseDir: String, keyCols: Seq[String],
       docId: org.apache.spark.sql.Column = col("id"))(
@@ -233,5 +237,27 @@ object DeltaRetract {
     * tombstones at view time, the same algebra as the index face). */
   def tombstones(sp: SparkSession, artDir: String,
       upTo: Long): DataFrame =
-    sp.read.parquet((0L to upTo).map(i => s"$artDir/$i/tombs"): _*)
+    sp.read.parquet(facePaths(sp, artDir, "tombs", 0L to upTo): _*)
+
+  /** The per-batch face paths for a contiguous id range,
+    * existence-checked UP FRONT through the same Hadoop FileSystem
+    * resolver the reads use: the chain contract assumes contiguous
+    * batch dirs, and a trigger that commits a batch id without
+    * invoking the sink (or a manually deleted id) would otherwise
+    * surface as an unhelpful mid-read parquet error naming one shard —
+    * this names the missing batch and the dir instead (ADVICE r16,
+    * mirroring `lastBatchId`'s message discipline). */
+  private[pipeline] def facePaths(sp: SparkSession, artDir: String,
+      face: String, ids: Seq[Long]): Seq[String] = {
+    val conf = sp.sparkContext.hadoopConfiguration
+    ids.map { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$artDir/$i/$face")
+      require(p.getFileSystem(conf).exists(p),
+        s"missing batch $i face '$face' under $artDir — the delta " +
+          "chain has a gap (a batch id was skipped or its artifacts " +
+          "deleted); recover the missing batch or restart the chain " +
+          "from a fresh compacted base")
+      p.toString
+    }
+  }
 }

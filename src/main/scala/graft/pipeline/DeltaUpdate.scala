@@ -1,0 +1,258 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O(delta) maintenance of a CAPPED serving index under continuous
+  * RE-CRAWL UPDATES — the signed-delta twin of [[DeltaRetract]] and
+  * the successor to the per-batch full-sketch rewrite the streaming
+  * update sinks shipped with (VERDICT r16 "what's wrong" item 2: the
+  * s31–s34 sinks read the predecessor's FULL uncapped sketch, applied
+  * the update face, rewrote the ENTIRE sketch, and re-derived the
+  * serving index by an archive-wide df recount, every micro-batch —
+  * archive-proportional I/O per batch on a re-crawl stream).
+  *
+  * Updates break [[DeltaRetract]]'s monotone-decrement trick — a
+  * changed document REMOVES its old postings and ADDS its new ones, so
+  * key counts move both ways and cap crossings happen in both
+  * directions, repeatedly. What survives is the decidability: a key's
+  * CURRENT count is its persisted build count plus the accumulated
+  * SIGNED deltas, and only keys some update batch touched can ever
+  * differ from their build count — so "which keys sit under the cap
+  * now" is a delta-sized question, never an archive recount.
+  *
+  * The maintained artifact is the [[DeltaRetract.initBase]] snapshot
+  * (sketch / stats / index — the SAME base faces, so one family base
+  * serves both chains) plus PER-BATCH update faces, each delta-sized:
+  *
+  *   artDir/<b>/updids     this batch's updated doc ids (rid)
+  *   artDir/<b>/newrows    the new versions' uncapped sketch rows
+  *                         (also the decrement source for a LATER
+  *                         update of the same doc — the "current
+  *                         postings" of a twice-updated doc are its
+  *                         latest newrows, not its build rows)
+  *   artDir/<b>/statsdelta (key…, delta) SIGNED count moves: plus the
+  *                         new versions' postings, minus the updated
+  *                         docs' current (pre-batch) postings
+  *
+  * and the serving view at batch b assembles from base faces plus
+  * delta-sized aggregates only ([[servingView]]):
+  *
+  *   A: base index rows of never-updated docs whose key is not
+  *      currently over the cap (one anti-join per condition);
+  *   B: base sketch rows of keys that were over the cap at build but
+  *      are at-or-below it now (cap re-admission — broadcast key set,
+  *      map-side base scan, skipped entirely when no key qualifies);
+  *   C: the updated docs' LATEST version rows whose key is under the
+  *      cap now.
+  *
+  * Per-batch SHUFFLED bytes are delta-proportional (every base-face
+  * join broadcasts the delta side; the only aggregates group
+  * delta-sized frames) and per-batch WRITTEN bytes are delta-sized —
+  * the property the rewrite sinks lacked, measured in
+  * `ScaleProbe updelta`. The residual archive-proportional cost is
+  * map-side scans of the base faces, prunable to touched files under
+  * an id-/key-bucketed layout at production scale — the same shape as
+  * the retract chain's.
+  *
+  * Equivalence contract (spec-pinned, DeltaUpdateSpec; gates s31–s34
+  * replay it under the driver oracle): after every batch,
+  * [[servingView]] is row-identical to the family's capped serving
+  * view over the recount-maintained sketch (the cumulative
+  * `shingleSketchUpdate`/… composition), both cap directions included.
+  * Read-predecessor discipline (s16/s22): batch b reads only base
+  * faces and batches 0..b-1, overwrites only its own faces — a
+  * replayed batch re-derives identical output from identical persisted
+  * input. Update-only chains: a mixed update+takedown stream routes
+  * takedowns through [[DeltaRetract]] against its own chain, or models
+  * a takedown as an update to an empty version (zero newrows — the doc
+  * then vanishes from the view, which the spec pins). */
+object DeltaUpdate {
+
+  /** One re-crawl batch of the update delta chain: write this batch's
+    * three delta faces from the base faces, batches 0..batchId-1, and
+    * the batch's own (updatedIds, newRows) — never a maintained full
+    * sketch (there isn't one; that is the point). `updatedIds` is
+    * EXPLICIT rather than derived from `newRows`' doc ids: a re-crawl
+    * whose new payload yields ZERO rows (an emptied document, a
+    * truncated media file) must still retract the old postings or its
+    * stale rows serve forever (the ADVICE r16 phash/video update-face
+    * hazard, fixed structurally here). Idempotent per batch: inputs
+    * are persisted faces of strictly earlier batches plus the batch's
+    * own rows, outputs overwrite, and each derived frame is
+    * materialized once before being both persisted and consumed. */
+  def step(sp: SparkSession, artDir: String, initName: String,
+      batchId: Long, updatedIds: DataFrame, newRows: DataFrame,
+      keyCols: Seq[String],
+      docId: Column = col("id")): Unit = {
+    val base = s"$artDir/$initName"
+    val keyCs = keyCols.map(col)
+    val rids = Dedup.normalizeRemovedIds(updatedIds).localCheckpoint(true)
+    val rows = newRows.localCheckpoint(true)
+    val pinned = scala.collection.mutable.ListBuffer(rids, rows)
+    try {
+      rids.write.mode("overwrite").parquet(s"$artDir/$batchId/updids")
+      rows.write.mode("overwrite").parquet(s"$artDir/$batchId/newrows")
+
+      // a fully-empty (replayed upstream) batch moves nothing: write a
+      // schema-only delta face without touching either base scan
+      val deltaSchema = DeltaRetract.emptyLike(sp,
+        rows.groupBy(keyCs: _*).agg(lit(0L).as("delta")))
+      val delta =
+        if (rids.isEmpty) deltaSchema
+        else {
+          // the updated docs' CURRENT postings: base rows for docs
+          // never updated before, else their latest prior newrows face
+          // — every base-face join broadcasts the delta side. Batch 0
+          // has no prior faces to read: everything decrements from
+          // base rows.
+          val lastBid = (
+            if (batchId == 0L)
+              rids.withColumn("lb", lit(null).cast("long"))
+            else rids
+              .join(priorUpdatedWithBid(sp, artDir, batchId),
+                col("rid") === col("prid"), "left")
+              .groupBy("rid").agg(max(col("pbid")).as("lb"))
+          ).localCheckpoint(true)
+          pinned += lastBid
+          val fromBase = sp.read.parquet(s"$base/sketch")
+            .join(broadcast(lastBid.filter(col("lb").isNull)
+              .select("rid")), docId === col("rid"))
+          val fromPrior =
+            if (batchId == 0L) DeltaRetract.emptyLike(sp, rows)
+            else priorNewWithBid(sp, artDir, batchId)
+              .join(broadcast(lastBid.filter(col("lb").isNotNull)),
+                docId === col("rid") && col("nbid") === col("lb"))
+          val dec = fromBase.select(keyCs: _*)
+            .unionByName(fromPrior.select(keyCs: _*))
+            .groupBy(keyCs: _*).agg(count(lit(1)).as("dec"))
+          val inc = rows.groupBy(keyCs: _*).agg(count(lit(1)).as("inc"))
+          inc.join(dec, keyCols, "full_outer")
+            .na.fill(0L, Seq("inc", "dec"))
+            .select(keyCs :+ (col("inc") - col("dec")).as("delta"): _*)
+            .filter(col("delta") =!= 0L)
+        }
+      delta.write.mode("overwrite")
+        .parquet(s"$artDir/$batchId/statsdelta")
+    } finally {
+      pinned.foreach(_.unpersist(blocking = false))
+    }
+    ()
+  }
+
+  /** The serving view after batch `upTo` — assembled from the base
+    * faces plus delta-sized aggregates only; no archive-wide recount
+    * anywhere (scaladoc above for the A/B/C decomposition). `decorate`
+    * maps surviving SKETCH-shaped rows (re-admitted base rows plus the
+    * updated docs' latest rows) to serving-index-shaped rows — the
+    * shingle family joins its CURRENT per-doc sizes on; families whose
+    * sketch rows are serving-shaped pass identity. Pure-lazy like
+    * [[DeltaRetract.servingView]] (no pinned blocks to leak into a
+    * long-running session); the delta-sized frames recompute per
+    * consumer, which is exactly the cost class they were designed to
+    * be. Row-identical to the family recount (the spec-pinned
+    * equivalence). */
+  def servingView(sp: SparkSession, artDir: String, initName: String,
+      upTo: Long, keyCols: Seq[String], maxCnt: Int,
+      docId: Column = col("id"))(
+      decorate: DataFrame => DataFrame): DataFrame = {
+    val base = s"$artDir/$initName"
+    val idx = sp.read.parquet(s"$base/index")
+    val idxCols = idx.columns.toSeq
+    val keyCs = keyCols.map(col)
+    val updDocs = updatedDocs(sp, artDir, upTo)
+    val cur = currentCounts(sp, artDir, initName, upTo, keyCols)
+    val overNow = cur.filter(col("curCnt") > maxCnt).select(keyCs: _*)
+    val readmit = cur
+      .filter(col("cnt") > maxCnt && col("curCnt") <= maxCnt)
+      .select(keyCs: _*)
+
+    // a USING-key anti-join moves the key columns first — re-select
+    // the index order so the view is column-POSITION-identical to the
+    // base index (unionAll/exceptAll consumers are positional)
+    val a = idx
+      .join(overNow, keyCols, "left_anti")
+      .join(updDocs, docId === col("rid"), "left_anti")
+      .select(idxCols.map(col): _*)
+    // the one base-sketch scan, skipped when no key re-admits (the
+    // common case — re-admission needs an update that DROPS enough
+    // carriers of a build-capped key); the isEmpty probe itself runs
+    // only delta-sized aggregates plus a map-side stats scan
+    val b =
+      if (readmit.isEmpty)
+        DeltaRetract.emptyLike(sp, sp.read.parquet(s"$base/sketch"))
+      else sp.read.parquet(s"$base/sketch")
+        .join(broadcast(readmit), keyCols)
+        .join(updDocs, docId === col("rid"), "left_anti")
+    val c = latestRows(sp, artDir, upTo, docId)
+      .join(overNow, keyCols, "left_anti")
+    a.unionByName(
+      decorate(b.unionByName(c)).select(idxCols.map(col): _*))
+  }
+
+  /** Current count per TOUCHED key — build count plus accumulated
+    * signed deltas; untouched keys equal their build count by
+    * construction and are not in this frame. (keys…, cnt, curCnt);
+    * the build-stats join BROADCASTS the delta side (inner + appended
+    * never-at-build keys at cnt 0), so the stats face is only ever
+    * scanned map-side. */
+  private def currentCounts(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, keyCols: Seq[String]): DataFrame = {
+    val keyCs = keyCols.map(col)
+    val dd = sp.read.parquet(
+        DeltaRetract.facePaths(sp, artDir, "statsdelta", 0L to upTo): _*)
+      .groupBy(keyCs: _*).agg(sum("delta").as("dd"))
+    val known = broadcast(dd)
+      .join(sp.read.parquet(s"$artDir/$initName/stats"), keyCols)
+    // keys with no build count (introduced by a new version): cnt 0 —
+    // the anti-join's right side is the already-small `known`
+    val fresh = dd.join(known.select(keyCs: _*), keyCols, "left_anti")
+      .withColumn("cnt", lit(0L))
+    known.unionByName(fresh)
+      .select(keyCs :+ col("cnt") :+
+        (col("cnt") + col("dd")).as("curCnt"): _*)
+  }
+
+  /** Every doc id updated in batches 0..upTo (distinct, column `rid`)
+    * — the set whose BASE rows are superseded. */
+  def updatedDocs(sp: SparkSession, artDir: String,
+      upTo: Long): DataFrame =
+    sp.read.parquet(
+        DeltaRetract.facePaths(sp, artDir, "updids", 0L to upTo): _*)
+      .distinct()
+
+  /** The updated docs' CURRENT sketch rows: each doc's newrows face
+    * from its LATEST update batch (a doc updated twice serves its
+    * second version; a doc whose latest version emitted zero rows
+    * serves nothing). Delta-sized — bounded by total updates, never
+    * archive size. */
+  def latestRows(sp: SparkSession, artDir: String, upTo: Long,
+      docId: Column = col("id")): DataFrame = {
+    val last = priorUpdatedWithBid(sp, artDir, upTo + 1L)
+      .groupBy(col("prid").as("rid")).agg(max(col("pbid")).as("lb"))
+    priorNewWithBid(sp, artDir, upTo + 1L)
+      .join(broadcast(last),
+        docId === col("rid") && col("nbid") === col("lb"))
+      .drop("rid", "lb", "nbid")
+  }
+
+  // the per-batch id/row faces of batches 0..before-1, each tagged
+  // with its batch id (a parquet multi-path read loses provenance, and
+  // "latest version per doc" needs it). Callers guarantee before >= 1;
+  // step's batch-0 path never reads prior faces.
+  private def priorUpdatedWithBid(sp: SparkSession, artDir: String,
+      before: Long): DataFrame =
+    (0L until before).map { i =>
+      sp.read.parquet(DeltaRetract.facePaths(sp, artDir, "updids",
+          Seq(i)): _*)
+        .select(col("rid").as("prid"), lit(i).as("pbid"))
+    }.reduce(_ unionByName _)
+
+  private def priorNewWithBid(sp: SparkSession, artDir: String,
+      before: Long): DataFrame =
+    (0L until before).map { i =>
+      sp.read.parquet(DeltaRetract.facePaths(sp, artDir, "newrows",
+          Seq(i)): _*)
+        .withColumn("nbid", lit(i))
+    }.reduce(_ unionByName _)
+}

@@ -376,11 +376,27 @@ object Multimodal {
     * from the index entirely). `newHashes` carries the RE-FINGERPRINTED
     * payloads (the only stage that touches bytes, upstream map-side);
     * result ≡ `phashChunkSketch(updated corpus hashes)` (gate mm14),
-    * at O(|updated docs|) cost. Upserts compose cleanly. */
+    * at O(|updated docs|) cost. Upserts compose cleanly.
+    *
+    * `updatedIds` is the EXPLICIT changed-doc list (ADVICE r16): the
+    * retract leg must not be derived from `newHashes`' doc ids,
+    * because a re-crawl whose new payload fingerprints to ZERO rows
+    * would then never retract — its stale postings serve forever,
+    * diverging from the rebuild-with-new-payloads contract. */
+  def phashSketchUpdate(sketch: DataFrame, newHashes: DataFrame,
+      updatedIds: DataFrame): DataFrame =
+    phashSketchRetract(sketch, updatedIds)
+      .unionByName(phashChunkSketch(newHashes))
+
+  /** [[phashSketchUpdate]] deriving the retract ids from `newHashes`.
+    * PRECONDITION: every updated doc fingerprints to at least one row
+    * (true for [[dHash]]/[[audioFingerprints]], which emit one row per
+    * media row regardless of payload length) — otherwise use the
+    * explicit-ids overload. */
   def phashSketchUpdate(sketch: DataFrame,
       newHashes: DataFrame): DataFrame =
-    phashSketchRetract(sketch, newHashes.select("doc_id").distinct())
-      .unionByName(phashChunkSketch(newHashes))
+    phashSketchUpdate(sketch, newHashes,
+      newHashes.select("doc_id").distinct())
 
   /** UPDATE face of the two-face video-sketch artifact: retract the
     * changed videos' packed chunk rows AND scene counts, then append
@@ -390,14 +406,25 @@ object Multimodal {
     * the stale cut count). Same fixed retract-then-append ordering as
     * every update face (d58 contract); ≡ `videoKeyframeSketch(updated
     * corpus keyframes)` on both faces (gate mm15). */
-  def videoSketchUpdate(sketch: VideoIndex,
-      newKeyframes: DataFrame): VideoIndex = {
-    val surv = videoSketchRetract(sketch,
-      newKeyframes.select("doc_id").distinct())
+  def videoSketchUpdate(sketch: VideoIndex, newKeyframes: DataFrame,
+      updatedIds: DataFrame): VideoIndex = {
+    val surv = videoSketchRetract(sketch, updatedIds)
     val inc = videoKeyframeSketch(newKeyframes)
     VideoIndex(surv.chunks.unionByName(inc.chunks),
       surv.counts.unionByName(inc.counts))
   }
+
+  /** [[videoSketchUpdate]] deriving the retract ids from
+    * `newKeyframes`' doc ids. PRECONDITION (ADVICE r16): every updated
+    * video segments to at least one keyframe — an emptied/truncated
+    * payload yields ZERO rows in [[keyframeHashes]] and would never be
+    * retracted here, silently serving its stale scenes; such re-crawls
+    * must go through the explicit-ids overload (the streaming sink
+    * does). */
+  def videoSketchUpdate(sketch: VideoIndex,
+      newKeyframes: DataFrame): VideoIndex =
+    videoSketchUpdate(sketch, newKeyframes,
+      newKeyframes.select("doc_id").distinct())
 
   /** The capped SERVING view of an uncapped [[phashChunkSketch]] — the
     * same cap tail [[phashChunkIndex]] bakes at build, exposed so a
@@ -617,6 +644,61 @@ object Multimodal {
         docId = expr("id div 65536")),
       sp.read.parquet(s"$artDir/$initName/counts")
         .join(tombs, col("doc_id") === col("rid"), "left_anti"))
+  }
+
+  /** The uncapped PACKED chunk rows of a keyframe table — the video
+    * family's `newRows` face for the [[DeltaUpdate]] chain (the same
+    * rows [[videoKeyframeSketch]] puts in its chunks face, without
+    * deriving the counts face the update chain does not persist:
+    * current scene counts re-derive from the latest chunk rows at view
+    * time, [[videoUpdateServing]]). */
+  def videoChunkRows(keyframes: DataFrame): DataFrame =
+    phashChunks(packKids(keyframes))
+
+  /** The video family's serving [[VideoIndex]] over an UPDATE delta
+    * chain ([[DeltaUpdate]]) after batch `upTo`: the generic capped-
+    * chunk view (tombstone/update matching on the PACKED id's document
+    * half) paired with the CURRENT scene counts — base counts for
+    * never-updated videos plus counts derived from the updated videos'
+    * latest chunk rows (a re-edit moves the coverage denominators with
+    * the postings; one distinct packed id = one scene, so the count is
+    * a delta-sized aggregate, no per-batch counts face needed). Base
+    * faces from [[videoDeltaBase]] — the same base serves retract and
+    * update chains. */
+  def videoUpdateServing(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, maxBucket: Int = 100): VideoIndex = {
+    val docHalf = expr("id div 65536")
+    val updDocs = DeltaUpdate.updatedDocs(sp, artDir, upTo)
+    val curCounts = sp.read.parquet(s"$artDir/$initName/counts")
+      .join(updDocs, col("doc_id") === col("rid"), "left_anti")
+      .unionByName(DeltaUpdate.latestRows(sp, artDir, upTo, docHalf)
+        .select(docHalf.as("doc_id"), col("id")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_scenes")))
+    VideoIndex(
+      DeltaUpdate.servingView(sp, artDir, initName, upTo,
+        Seq("chunk", "chunk_val"), maxBucket, docHalf)(identity),
+      curCounts)
+  }
+
+  /** Video-family COMPACTION of a delta retract chain
+    * ([[DeltaRetract.compact]]) — the two-face twin of
+    * `Dedup.shingleDeltaCompact` (ADVICE r16: the generic compact
+    * covers only the three generic faces, and a video chain restarted
+    * on a counts-less base fails its first [[videoDeltaServing]]
+    * read): fold the chunk faces generically (tombstones key on the
+    * packed id's document half), then compact the `counts` face —
+    * scene counts are intrinsic per video (the n_c algebra), so their
+    * compaction is one tombstone anti-join, no recount. */
+  def videoDeltaCompact(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, newBaseDir: String,
+      maxBucket: Int = 100): Unit = {
+    DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq("chunk", "chunk_val"), expr("id div 65536"))(
+      phashServingIndex(_, maxBucket))
+    sp.read.parquet(s"$artDir/$initName/counts")
+      .join(DeltaRetract.tombstones(sp, artDir, upTo),
+        col("doc_id") === col("rid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$newBaseDir/counts")
   }
 
   /** RETRACTION face of the video-index artifact — the multimodal

@@ -400,8 +400,13 @@ object PipelineQueries {
     val d = docs(s, dir)
     val isUpd = col("doc_id") % 7 === 1
     val maxDf = 10000
-    val pairs0 = Dedup.jaccardPairs(d, "text", "doc_id",
-      k = 5, threshold = 0.6, maxDf = maxDf).localCheckpoint(true)
+    // the corpus is tokenized ONCE (VERDICT r16 task 1b): the uncapped
+    // pair-mine and the d58-update serving index below both read this
+    // checkpointed sketch instead of re-deriving it
+    val sketch0 = Dedup.hashedShingleSketch(d, "text", "doc_id", k = 5)
+      .localCheckpoint(true)
+    val pairs0 = Dedup.jaccardPairsFromSketch(sketch0, k = 5,
+      threshold = 0.6, maxDf = maxDf).localCheckpoint(true)
     val labels0 = Dedup.survivors(d, pairs0, "doc_id")
       .select(col("doc_id").as("id"), col("keep_id").as("component"))
     val newVersions = d.filter(isUpd)
@@ -410,8 +415,7 @@ object PipelineQueries {
     // d58-updated serving index (caps + sizes re-derived over the
     // updated corpus, so probe arithmetic matches the rebuild's)
     val updIdx = Dedup.shingleServingIndex(
-      Dedup.shingleSketchUpdate(
-        Dedup.hashedShingleSketch(d, "text", "doc_id", k = 5),
+      Dedup.shingleSketchUpdate(sketch0,
         newVersions, "text", "doc_id", k = 5),
       k = 5, maxDf = maxDf)
     val newPairs = Dedup.incrementalPairsFromIndex(updIdx, newVersions,
@@ -2147,6 +2151,52 @@ object PipelineQueries {
     akExtra = " AND (doc_id // 65536) % 7 <> 1",
     caExtra = " AND doc_id % 7 <> 1")
 
+  // ---- d62: delta-chain COMPACTION for the VIDEO family
+  // (Multimodal.videoDeltaCompact) — d61's cycle parameterized over
+  // the worst-case family (VERDICT r16 missing item 2: d61 certified
+  // compaction for the shingle chain only, and the video TWO-FACE
+  // artifact — packed chunks + per-video scene counts — is exactly
+  // where a compaction bug would hide: a counts-less compacted base
+  // fails its first videoDeltaServing read, ADVICE r16). Half the
+  // takedowns run as a delta step on the original base, the chain
+  // compacts (generic chunk fold + the counts-face tombstone
+  // anti-join), the other half runs as a delta step on the COMPACTED
+  // base; the final serving VideoIndex answers the mm10 increment
+  // probe and mm11's one-shot survivor-archive oracle adjudicates —
+  // deltas → compact → deltas ≡ the one-shot retract of everything.
+  // The phash and winnow chains compact through the generic fold
+  // directly (no extra face) — their cycles are spec-certified in
+  // DeltaRetractSpec. ----
+  private def d62(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[Multimodal.MediaRow]
+    val isNew = col("doc_id") % 10 === 0
+    val takedown = docs(s, dir)
+      .filter(!isNew && col("doc_id") % 7 === 1).select("doc_id")
+    val out = graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory("graft_d62").toString)
+    val docHalf = expr("id div 65536")
+    Multimodal.videoDeltaBase(s,
+      Multimodal.keyframeHashes(media.filter(!isNew),
+        frameBytes = 72, cutPm = 8L).toDF(), s"$out/a/init")
+    DeltaRetract.step(s, s"$out/a", "init", 0L,
+      takedown.filter(col("doc_id") % 2 === 1),
+      Seq("chunk", "chunk_val"), 100, identity, docHalf)
+    Multimodal.videoDeltaCompact(s, s"$out/a", "init", 0L,
+      s"$out/b/init")
+    DeltaRetract.step(s, s"$out/b", "init", 0L,
+      takedown.filter(col("doc_id") % 2 === 0),
+      Seq("chunk", "chunk_val"), 100, identity, docHalf)
+    val idx = Multimodal.videoDeltaServing(s, s"$out/b", "init", 0L)
+    Multimodal.videoProbePairs(
+        Multimodal.keyframeHashes(media.filter(isNew),
+          frameBytes = 72, cutPm = 8L).toDF(), idx, maxHamming = 3)
+      .orderBy("doc_new", "doc_arch")
+  }
+
   // ---- mm12/mm13: IMAGE and AUDIO hash-index RETRACTION
   // (Multimodal.phashIndexRetract) — the flat-hash legs of the delete
   // lifecycle, completing the retract column of the modality dedup
@@ -3259,6 +3309,115 @@ object PipelineQueries {
       |FROM b LEFT JOIN h ON h.q_id = b.q_id
       |ORDER BY b.q_id""".stripMargin
 
+  // ---- e33: recall-after-heavy-retract for the GRAPH-ANN family —
+  // e30's NndIndex twin (VERDICT r16 missing item 3): the frozen
+  // NndQuantizer drifts exactly like the IVF-PQ quantizer under a
+  // heavy takedown, with no row-level cert ever failing — this is the
+  // number that tells an operator when migrateNndIndex (e27's routing
+  // sibling) is due. Build the e22 index, take down two thirds of the
+  // archive (e30's predicate, minus quantizer anchors — an anchor
+  // takedown ROUTES to migrate, and the instrument measures serving
+  // quality before that migrate runs), retract through
+  // retractNndIndex, and measure recall@5 of graphServeTopK over the
+  // survivors against brute force over the same survivors — e18's
+  // hits / integer recall-percent arithmetic. Oracle = the e27
+  // retract-chain CTEs (frozen full-corpus quantizer, seed origins
+  // restricted to survivors) + e23's two-hop serve chain over that
+  // adjacency + the exact top-5 over survivors. ----
+  private def e33(s: SparkSession, dir: String): DataFrame = {
+    // five consumers of the small vector table (build, takedown list,
+    // survivor serve + brute force) — pinned once, the e30 shape
+    val e = emb(s, dir).localCheckpoint(false)
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+    val anchorIds = idx.quant.reps.select(col("rep_id")).collect()
+      .map(_.getLong(0)).toSet ++ idx.quant.centIds
+    val removed = e.filter(col("vec_id") >= 20 &&
+        col("vec_id") % 3 =!= 0 &&
+        !col("vec_id").isInCollection(anchorIds.toSeq))
+      .select("vec_id")
+    val surv = e.join(removed, Seq("vec_id"), "left_anti")
+    val ret = Similarity.retractNndIndex(idx, e, "vec_id", "embedding",
+      removed)
+    val approx = Similarity.graphServeTopK(surv, "vec_id", "embedding",
+        ret, _ < 20, k = 5, beam = 8, hops = 2)
+      .select(col("q_id"), col("nn_id"))
+    val exact = Similarity.bruteForceTopK(surv, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e33Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    val retractCtes =
+      """
+        |rem AS (
+        |  SELECT vec_id FROM e
+        |  WHERE vec_id >= 20 AND vec_id % 3 <> 0
+        |    AND vec_id NOT IN (SELECT rep_id FROM reps)
+        |    AND vec_id NOT IN (SELECT cid FROM samp)),
+        |surv2 AS (
+        |  SELECT * FROM cells2
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),""".stripMargin
+    s"""WITH ${nndAdjCtes(cos, retractCtes, seedOrigin = "surv2")},
+      |sv AS (SELECT vec_id, v FROM e
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),
+      |adj AS (SELECT node, nbr FROM adj1 WHERE rank <= 6),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM sv WHERE vec_id < 20),
+      |s0 AS (
+      |  SELECT q.q_id, s.cid AS nn_id, ${cos("q.qv", "s.cv")} AS sim
+      |  FROM q CROSS JOIN samp s),
+      |f0 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s0) WHERE rn <= 8),
+      |c1 AS (SELECT q_id, nn_id FROM f0
+      |  UNION SELECT f0.q_id, a.nbr FROM f0 JOIN adj a ON a.node = f0.nn_id),
+      |s1 AS (
+      |  SELECT c1.q_id, c1.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c1 JOIN q USING (q_id) JOIN sv t ON t.vec_id = c1.nn_id),
+      |f1 AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s1) WHERE rn <= 8),
+      |c2 AS (SELECT q_id, nn_id FROM f1
+      |  UNION SELECT f1.q_id, a.nbr FROM f1 JOIN adj a ON a.node = f1.nn_id),
+      |s2 AS (
+      |  SELECT c2.q_id, c2.nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM c2 JOIN q USING (q_id) JOIN sv t ON t.vec_id = c2.nn_id),
+      |ap AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM s2 WHERE q_id <> nn_id) WHERE rn <= 5),
+      |exs AS (
+      |  SELECT q.q_id, t.vec_id AS nn_id, ${cos("q.qv", "t.v")} AS sim
+      |  FROM q JOIN sv t ON q.q_id <> t.vec_id),
+      |ex AS (SELECT q_id, nn_id FROM (
+      |    SELECT q_id, nn_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+      |    FROM exs) WHERE rn <= 5),
+      |h AS (
+      |  SELECT ex.q_id, COUNT(*) AS hits
+      |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.nn_id = ap.nn_id
+      |  GROUP BY ex.q_id),
+      |b AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY q_id)
+      |SELECT b.q_id, COALESCE(h.hits, 0)::BIGINT AS hits, b.k::BIGINT AS k,
+      |  CAST(COALESCE(h.hits, 0) * 100 / b.k AS BIGINT) AS recall_pct
+      |FROM b LEFT JOIN h ON h.q_id = b.q_id
+      |ORDER BY b.q_id""".stripMargin
+  }
+
   // ---- e31: IVF-PQ index MIGRATION (Similarity.migrateIvfPqIndex) —
   // the re-train/refresh face behind e30's drift instrument (VERDICT
   // r15 missing item 3; the IVF-PQ twin of the NndIndex family's
@@ -3453,6 +3612,8 @@ object PipelineQueries {
     QueryDef("e29_ivfpq_update", e29, Some(e29Oracle)),
     QueryDef("e30_retract_recall", e30, Some(e30Oracle)),
     QueryDef("e31_ivfpq_migrate", e31, Some(e31Oracle)),
+    QueryDef("e33_nnd_retract_recall", e33, Some(e33Oracle)),
+    QueryDef("d62_video_delta_compact", d62, Some(mm11Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),
     QueryDef("d48_minhash_accuracy", d48, Some(d48Oracle)),

@@ -245,122 +245,130 @@ object CurationStream {
 
   /** Streaming RE-CRAWL maintenance of the shingle-sketch artifact —
     * the UPDATE column's streaming face (the batch face is d58's
-    * [[graft.pipeline.Dedup.shingleSketchUpdate]]): changed documents
-    * arrive as a real stream of NEW VERSIONS (id + new text), and per
-    * micro-batch the sink reads its PREDECESSOR'S persisted uncapped
-    * sketch, applies the update face (retract-then-append — the order
-    * is fixed inside the face, so no batch can re-derive it wrong and
-    * vanish a document), and persists both artifact faces
-    * (`<id>/sketch`, `<id>/index`). Same read-predecessor idempotence
-    * and batch-0 chain-misbinding refusal as the takedown sinks — a
-    * lost checkpoint restarting against a longer chain would silently
-    * serve STALE versions of every previously updated document, the
-    * update column's own fail-open. */
-  def shingleUpdateSink(newVersions: DataFrame, artDir: String,
+    * [[graft.pipeline.Dedup.shingleSketchUpdate]]), O(delta) since
+    * round 17 (VERDICT r16 "wrong" item 2 — the superseded shape read
+    * the predecessor's FULL sketch, rewrote it whole, and re-derived
+    * the serving index by an archive-wide df recount, every
+    * micro-batch): changed documents arrive as a real stream of NEW
+    * VERSIONS (id + new text); per micro-batch the sink tokenizes ONLY
+    * the batch and writes three delta-sized faces
+    * ([[graft.pipeline.DeltaUpdate.step]] — updids, newrows, signed
+    * statsdelta); probes read
+    * [[graft.pipeline.Dedup.shingleUpdateServing]], assembled from the
+    * base faces plus delta-sized aggregates. Base snapshot:
+    * [[graft.pipeline.Dedup.shingleDeltaBase]] (the same base the
+    * retract chain uses). Same read-predecessor idempotence and
+    * batch-0 chain-misbinding refusal as every chain sink — a lost
+    * checkpoint restarting against a longer chain would silently serve
+    * STALE versions of every previously updated document, the update
+    * column's own fail-open. */
+  def shingleDeltaUpdateSink(newVersions: DataFrame, artDir: String,
       initName: String, checkpoint: String, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 5,
-      maxDf: Int = 100): DataStreamWriter[Row] =
-    retractChainCore(newVersions, artDir, initName, checkpoint) {
-      (sp, batch, prevDir, outDir) =>
-        val prevSketch = sp.read.parquet(s"$prevDir/sketch")
-        val upd = graft.pipeline.Dedup.shingleSketchUpdate(prevSketch,
-          batch, textCol, idCol, k).localCheckpoint(false)
-        try {
-          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
-          graft.pipeline.Dedup.shingleServingIndex(upd, k, maxDf)
-            .write.mode("overwrite").parquet(s"$outDir/index")
-        } finally { upd.unpersist(blocking = false); () }
+      idCol: String = "doc_id", k: Int = 5): DataStreamWriter[Row] =
+    deltaUpdateChainSink(newVersions, artDir, initName, checkpoint,
+      Seq(s"shingle_k$k")) { (_, batch) =>
+      (batch.select(col(idCol)),
+        graft.pipeline.Dedup.hashedShingleSketch(batch, textCol, idCol,
+          k))
     }
 
   /** The WINNOW-family leg of the streaming UPDATE column — the
-    * fingerprint twin of [[shingleUpdateSink]] (s33): per micro-batch
-    * of re-crawled versions, read the predecessor's persisted uncapped
-    * winnow sketch, apply
-    * [[graft.pipeline.TextAnalysis.winnowSketchUpdate]]
-    * (retract-then-append fixed inside the face), persist sketch +
-    * df-capped serving index through the one shared cap tail. */
-  def winnowUpdateSink(newVersions: DataFrame, artDir: String,
+    * fingerprint twin of [[shingleDeltaUpdateSink]] (s33): the batch
+    * re-winnows ONLY itself; the chain writes delta faces and probes
+    * read the generic [[graft.pipeline.DeltaUpdate.servingView]]
+    * (winnow serving rows are (id, fp) — sketch rows are
+    * serving-shaped, no decoration). Base:
+    * [[graft.pipeline.TextAnalysis.winnowDeltaBase]]. */
+  def winnowDeltaUpdateSink(newVersions: DataFrame, artDir: String,
       initName: String, checkpoint: String, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 5, w: Int = 4,
-      maxDf: Int = 100): DataStreamWriter[Row] =
-    retractChainCore(newVersions, artDir, initName, checkpoint) {
-      (sp, batch, prevDir, outDir) =>
-        val upd = graft.pipeline.TextAnalysis.winnowSketchUpdate(
-          sp.read.parquet(s"$prevDir/sketch"), batch, textCol, idCol,
-          k, w).localCheckpoint(false)
-        try {
-          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
-          graft.pipeline.TextAnalysis.winnowServingIndex(upd, maxDf)
-            .write.mode("overwrite").parquet(s"$outDir/index")
-        } finally { upd.unpersist(blocking = false); () }
+      idCol: String = "doc_id", k: Int = 5,
+      w: Int = 4): DataStreamWriter[Row] =
+    deltaUpdateChainSink(newVersions, artDir, initName, checkpoint,
+      Seq("fp")) { (_, batch) =>
+      (batch.select(col(idCol)),
+        graft.pipeline.TextAnalysis.winnowSketch(batch, textCol, idCol,
+          k, w))
     }
 
   /** The IMAGE/AUDIO-family leg of the streaming UPDATE column (s32):
     * re-encoded payloads arrive as a media stream, the per-batch
-    * fingerprint stage (the only stage touching payload bytes, map-side
-    * — [[hashDedupSink]]'s convention, so ONE sink serves both
-    * modalities) re-hashes the batch, and
-    * [[graft.pipeline.Multimodal.phashSketchUpdate]] maintains the
-    * predecessor's uncapped chunk sketch; the bucket-capped serving
-    * index re-derives through the one shared cap tail. */
-  def hashUpdateSink(newMedia: DataFrame,
+    * fingerprint stage (the only stage touching payload bytes,
+    * map-side — [[hashDedupSink]]'s convention, so ONE sink serves
+    * both modalities) re-hashes ONLY the batch, and the chain writes
+    * delta faces. The updated-ids face comes from the BATCH's doc ids,
+    * not the fingerprint rows (ADVICE r16: a payload that fingerprints
+    * to zero rows must still retract its old postings). Base:
+    * [[graft.pipeline.Multimodal.phashDeltaBase]]. */
+  def hashDeltaUpdateSink(newMedia: DataFrame,
       hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
         => DataFrame,
-      artDir: String, initName: String, checkpoint: String,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
-    retractChainCore(newMedia, artDir, initName, checkpoint) {
-      (sp, batch, prevDir, outDir) =>
-        import sp.implicits._
-        val hashes = hashFn(
-          batch.select(col("doc_id"), col("payload"), col("media_type"))
-            .as[graft.pipeline.Multimodal.MediaRow])
-        val upd = graft.pipeline.Multimodal.phashSketchUpdate(
-          sp.read.parquet(s"$prevDir/sketch"), hashes)
-          .localCheckpoint(false)
-        try {
-          upd.write.mode("overwrite").parquet(s"$outDir/sketch")
-          graft.pipeline.Multimodal.phashServingIndex(upd, maxBucket)
-            .write.mode("overwrite").parquet(s"$outDir/index")
-        } finally { upd.unpersist(blocking = false); () }
+      artDir: String, initName: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    deltaUpdateChainSink(newMedia, artDir, initName, checkpoint,
+      Seq("chunk", "chunk_val")) { (sp, batch) =>
+      import sp.implicits._
+      val hashes = hashFn(
+        batch.select(col("doc_id"), col("payload"), col("media_type"))
+          .as[graft.pipeline.Multimodal.MediaRow])
+      (batch.select(col("doc_id")),
+        graft.pipeline.Multimodal.phashChunkSketch(hashes))
     }
 
-  /** [[hashUpdateSink]] with the image fingerprint pre-bound. */
-  def phashUpdateSink(newMedia: DataFrame, artDir: String,
-      initName: String, checkpoint: String,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
-    hashUpdateSink(newMedia, graft.pipeline.Multimodal.dHash(_),
-      artDir, initName, checkpoint, maxBucket)
+  /** [[hashDeltaUpdateSink]] with the image fingerprint pre-bound. */
+  def phashDeltaUpdateSink(newMedia: DataFrame, artDir: String,
+      initName: String, checkpoint: String): DataStreamWriter[Row] =
+    hashDeltaUpdateSink(newMedia, graft.pipeline.Multimodal.dHash(_),
+      artDir, initName, checkpoint)
 
   /** The VIDEO-family leg of the streaming UPDATE column (s34): a
     * re-edited video's payload re-segments and re-hashes map-side per
-    * batch, and [[graft.pipeline.Multimodal.videoSketchUpdate]]
-    * maintains BOTH faces of the predecessor's artifact — the packed
-    * chunk sketch AND the per-video scene counts (a re-edit moves the
-    * coverage denominators with the postings); the capped serving
-    * chunk index re-derives through the shared cap tail. */
-  def videoUpdateSink(newMedia: DataFrame, artDir: String,
-      initName: String, checkpoint: String,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
-    retractChainCore(newMedia, artDir, initName, checkpoint) {
-      (sp, batch, prevDir, outDir) =>
+    * batch ([[graft.pipeline.Multimodal.videoChunkRows]]); the chain
+    * writes delta faces keyed on the PACKED chunk id's document half,
+    * and probes read [[graft.pipeline.Multimodal.videoUpdateServing]],
+    * which also re-derives the updated videos' scene counts from their
+    * latest chunk rows (a re-edit moves the coverage denominators with
+    * the postings — no per-batch counts face needed). Updated ids come
+    * from the batch, not the keyframe rows (an emptied payload
+    * segments to zero keyframes and must still retract). Base:
+    * [[graft.pipeline.Multimodal.videoDeltaBase]]. */
+  def videoDeltaUpdateSink(newMedia: DataFrame, artDir: String,
+      initName: String, checkpoint: String): DataStreamWriter[Row] =
+    deltaUpdateChainSink(newMedia, artDir, initName, checkpoint,
+      Seq("chunk", "chunk_val"),
+      docId = org.apache.spark.sql.functions.expr("id div 65536")) {
+      (sp, batch) =>
         import sp.implicits._
         import graft.pipeline.Multimodal
         val kf = Multimodal.keyframeHashes(
           batch.select(col("doc_id"), col("payload"), col("media_type"))
             .as[Multimodal.MediaRow],
           frameBytes = 72, cutPm = 8L).toDF()
-        val prev = Multimodal.VideoIndex(
-          sp.read.parquet(s"$prevDir/chunks"),
-          sp.read.parquet(s"$prevDir/counts"))
-        val upd = Multimodal.videoSketchUpdate(prev, kf)
-        val chunks = upd.chunks.localCheckpoint(false)
-        try {
-          chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
-          upd.counts.write.mode("overwrite").parquet(s"$outDir/counts")
-          Multimodal.phashServingIndex(chunks, maxBucket)
-            .write.mode("overwrite").parquet(s"$outDir/index")
-        } finally { chunks.unpersist(blocking = false); () }
+        (batch.select(col("doc_id")), Multimodal.videoChunkRows(kf))
     }
+
+  /** The update-chain twin of [[deltaRetractChainSink]]: same
+    * checkpoint/artDir lifetime binding ([[refuseStaleChain]]) and
+    * read-predecessor idempotence (batch b reads base faces + batches
+    * 0..b-1 plus its own rows, overwrites only its own three faces).
+    * The family parameterizes its cap key columns, the doc-id
+    * extraction, and the batch→(updatedIds, newRows) faces — the ids
+    * EXPLICIT so zero-row re-fingerprints still retract. */
+  private def deltaUpdateChainSink(newVersions: DataFrame,
+      artDir: String, initName: String, checkpoint: String,
+      keyCols: Seq[String],
+      docId: org.apache.spark.sql.Column = col("id"))(
+      faces: (SparkSession, DataFrame) => (DataFrame, DataFrame))
+      : DataStreamWriter[Row] =
+    newVersions.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        refuseStaleChain(sp, artDir, batchId)
+        val (ids, rows) = faces(sp, batch)
+        graft.pipeline.DeltaUpdate.step(sp, artDir, initName, batchId,
+          ids, rows, keyCols, docId)
+      }
 
   /** The O(delta) successor of [[winnowRetractSink]] — the fingerprint
     * twin of [[shingleDeltaRetractSink]] (a winnow serving row is just

@@ -161,9 +161,24 @@ object StreamQueries {
   private def feedInTerciles[A](
       input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      rows: Seq[A], keyOf: A => Long): Unit = {
+      rows: Seq[A], keyOf: A => Long): Unit =
+    feedInChunks(input, q, rows, keyOf, 3)
+
+  /** [[feedInTerciles]] with the micro-batch count a parameter. The
+    * superseded recount retract chains (s22–s26) feed TWO batches —
+    * still a real multi-batch composition over persisted predecessor
+    * state (batch 1 reads batch 0's artifact, not init), and the final
+    * artifact is batching-invariant (same takedown set ⇒ same survivor
+    * sketch, so gate results and oracles are unchanged) — their
+    * long-chain certification now lives in the O(delta) successors
+    * s27–s30 (BASELINE.md round-17 "Certification-row job-count cuts",
+    * VERDICT r16 task 1a). */
+  private def feedInChunks[A](
+      input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Seq[A], keyOf: A => Long, nChunks: Int): Unit = {
     val cuts = rows.map(keyOf).distinct.sorted
-    val chunk = math.max(1, (cuts.length + 2) / 3)
+    val chunk = math.max(1, (cuts.length + nChunks - 1) / nChunks)
     val batchOf = cuts.zipWithIndex.map { case (k, i) => k -> i / chunk }
       .toMap
     rows.groupBy(r => batchOf(keyOf(r))).toSeq.sortBy(_._1)
@@ -1216,7 +1231,7 @@ object StreamQueries {
       }
       .option("checkpointLocation", s"$out/_cp").start()
     try {
-      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+      feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val result = s.read.parquet(s"$out/art/$last/labels")
@@ -1265,7 +1280,7 @@ object StreamQueries {
       input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
       .start()
     try {
-      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+      feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val idx = s.read.parquet(s"$out/art/$last/index")
@@ -1310,7 +1325,7 @@ object StreamQueries {
       input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
       .start()
     try {
-      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+      feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val idx = s.read.parquet(s"$out/art/$last/index")
@@ -1353,7 +1368,7 @@ object StreamQueries {
       input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
       .start()
     try {
-      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+      feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val idx = s.read.parquet(s"$out/art/$last/index")
@@ -1366,15 +1381,21 @@ object StreamQueries {
   // ---- s31: streaming RE-CRAWL (UPDATE) maintenance of the
   // shingle-sketch artifact — d58's edit path as a real
   // three-micro-batch stream, the UPDATE column's streaming face
-  // beside the retract column's s22-s26: changed documents arrive as
-  // new versions (id + doubled text) in doc-id terciles; per batch
-  // CurationStream.shingleUpdateSink reads its predecessor's persisted
-  // uncapped sketch, applies the update face (retract-then-append,
-  // order fixed inside the face), and persists sketch + serving
-  // index; the FINAL index answers the d21 increment probe and d58's
-  // rebuild-with-the-new-versions oracle adjudicates it — green
-  // certifies sequential per-batch updates COMPOSE to the one-shot
-  // update, which d58 separately certifies ≡ the rebuild. ----
+  // beside the retract column's s22-s26, O(delta) since round 17
+  // (VERDICT r16 "wrong" item 2 — same gate id, same oracle; the
+  // superseded shape rewrote the FULL sketch and recounted the
+  // archive's dfs every micro-batch): changed documents arrive as new
+  // versions (id + doubled text) in doc-id terciles; per batch
+  // CurationStream.shingleDeltaUpdateSink tokenizes ONLY the batch and
+  // writes three delta-sized faces (DeltaUpdate.step — updids,
+  // newrows, SIGNED statsdelta); the probe reads
+  // Dedup.shingleUpdateServing (base faces + delta-sized aggregates,
+  // both cap-crossing directions decided from build counts +
+  // accumulated deltas) and d58's rebuild-with-the-new-versions oracle
+  // adjudicates it — green certifies per-batch delta updates COMPOSE
+  // to the one-shot update, which d58 separately certifies ≡ the
+  // rebuild; view ≡ recount per batch is spec-pinned in
+  // DeltaUpdateSpec. ----
   private def s31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1384,14 +1405,14 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val arch = d.filter(!isNew)
     val out = scopedTmpDir("graft_s31")
-    Dedup.hashedShingleSketch(arch, "text", "doc_id", k = 5)
-      .write.parquet(s"$out/art/init/sketch")
+    Dedup.shingleDeltaBase(s, arch, "text", "doc_id", s"$out/art/init",
+      k = 5, maxDf = 100)
     val newVersions = arch.filter(col("doc_id") % 7 === 1)
       .select(col("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
       .as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
-    val q = CurationStream.shingleUpdateSink(
+    val q = CurationStream.shingleDeltaUpdateSink(
       input.toDF().toDF("doc_id", "text"), s"$out/art", "init",
       s"$out/_cp")
       .start()
@@ -1399,8 +1420,8 @@ object StreamQueries {
       feedInTerciles(input, q, newVersions.toSeq,
         (v: (Long, String)) => v._1)
     } finally q.stop()
-    val last = lastBatchId(s"$out/art")
-    val idx = s.read.parquet(s"$out/art/$last/index")
+    val idx = Dedup.shingleUpdateServing(s, s"$out/art", "init",
+      lastBatchId(s"$out/art"), k = 5, maxDf = 100)
     Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
         "text", "doc_id", k = 5, threshold = 0.6)
       .orderBy("new_id", "corpus_id")
@@ -1410,13 +1431,18 @@ object StreamQueries {
   // ---- s32/s33/s34: the streaming UPDATE column closed for every
   // re-crawlable family — mm14 (image/audio hash), d59 (winnow) and
   // mm15 (video) as real three-micro-batch streams through the family
-  // update sinks, each adjudicated by its batch gate's
-  // rebuild-with-the-new-versions oracle: green certifies sequential
-  // per-batch updates COMPOSE to the one-shot update, which the batch
-  // gate separately certifies ≡ the rebuild (the s31 induction,
-  // replicated per family). Payload-bearing families re-fingerprint
-  // ONLY the batch (map-side); the archive is never re-hashed,
-  // re-winnowed, or re-segmented on the update path. ----
+  // DELTA update sinks (O(delta) since round 17, the s31 re-derivation
+  // applied per family — same gate ids, same oracles), each
+  // adjudicated by its batch gate's rebuild-with-the-new-versions
+  // oracle: green certifies sequential per-batch delta updates COMPOSE
+  // to the one-shot update, which the batch gate separately certifies
+  // ≡ the rebuild (the s31 induction, replicated per family).
+  // Payload-bearing families re-fingerprint ONLY the batch (map-side);
+  // the archive is never re-hashed, re-winnowed, or re-segmented on
+  // the update path — and since round 17 never re-WRITTEN either:
+  // per-batch writes are the three delta faces, and updated ids come
+  // from the batch rows (not the fingerprints), so an emptied payload
+  // still retracts (the ADVICE r16 hazard, spec-pinned). ----
   private def s32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1429,14 +1455,14 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val arch = d.filter(!isNew)
     val out = scopedTmpDir("graft_s32")
-    Multimodal.phashChunkSketch(Multimodal.dHash(media(arch)))
-      .write.parquet(s"$out/art/init/sketch")
+    Multimodal.phashDeltaBase(s, Multimodal.dHash(media(arch)),
+      s"$out/art/init", maxBucket = 100)
     val newVersions = arch.filter(col("doc_id") % 7 === 1)
       .select(col("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
       .as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
-    val q = CurationStream.phashUpdateSink(
+    val q = CurationStream.phashDeltaUpdateSink(
       Multimodal.withPayload(input.toDF().toDF("doc_id", "text"), "text")
         .select(col("doc_id"), col("payload"), col("media_type")),
       s"$out/art", "init", s"$out/_cp")
@@ -1445,7 +1471,9 @@ object StreamQueries {
       feedInTerciles(input, q, newVersions.toSeq,
         (v: (Long, String)) => v._1)
     } finally q.stop()
-    val idx = s.read.parquet(s"$out/art/${lastBatchId(s"$out/art")}/index")
+    val idx = graft.pipeline.DeltaUpdate.servingView(s, s"$out/art",
+      "init", lastBatchId(s"$out/art"), Seq("chunk", "chunk_val"),
+      maxCnt = 100)(identity)
     Multimodal.phashProbePairs(
         Multimodal.dHash(media(d.filter(isNew))), idx, maxHamming = 3)
       .orderBy("new_id", "corpus_id")
@@ -1461,14 +1489,14 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val arch = d.filter(!isNew)
     val out = scopedTmpDir("graft_s33")
-    TextAnalysis.winnowSketch(arch, "text", "doc_id", k = 5, w = 4)
-      .write.parquet(s"$out/art/init/sketch")
+    TextAnalysis.winnowDeltaBase(s, arch, "text", "doc_id",
+      s"$out/art/init", k = 5, w = 4, maxDf = 100)
     val newVersions = arch.filter(col("doc_id") % 7 === 1)
       .select(col("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
       .as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
-    val q = CurationStream.winnowUpdateSink(
+    val q = CurationStream.winnowDeltaUpdateSink(
       input.toDF().toDF("doc_id", "text"), s"$out/art", "init",
       s"$out/_cp")
       .start()
@@ -1476,7 +1504,9 @@ object StreamQueries {
       feedInTerciles(input, q, newVersions.toSeq,
         (v: (Long, String)) => v._1)
     } finally q.stop()
-    val idx = s.read.parquet(s"$out/art/${lastBatchId(s"$out/art")}/index")
+    val idx = graft.pipeline.DeltaUpdate.servingView(s, s"$out/art",
+      "init", lastBatchId(s"$out/art"), Seq("fp"), maxCnt = 100)(
+      identity)
     TextAnalysis.winnowProbeMatches(d.filter(isNew), idx, "text",
         "doc_id", k = 5, w = 4, minShared = 2)
       .orderBy("new_id", "corpus_id")
@@ -1497,15 +1527,14 @@ object StreamQueries {
     val isNew = col("doc_id") % 10 === 0
     val arch = d.filter(!isNew)
     val out = scopedTmpDir("graft_s34")
-    val sk = Multimodal.videoKeyframeSketch(kf(arch))
-    sk.chunks.write.parquet(s"$out/art/init/chunks")
-    sk.counts.write.parquet(s"$out/art/init/counts")
+    Multimodal.videoDeltaBase(s, kf(arch), s"$out/art/init",
+      maxBucket = 100)
     val newVersions = arch.filter(col("doc_id") % 7 === 1)
       .select(col("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
       .as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
-    val q = CurationStream.videoUpdateSink(
+    val q = CurationStream.videoDeltaUpdateSink(
       Multimodal.withPayload(input.toDF().toDF("doc_id", "text"), "text")
         .select(col("doc_id"), col("payload"), col("media_type")),
       s"$out/art", "init", s"$out/_cp")
@@ -1514,10 +1543,8 @@ object StreamQueries {
       feedInTerciles(input, q, newVersions.toSeq,
         (v: (Long, String)) => v._1)
     } finally q.stop()
-    val last = lastBatchId(s"$out/art")
-    val idx = Multimodal.VideoIndex(
-      s.read.parquet(s"$out/art/$last/index"),
-      s.read.parquet(s"$out/art/$last/counts"))
+    val idx = Multimodal.videoUpdateServing(s, s"$out/art", "init",
+      lastBatchId(s"$out/art"), maxBucket = 100)
     Multimodal.videoProbePairs(kf(d.filter(isNew)), idx, maxHamming = 3)
       .orderBy("doc_new", "doc_arch")
       .localCheckpoint(true)
@@ -1711,7 +1738,7 @@ object StreamQueries {
       input.toDF().toDF("doc_id"), s"$out/art", "init", s"$out/_cp")
       .start()
     try {
-      feedInTerciles(input, q, takedowns.toSeq, identity[Long])
+      feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val idx = Multimodal.VideoIndex(

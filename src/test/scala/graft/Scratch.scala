@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev scratch profiler (not part of the engine surface). */
+/** Dev scratch profiler (not part of the engine surface — lives in
+  * TEST scope since round 17, VERDICT r16 task 5: a profiler main with
+  * fixture paths baked in does not belong in the shipped tree). Run
+  * via `sbt "Test/runMain graft.Scratch ..."`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scratch", "local[16]", 16).getOrCreate()

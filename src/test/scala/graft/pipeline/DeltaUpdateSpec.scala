@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import graft.SparkSpec
+
+/** The O(delta) UPDATE chain's equivalence contract: after every
+  * re-crawl batch, [[DeltaUpdate.servingView]] is row-identical to the
+  * capped serving view over the recount-maintained sketch — the
+  * cumulative [[Dedup.shingleSketchUpdate]] /
+  * [[Multimodal.videoSketchUpdate]] composition, which stays on as the
+  * oracle (exactly the DeltaRetractSpec template, signed). The fixture
+  * engineers BOTH cap-crossing directions the retract chain cannot
+  * exhibit — an update that DROPS carriers of a build-capped key
+  * (re-admission) and one that PUSHES a key over the cap (eviction) —
+  * plus re-update-of-an-updated-doc (decrements must come from the
+  * LATEST prior version, not the build rows) and the ADVICE r16
+  * hazard: an update to an EMPTY version must vanish the doc, not
+  * leave its stale postings serving. */
+class DeltaUpdateSpec extends SparkSpec {
+
+  private def shingleRows(d: DataFrame) = d.collect()
+    .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shingle_k5"),
+      r.getAs[Long]("n_c"))).toSet
+
+  test("shingle update delta chain: view ≡ recount after every batch " +
+      "(re-admit, evict, re-update, empty-version vanish)") {
+    import spark.implicits._
+    // one 5-word text = exactly one k=5 shingle, so per-key dfs are
+    // scriptable: S (docs 1,2,3, df 3 > maxDf 2 — capped at build),
+    // T (doc 4, df 1), V (doc 9, df 1)
+    val sharedS = "alpha beta gamma delta epsilon"
+    val sharedT = "one two three four five"
+    val docs = Seq(
+      (1L, sharedS), (2L, sharedS), (3L, sharedS),
+      (4L, sharedT),
+      (5L, "uno dos tres quatro cinco"),
+      (9L, "first wholly unrelated content words"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_updeltaspec")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, maxDf = maxDf)
+    assert(spark.read.parquet(s"$art/init/index")
+        .filter(col("id").isin(1L, 2L, 3L)).count() === 0,
+      "precondition: the trio's shared shingle must be capped out (df 3)")
+
+    // batch 0: doc 3 re-crawls to T's text — S df 3→2 RE-ADMITS docs
+    //          1,2 (base rows through the readmit scan); T df 1→2
+    // batch 1: doc 5 re-crawls to T's text too — T df 2→3 EVICTS doc
+    //          4's base row and docs 3,5's latest rows
+    // batch 2: doc 3 re-crawls AGAIN, to an EMPTY version — it must
+    //          vanish (zero newrows), its decrement must come from its
+    //          batch-0 version (T), and T df 3→2 re-returns docs 4,5
+    val batches = Seq(
+      Seq((3L, sharedT)), Seq((5L, sharedT)), Seq((3L, "")))
+    var upd = Map.empty[Long, String]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val bdf = b.toDF("doc_id", "text")
+      DeltaUpdate.step(spark, art, "init", i.toLong,
+        bdf.select("doc_id"),
+        Dedup.hashedShingleSketch(bdf, "text", "doc_id", k = 5),
+        Seq("shingle_k5"))
+      upd = upd ++ b
+      // recount oracle: rebuild the whole corpus with every doc's
+      // LATEST version and cap it — the d58 rebuild contract
+      val corpusNow = docs.as[(Long, String)].collect()
+        .map { case (id, t) => (id, upd.getOrElse(id, t)) }
+        .toSeq.toDF("doc_id", "text")
+      val want = shingleRows(Dedup.shingleServingIndex(
+        Dedup.hashedShingleSketch(corpusNow, "text", "doc_id", k = 5),
+        k = 5, maxDf = maxDf))
+      val got = shingleRows(Dedup.shingleUpdateServing(
+        spark, art, "init", i.toLong, k = 5, maxDf = maxDf))
+      assert(got === want, s"batch $i diverged from the recount")
+      if (i == 0) {
+        assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L),
+          "batch 0 must RE-ADMIT the now-under-cap build-capped key")
+        assert(got.exists(_._1 == 3L),
+          "batch 0 must serve the updated doc's new version")
+      }
+      if (i == 1) assert(!got.exists(_._1 == 4L),
+        "batch 1 must EVICT every carrier of the now-over-cap key")
+      if (i == 2) {
+        assert(!got.exists(_._1 == 3L),
+          "an empty re-crawl must VANISH the doc (ADVICE r16)")
+        assert(got.exists(_._1 == 4L) && got.exists(_._1 == 5L),
+          "batch 2 must re-return the key's carriers once back under")
+      }
+    }
+    // the empty-version batch still wrote its updids face (the retract
+    // leg must not depend on the new version having any rows)
+    assert(spark.read.parquet(s"$art/2/updids").count() === 1)
+    assert(spark.read.parquet(s"$art/2/newrows").count() === 0)
+  }
+
+  test("shingle update delta chain: a replayed batch overwrites its " +
+      "own faces with identical rows (read-predecessor idempotence)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (9L, "first wholly unrelated content words"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("graft_updeltareplay")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, maxDf = 2)
+    def run(bid: Long, rows: Seq[(Long, String)]): Unit = {
+      val bdf = rows.toDF("doc_id", "text")
+      DeltaUpdate.step(spark, art, "init", bid, bdf.select("doc_id"),
+        Dedup.hashedShingleSketch(bdf, "text", "doc_id", k = 5),
+        Seq("shingle_k5"))
+    }
+    run(0L, Seq((1L, "one two three four five")))
+    run(1L, Seq((2L, "alpha beta gamma delta epsilon")))
+    def faces() = Seq("updids", "newrows", "statsdelta").map { f =>
+      spark.read.parquet(s"$art/1/$f").collect().map(_.toString).sorted
+        .toSeq
+    }
+    val first = faces()
+    run(1L, Seq((2L, "alpha beta gamma delta epsilon"))) // replay
+    assert(faces() === first,
+      "a replayed batch must re-derive identical faces from identical " +
+        "persisted input")
+  }
+
+  test("video update delta chain: view ≡ recount per batch; an emptied " +
+      "payload vanishes the video AND its scene counts (ADVICE r16)") {
+    import spark.implicits._
+    import graft.pipeline.{Multimodal => MM}
+    def media(df: DataFrame) = MM.withPayload(df, "text")
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[MM.MediaRow]
+    def kf(df: DataFrame) = MM.keyframeHashes(media(df),
+      frameBytes = 72, cutPm = 8L).toDF()
+    val docs = Seq(
+      (1L, ("v " * 300).trim), (2L, ("w " * 300).trim),
+      (3L, ("v " * 300).trim))
+      .toDF("doc_id", "text")
+    val art = tmpDir("graft_updeltavid")
+    MM.videoDeltaBase(spark, kf(docs), s"$art/init", maxBucket = 100)
+    // batch 0: re-edit video 1 (different cut pattern); batch 1:
+    // video 1 re-crawls to an EMPTY payload — zero keyframes
+    val batches = Seq(
+      Seq((1L, ("x y " * 200).trim)), Seq((1L, "")))
+    var upd = Map.empty[Long, String]
+    val docHalf = org.apache.spark.sql.functions.expr("id div 65536")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val bdf = b.toDF("doc_id", "text")
+      DeltaUpdate.step(spark, art, "init", i.toLong,
+        bdf.select("doc_id"), MM.videoChunkRows(kf(bdf)),
+        Seq("chunk", "chunk_val"), docHalf)
+      upd = upd ++ b
+      val corpusNow = docs.as[(Long, String)].collect()
+        .map { case (id, t) => (id, upd.getOrElse(id, t)) }
+        .toSeq.toDF("doc_id", "text")
+      val oracle = MM.videoKeyframeSketch(kf(corpusNow))
+      val wantChunks = MM.phashServingIndex(oracle.chunks, 100)
+        .collect().map(_.toString).sorted.toSeq
+      val wantCounts = oracle.counts.collect().map(_.toString).sorted
+        .toSeq
+      val got = MM.videoUpdateServing(spark, art, "init", i.toLong,
+        maxBucket = 100)
+      assert(got.chunks.collect().map(_.toString).sorted.toSeq ===
+        wantChunks, s"batch $i chunk face diverged from the recount")
+      assert(got.counts.collect().map(_.toString).sorted.toSeq ===
+        wantCounts, s"batch $i counts face diverged from the recount")
+      if (i == 1) {
+        assert(got.counts.filter(col("doc_id") === 1L).count() === 0,
+          "an emptied video must drop out of the coverage denominators")
+        assert(got.chunks.filter(docHalf === 1L).count() === 0,
+          "an emptied video must leave no chunk postings")
+      }
+    }
+  }
+}

@@ -8,10 +8,15 @@ max_ratio * its baseline.
 Gated signals (round-14 derivation -- reasoning in BASELINE.md's
 "Per-query gate derivation" section):
 
-  - BATCH per-query mean: (total - stream_cert_total) / (n - n_stream)
+  - BATCH signal: the frozen-membership `batch187_total` subtotal (the
+    187 batch rows of the round-15 driver artifact, the last complete
+    one) vs `batch187_freeze_s`, when the artifact carries the field --
+    round-17 re-derivation after the round-16 DNF; the all-rows batch
+    MEAN is informational then. Historical artifacts without the field
+    keep the mean gated: (total - stream_cert_total) / (n - n_stream)
     vs `baseline_per_query_s` (the round-4 driver row, whose 78-query
     mix contained ZERO micro-batch certification rows -- so excluding
-    them from today's mean is the apples-to-apples comparison; the
+    them from the mean is the apples-to-apples comparison; the
     light s1-s6 rows existed in the round-4 mix and stay INSIDE the
     batch mean on both sides).
   - STREAM16 subtotal: the FROZEN-membership stream-certification
@@ -108,8 +113,29 @@ def main() -> int:
           f"({poison * bench['value'] / n / base['baseline_per_query_s']:.2f}x "
           f"the {base['baseline_per_query_s']} driver row; driver criterion 2x)")
 
-    check("batch mean", batch_total / n_batch,
-          ratio * base["baseline_per_query_s"])
+    # Round-17 re-derivation (BASELINE.md "batch187 freeze", after the
+    # round-16 bench DNF): the gated batch signal is the FROZEN-membership
+    # subtotal over the round-15 driver artifact's 187 batch rows when the
+    # artifact carries it -- new batch certification rows land OUTSIDE the
+    # freeze and can no longer move a gated signal for mix reasons (the
+    # rule that retired the stream-cert mean in round 15). The all-rows
+    # batch mean becomes informational then; historical artifacts without
+    # the field keep the mean gated (they were cut under that rule).
+    if "batch187_total" in bench and "batch187_freeze_s" in base:
+        if bench.get("batch187_n") != 187:
+            print(f"FAIL batch187_n = {bench.get('batch187_n')} != 187 -- "
+                  "subtotal not comparable")
+            failures.append("batch187_n")
+        else:
+            check("batch187_total", bench["batch187_total"],
+                  ratio * base["batch187_freeze_s"])
+        print(f"info batch mean        {poison * batch_total / n_batch:8.3f} s  "
+              f"({poison * batch_total / n_batch / base['baseline_per_query_s']:.2f}x "
+              f"the {base['baseline_per_query_s']} round-4 row; mix-sensitive, "
+              "not gated -- batch187_total is)")
+    else:
+        check("batch mean", batch_total / n_batch,
+              ratio * base["baseline_per_query_s"])
     # Informational only since round 15 (BASELINE.md "Stream-cert gate
     # re-derivation"): the all-rows per-row mean moves for MIX reasons
     # whenever a streaming row registers. Guarded: a historical
