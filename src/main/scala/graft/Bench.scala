@@ -361,7 +361,17 @@ object Bench {
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
     val stealFracLimit = 0.15
-    var stealRetryBudget = 60
+    // Retry budget BOUNDED (round 17): each discard re-runs the query
+    // and a heavy burst adds a 10 s wait, so an unbounded budget on a
+    // stolen box turns into tens of minutes of added wall — the r16
+    // driver bench DNF'd (rc 124), and a round-17 local run on a box
+    // absorbing ~2000 steal-CPU-s demonstrated the mechanism. Worst
+    // case added wall is now ~20 re-runs + ≤ 120 s of sleeps; past the
+    // budget, contaminated samples are RECORDED (visible in their
+    // steal column) instead of silently re-measured — a complete
+    // artifact with noisy samples beats a timeout with no artifact.
+    var stealRetryBudget = 20
+    var stealSleepBudgetMs = 120000L
     def jitMs: Double =
       Option(java.lang.management.ManagementFactory.getCompilationMXBean)
         .filter(_.isCompilationTimeMonitoringSupported)
@@ -372,7 +382,30 @@ object Bench {
         .filter(_.getName.startsWith("CodeHeap"))
         .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
     }
+    // DEADLINE (round 17, after the r16 driver DNF): rep 1 covers
+    // EVERY query, so the artifact is complete after it — later reps
+    // only tighten the min. On a steal-stormy box the full 3-rep
+    // schedule can outrun the driver's wall (a round-17 local run on a
+    // box absorbing ~2000 steal-CPU-s ran 3× its calm wall), so once
+    // the elapsed time crosses the deadline, reps ≥ 2 stop — between
+    // reps AND mid-rep (their samples are optional extras; rep 1 is
+    // never aborted, keeping every subtotal complete). Loud line +
+    // `reps_completed` in the artifact; min-of-fewer-samples with a
+    // complete artifact beats rc 124 with parsed: null.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_S", "840")
+      .toLong.max(60L)
+    val benchStartNs = System.nanoTime()
+    def pastDeadline: Boolean =
+      (System.nanoTime() - benchStartNs) / 1000000000L > deadlineS
+    var repsCompleted = 0
+    var deadlineHit = false
     (1 to reps).foreach { rep =>
+      if (rep > 1 && pastDeadline) {
+        if (!deadlineHit) System.err.println(
+          s"[bench] deadline: > ${deadlineS}s elapsed — stopping after " +
+            s"$repsCompleted complete rep(s); min is over fewer samples")
+        deadlineHit = true
+      } else {
       // Deterministic per-rep order: rep 1 is the registry order, later
       // reps are seeded shuffles — same schedule every run, different
       // neighbors every rep.
@@ -387,6 +420,14 @@ object Bench {
         if (rep <= streamReps) fullOrder
         else fullOrder.filterNot(q => streamRows(q._1))
       order.zipWithIndex.foreach { case ((name, fn), idx) =>
+        // mid-rep deadline abort, reps >= 2 only (see the deadline
+        // comment above — rep-2/3 samples are optional extras)
+        if (rep > 1 && (deadlineHit || pastDeadline)) {
+          if (!deadlineHit) System.err.println(
+            s"[bench] deadline: > ${deadlineS}s elapsed mid-rep $rep — " +
+              "aborting the remaining optional samples")
+          deadlineHit = true
+        } else {
         // SPARK_GRAFT_TRACE=1: per-query start lines (stderr), so a
         // stalled query can be caught in the act (jstack while the
         // line is the log's last) — off by default to keep the
@@ -430,7 +471,10 @@ object Bench {
               attempt += 1
               stealRetryBudget -= 1
               stealRetries += 1
-              if (frac > 0.3) Thread.sleep(15000)
+              if (frac > 0.3 && stealSleepBudgetMs > 0) {
+                Thread.sleep(10000)
+                stealSleepBudgetMs -= 10000L
+              }
               sweep()
             } else {
               samples(name) = elapsed :: samples(name)
@@ -463,6 +507,9 @@ object Bench {
           heapAfter(name) = heapMb :: heapAfter(name)
           ccAfter(name) = codeCacheMb :: ccAfter(name)
         }
+        }
+      }
+      if (!deadlineHit) repsCompleted = rep
       }
     }
     val results = registry.map { case (name, _) =>
@@ -566,7 +613,7 @@ object Bench {
     // auto-commit preserves it whole.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","core82_total":$core82Total,"core82_n":$core82N,"core153_total":$core153Total,"core153_n":$core153N,"core158_total":$core158Total,"core158_n":$core158N,"core167_total":$core167Total,"core167_n":$core167N,"core192_total":$core192Total,"core192_n":$core192N,"batch187_total":$batch187Total,"batch187_n":$batch187N,"stream_overhead_s":$streamOverhead,"stream_n":$streamN,"stream16_total":$stream16Total,"stream16_n":$stream16N,"stream18_total":$stream18Total,"stream18_n":$stream18N,"jvm_max_heap_mb":${
       Runtime.getRuntime.maxMemory / (1024 * 1024)},"queries":${
-      jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"queries_spread":${
+      jmap(results.map(r => r._1 -> r._2), _.toString)},"reps":$reps,"reps_completed":$repsCompleted,"queries_spread":${
       jmap(results.map(r => r._1 -> r._3), _.toString)},"queries_reps":${
       jarr(chron(samples).map { case (k, vs) =>
         k -> vs.map(fmtD(3)) })},"queries_order":${

@@ -100,6 +100,32 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.isStream16("q55_triangle_census"))
   }
 
+  test("BenchGate batch187 freeze: a complete batch187 subset retires " +
+      "the mix-sensitive batch mean; a partial one keeps it gated " +
+      "(round-17 re-derivation after the r16 DNF)") {
+    val a187 = anchor + ("batch187_freeze_s" -> 10.0)
+    // batch mean would be 3.0x (TRIPPING) — but the frozen subtotal is
+    // green, and with a COMPLETE batch187 subset present the mean must
+    // be informational, so nothing warns.
+    val qs = Map("q1_a" -> 1.5, "q2_b" -> 1.5)
+    val complete = Seq(("batch187", 3.0, 187, 187))
+    assert(BenchGate.warnings(qs, 3.0, complete, a187).isEmpty,
+      "a green frozen batch subtotal must retire the mix-sensitive mean")
+    // the frozen subtotal itself still trips when red
+    val red = Seq(("batch187", 30.0, 187, 187))
+    assert(BenchGate.warnings(qs, 3.0, red, a187)
+        .exists(w => w.contains("batch187_total") && w.contains("TRIPPING")))
+    // a PARTIAL subset (a member errored) is not comparable — the mean
+    // stays gated, exactly the core82_n rule
+    val partial = Seq(("batch187", 3.0, 180, 187))
+    assert(BenchGate.warnings(qs, 3.0, partial, a187)
+        .exists(w => w.contains("batch mean") && w.contains("TRIPPING")),
+      "a partial batch187 subset must fall back to the gated mean")
+    // and an anchor without the freeze key keeps the historical rule
+    assert(BenchGate.warnings(qs, 3.0, complete, anchor)
+        .exists(w => w.contains("batch mean") && w.contains("TRIPPING")))
+  }
+
   test("BenchGate is quiet when everything has headroom") {
     val qs = Map("q1_a" -> 0.4, "s7_e" -> 1.5)
     assert(BenchGate.warnings(qs, 1.9, Seq(("core82", 30.0, 82, 82)), anchor).isEmpty)
