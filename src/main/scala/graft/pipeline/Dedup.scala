@@ -746,6 +746,23 @@ object Dedup {
       Seq(s"shingle_k$k"), maxDf)(_.join(curSizes, "id"))
   }
 
+  /** Shingle-family COMPACTION of an UPDATE delta chain
+    * ([[DeltaUpdate.compact]]): fold the accumulated update history
+    * into a fresh base at `newBaseDir`, including the family's `sizes`
+    * face — an update MOVES n_c, so unlike the retract fold the sizes
+    * cannot anti-join through; they re-derive from the compacted
+    * sketch (one aggregate over rows already being rewritten). The
+    * compacted base ≡ [[shingleDeltaBase]] over the corpus with every
+    * doc's latest version (spec-pinned, DeltaUpdateSpec). */
+  def shingleUpdateCompact(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, newBaseDir: String, k: Int = 5,
+      maxDf: Int = 100): Unit = {
+    val sk = DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
+    sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+      .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
+  }
+
   /** Shingle-family COMPACTION of a delta retract chain
     * ([[DeltaRetract.compact]]): fold the accumulated history into a
     * fresh base at `newBaseDir`, including the family's `sizes` face —

@@ -213,6 +213,37 @@ object DeltaUpdate {
         (col("cnt") + col("dd")).as("curCnt"): _*)
   }
 
+  /** COMPACTION of an update delta chain into a fresh base snapshot —
+    * the LSM fold, [[DeltaRetract.compact]]'s signed twin: every probe
+    * of [[servingView]] pays the accumulated updids/newrows/statsdelta
+    * history (delta-sized per batch but unbounded over a chain's
+    * lifetime), so after enough re-crawl batches the history itself
+    * becomes the cost. The current corpus sketch is assembled ONCE —
+    * base rows of never-updated docs plus every updated doc's latest
+    * version rows — and the base faces re-derive over it through
+    * [[DeltaRetract.initBase]] (the one amortized archive-proportional
+    * recount the per-batch algebra saves); the chain restarts from
+    * batch 0 against the new base dir (fresh artifact dir +
+    * checkpoint, the refuse-stale-chain lifetime contract). By
+    * construction the compacted base equals the family's deltaBase
+    * over the corpus-with-all-latest-versions — the d58 rebuild
+    * contract — and the compact cycle (updates → compact → more
+    * updates ≡ the one-shot rebuild with every version) is spec-pinned
+    * in DeltaUpdateSpec. Family faces beyond the generic three compact
+    * in the family wrappers ([[Dedup.shingleUpdateCompact]] re-derives
+    * `sizes`, [[Multimodal.videoUpdateCompact]] re-derives `counts` —
+    * both from the returned compacted sketch, one aggregate each). */
+  def compact(sp: SparkSession, artDir: String, initName: String,
+      upTo: Long, newBaseDir: String, keyCols: Seq[String],
+      docId: Column = col("id"))(
+      serveIndex: DataFrame => DataFrame): DataFrame = {
+    val cur = sp.read.parquet(s"$artDir/$initName/sketch")
+      .join(updatedDocs(sp, artDir, upTo), docId === col("rid"),
+        "left_anti")
+      .unionByName(latestRows(sp, artDir, upTo, docId))
+    DeltaRetract.initBase(sp, newBaseDir, cur, keyCols)(serveIndex)
+  }
+
   /** Every doc id updated in batches 0..upTo (distinct, column `rid`)
     * — the set whose BASE rows are superseded. */
   def updatedDocs(sp: SparkSession, artDir: String,

@@ -680,6 +680,26 @@ object Multimodal {
       curCounts)
   }
 
+  /** Video-family COMPACTION of an UPDATE delta chain
+    * ([[DeltaUpdate.compact]]): fold the chunk faces over the
+    * current-corpus rows (base minus updated docs plus latest
+    * versions), then re-derive the `counts` face from the compacted
+    * sketch — a re-edit MOVES scene counts, so unlike the retract fold
+    * they cannot anti-join through (one distinct-packed-id aggregate
+    * over rows already being rewritten). Compacted base ≡
+    * [[videoDeltaBase]] over the corpus with every video's latest cut
+    * (spec-pinned, DeltaUpdateSpec). */
+  def videoUpdateCompact(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, newBaseDir: String,
+      maxBucket: Int = 100): Unit = {
+    val docHalf = expr("id div 65536")
+    val sk = DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq("chunk", "chunk_val"), docHalf)(phashServingIndex(_, maxBucket))
+    sk.select(docHalf.as("doc_id"), col("id")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+      .write.mode("overwrite").parquet(s"$newBaseDir/counts")
+  }
+
   /** Video-family COMPACTION of a delta retract chain
     * ([[DeltaRetract.compact]]) — the two-face twin of
     * `Dedup.shingleDeltaCompact` (ADVICE r16: the generic compact

@@ -125,6 +125,96 @@ class DeltaUpdateSpec extends SparkSpec {
         "persisted input")
   }
 
+  test("update-chain COMPACTION (shingle + video): updates → compact → " +
+      "more updates ≡ the one-shot rebuild with every latest version; " +
+      "compacted base ≡ the family deltaBase over that corpus") {
+    import spark.implicits._
+    // shingle leg — the sizes face must RE-DERIVE (updates move n_c;
+    // unlike the retract fold it cannot anti-join through)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "uno dos tres quatro cinco"),
+      (9L, "first wholly unrelated content words"))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_updcompact")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/a/init", k = 5, maxDf = maxDf)
+    def step(dir: String, bid: Long, rows: Seq[(Long, String)]): Unit = {
+      val bdf = rows.toDF("doc_id", "text")
+      DeltaUpdate.step(spark, dir, "init", bid, bdf.select("doc_id"),
+        Dedup.hashedShingleSketch(bdf, "text", "doc_id", k = 5),
+        Seq("shingle_k5"))
+    }
+    val upd1 = (1L, "one two three four five six seven")
+    val upd2 = (2L, "alpha beta gamma delta epsilon")
+    step(s"$art/a", 0L, Seq(upd1))
+    Dedup.shingleUpdateCompact(spark, s"$art/a", "init", 0L,
+      s"$art/b/init", k = 5, maxDf = maxDf)
+    // the compacted base ≡ the family deltaBase over the updated corpus
+    Dedup.shingleDeltaBase(spark,
+      Seq((1L, upd1._2), (2L, "one two three four five"),
+        (3L, "uno dos tres quatro cinco"),
+        (9L, "first wholly unrelated content words"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", s"$art/ref/init", k = 5, maxDf = maxDf)
+    for (face <- Seq("sketch", "stats", "index", "sizes")) {
+      val got = spark.read.parquet(s"$art/b/init/$face")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.read.parquet(s"$art/ref/init/$face")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"compacted $face diverged from the family " +
+        "base over the updated corpus")
+    }
+    // the restarted chain keeps the rebuild equivalence
+    step(s"$art/b", 0L, Seq(upd2))
+    val got = shingleRows(Dedup.shingleUpdateServing(spark, s"$art/b",
+      "init", 0L, k = 5, maxDf = maxDf))
+    val want = shingleRows(Dedup.shingleServingIndex(
+      Dedup.hashedShingleSketch(
+        Seq((1L, upd1._2), (2L, upd2._2),
+          (3L, "uno dos tres quatro cinco"),
+          (9L, "first wholly unrelated content words"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", k = 5), k = 5, maxDf = maxDf))
+    assert(got === want,
+      "post-compaction update diverged from the one-shot rebuild")
+
+    // video leg — the counts face must re-derive from the compacted
+    // sketch (a re-edit moves scene counts)
+    import graft.pipeline.{Multimodal => MM}
+    def media(df: org.apache.spark.sql.DataFrame) =
+      MM.withPayload(df, "text")
+        .select(col("doc_id"), col("payload"), col("media_type"))
+        .as[MM.MediaRow]
+    def kf(df: org.apache.spark.sql.DataFrame) =
+      MM.keyframeHashes(media(df), frameBytes = 72, cutPm = 8L).toDF()
+    val vdocs = Seq((1L, ("v " * 300).trim), (2L, ("w " * 300).trim))
+      .toDF("doc_id", "text")
+    val vart = tmpDir("graft_updcompactvid")
+    val docHalf = org.apache.spark.sql.functions.expr("id div 65536")
+    MM.videoDeltaBase(spark, kf(vdocs), s"$vart/a/init", maxBucket = 100)
+    val vupd = (1L, ("x y " * 200).trim)
+    val vbdf = Seq(vupd).toDF("doc_id", "text")
+    DeltaUpdate.step(spark, s"$vart/a", "init", 0L,
+      vbdf.select("doc_id"), MM.videoChunkRows(kf(vbdf)),
+      Seq("chunk", "chunk_val"), docHalf)
+    MM.videoUpdateCompact(spark, s"$vart/a", "init", 0L,
+      s"$vart/b/init", maxBucket = 100)
+    val refCorpus = Seq((1L, vupd._2), (2L, ("w " * 300).trim))
+      .toDF("doc_id", "text")
+    val refIdx = MM.videoKeyframeSketch(kf(refCorpus))
+    assert(spark.read.parquet(s"$vart/b/init/sketch")
+        .collect().map(_.toString).sorted.toSeq ===
+      refIdx.chunks.collect().map(_.toString).sorted.toSeq,
+      "video compacted sketch diverged from the rebuild")
+    assert(spark.read.parquet(s"$vart/b/init/counts")
+        .collect().map(_.toString).sorted.toSeq ===
+      refIdx.counts.collect().map(_.toString).sorted.toSeq,
+      "video compacted counts diverged from the rebuild")
+  }
+
   test("video update delta chain: view ≡ recount per batch; an emptied " +
       "payload vanishes the video AND its scene counts (ADVICE r16)") {
     import spark.implicits._
