@@ -280,6 +280,34 @@ object Bench {
     // seconds. Membership is BY RULE (BenchGate.isStreamCert: s-id ≥ 7),
     // not a hand list — the round-13 hand list silently omitted s19–s21.
     val streamRows: String => Boolean = BenchGate.isStreamCert
+    // GATED-membership rows: every query that contributes to a frozen
+    // gated subtotal (batch187 ∪ core82..core192 ∪ stream16/18 — the
+    // coreNN sets nest, and batch187 covers their batch members, but
+    // the union is explicit so a membership edit can never silently
+    // un-gate the schedule). Round-18 derivation (VERDICT r17 item 1):
+    // the r16 AND r17 driver benches were killed by the harness wall
+    // (rc 124), and rep 1's ALPHABETICAL order meant the r17 kill
+    // landed on the s* tail — erroring stream16 members s7–s9 and
+    // destroying gated subtotal membership. Rep 1 therefore runs every
+    // gated row FIRST (alphabetical within each segment, still
+    // deterministic), so an external kill — which cannot be prevented
+    // from here — sacrifices only ungated certification rows and the
+    // artifact's gated subtotals stay complete.
+    val gatedRow: String => Boolean = n =>
+      batch187(n) || core82(n) || core192(n) ||
+        BenchGate.isStream16(n) || BenchGate.isStream18(n)
+    // Rep-1 SOFT BUDGET (round 18, same derivation): once rep 1 has
+    // run longer than this, remaining UNGATED rows are recorded as
+    // skipped instead of run — on a box slow enough to threaten the
+    // harness wall, rep 1 finishes the gated segment and sheds the
+    // optional tail, landing a complete-gated artifact with rc 0
+    // rather than rc 124 with parsed: null. Gated rows are NEVER
+    // skipped (rep 1 stays honest); a skipped row reports -1 with its
+    // name in `skipped`, distinct from `errors`.
+    val rep1BudgetS = sys.env.getOrElse("SPARK_GRAFT_REP1_BUDGET_S", "840")
+      .toLong.max(60L)
+    val skippedRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rep1BudgetHit = false
     // Queries whose first execution pays a one-time physical-layout build
     // (bucketed tables, partitioned rewrites) that min-of-reps then hides.
     // For these the artifact carries `build_s` = rep-1 time minus the
@@ -406,11 +434,14 @@ object Bench {
             s"$repsCompleted complete rep(s); min is over fewer samples")
         deadlineHit = true
       } else {
-      // Deterministic per-rep order: rep 1 is the registry order, later
-      // reps are seeded shuffles — same schedule every run, different
-      // neighbors every rep.
+      // Deterministic per-rep order: rep 1 is gated-membership rows
+      // first (registry order within each segment — see gatedRow),
+      // later reps are seeded shuffles — same schedule every run,
+      // different neighbors every rep.
       val fullOrder =
-        if (rep == 1) registry
+        if (rep == 1)
+          registry.filter(q => gatedRow(q._1)) ++
+            registry.filterNot(q => gatedRow(q._1))
         else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
       // Stream-cert rows sample only the first `streamReps` reps —
       // later reps drop them from the schedule entirely (min-of-reps
@@ -427,6 +458,17 @@ object Bench {
             s"[bench] deadline: > ${deadlineS}s elapsed mid-rep $rep — " +
               "aborting the remaining optional samples")
           deadlineHit = true
+        } else if (rep == 1 && !gatedRow(name) && (rep1BudgetHit ||
+            (System.nanoTime() - benchStartNs) / 1000000000L >
+              rep1BudgetS)) {
+          // rep-1 soft budget: shed the remaining UNGATED rows (gated
+          // rows are scheduled before this segment and never skipped)
+          if (!rep1BudgetHit) System.err.println(
+            s"[bench] rep-1 budget: > ${rep1BudgetS}s elapsed — " +
+              "skipping the remaining ungated rows (recorded in " +
+              "`skipped`; gated subtotals are already complete)")
+          rep1BudgetHit = true
+          skippedRows += name
         } else {
         // SPARK_GRAFT_TRACE=1: per-query start lines (stderr), so a
         // stalled query can be caught in the act (jstack while the
@@ -534,6 +576,7 @@ object Bench {
         if (t >= 100) "%.0f" else if (t >= 10) "%.1f"
         else "%.2f", Double.box(t))
     val errJson = errors.map(e => Graft.jsonString(e)).mkString("[", ",", "]")
+    val skipJson = skippedRows.map(Graft.jsonString).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // core82_n records how many of the frozen 82 produced a valid time:
     // if a member errors, its time is EXCLUDED from core82_total, which
@@ -629,7 +672,7 @@ object Bench {
       jarr(chron(cgDeltas))},"queries_heap_mb":${
       jarr(chron(heapAfter).map { case (k, vs) =>
         k -> vs.map(fmtD(0)) })},"build_s":${
-      jmap(buildS, _.toString)},"errors":$errJson,"sf":${
+      jmap(buildS, _.toString)},"errors":$errJson,"skipped":$skipJson,"sf":${
       Graft.jsonString(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     System.err.println(s"[bench] full-precision artifact: bench.json (${full.length} chars)")
@@ -688,6 +731,8 @@ object Bench {
       }
     }
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    val skipField =
+      if (skippedRows.isEmpty) "" else s""","n_skipped":${skippedRows.size}"""
     // Stdout carries only the headline: total, query count, the 5 heaviest
     // queries, and any errors. The driver keeps ~2000 chars of output, and
     // the full 79-query map no longer fits (r4/r5 sat at 1828/~1900 chars,
@@ -698,7 +743,7 @@ object Bench {
       fmtT(core82Total)},"queries":${
       jmap(top5.map(r => r._1 -> r._2), fmtT)},"n_queries":${results.size
       },"full":"bench.json","sf":${
-      Graft.jsonString(sfDir.split('/').last)}$errField}"""
+      Graft.jsonString(sfDir.split('/').last)}$skipField$errField}"""
     System.err.println(s"[bench] stdout line: ${compact.length} chars (must stay < ~1900)")
     // Write straight to the raw FileDescriptor, bypassing Console/sbt logger
     // wrappers, so the driver-captured line carries no `[info] ` prefix

@@ -63,10 +63,26 @@ import org.apache.spark.sql.functions._
   * Read-predecessor discipline (s16/s22): batch b reads only base
   * faces and batches 0..b-1, overwrites only its own faces — a
   * replayed batch re-derives identical output from identical persisted
-  * input. Update-only chains: a mixed update+takedown stream routes
-  * takedowns through [[DeltaRetract]] against its own chain, or models
-  * a takedown as an update to an empty version (zero newrows — the doc
-  * then vanishes from the view, which the spec pins). */
+  * input.
+  *
+  * MIXED update+takedown streams (gate d64): a takedown is modeled as
+  * an update to an EMPTY version — zero newrows retract the doc's
+  * current postings and the doc vanishes from the view; a later
+  * re-crawl of the same doc brings it back (its decrement leg finds
+  * the empty version and subtracts nothing). This single-chain routing
+  * is the only SOUND one: running takedowns through a separate
+  * [[DeltaRetract]] chain over the same base leaves each chain blind
+  * to the other's statsdelta, so the moment a key is touched from both
+  * sides (an update increments it while a takedown decrements it —
+  * shared keys make this the norm, not the edge), both chains' cap
+  * decisions are computed against stale counts and the serving views
+  * diverge from the recount. Cross-chain routing is admissible only
+  * when the two workloads are provably KEY-disjoint (distinct media
+  * families over one corpus), which is a layout property, not
+  * something the algebra can check. The interleaved compositions —
+  * update-then-takedown, takedown-then-re-crawl, both around plain
+  * re-crawls — are gate-certified in d64 and spec-pinned in
+  * DeltaUpdateSpec. */
 object DeltaUpdate {
 
   /** One re-crawl batch of the update delta chain: write this batch's
@@ -127,10 +143,15 @@ object DeltaUpdate {
             .unionByName(fromPrior.select(keyCs: _*))
             .groupBy(keyCs: _*).agg(count(lit(1)).as("dec"))
           val inc = rows.groupBy(keyCs: _*).agg(count(lit(1)).as("inc"))
+          // keep net-ZERO keys: a key the updated doc carries across the
+          // re-crawl (inc == dec) must still enter currentCounts, or a
+          // BUILD-capped key it kept never reaches overNow and leg C of
+          // servingView serves the doc's rows for a still-capped key
+          // (ADVICE r17). Still delta-sized — bounded by keys the batch
+          // touched either way.
           inc.join(dec, keyCols, "full_outer")
             .na.fill(0L, Seq("inc", "dec"))
             .select(keyCs :+ (col("inc") - col("dec")).as("delta"): _*)
-            .filter(col("delta") =!= 0L)
         }
       delta.write.mode("overwrite")
         .parquet(s"$artDir/$batchId/statsdelta")

@@ -5,14 +5,18 @@ import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The 2× gate-math check (VERDICT r8 item 7 / r9 item 3), in `sbt test`:
-  * `tools/bench_gate.py` reads the committed full-precision bench
-  * artifact (`bench.json`) and BASELINE.md's machine-readable
-  * authoritative row (the `bench-gate` HTML comment), and fails at
-  * >1.8× — per-query mean vs the round-4 driver baseline, and the
-  * frozen-subset totals (core82, core153) vs their freeze values. The
-  * second test proves the gate actually trips by poisoning the measured
-  * values 10×. Cancels (not passes) when the artifact or python3 is
-  * absent, so a clean checkout without a bench run stays green honestly. */
+  * `tools/bench_gate.py` reads the COMMITTED full-precision bench
+  * artifact (`git show HEAD:bench.json` — round 18, VERDICT r17 item 2:
+  * the r17 driver left its killed partial artifact in the WORKING TREE
+  * and the two committed-artifact tests were the suite's only reds;
+  * the suite certifies gate SEMANTICS, never the box's last hour) and
+  * BASELINE.md's machine-readable authoritative row (the `bench-gate`
+  * HTML comment), and fails at >1.8× — per-query mean vs the round-4
+  * driver baseline, and the frozen-subset totals (core82, core153) vs
+  * their freeze values. The second test proves the gate actually trips
+  * by poisoning the measured values 10×. Cancels (not passes) when the
+  * committed artifact or python3 is absent, so a clean checkout
+  * without a bench run stays green honestly. */
 class BenchGateSpec extends AnyFunSuite {
 
   private def run(args: String*): Int = {
@@ -26,9 +30,31 @@ class BenchGateSpec extends AnyFunSuite {
     rc
   }
 
+  /** The COMMITTED content of a repo file (`git show HEAD:path`),
+    * extracted to `target/gate-fixtures/` so the python gate can read
+    * it by path. None when git or the committed file is unavailable —
+    * the tests assume-cancel then, exactly like the old missing-file
+    * path. */
+  private def committedFile(path: String): Option[java.nio.file.Path] =
+    try {
+      val p = new ProcessBuilder("git", "show", s"HEAD:$path").start()
+      val out = p.getInputStream.readAllBytes()
+      if (p.waitFor() != 0 || out.isEmpty) None
+      else {
+        val dir = Paths.get("target", "gate-fixtures")
+        Files.createDirectories(dir)
+        val f = dir.resolve(path.replace('/', '_'))
+        Files.write(f, out)
+        Some(f)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private lazy val committedBench = committedFile("bench.json")
+  private lazy val committedMd = committedFile("BASELINE.md")
+
   private def preconditions(): Unit = {
-    assume(Files.exists(Paths.get("bench.json")), "no bench.json artifact")
-    assume(Files.exists(Paths.get("BASELINE.md")), "no BASELINE.md")
+    assume(committedBench.isDefined, "no committed bench.json artifact")
+    assume(committedMd.isDefined, "no committed BASELINE.md")
     assume(
       try {
         new ProcessBuilder("python3", "--version").start().waitFor() == 0
@@ -38,13 +64,15 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("bench gate passes on the committed artifact") {
     preconditions()
-    assert(run() === 0, "bench gate failed on the real bench.json — " +
-      "per-query or frozen-subset total exceeded 1.8x its baseline")
+    assert(run(committedBench.get.toString, committedMd.get.toString) === 0,
+      "bench gate failed on the committed bench.json — per-query or " +
+        "frozen-subset total exceeded 1.8x its baseline")
   }
 
   test("bench gate trips on a 10x-poisoned artifact (self-test)") {
     preconditions()
-    assert(run("--poison", "10") === 1,
+    assert(run("--poison", "10", committedBench.get.toString,
+        committedMd.get.toString) === 1,
       "poisoned values did not trip the gate — the check is vacuous")
   }
 
@@ -143,7 +171,7 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("BenchGate.parseAnchor reads BASELINE.md's authoritative row") {
     preconditions()
-    val md = Files.readString(Paths.get("BASELINE.md"))
+    val md = Files.readString(committedMd.get)
     val a = BenchGate.parseAnchor(md).getOrElse(fail("no bench-gate anchor"))
     // The Scala warn and the python gate must read the SAME numbers.
     assert(a.contains("baseline_per_query_s") && a.contains("stream_cert_per_row_s")
@@ -169,7 +197,7 @@ class BenchGateSpec extends AnyFunSuite {
   test("BenchGate agrees with the python gate on the committed artifact") {
     preconditions()
     // Parse bench.json minimally (flat JSON, numeric fields + queries map).
-    val txt = Files.readString(Paths.get("bench.json"))
+    val txt = Files.readString(committedBench.get)
     val qre = """"queries":\{(.*?)\}""".r
     val qs = qre.findFirstMatchIn(txt).map(_.group(1)).getOrElse(fail("no queries"))
       .split(",").map { kv =>
@@ -179,7 +207,7 @@ class BenchGateSpec extends AnyFunSuite {
     def num(field: String): Double =
       (s""""$field":([-0-9.eE]+)""".r).findFirstMatchIn(txt)
         .map(_.group(1).toDouble).getOrElse(fail(s"no $field"))
-    val md = Files.readString(Paths.get("BASELINE.md"))
+    val md = Files.readString(committedMd.get)
     val a = BenchGate.parseAnchor(md).getOrElse(fail("no anchor"))
     val subsets = Seq(82, 153, 158, 167, 192).flatMap { n =>
       try Seq((s"core$n", num(s"core${n}_total"), num(s"core${n}_n").toInt, n))

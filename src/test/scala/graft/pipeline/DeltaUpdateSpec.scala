@@ -95,6 +95,44 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(spark.read.parquet(s"$art/2/newrows").count() === 0)
   }
 
+  test("shingle update delta chain: an update that KEEPS a build-capped " +
+      "shingle must not re-serve it (net-zero delta, ADVICE r17)") {
+    import spark.implicits._
+    // docs 1,2,3 share S (df 3 > maxDf 2 — capped at build); doc 3
+    // re-crawls KEEPING S and adding one word (6 words = 2 k=5
+    // shingles), so S's statsdelta is net ZERO (inc 1, dec 1) — the
+    // serving view must still know S is over the cap
+    val sharedS = "alpha beta gamma delta epsilon"
+    val docs = Seq((1L, sharedS), (2L, sharedS), (3L, sharedS))
+      .toDF("doc_id", "text")
+    val maxDf = 2
+    val art = tmpDir("graft_updeltacapkeep")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"$art/init", k = 5, maxDf = maxDf)
+    val newText = sharedS + " zeta"
+    val bdf = Seq((3L, newText)).toDF("doc_id", "text")
+    DeltaUpdate.step(spark, art, "init", 0L, bdf.select("doc_id"),
+      Dedup.hashedShingleSketch(bdf, "text", "doc_id", k = 5),
+      Seq("shingle_k5"))
+    val want = shingleRows(Dedup.shingleServingIndex(
+      Dedup.hashedShingleSketch(
+        Seq((1L, sharedS), (2L, sharedS), (3L, newText))
+          .toDF("doc_id", "text"), "text", "doc_id", k = 5),
+      k = 5, maxDf = maxDf))
+    val got = shingleRows(Dedup.shingleUpdateServing(
+      spark, art, "init", 0L, k = 5, maxDf = maxDf))
+    assert(got === want,
+      "kept-capped-key update diverged from the recount")
+    val cappedKey = Dedup.hashedShingleSketch(
+        Seq((0L, sharedS)).toDF("doc_id", "text"), "text", "doc_id",
+        k = 5)
+      .select("shingle_k5").as[Long].head()
+    assert(!got.exists(_._2 == cappedKey),
+      "the still-capped shingle must stay excluded from the serving view")
+    assert(got.exists(t => t._1 == 3L && t._2 != cappedKey),
+      "the updated doc's NEW shingle must serve")
+  }
+
   test("shingle update delta chain: a replayed batch overwrites its " +
       "own faces with identical rows (read-predecessor idempotence)") {
     import spark.implicits._
@@ -123,6 +161,56 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(faces() === first,
       "a replayed batch must re-derive identical faces from identical " +
         "persisted input")
+  }
+
+  test("MIXED update+takedown interleaving (the d64 routing): a " +
+      "takedown's decrement comes from the doc's LATEST version, and a " +
+      "taken-down doc re-crawls back (ordering contract)") {
+    import spark.implicits._
+    // one 5-word text = one shingle; maxDf 1 so any shared key evicts.
+    // Build: doc 4 = T (df 1, serves), doc 6 = W (df 1, serves).
+    val tT = "one two three four five"
+    val tW = "alpha beta gamma delta epsilon"
+    val tX = "uno dos tres quatro cinco"
+    val tU = "first wholly unrelated content words"
+    val docs = Seq((4L, tT), (6L, tW), (9L, tU)).toDF("doc_id", "text")
+    val maxDf = 1
+    val art = tmpDir("graft_mixedchain")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id", s"$art/init",
+      k = 5, maxDf = maxDf)
+    def step(bid: Long, ids: Seq[Long],
+        rows: Seq[(Long, String)]): Unit =
+      DeltaUpdate.step(spark, art, "init", bid, ids.toDF("doc_id"),
+        Dedup.hashedShingleSketch(rows.toDF("doc_id", "text"), "text",
+          "doc_id", k = 5),
+        Seq("shingle_k5"))
+    def view(b: Long) = shingleRows(Dedup.shingleUpdateServing(
+      spark, art, "init", b, k = 5, maxDf = maxDf))
+    def recount(corpus: Seq[(Long, String)]) = shingleRows(
+      Dedup.shingleServingIndex(Dedup.hashedShingleSketch(
+          corpus.toDF("doc_id", "text"), "text", "doc_id", k = 5),
+        k = 5, maxDf = maxDf))
+
+    // batch 0: doc 4 re-crawls to doc 6's text — W df 1→2 evicts both
+    step(0L, Seq(4L), Seq((4L, tW)))
+    assert(view(0L) === recount(Seq((4L, tW), (6L, tW), (9L, tU))))
+    assert(!view(0L).exists(r => r._1 == 4L || r._1 == 6L),
+      "the re-crawl must evict every carrier of the now-over-cap key")
+    // batch 1: TAKEDOWN doc 4 (empty version). Its decrement must come
+    // from the batch-0 W version — W df 2→1 re-serves doc 6's base row.
+    // A decrement wrongly sourced from doc 4's BASE T row would leave
+    // W's count at 2 and doc 6 evicted forever.
+    step(1L, Seq(4L), Seq.empty)
+    assert(view(1L) === recount(Seq((6L, tW), (9L, tU))))
+    assert(view(1L).exists(_._1 == 6L),
+      "the takedown must re-serve the surviving carrier — its " +
+        "decrement must be sourced from the LATEST version's postings")
+    // batch 2: the taken-down doc re-crawls BACK with fresh text — the
+    // decrement leg finds the empty batch-1 version, subtracts nothing
+    step(2L, Seq(4L), Seq((4L, tX)))
+    assert(view(2L) === recount(Seq((4L, tX), (6L, tW), (9L, tU))))
+    assert(view(2L).exists(_._1 == 4L),
+      "a re-crawl after a takedown must bring the doc back")
   }
 
   test("update-chain COMPACTION (shingle + video): updates → compact → " +

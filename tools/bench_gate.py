@@ -95,7 +95,16 @@ def main() -> int:
         if not ok:
             failures.append(name)
 
-    queries = bench["queries"]
+    # Rows SKIPPED by the rep-1 soft budget (round 18: ungated rows shed
+    # past SPARK_GRAFT_REP1_BUDGET_S) report -1 without an error entry --
+    # they are absent samples, not failures, and must not corrupt the
+    # derived sums. A skipped GATED row is impossible by construction
+    # (gated rows are never skipped); if one ever goes missing anyway,
+    # the subtotal _n checks below fail loudly.
+    if bench.get("skipped"):
+        print(f"info {len(bench['skipped'])} ungated rows skipped by the "
+              f"rep-1 soft budget: {', '.join(bench['skipped'])}")
+    queries = {k: v for k, v in bench["queries"].items() if v >= 0}
     n = len(queries)
     stream_cert = {k: v for k, v in queries.items() if is_stream_cert(k)}
     stream_total = sum(stream_cert.values())
