@@ -1233,6 +1233,114 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ---- d63: UPDATE-chain COMPACTION (DeltaUpdate.compact) — d61's
+  // SIGNED twin, closing the lifecycle matrix's last certification gap
+  // (VERDICT r17 missing item 1): the serving view pays the accumulated
+  // updids/newrows/statsdelta history per probe (delta-sized per batch,
+  // unbounded over a chain's life), so after enough re-crawl batches
+  // compaction folds every doc's LATEST version into a fresh base — the
+  // one amortized recount the per-batch algebra saves — including the
+  // shingle family's `sizes` face, which must RE-DERIVE (updates move
+  // n_c; it cannot anti-join through like the retract fold). The gate
+  // certifies the full cycle: half the re-crawls (odd doc_id) as a
+  // delta step on the original base, compact, the other half (even) as
+  // a delta step on the COMPACTED base; the final serving view answers
+  // the d21 increment probe and d58's rebuild-with-the-new-versions
+  // oracle adjudicates — updates → compact → updates ≡ the one-shot
+  // rebuild with every latest version. ----
+  private def d63(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val recrawl = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val out = graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory("graft_d63").toString)
+    Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
+      s"$out/a/init", k = 5, maxDf = 100)
+    def step(chain: String, rows: DataFrame): Unit =
+      DeltaUpdate.step(s, chain, "init", 0L, rows.select("doc_id"),
+        Dedup.hashedShingleSketch(rows, "text", "doc_id", k = 5),
+        Seq("shingle_k5"))
+    step(s"$out/a", recrawl.filter(col("doc_id") % 2 === 1))
+    Dedup.shingleUpdateCompact(s, s"$out/a", "init", 0L, s"$out/b/init",
+      k = 5, maxDf = 100)
+    step(s"$out/b", recrawl.filter(col("doc_id") % 2 === 0))
+    Dedup.incrementalPairsFromIndex(
+        Dedup.shingleUpdateServing(s, s"$out/b", "init", 0L,
+          k = 5, maxDf = 100),
+        d.filter(isNew), "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  // ---- d64: MIXED update+takedown chain (VERDICT r17 missing item
+  // 2) — one shingle family artifact, one interleaved stream of
+  // re-crawl and takedown batches, all through the DeltaUpdate chain
+  // with takedowns modeled as EMPTY-VERSION updates (the one sound
+  // routing: two independent chains over one base are blind to each
+  // other's statsdelta, so cap decisions diverge the moment a key is
+  // touched from both sides — the scaladoc derivation). The
+  // interleaving covers every cross composition: update-then-takedown
+  // (odd %7==1 ∩ %9==2: the batch-1 decrement must come from the
+  // batch-0 version, then vanish), takedown-then-re-crawl (%9==2 ∩
+  // %5==0 comes BACK in batch 2 with new tripled text — resurrection
+  // falls out of the latest-version algebra free), and plain re-crawls
+  // on both sides of the takedown batch. Oracle = the d21 increment
+  // probe over the rebuild with latest-versions-minus-takedowns;
+  // per-step ordering is spec-pinned in DeltaUpdateSpec. ----
+  private def d64(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val doubled = concat(col("text"), lit(" "), col("text"))
+    val out = graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory("graft_d64").toString)
+    Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
+      s"$out/init", k = 5, maxDf = 100)
+    def step(bid: Long, updIds: DataFrame, rows: DataFrame): Unit =
+      DeltaUpdate.step(s, out, "init", bid, updIds,
+        Dedup.hashedShingleSketch(rows, "text", "doc_id", k = 5),
+        Seq("shingle_k5"))
+    val b0 = arch.filter(col("doc_id") % 7 === 1 &&
+        col("doc_id") % 2 === 1)
+      .withColumn("text", doubled)
+    step(0L, b0.select("doc_id"), b0)
+    // the takedown batch: empty versions — ids retract, zero newrows
+    step(1L, arch.filter(col("doc_id") % 9 === 2).select("doc_id"),
+      arch.filter(lit(false)))
+    val b2 = arch.filter(col("doc_id") % 7 === 1 &&
+        col("doc_id") % 2 === 0 && col("doc_id") % 9 =!= 2)
+      .withColumn("text", doubled)
+      .unionByName(arch.filter(col("doc_id") % 9 === 2 &&
+          col("doc_id") % 5 === 0)
+        .withColumn("text",
+          concat(col("text"), lit(" "), col("text"), lit(" "),
+            col("text"))))
+    step(2L, b2.select("doc_id"), b2)
+    Dedup.incrementalPairsFromIndex(
+        Dedup.shingleUpdateServing(s, out, "init", 2L,
+          k = 5, maxDf = 100),
+        d.filter(isNew), "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  // the final corpus state of d64's interleaving: %9==2 ∩ %5==0 back
+  // with TRIPLED text, other %9==2 gone, %7==1 survivors doubled
+  // (shared with the s35 streaming gate: the streamed interleaving
+  // composes to the batch chain, so one oracle adjudicates both)
+  private[graft] val d64Oracle = incrementalDedupOracle(
+    archExtra = " AND NOT (doc_id % 9 = 2 AND doc_id % 5 <> 0)",
+    docsSrc =
+      """(SELECT doc_id,
+        |   CASE WHEN doc_id % 10 <> 0 AND doc_id % 9 = 2
+        |             AND doc_id % 5 = 0
+        |          THEN text || ' ' || text || ' ' || text
+        |        WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
+        |             AND doc_id % 9 <> 2
+        |          THEN text || ' ' || text
+        |        ELSE text END AS text
+        | FROM documents)""".stripMargin)
+
   /** The re-crawled corpus every UPDATE-face oracle replays its family
     * chain over: archive docs (doc_id % 10 <> 0) with doc_id % 7 = 1
     * carry their new (doubled) text, everything else is unchanged —
@@ -1438,6 +1546,8 @@ object CurationQueries {
     QueryDef("d57_shingle_retract", d57, Some(d57Oracle)),
     QueryDef("d58_shingle_update", d58, Some(d58Oracle)),
     QueryDef("d61_delta_compact", d61, Some(d57Oracle)),
+    QueryDef("d63_update_compact", d63, Some(d58Oracle)),
+    QueryDef("d64_mixed_chain", d64, Some(d64Oracle)),
     QueryDef("d59_winnow_update", d59, Some(d59Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),

@@ -231,6 +231,42 @@ object DeltaRetract {
     initBase(sp, newBaseDir, surv, keyCols)(serveIndex)
   }
 
+  /** One batch of an AUTO-COMPACTED retract chain — the retract twin
+    * of [[DeltaUpdate.autoStep]] (same generation addressing, same
+    * idempotence argument: the mapping is a pure function of the
+    * checkpoint's batchId, the threshold batch folds the SEALED
+    * predecessor generation into this one's base through the family
+    * compact before stepping as local batch 0, and a replay re-derives
+    * the identical base from the same persisted faces). Bounds the
+    * serving view's accumulated-history cost at `compactEvery` faces
+    * by mechanism. Callers build the initial base at
+    * `DeltaUpdate.genDir(artDir, 0)/initName`. */
+  def autoStep(sp: SparkSession, artDir: String, initName: String,
+      batchId: Long, takedownIds: DataFrame, keyCols: Seq[String],
+      maxCnt: Int, compactEvery: Int,
+      decorate: DataFrame => DataFrame,
+      docId: org.apache.spark.sql.Column = col("id"))(
+      compactFn: (String, Long, String) => Unit): Unit = {
+    require(compactEvery >= 1,
+      s"autoStep: compactEvery must be >= 1, got $compactEvery")
+    val g = batchId / compactEvery
+    val l = batchId % compactEvery
+    if (l == 0L && g > 0L)
+      compactFn(DeltaUpdate.genDir(artDir, g - 1),
+        (compactEvery - 1).toLong,
+        s"${DeltaUpdate.genDir(artDir, g)}/$initName")
+    step(sp, DeltaUpdate.genDir(artDir, g), initName, l, takedownIds,
+      keyCols, maxCnt, decorate, docId)
+  }
+
+  /** [[servingView]] of an auto-compacted retract chain at GLOBAL
+    * batch `upTo`. */
+  def autoServingView(sp: SparkSession, artDir: String,
+      initName: String, upTo: Long, compactEvery: Int,
+      docId: org.apache.spark.sql.Column = col("id")): DataFrame =
+    servingView(sp, DeltaUpdate.genDir(artDir, upTo / compactEvery),
+      initName, upTo % compactEvery, docId)
+
   /** The accumulated tombstones through batch `upTo` — exposed for
     * family faces the generic view does not assemble (the video
     * family's per-doc scene counts are maintained as base counts ∖

@@ -2916,13 +2916,16 @@ object PipelineQueries {
     * inserts the retraction CTEs after the frozen-quantizer `reps`;
     * `seedOrigin` swaps the seed's origin relation — the quantizer
     * CTEs above the swap stay full-corpus, exactly the frozen-quantizer
-    * discipline the engine's retract face keeps). */
+    * discipline the engine's retract face keeps; e34 instead swaps
+    * `corpusSrc` so the WHOLE quantizer trains on a survivor relation
+    * injected through `preCtes` — the migrate face's re-train). */
   private def nndAdjCtes(cos: (String, String) => String,
       extraCtes: String = "", seedOrigin: String = "cells2",
-      scoreSrc: String = "e"): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scoreSrc: String = "e", preCtes: String = "",
+      corpusSrc: String = "e"): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),$preCtes
       |samp AS (
-      |  SELECT vec_id AS cid, v AS cv FROM e
+      |  SELECT vec_id AS cid, v AS cv FROM $corpusSrc
       |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       |assign AS (
       |  SELECT e.vec_id, e.v, s.cid,
@@ -2930,7 +2933,7 @@ object PipelineQueries {
       |      ROUND(list_dot_product(e.v, s.cv) /
       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
       |      s.cid DESC) AS rn
-      |  FROM e CROSS JOIN samp s),
+      |  FROM $corpusSrc AS e CROSS JOIN samp s),
       |cells2 AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn <= 2),
       |reps AS (
       |  SELECT cell, vec_id AS rep_id, v AS rv FROM (
@@ -3373,7 +3376,15 @@ object PipelineQueries {
     s"""WITH ${nndAdjCtes(cos, retractCtes, seedOrigin = "surv2")},
       |sv AS (SELECT vec_id, v FROM e
       |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),
-      |adj AS (SELECT node, nbr FROM adj1 WHERE rank <= 6),
+      |${nndRecallTail(cos)}""".stripMargin
+  }
+
+  /** The serve-vs-exact recall tail shared by the e33/e34 instruments:
+    * the e23 two-hop beam walk (entries = `samp`, adjacency = `adj1`)
+    * against brute-force top-5, both over the survivor relation `sv`,
+    * reduced to e18's hits / integer recall-percent arithmetic. */
+  private def nndRecallTail(cos: (String, String) => String): String =
+    s"""adj AS (SELECT node, nbr FROM adj1 WHERE rank <= 6),
       |q AS (SELECT vec_id AS q_id, v AS qv FROM sv WHERE vec_id < 20),
       |s0 AS (
       |  SELECT q.q_id, s.cid AS nn_id, ${cos("q.qv", "s.cv")} AS sim
@@ -3416,6 +3427,69 @@ object PipelineQueries {
       |  CAST(COALESCE(h.hits, 0) * 100 / b.k AS BIGINT) AS recall_pct
       |FROM b LEFT JOIN h ON h.q_id = b.q_id
       |ORDER BY b.q_id""".stripMargin
+
+  // ---- e34: recall-AFTER-MIGRATE for the graph-ANN family — the
+  // instrument that closes the drift loop e33 opens (VERDICT r17
+  // missing item 3; the e30→e31 pattern applied to the NndIndex
+  // family): after the SAME heavy takedown geometry (two thirds of the
+  // archive — the unrestricted e30 predicate, because anchor hits are
+  // precisely what routes a takedown to migrate), migrateNndIndex
+  // re-trains the quantizer on the survivors and rebuilds both
+  // adjacency faces, and recall@5 of graphServeTopK over the survivors
+  // is re-measured against the same brute-force truth. e33 reads the
+  // drifted frozen-quantizer serving of the SAME survivor task (52%
+  // mean at sf0.01); this row reads the re-trained index's 58% — which
+  // is the FRESH-BUILD CEILING by the spec-pinned migrate ≡ rebuild
+  // equivalence, so the operator's before/after pair is drifted vs
+  // best-achievable, not drifted vs an absolute band (absolute recall
+  // here is geometry-bound: the full-corpus no-takedown serve reads
+  // 29% at the same 16-cell/beam-8 parameters — `Scratch nndrecall` —
+  // because more vectors per fixed cell count is a harder task, and
+  // the instruments' value is the paired delta). Oracle = the full
+  // build chain with
+  // the quantizer TRAINED ON SURVIVORS (corpusSrc swap — a
+  // from-scratch re-trained rebuild, the spec-pinned migrate
+  // equivalence) + the shared serve/exact recall tail. ----
+  private def e34(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).localCheckpoint(false)
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+    val removed = e.filter(col("vec_id") >= 20 && col("vec_id") % 3 =!= 0)
+      .select("vec_id")
+    val surv = e.join(removed, Seq("vec_id"), "left_anti")
+    val mig = Similarity.migrateNndIndex(idx, e, "vec_id", "embedding",
+      removed)
+    val approx = Similarity.graphServeTopK(surv, "vec_id", "embedding",
+        mig, _ < 20, k = 5, beam = 8, hops = 2)
+      .select(col("q_id"), col("nn_id"))
+    val exact = Similarity.bruteForceTopK(surv, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e34Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    val survPre =
+      """
+        |rem AS (
+        |  SELECT vec_id FROM e WHERE vec_id >= 20 AND vec_id % 3 <> 0),
+        |surv AS (
+        |  SELECT vec_id, v FROM e
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),""".stripMargin
+    s"""WITH ${nndAdjCtes(cos, preCtes = survPre, corpusSrc = "surv")},
+      |sv AS (SELECT vec_id, v FROM surv),
+      |${nndRecallTail(cos)}""".stripMargin
   }
 
   // ---- e31: IVF-PQ index MIGRATION (Similarity.migrateIvfPqIndex) —
@@ -3613,6 +3687,7 @@ object PipelineQueries {
     QueryDef("e30_retract_recall", e30, Some(e30Oracle)),
     QueryDef("e31_ivfpq_migrate", e31, Some(e31Oracle)),
     QueryDef("e33_nnd_retract_recall", e33, Some(e33Oracle)),
+    QueryDef("e34_nnd_migrate_recall", e34, Some(e34Oracle)),
     QueryDef("d62_video_delta_compact", d62, Some(mm11Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),

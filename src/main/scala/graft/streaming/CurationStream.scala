@@ -227,10 +227,13 @@ object CurationStream {
     * is [[graft.pipeline.Dedup.shingleDeltaBase]] at `artDir/<init>`. */
   def shingleDeltaRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String, k: Int = 5,
-      maxDf: Int = 100): DataStreamWriter[Row] =
+      maxDf: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
-      Seq(s"shingle_k$k"), maxDf) { (sp, rows) =>
-      rows.join(sp.read.parquet(s"$artDir/$initName/sizes"), "id")
+      Seq(s"shingle_k$k"), maxDf, compactEvery = compactEvery,
+      compactFn = (sp, genDir, upTo, newBase) =>
+        graft.pipeline.Dedup.shingleDeltaCompact(sp, genDir, initName,
+          upTo, newBase, k, maxDf)) { (sp, base, rows) =>
+      rows.join(sp.read.parquet(s"$base/$initName/sizes"), "id")
     }
 
   /** The O(delta) successor of [[hashRetractSink]] — the image/audio
@@ -241,7 +244,7 @@ object CurationStream {
       initName: String, checkpoint: String,
       maxBucket: Int = 100): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
-      Seq("chunk", "chunk_val"), maxBucket)((_, rows) => rows)
+      Seq("chunk", "chunk_val"), maxBucket)((_, _, rows) => rows)
 
   /** Streaming RE-CRAWL maintenance of the shingle-sketch artifact —
     * the UPDATE column's streaming face (the batch face is d58's
@@ -264,9 +267,13 @@ object CurationStream {
     * column's own fail-open. */
   def shingleDeltaUpdateSink(newVersions: DataFrame, artDir: String,
       initName: String, checkpoint: String, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 5): DataStreamWriter[Row] =
+      idCol: String = "doc_id", k: Int = 5, compactEvery: Int = 0,
+      maxDf: Int = 100): DataStreamWriter[Row] =
     deltaUpdateChainSink(newVersions, artDir, initName, checkpoint,
-      Seq(s"shingle_k$k")) { (_, batch) =>
+      Seq(s"shingle_k$k"), compactEvery = compactEvery,
+      compactFn = (sp, genDir, upTo, newBase) =>
+        graft.pipeline.Dedup.shingleUpdateCompact(sp, genDir, initName,
+          upTo, newBase, k, maxDf)) { (_, batch) =>
       (batch.select(col(idCol)),
         graft.pipeline.Dedup.hashedShingleSketch(batch, textCol, idCol,
           k))
@@ -356,7 +363,10 @@ object CurationStream {
   private def deltaUpdateChainSink(newVersions: DataFrame,
       artDir: String, initName: String, checkpoint: String,
       keyCols: Seq[String],
-      docId: org.apache.spark.sql.Column = col("id"))(
+      docId: org.apache.spark.sql.Column = col("id"),
+      compactEvery: Int = 0,
+      compactFn: (SparkSession, String, Long, String) => Unit =
+        (_, _, _, _) => ())(
       faces: (SparkSession, DataFrame) => (DataFrame, DataFrame))
       : DataStreamWriter[Row] =
     newVersions.writeStream
@@ -364,10 +374,19 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        refuseStaleChain(sp, artDir, batchId)
         val (ids, rows) = faces(sp, batch)
-        graft.pipeline.DeltaUpdate.step(sp, artDir, initName, batchId,
-          ids, rows, keyCols, docId)
+        if (compactEvery > 0) {
+          // AUTO-COMPACTED chain (VERDICT r17 item 6): the chain-length
+          // bound is the sink's mechanism, not operator discipline
+          refuseStaleAutoChain(sp, artDir, batchId)
+          graft.pipeline.DeltaUpdate.autoStep(sp, artDir, initName,
+            batchId, ids, rows, keyCols, compactEvery, docId)(
+            compactFn(sp, _, _, _))
+        } else {
+          refuseStaleChain(sp, artDir, batchId)
+          graft.pipeline.DeltaUpdate.step(sp, artDir, initName, batchId,
+            ids, rows, keyCols, docId)
+        }
       }
 
   /** The O(delta) successor of [[winnowRetractSink]] — the fingerprint
@@ -378,7 +397,7 @@ object CurationStream {
       initName: String, checkpoint: String,
       maxDf: Int = 100): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
-      Seq("fp"), maxDf)((_, rows) => rows)
+      Seq("fp"), maxDf)((_, _, rows) => rows)
 
   /** The O(delta) successor of [[videoRetractSink]]: the chunk face
     * rides the generic delta machinery with tombstone matching keyed
@@ -395,7 +414,7 @@ object CurationStream {
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
       Seq("chunk", "chunk_val"), maxBucket,
       docId = org.apache.spark.sql.functions.expr("id div 65536"))(
-      (_, rows) => rows)
+      (_, _, rows) => rows)
 
   /** The delta-chain twin of [[retractChainCore]]: same checkpoint/
     * artDir lifetime binding ([[refuseStaleChain]] — a lost checkpoint
@@ -408,17 +427,31 @@ object CurationStream {
   private def deltaRetractChainSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String, keyCols: Seq[String],
       maxCnt: Int,
-      docId: org.apache.spark.sql.Column = col("id"))(
-      decorate: (SparkSession, DataFrame) => DataFrame)
+      docId: org.apache.spark.sql.Column = col("id"),
+      compactEvery: Int = 0,
+      compactFn: (SparkSession, String, Long, String) => Unit =
+        (_, _, _, _) => ())(
+      decorate: (SparkSession, String, DataFrame) => DataFrame)
       : DataStreamWriter[Row] =
     takedowns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        refuseStaleChain(sp, artDir, batchId)
-        graft.pipeline.DeltaRetract.step(sp, artDir, initName, batchId,
-          batch, keyCols, maxCnt, decorate(sp, _), docId)
+        if (compactEvery > 0) {
+          // AUTO-COMPACTED chain (VERDICT r17 item 6) — the decoration
+          // faces (shingle sizes) live in the CURRENT generation's base
+          refuseStaleAutoChain(sp, artDir, batchId)
+          val gd = graft.pipeline.DeltaUpdate.genDir(artDir,
+            batchId / compactEvery)
+          graft.pipeline.DeltaRetract.autoStep(sp, artDir, initName,
+            batchId, batch, keyCols, maxCnt, compactEvery,
+            decorate(sp, gd, _), docId)(compactFn(sp, _, _, _))
+        } else {
+          refuseStaleChain(sp, artDir, batchId)
+          graft.pipeline.DeltaRetract.step(sp, artDir, initName, batchId,
+            batch, keyCols, maxCnt, decorate(sp, artDir, _), docId)
+        }
       }
 
   /** The WINNOW-family leg of the streaming retract column — the
@@ -502,6 +535,35 @@ object CurationStream {
           "init sketch would RESURRECT previously retracted docs; " +
           "restore the matching checkpoint or rebuild the init " +
           "snapshot in a fresh artifact dir")
+    }
+
+  /** [[refuseStaleChain]] for AUTO-compacted chains (gen-addressed
+    * layout): a fresh checkpoint restarting at batch 0 against an
+    * artifact dir that already holds a later generation, or batches
+    * beyond 0 inside gen0, would re-serve every superseded version /
+    * resurrect every takedown — same fail-open, generation-aware
+    * listing. */
+  private def refuseStaleAutoChain(sp: SparkSession, artDir: String,
+      batchId: Long): Unit =
+    if (batchId == 0L) {
+      val p = new org.apache.hadoop.fs.Path(artDir)
+      val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val names =
+        if (!fs.exists(p)) Array.empty[String]
+        else fs.listStatus(p).map(_.getPath.getName)
+      val staleGens = names.filter(n => n.startsWith("gen") &&
+        n.drop(3).nonEmpty && n.drop(3).forall(_.isDigit) && n != "gen0")
+      val gen0 = new org.apache.hadoop.fs.Path(s"$artDir/gen0")
+      val staleBatches =
+        if (!fs.exists(gen0)) Array.empty[String]
+        else fs.listStatus(gen0).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit) && n != "0")
+      require(staleGens.isEmpty && staleBatches.isEmpty,
+        s"auto-compacted chain: artifact dir $artDir already holds " +
+          s"later artifacts (${(staleGens ++ staleBatches).sorted
+            .mkString(", ")}) but the checkpoint restarted at batch 0 " +
+          "— recover the matching checkpoint or start a fresh artifact " +
+          "dir from a fresh snapshot")
     }
 
   /** Streaming incremental VIDEO dedup — the streaming face of

@@ -1378,6 +1378,75 @@ object StreamQueries {
       .localCheckpoint(true)
   }
 
+  /** Feed `batches` into a MemoryStream as EXACT micro-batches (each
+    * processed to completion before the next is added) — for gate rows
+    * whose semantics depend on the interleaving itself (s35's mixed
+    * update/takedown stream), where a tercile cut would scramble the
+    * composition under test. */
+  private def feedBatches[A](
+      input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Seq[Seq[A]]): Unit =
+    batches.foreach { rs =>
+      input.addData(rs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+
+  // ---- s35: the MIXED update+takedown stream under the gate — d64's
+  // interleaving as a REAL three-micro-batch stream through the
+  // production update sink, certifying that mixed crawl traffic needs
+  // no second code path: a takedown arrives as an empty re-crawl (zero
+  // shingle rows — the batch's updids still retract, the doc vanishes;
+  // the one sound routing, derivation in the DeltaUpdate scaladoc).
+  // Batch 0 re-crawls (odd %7==1, doubled), batch 1 takes down (%9==2,
+  // empty text), batch 2 re-crawls the even survivors AND brings the
+  // %5==0 slice of the taken-down docs BACK with tripled text —
+  // update-then-takedown and takedown-then-re-crawl compositions
+  // crossing real micro-batch boundaries against persisted predecessor
+  // faces. Oracle = d64's rebuild-with-latest-versions-minus-takedowns
+  // (green certifies the streamed interleaving COMPOSES to the batch
+  // chain, which d64 separately certifies ≡ the rebuild). ----
+  private def s35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Dedup
+    val d = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val out = scopedTmpDir("graft_s35")
+    Dedup.shingleDeltaBase(s, arch, "text", "doc_id", s"$out/art/init",
+      k = 5, maxDf = 100)
+    val doubled = concat(col("text"), lit(" "), col("text"))
+    def rows(df: DataFrame): Seq[(Long, String)] =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq
+    val b0 = rows(arch.filter(col("doc_id") % 7 === 1 &&
+      col("doc_id") % 2 === 1).withColumn("text", doubled))
+    val b1 = rows(arch.filter(col("doc_id") % 9 === 2)
+      .withColumn("text", lit("")))
+    val b2 = rows(arch.filter(col("doc_id") % 7 === 1 &&
+        col("doc_id") % 2 === 0 && col("doc_id") % 9 =!= 2)
+      .withColumn("text", doubled)
+      .unionByName(arch.filter(col("doc_id") % 9 === 2 &&
+          col("doc_id") % 5 === 0)
+        .withColumn("text",
+          concat(col("text"), lit(" "), col("text"), lit(" "),
+            col("text")))))
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.shingleDeltaUpdateSink(
+      input.toDF().toDF("doc_id", "text"), s"$out/art", "init",
+      s"$out/_cp")
+      .start()
+    try feedBatches(input, q, Seq(b0, b1, b2)) finally q.stop()
+    val idx = Dedup.shingleUpdateServing(s, s"$out/art", "init",
+      lastBatchId(s"$out/art"), k = 5, maxDf = 100)
+    Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
+        "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+  }
+
   // ---- s31: streaming RE-CRAWL (UPDATE) maintenance of the
   // shingle-sketch artifact — d58's edit path as a real
   // three-micro-batch stream, the UPDATE column's streaming face
@@ -1755,6 +1824,8 @@ object StreamQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("s31_stream_shingle_update", st(s31),
       Some(graft.pipeline.CurationQueries.d58Oracle)),
+    QueryDef("s35_stream_mixed_chain", st(s35),
+      Some(graft.pipeline.CurationQueries.d64Oracle)),
     QueryDef("s32_stream_phash_update", st(s32),
       Some(graft.pipeline.PipelineQueries.mm14Oracle)),
     QueryDef("s33_stream_winnow_update", st(s33),

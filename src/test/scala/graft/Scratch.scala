@@ -17,6 +17,25 @@ object Scratch {
       val n = f
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
+    // Healthy-band probe for the graph-ANN recall instruments (e33/e34
+    // calibration): recall@5 of graphServeTopK over the FULL corpus
+    // with a fresh full-corpus index — no takedown, no drift.
+    if (args.headOption.contains("nndrecall")) {
+      import graft.pipeline.Similarity
+      val e = Tables.load(spark, dir, "embeddings").localCheckpoint(false)
+      val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+      val approx = Similarity.graphServeTopK(e, "vec_id", "embedding",
+          idx, _ < 20, k = 5, beam = 8, hops = 2)
+        .select("q_id", "nn_id")
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          _ < 20, k = 5)
+        .select("q_id", "nn_id")
+      val hits = exact.join(approx, Seq("q_id", "nn_id")).count()
+      val total = exact.count()
+      println(f"[scratch] nnd healthy recall@5 = ${hits * 100.0 / total}%.1f%% ($hits/$total)")
+      spark.stop()
+      return
+    }
     // Solo-residency probe for a single registered query (bench config:
     // local[32], 32 shuffle partitions): min-of-N in a JVM that has run
     // nothing else, to separate real plan cost from bench-JVM residency.

@@ -303,6 +303,88 @@ class DeltaUpdateSpec extends SparkSpec {
       "video compacted counts diverged from the rebuild")
   }
 
+  test("AUTO-compacted chains (update + retract): the threshold batch " +
+      "folds the previous generation as MECHANISM, serving stays ≡ " +
+      "recount across generations, and a replayed threshold batch is " +
+      "idempotent") {
+    import spark.implicits._
+    val texts = (1 to 6).map(i =>
+      s"word${i}a word${i}b word${i}c word${i}d word${i}e")
+    // ---- update leg: compactEvery = 2, five re-crawl batches --------
+    val docs = Seq((1L, texts(0)), (2L, texts(1)), (9L, texts(2)))
+      .toDF("doc_id", "text")
+    val every = 2
+    val art = tmpDir("graft_autoupd")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"${DeltaUpdate.genDir(art, 0L)}/init", k = 5, maxDf = 100)
+    def step(bid: Long, doc: Long, text: String): Unit = {
+      val bdf = Seq((doc, text)).toDF("doc_id", "text")
+      DeltaUpdate.autoStep(spark, art, "init", bid,
+        bdf.select("doc_id"),
+        Dedup.hashedShingleSketch(bdf, "text", "doc_id", k = 5),
+        Seq("shingle_k5"), every)(
+        (gd: String, upTo: Long, nb: String) =>
+          Dedup.shingleUpdateCompact(spark, gd, "init", upTo, nb,
+            k = 5, maxDf = 100))
+    }
+    def view(b: Long) = shingleRows(Dedup.shingleUpdateServing(spark,
+      DeltaUpdate.genDir(art, b / every), "init", b % every, k = 5,
+      maxDf = 100))
+    def recount(corpus: Seq[(Long, String)]) = shingleRows(
+      Dedup.shingleServingIndex(Dedup.hashedShingleSketch(
+          corpus.toDF("doc_id", "text"), "text", "doc_id", k = 5),
+        k = 5, maxDf = 100))
+    val plan = Seq( // (batch, doc, new text, corpus after)
+      (0L, 1L, texts(3)), (1L, 2L, texts(4)), (2L, 1L, texts(5)),
+      (3L, 2L, texts(0)), (4L, 1L, texts(1)))
+    var cur = Map(1L -> texts(0), 2L -> texts(1), 9L -> texts(2))
+    plan.foreach { case (bid, doc, t) =>
+      step(bid, doc, t)
+      cur = cur + (doc -> t)
+      assert(view(bid) === recount(cur.toSeq),
+        s"auto chain diverged from the recount at global batch $bid")
+    }
+    // generations materialized at every threshold, bounding the chain
+    for (g <- 1 to 2)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"${DeltaUpdate.genDir(art, g.toLong)}/init/sketch")),
+        s"generation $g base was not written at its threshold batch")
+    // replay the last threshold batch: the compact re-derives the same
+    // base from the sealed gen-1 faces and the view is unchanged
+    val before = view(4L)
+    step(4L, 1L, texts(1))
+    assert(view(4L) === before, "a replayed threshold batch must " +
+      "re-derive the identical generation base and serving view")
+
+    // ---- retract leg: compactEvery = 2, three takedown batches ------
+    val rdocs = Seq((1L, texts(0)), (2L, texts(1)), (3L, texts(2)),
+      (4L, texts(3)), (9L, texts(4))).toDF("doc_id", "text")
+    val rart = tmpDir("graft_autoret")
+    Dedup.shingleDeltaBase(spark, rdocs, "text", "doc_id",
+      s"${DeltaUpdate.genDir(rart, 0L)}/init", k = 5, maxDf = 100)
+    def rstep(bid: Long, doc: Long): Unit =
+      DeltaRetract.autoStep(spark, rart, "init", bid,
+        Seq(doc).toDF("doc_id"), Seq("shingle_k5"), 100, every,
+        rows => rows.join(spark.read.parquet(
+          s"${DeltaUpdate.genDir(rart, bid / every)}/init/sizes"), "id"))(
+        (gd: String, upTo: Long, nb: String) =>
+          Dedup.shingleDeltaCompact(spark, gd, "init", upTo, nb,
+            k = 5, maxDf = 100))
+    var alive = Map(1L -> texts(0), 2L -> texts(1), 3L -> texts(2),
+      4L -> texts(3), 9L -> texts(4))
+    Seq((0L, 1L), (1L, 2L), (2L, 3L)).foreach { case (bid, doc) =>
+      rstep(bid, doc)
+      alive = alive - doc
+      val got = shingleRows(DeltaRetract.autoServingView(spark, rart,
+        "init", bid, every))
+      assert(got === recount(alive.toSeq),
+        s"auto retract chain diverged at global batch $bid")
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${DeltaUpdate.genDir(rart, 1L)}/init/sketch")),
+      "retract generation 1 base was not written at its threshold")
+  }
+
   test("video update delta chain: view ≡ recount per batch; an emptied " +
       "payload vanishes the video AND its scene counts (ADVICE r16)") {
     import spark.implicits._
