@@ -1113,10 +1113,110 @@ object ScaleProbe {
     }
   }
 
+  /** AUTO-COMPACTION probe (round 18, the mechanism's cost claim): a
+    * serving probe of an UNCOMPACTED update chain reads every batch's
+    * updids/newrows/statsdelta faces 0..b — O(chain length) bytes and
+    * files per probe, unbounded over a chain's life — while the
+    * auto-compacted chain ([[pipeline.DeltaUpdate.autoStep]],
+    * compactEvery = 8 here) reads one generation base plus at most 8
+    * delta faces, FLAT in chain length by construction. Fixed 50-doc
+    * re-crawl batches; at each probe point the full serving view is
+    * counted (min-of-3 walls, bytes-read from the task input metrics)
+    * on both chains, with row-count equality asserted in-probe (full
+    * row equivalence across generations is spec-pinned in
+    * DeltaUpdateSpec — the probe's job is the cost curve). The
+    * load-independent signal is the bytes-read column (probe-wall
+    * convention of the retract/update probes); the threshold batches'
+    * fold cost is the d61/d63-certified amortized recount, once per
+    * compactEvery batches. */
+  private def autoCompactProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nBatches: Int): Unit = {
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          inBytes.addAndGet(
+            sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+          ()
+        }
+      })
+    def probed(f: => Long): (Double, Long, Long) = {
+      var best = Double.MaxValue
+      var ib = 0L
+      var rows = 0L
+      for (_ <- 1 to 3) {
+        Thread.sleep(300)
+        inBytes.set(0L)
+        val t0 = System.nanoTime()
+        rows = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Thread.sleep(300)
+        ib = inBytes.get()
+      }
+      (best, ib, rows)
+    }
+    val every = 8
+    val d = Tables.load(spark, dir, "documents")
+    val arch = d.filter(col("doc_id") % 10 =!= 0).localCheckpoint(true)
+    val plainArt = java.nio.file.Files
+      .createTempDirectory("graft_acplain").toString
+    val autoArt = java.nio.file.Files
+      .createTempDirectory("graft_acauto").toString
+    try {
+      pipeline.Dedup.shingleDeltaBase(spark, arch, "text", "doc_id",
+        s"$plainArt/init", k = 5, maxDf = 100)
+      pipeline.Dedup.shingleDeltaBase(spark, arch, "text", "doc_id",
+        s"${pipeline.DeltaUpdate.genDir(autoArt, 0L)}/init",
+        k = 5, maxDf = 100)
+      val compactFn = (gd: String, upTo: Long, nb: String) =>
+        pipeline.Dedup.shingleUpdateCompact(spark, gd, "init", upTo,
+          nb, k = 5, maxDf = 100)
+      for (b <- 0L until nBatches.toLong) {
+        val batch = arch.filter(col("doc_id") % 41 === b % 41)
+          .limit(50)
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" v$b")).as("text"))
+          .localCheckpoint(true)
+        val ids = batch.select("doc_id")
+        val sk = pipeline.Dedup.hashedShingleSketch(batch, "text",
+          "doc_id", k = 5)
+        pipeline.DeltaUpdate.step(spark, plainArt, "init", b, ids, sk,
+          Seq("shingle_k5"))
+        pipeline.DeltaUpdate.autoStep(spark, autoArt, "init", b, ids,
+          sk, Seq("shingle_k5"), every)(compactFn)
+        batch.unpersist(blocking = false)
+        if ((b + 1) % every == 0 || b == nBatches - 1) {
+          val (wP, iP, nP) = probed(
+            pipeline.Dedup.shingleUpdateServing(spark, plainArt,
+              "init", b, k = 5, maxDf = 100).count())
+          val (wA, iA, nA) = probed(
+            pipeline.Dedup.shingleUpdateServing(spark,
+              pipeline.DeltaUpdate.genDir(autoArt, b / every), "init",
+              b % every, k = 5, maxDf = 100).count())
+          require(nP == nA,
+            s"auto serving diverged from plain at batch $b ($nA vs $nP)")
+          println(f"[probe] autocompact b=${b + 1}%-3d rows=$nP " +
+            f"plain=$wP%6.2f s ${iP / 1e6}%7.1f MB-read  " +
+            f"auto=$wA%6.2f s ${iA / 1e6}%7.1f MB-read")
+        }
+      }
+    } finally {
+      graft.TmpHygiene.rmTree(plainArt)
+      graft.TmpHygiene.rmTree(autoArt)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.sessionBuilder("scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("autocompact")) {
+      autoCompactProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(24))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("updelta")) {
       upDeltaProbe(spark, dir, args.lift(1).map(_.toInt).getOrElse(8))
       spark.stop()

@@ -261,6 +261,63 @@ class CurationStreamSpec extends SparkSpec {
       s"expected the resurrect refusal, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("AUTO-compacted update sink: compactEvery folds generations " +
+      "mid-stream, serving ≡ recount, and a fresh-checkpoint batch-0 " +
+      "restart against a later generation refuses") {
+    import spark.implicits._
+    import graft.pipeline.DeltaUpdate
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (1 to 6).map(i =>
+      s"auto${i}a auto${i}b auto${i}c auto${i}d auto${i}e")
+    val docs = Seq((1L, texts(0)), (2L, texts(1)), (9L, texts(2)))
+      .toDF("doc_id", "text")
+    val art = tmpDir("graft_autosink")
+    Dedup.shingleDeltaBase(spark, docs, "text", "doc_id",
+      s"${DeltaUpdate.genDir(art, 0L)}/init", k = 5, maxDf = 100)
+    // three re-crawl micro-batches at compactEvery = 2: batch 2 is the
+    // threshold batch and must fold gen 0 into gen 1 INSIDE the sink
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.shingleDeltaUpdateSink(
+      input.toDF().toDF("doc_id", "text"), art, "init", s"$art/_cp",
+      compactEvery = 2).start()
+    try {
+      Seq(Seq((1L, texts(3))), Seq((2L, texts(4))),
+        Seq((1L, texts(5)))).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${DeltaUpdate.genDir(art, 1L)}/init/sketch")),
+      "the threshold micro-batch must fold generation 0 into gen 1")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // global batch 2 = gen 1, local 0; serving ≡ one-shot rebuild
+    assert(rows(Dedup.shingleUpdateServing(spark,
+        DeltaUpdate.genDir(art, 1L), "init", 0L, k = 5, maxDf = 100)) ===
+      rows(Dedup.shingleServingIndex(Dedup.hashedShingleSketch(
+          Seq((1L, texts(5)), (2L, texts(4)), (9L, texts(2)))
+            .toDF("doc_id", "text"), "text", "doc_id", k = 5),
+        k = 5, maxDf = 100)),
+      "auto-compacted sink serving diverged from the rebuild")
+    // a FRESH checkpoint restarting at batch 0 against the gen-1
+    // artifact must refuse (gen-aware stale-chain guard): serving the
+    // gen-0 base would resurrect every superseded version
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = CurationStream.shingleDeltaUpdateSink(
+      input2.toDF().toDF("doc_id", "text"), art, "init",
+      s"$art/_cp_fresh", compactEvery = 2).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input2.addData((1L, texts(0))); q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("auto-compacted chain")),
+      s"expected the gen-aware refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("retract chain tolerates a batch-0 REPLAY over its own partial " +
       "artifact (crash between write and checkpoint commit recovers)") {
     import spark.implicits._
