@@ -1324,6 +1324,45 @@ object CurationQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ---- d65: the AUTO-compacted chain under the driver oracle — the
+  // d63 argument applied to the MECHANISM (a bound enforced by spec
+  // alone carries no driver-gate evidence): the same d58 re-crawl set
+  // arrives as four doc-id-quartile batches through
+  // DeltaUpdate.autoStep at compactEvery = 2, so the threshold batch
+  // (global 2) folds generation 0 into generation 1 MID-CHAIN and the
+  // final serving view reads gen 1's base + one delta face; the d21
+  // increment probes it and d58's rebuild-with-the-new-versions
+  // oracle adjudicates — the generation-addressed chain composes to
+  // the one-shot update through a mid-chain fold. Generation
+  // mechanics (replay idempotence, sink wiring, gen-aware stale-chain
+  // refusal) are spec-pinned in DeltaUpdateSpec/CurationStreamSpec;
+  // the cost bound is measured in `ScaleProbe autocompact`. ----
+  private def d65(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val arch = d.filter(!isNew)
+    val recrawl = arch.filter(col("doc_id") % 7 === 1)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val out = graft.TmpHygiene.deleteAtExit(
+      java.nio.file.Files.createTempDirectory("graft_d65").toString)
+    Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
+      s"${DeltaUpdate.genDir(out, 0L)}/init", k = 5, maxDf = 100)
+    val compactFn = (gd: String, upTo: Long, nb: String) =>
+      Dedup.shingleUpdateCompact(s, gd, "init", upTo, nb, k = 5,
+        maxDf = 100)
+    for (b <- 0L to 3L) {
+      val rows = recrawl.filter(col("doc_id") % 4 === b)
+      DeltaUpdate.autoStep(s, out, "init", b, rows.select("doc_id"),
+        Dedup.hashedShingleSketch(rows, "text", "doc_id", k = 5),
+        Seq("shingle_k5"), 2)(compactFn)
+    }
+    Dedup.incrementalPairsFromIndex(
+        Dedup.shingleUpdateServing(s, DeltaUpdate.genDir(out, 1L),
+          "init", 1L, k = 5, maxDf = 100),
+        d.filter(isNew), "text", "doc_id", k = 5, threshold = 0.6)
+      .orderBy("new_id", "corpus_id")
+  }
+
   // the final corpus state of d64's interleaving: %9==2 ∩ %5==0 back
   // with TRIPLED text, other %9==2 gone, %7==1 survivors doubled
   // (shared with the s35 streaming gate: the streamed interleaving
@@ -1548,6 +1587,7 @@ object CurationQueries {
     QueryDef("d61_delta_compact", d61, Some(d57Oracle)),
     QueryDef("d63_update_compact", d63, Some(d58Oracle)),
     QueryDef("d64_mixed_chain", d64, Some(d64Oracle)),
+    QueryDef("d65_auto_compact_chain", d65, Some(d58Oracle)),
     QueryDef("d59_winnow_update", d59, Some(d59Oracle)),
     QueryDef("d47_bpe_merges", d47, Some(d47Oracle)),
     QueryDef("d45_zipf_fit", d45, Some(d45Oracle)),
