@@ -442,7 +442,24 @@ object Bench {
         if (rep == 1)
           registry.filter(q => gatedRow(q._1)) ++
             registry.filterNot(q => gatedRow(q._1))
-        else new scala.util.Random(0xb7a9L * rep).shuffle(registry)
+        else {
+          val shuffled = new scala.util.Random(0xb7a9L * rep).shuffle(registry)
+          // Rep 2 runs UNGATED rows first — rep-1-skipped rows at the
+          // very front (VERDICT r18 item 4): rep 1 protects the gated
+          // subtotals, so on a slow box the rep-1 soft budget sheds
+          // exactly the ungated tail, and with alphabetical/shuffled
+          // rep-2 order those rows were structurally starved of driver
+          // walls for three straight rounds (the 27 post-freeze rows
+          // have never been driver-measured). Whatever budget survives
+          // rep 1 now measures never-sampled rows before re-sampling
+          // rows that already have a rep-1 time. Rep 3 stays a plain
+          // shuffle for neighborhood variety.
+          if (rep == 2) {
+            val (skippedQ, rest) = shuffled.partition(q => skippedRows.contains(q._1))
+            val (ungated, gated) = rest.partition(q => !gatedRow(q._1))
+            skippedQ ++ ungated ++ gated
+          } else shuffled
+        }
       // Stream-cert rows sample only the first `streamReps` reps —
       // later reps drop them from the schedule entirely (min-of-reps
       // just has fewer stream samples to take the min over; batch
@@ -576,7 +593,15 @@ object Bench {
         if (t >= 100) "%.0f" else if (t >= 10) "%.1f"
         else "%.2f", Double.box(t))
     val errJson = errors.map(e => Graft.jsonString(e)).mkString("[", ",", "]")
-    val skipJson = skippedRows.map(Graft.jsonString).mkString("[", ",", "]")
+    // `skipped` means "this row has NO sample in this artifact" (ADVICE
+    // r18): a row shed by the rep-1 soft budget stays in the rep-2/3
+    // schedules (rep 2 deliberately runs it first), so with a raised
+    // deadline it may carry a perfectly valid min — listing it as
+    // skipped then would misreport a sampled row as absent. Drop any
+    // name that later acquired a sample; keep only genuinely unsampled
+    // rows.
+    val skippedFinal = skippedRows.filter(n => samples(n).isEmpty).toList
+    val skipJson = skippedFinal.map(Graft.jsonString).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // core82_n records how many of the frozen 82 produced a valid time:
     // if a member errors, its time is EXCLUDED from core82_total, which
@@ -732,7 +757,7 @@ object Bench {
     }
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     val skipField =
-      if (skippedRows.isEmpty) "" else s""","n_skipped":${skippedRows.size}"""
+      if (skippedFinal.isEmpty) "" else s""","n_skipped":${skippedFinal.size}"""
     // Stdout carries only the headline: total, query count, the 5 heaviest
     // queries, and any errors. The driver keeps ~2000 chars of output, and
     // the full 79-query map no longer fits (r4/r5 sat at 1828/~1900 chars,
@@ -750,8 +775,28 @@ object Bench {
     // (BENCH_r1–r5 all recorded "parsed": null from exactly that).
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    // Print ORDER is load-bearing (VERDICT r18 item 1): the round-18
+    // driver bench finished rc 0 but recorded `parsed: null` because
+    // this line used to print BEFORE `spark.stop()` — the state-store
+    // maintenance pool then raced shutdown and dumped ~2.5 KB of
+    // "Could not unload state store provider" stacktrace AFTER it,
+    // pushing the JSON out of the driver's bounded tail capture.
+    // Therefore: (1) print once here as crash insurance (if shutdown
+    // hangs and the harness kills us, an earlier copy beats none),
+    // (2) silence the noise at its source by unloading state stores
+    // explicitly, (3) stop the session, (4) print AGAIN as the final
+    // stdout line, so nothing — stacktrace or sbt `[success]` — can
+    // displace the last copy. Both stops are NonFatal-guarded: a
+    // shutdown exception must never cost the artifact line.
     raw.println(compact)
     raw.flush()
-    spark.stop()
+    try org.apache.spark.sql.graft.bridge.stopStateStores()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] state-store stop failed (ignored): $e") }
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed (ignored): $e") }
+    raw.println(compact)
+    raw.flush()
   }
 }

@@ -100,7 +100,9 @@ def main() -> int:
     # they are absent samples, not failures, and must not corrupt the
     # derived sums. A skipped GATED row is impossible by construction
     # (gated rows are never skipped); if one ever goes missing anyway,
-    # the subtotal _n checks below fail loudly.
+    # the batch187/coreNN _n checks fail loudly, and (round 19, ADVICE
+    # r18) a short stream16/stream18 population in a post-freeze
+    # artifact now fails too instead of taking the pre-freeze info path.
     if bench.get("skipped"):
         print(f"info {len(bench['skipped'])} ungated rows skipped by the "
               f"rep-1 soft budget: {', '.join(bench['skipped'])}")
@@ -172,6 +174,17 @@ def main() -> int:
                 print(f"FAIL stream16_total field {bench['stream16_total']} "
                       f"!= derived {sum(s16.values())}")
                 failures.append("stream16_total_field")
+        elif "stream16_total" in bench or "skipped" in bench:
+            # Post-freeze artifact (it carries the subtotal field or the
+            # round-18 skipped array) with a short stream population: a
+            # frozen member went missing -- erroring or vanishing from
+            # the registry. Info-skipping here would silently UN-GATE
+            # the stream signal exactly when it regressed (ADVICE r18);
+            # only genuinely pre-freeze artifacts take the info path.
+            print(f"FAIL stream16 population has {len(s16)} of 16 frozen "
+                  "members in a post-freeze artifact -- a frozen member "
+                  "is missing")
+            failures.append("stream16_membership")
         else:
             print(f"info stream16 population has {len(s16)} of 16 frozen "
                   "members -- predates the freeze membership; skipped")
@@ -191,6 +204,12 @@ def main() -> int:
                 print(f"FAIL stream18_total field {bench['stream18_total']} "
                       f"!= derived {sum(s18.values())}")
                 failures.append("stream18_total_field")
+        elif "stream18_total" in bench or "skipped" in bench:
+            # Same post-freeze rule as stream16 above (ADVICE r18).
+            print(f"FAIL stream18 population has {len(s18)} of 18 frozen "
+                  "members in a post-freeze artifact -- a frozen member "
+                  "is missing")
+            failures.append("stream18_membership")
         else:
             print(f"info stream18 population has {len(s18)} of 18 frozen "
                   "members -- predates the freeze membership; skipped")
