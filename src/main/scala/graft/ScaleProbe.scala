@@ -1132,30 +1132,34 @@ object ScaleProbe {
   private def autoCompactProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, nBatches: Int): Unit = {
     val inBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit = {
-          inBytes.addAndGet(
-            sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-          ()
-        }
-      })
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        inBytes.addAndGet(
+          sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // Bytes are recorded PER iteration and the reported pair comes from
+    // the min-wall run (ADVICE r18: the old shape paired min-of-3 wall
+    // with last-iteration bytes — a mismatched pair whenever the last
+    // run wasn't the fastest, e.g. a cache-state or listener-lag skew).
     def probed(f: => Long): (Double, Long, Long) = {
       var best = Double.MaxValue
-      var ib = 0L
+      var bestBytes = 0L
       var rows = 0L
       for (_ <- 1 to 3) {
         Thread.sleep(300)
         inBytes.set(0L)
         val t0 = System.nanoTime()
         rows = f
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        Thread.sleep(300)
-        ib = inBytes.get()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let stage-completed events drain
+        if (wall < best) { best = wall; bestBytes = inBytes.get() }
       }
-      (best, ib, rows)
+      (best, bestBytes, rows)
     }
     val every = 8
     val d = Tables.load(spark, dir, "documents")
@@ -1203,6 +1207,7 @@ object ScaleProbe {
         }
       }
     } finally {
+      spark.sparkContext.removeSparkListener(listener)
       graft.TmpHygiene.rmTree(plainArt)
       graft.TmpHygiene.rmTree(autoArt)
     }

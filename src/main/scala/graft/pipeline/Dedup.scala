@@ -722,6 +722,8 @@ object Dedup {
       Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
     sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
       .write.mode("overwrite").parquet(s"$baseDir/sizes")
+    DeltaRetract.writeMeta(sp, baseDir,
+      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
   }
 
   /** The shingle family's serving view over an UPDATE delta chain
@@ -761,6 +763,8 @@ object Dedup {
       Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
     sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
       .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
+    DeltaRetract.writeMeta(sp, newBaseDir,
+      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
   }
 
   /** Shingle-family COMPACTION of a delta retract chain
@@ -777,6 +781,8 @@ object Dedup {
       .join(DeltaRetract.tombstones(sp, artDir, upTo),
         col("id") === col("rid"), "left_anti")
       .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
+    DeltaRetract.writeMeta(sp, newBaseDir,
+      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
   }
 
   /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —

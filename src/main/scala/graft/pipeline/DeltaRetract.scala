@@ -70,6 +70,67 @@ object DeltaRetract {
     * later reads is byte-identical to what the derivations saw).
     * Returns the re-read sketch so family wrappers can derive extra
     * faces (the shingle family's `sizes`) without re-tokenizing. */
+  /** Persist the family's build parameters (cap values, shingle k, …)
+    * as a tiny `meta` face next to the base faces. The base's serving
+    * index was derived AT those values; a later consumer folding or
+    * re-deriving at different ones silently diverges from pre-fold
+    * serving (ADVICE r18: `shingleDeltaUpdateSink(maxDf = …)` against
+    * a base built at another maxDf compacted at the wrong cap). The
+    * chain sinks call [[assertMeta]] before every generation fold. */
+  def writeMeta(sp: SparkSession, baseDir: String,
+      params: Map[String, Long]): Unit = {
+    import sp.implicits._
+    params.toSeq.sortBy(_._1).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/meta")
+  }
+
+  /** Assert the caller's parameters match the base artifact's
+    * persisted `meta` face. A base WITHOUT the face (built before the
+    * face existed, or hand-assembled) checks nothing — the guard is
+    * against a silent mismatch with a recorded truth, not a
+    * requirement that every base carry one. The meta rows are a
+    * handful of (param, value) pairs; the read is a single tiny file,
+    * paid once per generation fold, never per batch. */
+  def assertMeta(sp: SparkSession, baseDir: String,
+      params: Map[String, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/meta")
+    val exists =
+      try p.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (exists) {
+      val persisted = sp.read.parquet(s"$baseDir/meta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      params.foreach { case (k, v) =>
+        persisted.get(k).foreach(pv => require(pv == v,
+          s"chain parameter $k=$v does not match the base artifact at " +
+            s"$baseDir (built with $k=$pv) — folding or serving at a " +
+            "different value would silently diverge the compacted " +
+            "index from pre-fold serving; rebuild the base or pass " +
+            "the recorded value"))
+      }
+    }
+  }
+
+  /** [[writeMeta]] carrying FORWARD the source base's recorded params
+    * merged with the caller's (caller wins): a fold that only knows
+    * its own cap value (the winnow retract sink knows maxDf but not
+    * the k/w the sketch was built with) must not DROP the build params
+    * the family's other sinks assert against on later generations. */
+  def propagateMeta(sp: SparkSession, fromBaseDir: String,
+      toBaseDir: String, params: Map[String, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$fromBaseDir/meta")
+    val prior =
+      try {
+        if (p.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(p))
+          sp.read.parquet(s"$fromBaseDir/meta").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        else Map.empty[String, Long]
+      } catch {
+        case scala.util.control.NonFatal(_) => Map.empty[String, Long]
+      }
+    writeMeta(sp, toBaseDir, prior ++ params)
+  }
+
   def initBase(sp: SparkSession, baseDir: String, sketch: DataFrame,
       keyCols: Seq[String])(serveIndex: DataFrame => DataFrame)
       : DataFrame = {

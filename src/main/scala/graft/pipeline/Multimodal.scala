@@ -364,7 +364,8 @@ object Multimodal {
       baseDir: String, maxBucket: Int = 100): Unit = {
     DeltaRetract.initBase(sp, baseDir, phashChunkSketch(hashes),
       Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
-    ()
+    DeltaRetract.writeMeta(sp, baseDir,
+      Map("max_bucket" -> maxBucket.toLong))
   }
 
   /** UPDATE face of the image/audio hash-sketch artifact — the
@@ -629,6 +630,8 @@ object Multimodal {
         Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
       kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
         .write.mode("overwrite").parquet(s"$baseDir/counts")
+      DeltaRetract.writeMeta(sp, baseDir,
+        Map("max_bucket" -> maxBucket.toLong))
     } finally { kf.unpersist(blocking = false); () }
   }
 
@@ -698,6 +701,8 @@ object Multimodal {
     sk.select(docHalf.as("doc_id"), col("id")).distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
       .write.mode("overwrite").parquet(s"$newBaseDir/counts")
+    DeltaRetract.writeMeta(sp, newBaseDir,
+      Map("max_bucket" -> maxBucket.toLong))
   }
 
   /** Video-family COMPACTION of a delta retract chain
@@ -719,6 +724,8 @@ object Multimodal {
       .join(DeltaRetract.tombstones(sp, artDir, upTo),
         col("doc_id") === col("rid"), "left_anti")
       .write.mode("overwrite").parquet(s"$newBaseDir/counts")
+    DeltaRetract.writeMeta(sp, newBaseDir,
+      Map("max_bucket" -> maxBucket.toLong))
   }
 
   /** RETRACTION face of the video-index artifact — the multimodal

@@ -395,7 +395,8 @@ object TextAnalysis {
     DeltaRetract.initBase(sp, baseDir,
       winnowSketch(corpus, textCol, idCol, k, w),
       Seq("fp"))(winnowServingIndex(_, maxDf))
-    ()
+    DeltaRetract.writeMeta(sp, baseDir, Map("k" -> k.toLong,
+      "w" -> w.toLong, "max_df" -> maxDf.toLong))
   }
 
   /** The capped SERVING view of an uncapped [[winnowSketch]] — the

