@@ -56,11 +56,59 @@ object Bench {
     // Untimed warm-up: JIT + codegen compile + shuffle/parquet machinery,
     // so per-query numbers measure steady-state throughput rather than
     // first-job session setup (which otherwise lands entirely on the
-    // alphabetically-first query).
+    // alphabetically-first query). Round 19 widened it from one groupBy
+    // + the entry pipeline to the SHARED execution machinery the
+    // registry leans on — parquet write+read, hash/sha expression
+    // kernels, window exec, broadcast join, object/approx aggregates,
+    // and one stateful micro-batch through the streaming engine —
+    // because the r19 baseline showed the alphabetically-first gated
+    // rows absorbing the session's entire first-use JIT wave
+    // (d11_neardup_groups rep-1: 20.0 s wall against a 1.24 s min with
+    // 42.7 s of JIT-compiler time and ~zero steal; 694 s of rep-1
+    // excess across the artifact), and the driver's deadline schedule
+    // records mostly rep-1 walls. Timing methodology is unchanged:
+    // the warm-up stays untimed, synthetic (spark.range — never the
+    // fixture tables), and result-free (nothing it computes or writes
+    // is read by any timed query; the scratch dir is deleted before
+    // timing starts).
     try {
+      import org.apache.spark.sql.functions._
       spark.range(0, 1000000, 1, 8).selectExpr("id % 97 AS k")
         .groupBy("k").count().count()
       SparkEntry.entry(spark).count()
+      val wdir = TmpHygiene.scratchDir("graft_warm")
+      try {
+        val df = spark.range(0, 50000, 1, 8).selectExpr("id",
+          "id % 101 AS k", "sha2(cast(id AS string), 256) AS s",
+          "xxhash64(cast(id AS string)) AS h")
+        df.write.mode("overwrite").parquet(s"$wdir/p")
+        val back = spark.read.parquet(s"$wdir/p")
+        back.groupBy("k").agg(count(lit(1)).as("n"), sum("h").as("sh"),
+          approx_count_distinct("s").as("d")).count()
+        back.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("k")
+              .orderBy(col("h"))))
+          .filter(col("rn") <= 3).count()
+        val dim = spark.range(0, 101).selectExpr("id AS k", "id * 2 AS v")
+        back.join(broadcast(dim), "k").count()
+        back.select(explode(split(col("s"), "a")).as("w"))
+          .groupBy("w").count().orderBy(col("count").desc).limit(5).count()
+        // one stateful micro-batch: offset/commit logs, state store,
+        // incremental planner, foreachBatch + sink write
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Long]
+        val q = ms.toDF().toDF("id").dropDuplicates("id")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wdir/_cp")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$wdir/sb")
+          }.start()
+        ms.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        q.stop()
+      } finally TmpHygiene.rmTree(wdir)
     } catch { case _: Throwable => () }
     sweep()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -49,6 +49,18 @@ object Graft {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "16384")
+      // Shuffle/broadcast/spill scratch on the fastest writable local
+      // volume (round 19, guide §2.1/§6): every Exchange writes its map
+      // output to spark.local.dir, and on this box the default
+      // (/tmp, journaled ext4) charges creat/rename/unlink metadata
+      // latency to every one of the session's hundreds of small
+      // shuffles. tmpfs removes that overhead; at 100 TB the same knob
+      // points at striped local NVMe (SPARK_LOCAL_DIRS there — this
+      // conf is ignored when the cluster manager sets it, which is
+      // exactly the production override path). Bounded residency:
+      // Spark removes its blockmgr-*/spark-* dirs on session stop.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", TmpHygiene.scratchBase))
       // The ANN ladder's per-query top-k runs as an ObjectHashAggregate
       // (graft.functions.TopKPairsAgg); past this many groups per task
       // Spark silently falls back to SORT-BASED aggregation, which

@@ -17,6 +17,31 @@ package graft
   */
 object TmpHygiene {
 
+  /** Base directory for TRANSIENT engine scratch (chain-artifact faces,
+    * format round-trip copies, stream sink outputs): the fastest
+    * writable local volume. Order: `SPARK_GRAFT_SCRATCH` (production —
+    * point at fast local SSD / DFS), else /dev/shm when writable
+    * (tmpfs: these dirs hold kilobytes-to-megabytes of per-gate faces
+    * whose write/rename/fsync latency on a journaled disk FS is pure
+    * harness overhead — the same rationale as the streaming checkpoint
+    * placement, guide §6), else `java.io.tmpdir`. Scratch here is
+    * always transient: every consumer deletes via [[rmTree]] scopes or
+    * [[deleteAtExit]], so tmpfs residency is bounded by a session's
+    * live gates. */
+  lazy val scratchBase: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+      }
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Fresh transient dir under [[scratchBase]] (callers own deletion,
+    * via scope cleanup or [[deleteAtExit]]). */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchBase), prefix).toString
+
   def rmTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {

@@ -1214,7 +1214,7 @@ object CurationQueries {
     val takedown = d.filter(!isNew && col("doc_id") % 7 === 1)
       .select("doc_id")
     val out = graft.TmpHygiene.deleteAtExit(
-      java.nio.file.Files.createTempDirectory("graft_d61").toString)
+      graft.TmpHygiene.scratchDir("graft_d61"))
     Dedup.shingleDeltaBase(s, d.filter(!isNew), "text", "doc_id",
       s"$out/a/init", k = 5, maxDf = 100)
     val deco = (baseDir: String) => (rows: DataFrame) =>
@@ -1255,7 +1255,7 @@ object CurationQueries {
     val recrawl = arch.filter(col("doc_id") % 7 === 1)
       .withColumn("text", concat(col("text"), lit(" "), col("text")))
     val out = graft.TmpHygiene.deleteAtExit(
-      java.nio.file.Files.createTempDirectory("graft_d63").toString)
+      graft.TmpHygiene.scratchDir("graft_d63"))
     Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
       s"$out/a/init", k = 5, maxDf = 100)
     def step(chain: String, rows: DataFrame): Unit =
@@ -1294,7 +1294,7 @@ object CurationQueries {
     val arch = d.filter(!isNew)
     val doubled = concat(col("text"), lit(" "), col("text"))
     val out = graft.TmpHygiene.deleteAtExit(
-      java.nio.file.Files.createTempDirectory("graft_d64").toString)
+      graft.TmpHygiene.scratchDir("graft_d64"))
     Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
       s"$out/init", k = 5, maxDf = 100)
     def step(bid: Long, updIds: DataFrame, rows: DataFrame): Unit =
@@ -1344,7 +1344,7 @@ object CurationQueries {
     val recrawl = arch.filter(col("doc_id") % 7 === 1)
       .withColumn("text", concat(col("text"), lit(" "), col("text")))
     val out = graft.TmpHygiene.deleteAtExit(
-      java.nio.file.Files.createTempDirectory("graft_d65").toString)
+      graft.TmpHygiene.scratchDir("graft_d65"))
     Dedup.shingleDeltaBase(s, arch, "text", "doc_id",
       s"${DeltaUpdate.genDir(out, 0L)}/init", k = 5, maxDf = 100)
     val compactFn = (gd: String, upTo: Long, nb: String) =>

@@ -150,9 +150,9 @@ object DeltaRetract {
     * serving-shaped); the result is column-aligned to the base index
     * before writing. Idempotent per batch: inputs are persisted faces
     * of STRICTLY EARLIER batches, outputs overwrite, and each derived
-    * face is materialized ONCE (localCheckpoint) before being both
-    * persisted and consumed downstream — a nondeterministic upstream
-    * batch cannot diverge between the write and the joins. */
+    * face is materialized ONCE (written, then read back) before being
+    * consumed downstream — a nondeterministic upstream batch cannot
+    * diverge between the write and the joins. */
   def step(sp: SparkSession, artDir: String, initName: String,
       batchId: Long, takedownIds: DataFrame, keyCols: Seq[String],
       maxCnt: Int, decorate: DataFrame => DataFrame,
@@ -168,16 +168,18 @@ object DeltaRetract {
       else sp.read.parquet(
         facePaths(sp, artDir, "tombs", 0L until batchId): _*)
     // drop ids already tombstoned (a re-submitted takedown must not
-    // decrement its postings a second time). Materialized ONCE
-    // (localCheckpoint) and shared by the persisted face and every
-    // downstream consumer — same determinism as re-reading the written
-    // parquet (a nondeterministic upstream batch cannot diverge
-    // between the write and the joins), one job cheaper per face.
-    val rids = Dedup.normalizeRemovedIds(takedownIds)
+    // decrement its postings a second time). Write-then-read-back
+    // (round 19, guide §1.2 job-count cut): the face write is the one
+    // materialization and every downstream consumer reads the
+    // persisted face — identical determinism to the former
+    // localCheckpoint+write pair (a nondeterministic upstream batch
+    // cannot diverge between the write and the joins) at one job per
+    // face instead of two.
+    Dedup.normalizeRemovedIds(takedownIds)
       .join(priorTombs.select(col("rid").as("prid")),
         col("rid") === col("prid"), "left_anti")
-      .localCheckpoint(true)
-    rids.write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
+      .write.mode("overwrite").parquet(s"$artDir/$batchId/tombs")
+    val rids = sp.read.parquet(s"$artDir/$batchId/tombs")
 
     // a fully-duplicate (replayed upstream) batch decrements nothing:
     // write schema-only empty faces without touching either base scan
@@ -185,14 +187,13 @@ object DeltaRetract {
     // decrements from the takedown docs' OWN postings — an id-keyed
     // lookup into the base sketch (broadcast delta side; prunes to
     // touched files under an id-bucketed layout), never a recount
-    val dec =
-      (if (batchDead)
-        emptyLike(sp, baseSketch.groupBy(keyCs: _*)
-          .agg(count(lit(1)).as("dec")))
-      else baseSketch.join(broadcast(rids), docId === col("rid"))
-        .groupBy(keyCs: _*).agg(count(lit(1)).as("dec")))
-        .localCheckpoint(true)
-    dec.write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
+    (if (batchDead)
+      emptyLike(sp, baseSketch.groupBy(keyCs: _*)
+        .agg(count(lit(1)).as("dec")))
+    else baseSketch.join(broadcast(rids), docId === col("rid"))
+      .groupBy(keyCs: _*).agg(count(lit(1)).as("dec")))
+      .write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
+    val dec = sp.read.parquet(s"$artDir/$batchId/statsdelta")
 
     val priorDec =
       if (batchId == 0L)
@@ -227,8 +228,6 @@ object DeltaRetract {
     resurrect.write.mode("overwrite")
       .parquet(s"$artDir/$batchId/resurrect")
     candidates.foreach(_.unpersist(blocking = false))
-    rids.unpersist(blocking = false)
-    dec.unpersist(blocking = false)
     ()
   }
 

@@ -96,19 +96,27 @@ object DeltaUpdate {
     * hazard, fixed structurally here). Idempotent per batch: inputs
     * are persisted faces of strictly earlier batches plus the batch's
     * own rows, outputs overwrite, and each derived frame is
-    * materialized once before being both persisted and consumed. */
+    * materialized once (written, then read back) before being
+    * consumed. */
   def step(sp: SparkSession, artDir: String, initName: String,
       batchId: Long, updatedIds: DataFrame, newRows: DataFrame,
       keyCols: Seq[String],
       docId: Column = col("id")): Unit = {
     val base = s"$artDir/$initName"
     val keyCs = keyCols.map(col)
-    val rids = Dedup.normalizeRemovedIds(updatedIds).localCheckpoint(true)
-    val rows = newRows.localCheckpoint(true)
-    val pinned = scala.collection.mutable.ListBuffer(rids, rows)
+    // write-then-read-back (round 19, guide §1.2 job-count cut): the
+    // face write IS the one materialization — every in-step consumer
+    // reads the persisted face, which carries the same
+    // computed-exactly-once determinism the localCheckpoint+write pair
+    // gave at one job per face instead of two (a chain gate runs ~90
+    // jobs of ~1 task each; job count is its wall).
+    Dedup.normalizeRemovedIds(updatedIds)
+      .write.mode("overwrite").parquet(s"$artDir/$batchId/updids")
+    val rids = sp.read.parquet(s"$artDir/$batchId/updids")
+    newRows.write.mode("overwrite").parquet(s"$artDir/$batchId/newrows")
+    val rows = sp.read.parquet(s"$artDir/$batchId/newrows")
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      rids.write.mode("overwrite").parquet(s"$artDir/$batchId/updids")
-      rows.write.mode("overwrite").parquet(s"$artDir/$batchId/newrows")
 
       // a fully-empty (replayed upstream) batch moves nothing: write a
       // schema-only delta face without touching either base scan

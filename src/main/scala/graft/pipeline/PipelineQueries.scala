@@ -2177,7 +2177,7 @@ object PipelineQueries {
     val takedown = docs(s, dir)
       .filter(!isNew && col("doc_id") % 7 === 1).select("doc_id")
     val out = graft.TmpHygiene.deleteAtExit(
-      java.nio.file.Files.createTempDirectory("graft_d62").toString)
+      graft.TmpHygiene.scratchDir("graft_d62"))
     val docHalf = expr("id div 65536")
     Multimodal.videoDeltaBase(s,
       Multimodal.keyframeHashes(media.filter(!isNew),

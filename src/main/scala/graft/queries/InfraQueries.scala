@@ -39,7 +39,7 @@ object InfraQueries {
     * namespace only) AND dir older than the grace window. */
   private def sweepTmp(s: SparkSession, prefix: String,
       graceMs: Long = 10L * 60 * 1000): Unit = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tmp = new java.io.File(graft.TmpHygiene.scratchBase)
     val pat = ("^" + prefix + "_.*_p(\\d+)$").r
     val self = ProcessHandle.current().pid()
     val cutoff = System.currentTimeMillis() - graceMs
@@ -151,7 +151,7 @@ object InfraQueries {
     // their own copy.
     sweepTmp(s, "graft_q44")
     val tmp = deleteAtExit(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q44_${tag(dir)}" +
+      s"${graft.TmpHygiene.scratchBase}/graft_q44_${tag(dir)}" +
         s"_p${ProcessHandle.current().pid()}")
     Formats.writeCsv(cust, s"$tmp/csv")
     Formats.writeJsonl(cust, s"$tmp/jsonl")
@@ -175,7 +175,7 @@ object InfraQueries {
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
     sweepTmp(s, "graft_q45")
     val tmp = deleteAtExit(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q45_${tag(dir)}" +
+      s"${graft.TmpHygiene.scratchBase}/graft_q45_${tag(dir)}" +
         s"_p${ProcessHandle.current().pid()}")
     Formats.writeOrc(orders, s"$tmp/orc")
     Formats.readOrc(s, s"$tmp/orc", orders.schema)
@@ -216,7 +216,7 @@ object InfraQueries {
     * under a pid-keyed tmp dir — exposed so LayoutSpec can assert the
     * DPP plan against the same layout the gate query reads. */
   def q49Path(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_q49_${tag(dir)}" +
+    s"${graft.TmpHygiene.scratchBase}/graft_q49_${tag(dir)}" +
       s"_p${ProcessHandle.current().pid()}"
 
   def writePartitionedEvents(s: SparkSession, dir: String): Unit = {

@@ -210,10 +210,7 @@ object StreamQueries {
     // not disk durability — fsync-per-batch on real disk is pure
     // overhead for a test harness. Production keeps the default (a
     // durable DFS path): this conf is scoped and restored.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ck = if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_ck").toString
-    else java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val ck = graft.TmpHygiene.scratchDir("graft_ck")
     s.conf.set(key, n.toString)
     s.conf.set(ckKey, ck)
     val scope = scala.collection.mutable.ListBuffer.empty[String]
@@ -247,7 +244,10 @@ object StreamQueries {
     }
 
   private def scopedTmpDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    // scratch placement (tmpfs when available): a gate row's artifact
+    // faces are written/re-read dozens of times per run — see
+    // TmpHygiene.scratchBase for the rationale and the production knob
+    val d = graft.TmpHygiene.scratchDir(prefix)
     tmpScopes.get() match {
       case scope :: _ => scope += d
       case Nil        => // unscoped caller owns the delete

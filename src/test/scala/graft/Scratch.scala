@@ -65,6 +65,69 @@ object Scratch {
       s32.stop()
       return
     }
+    // Per-job profile of one registered query (round 19): run it
+    // `reps` times on the bench config and record every Spark job's
+    // wall + task count via a listener, so "where does an 8 s gate row
+    // spend its seconds" decomposes into (a) job count, (b) in-job
+    // time, (c) driver gaps (planning/IO between jobs). Top jobs by
+    // duration are printed with their job-group descriptions.
+    if (args.headOption.contains("jobprof")) {
+      val name = args(1)
+      val reps = args.lift(2).map(_.toInt).getOrElse(2)
+      spark.stop()
+      val s32 = Graft.sessionBuilder("scratch-jobprof", "local[32]", 32)
+        .config("spark.sql.adaptive.enabled",
+          (!args.contains("noaqe")).toString)
+        .getOrCreate()
+      s32.sparkContext.setLogLevel("WARN")
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Long, Long, String)]())
+      val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          jobs.put(j.jobId, (j.time, desc))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(j.jobId)).foreach { case (t0, desc) =>
+            done.add((j.jobId, t0, j.time, desc))
+          }
+        }
+        override def onStageCompleted(
+            st: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = tasks.addAndGet(st.stageInfo.numTasks.toLong)
+      }
+      s32.sparkContext.addSparkListener(listener)
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { rep =>
+        done.clear(); tasks.set(0L)
+        val t0 = System.nanoTime()
+        val n = fn(s32, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the listener bus drain
+        import scala.jdk.CollectionConverters._
+        val ds = done.asScala.toSeq.sortBy(_._2)
+        val jobS = ds.map(d => (d._3 - d._2) / 1e3).sum
+        println(f"[scratch] jobprof $name rep$rep: wall $wall%6.2f s, " +
+          f"${ds.size} jobs, in-job ${jobS}%6.2f s, " +
+          f"gaps ${wall - jobS}%6.2f s, tasks ${tasks.get()}, rows=$n")
+        ds.sortBy(d => -(d._3 - d._2)).take(12).foreach { case (id, a, b, desc) =>
+          println(f"[scratch]   job $id%4d ${(b - a) / 1e3}%6.2f s  ${desc.take(90)}")
+        }
+        s32.catalog.clearCache()
+        s32.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      s32.stop()
+      return
+    }
     // q55 derivation A/B (round 14): the round-13 refactor re-derived
     // userCoEdges through the weighted groupBy; time the census over
     // both edge derivations, plus the raw edge materialization alone,
