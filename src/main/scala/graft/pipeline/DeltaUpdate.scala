@@ -130,15 +130,25 @@ object DeltaUpdate {
           // — every base-face join broadcasts the delta side. Batch 0
           // has no prior faces to read: everything decrements from
           // base rows.
-          val lastBid = (
+          // Batch 0 has no prior faces: lastBid degenerates to "every
+          // rid decrements from base", and the null-lb projection of
+          // the (already persisted) rids face needs no checkpoint of
+          // its own — skipping it saves one job on every chain's first
+          // step and every generation's local batch 0 (round 19).
+          // Batches > 0 keep the checkpoint: the aggregate is consumed
+          // by both fromBase and fromPrior.
+          val lastBid =
             if (batchId == 0L)
               rids.withColumn("lb", lit(null).cast("long"))
-            else rids
-              .join(priorUpdatedWithBid(sp, artDir, batchId),
-                col("rid") === col("prid"), "left")
-              .groupBy("rid").agg(max(col("pbid")).as("lb"))
-          ).localCheckpoint(true)
-          pinned += lastBid
+            else {
+              val lb = rids
+                .join(priorUpdatedWithBid(sp, artDir, batchId),
+                  col("rid") === col("prid"), "left")
+                .groupBy("rid").agg(max(col("pbid")).as("lb"))
+                .localCheckpoint(true)
+              pinned += lb
+              lb
+            }
           val fromBase = sp.read.parquet(s"$base/sketch")
             .join(broadcast(lastBid.filter(col("lb").isNull)
               .select("rid")), docId === col("rid"))

@@ -91,6 +91,8 @@ object Scratch {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(j.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .filter(_.nonEmpty)
+            .orElse(j.stageInfos.lastOption.map(_.name.take(120)))
             .getOrElse("")
           jobs.put(j.jobId, (j.time, desc))
         }
