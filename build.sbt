@@ -42,4 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // -Xmx is a ceiling, not a commitment: tests and small runs are
   // unaffected.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Code cache sized to the query surface (round 19, same shape as the
+  // round-14 heap bump): the 233-query bench JVM peaks at ~198 MB of
+  // compiled nmethods against the JDK-17 default 240 MB ceiling —
+  // inside UseCodeCacheFlushing's eviction zone, so cold generated
+  // classes get flushed and re-JIT'd mid-session (the bench's
+  // queries_jit_ms telemetry shows 2–3 s of compiler time per rep on
+  // the chain gates even in steady state). Headroom makes flushing a
+  // non-event; unused reservation costs address space, not RSS.
+  "-XX:ReservedCodeCacheSize=512m",
 )
