@@ -71,6 +71,14 @@ object Bench {
     // fixture tables), and result-free (nothing it computes or writes
     // is read by any timed query; the scratch dir is deleted before
     // timing starts).
+    // The deadline / rep-1-budget clock starts BEFORE the warm-up
+    // (review r19): both budgets exist to keep total JVM wall under
+    // the external harness kill, and a warm-up that ran outside the
+    // clock would let a slow box spend its minutes twice — once
+    // warming, once against a full 840 s budget. Warm-up seconds now
+    // shrink the measuring budget instead, which degrades in the safe
+    // direction (gated rows are never shed; only optional samples go).
+    val benchStartNs = System.nanoTime()
     try {
       import org.apache.spark.sql.functions._
       spark.range(0, 1000000, 1, 8).selectExpr("id % 97 AS k")
@@ -105,9 +113,10 @@ object Bench {
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             b.write.mode("overwrite").parquet(s"$wdir/sb")
           }.start()
-        ms.addData(1L, 2L, 3L)
-        q.processAllAvailable()
-        q.stop()
+        try {
+          ms.addData(1L, 2L, 3L)
+          q.processAllAvailable()
+        } finally q.stop() // never leave it running into the timed reps
       } finally TmpHygiene.rmTree(wdir)
     } catch { case _: Throwable => () }
     sweep()
@@ -470,7 +479,8 @@ object Bench {
     // complete artifact beats rc 124 with parsed: null.
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_S", "840")
       .toLong.max(60L)
-    val benchStartNs = System.nanoTime()
+    // benchStartNs is captured ABOVE, before the untimed warm-up, so
+    // warm-up wall counts against both budgets (see the warm-up note).
     def pastDeadline: Boolean =
       (System.nanoTime() - benchStartNs) / 1000000000L > deadlineS
     var repsCompleted = 0

@@ -59,8 +59,18 @@ object Graft {
       // conf is ignored when the cluster manager sets it, which is
       // exactly the production override path). Bounded residency:
       // Spark removes its blockmgr-*/spark-* dirs on session stop.
+      // A RAM-backed volume is only a safe SPILL target with headroom
+      // — a memory-pressure spill that lands on full tmpfs converts a
+      // graceful disk spill into an allocation failure — so the tmpfs
+      // default applies only with ≥ 32 GiB free there; below that the
+      // session keeps the JVM tmpdir default.
       .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", TmpHygiene.scratchBase))
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+          val b = new java.io.File(TmpHygiene.scratchBase)
+          if (b.getUsableSpace >= 32L * 1024 * 1024 * 1024)
+            TmpHygiene.scratchBase
+          else System.getProperty("java.io.tmpdir")
+        }))
       // The ANN ladder's per-query top-k runs as an ObjectHashAggregate
       // (graft.functions.TopKPairsAgg); past this many groups per task
       // Spark silently falls back to SORT-BASED aggregation, which

@@ -89,8 +89,7 @@ object ScaleProbe {
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
       .localCheckpoint(true)
     Seq(1, times).foreach { t =>
-      val idxPath = java.nio.file.Files
-        .createTempDirectory(s"graft_incridx_$t").toString
+      val idxPath = TmpHygiene.scratchDir(s"graft_incridx_$t")
       val t0 = System.nanoTime()
       pipeline.Dedup.hashedShingleIndex(corpus(t), "text", "doc_id")
         .write.mode("overwrite").parquet(idxPath)
@@ -898,8 +897,7 @@ object ScaleProbe {
       .filter(col("doc_id") % 97 === 3).select("doc_id").limit(200)
       .localCheckpoint(true)
     for (t <- Seq(1, math.max(2, times / 2), times)) {
-      val art = java.nio.file.Files
-        .createTempDirectory("graft_deltaprobe").toString
+      val art = TmpHygiene.scratchDir("graft_deltaprobe")
       try {
         val c = replicatedDocs(spark, dir, t)
         pipeline.Dedup.shingleDeltaBase(spark, c, "text", "doc_id",
@@ -978,8 +976,7 @@ object ScaleProbe {
         concat(col("text"), lit(" "), col("text")).as("text"))
       .localCheckpoint(true)
     for (t <- Seq(1, math.max(2, times / 2), times)) {
-      val art = java.nio.file.Files
-        .createTempDirectory("graft_updprobe").toString
+      val art = TmpHygiene.scratchDir("graft_updprobe")
       try {
         val c = replicatedDocs(spark, dir, t)
         pipeline.Dedup.hashedShingleSketch(c, "text", "doc_id", k = 5)
@@ -1067,8 +1064,7 @@ object ScaleProbe {
         concat(col("text"), lit(" "), col("text")).as("text"))
       .localCheckpoint(true)
     for (t <- Seq(1, math.max(2, times / 2), times)) {
-      val art = java.nio.file.Files
-        .createTempDirectory("graft_updeltaprobe").toString
+      val art = TmpHygiene.scratchDir("graft_updeltaprobe")
       try {
         val c = replicatedDocs(spark, dir, t)
         pipeline.Dedup.shingleDeltaBase(spark, c, "text", "doc_id",
@@ -1164,10 +1160,11 @@ object ScaleProbe {
     val every = 8
     val d = Tables.load(spark, dir, "documents")
     val arch = d.filter(col("doc_id") % 10 =!= 0).localCheckpoint(true)
-    val plainArt = java.nio.file.Files
-      .createTempDirectory("graft_acplain").toString
-    val autoArt = java.nio.file.Files
-      .createTempDirectory("graft_acauto").toString
+    // scratchDir (round 19): the probes must pay the same scratch
+    // placement the gates pay, or their walls stop tracking gate
+    // behavior (review r19)
+    val plainArt = TmpHygiene.scratchDir("graft_acplain")
+    val autoArt = TmpHygiene.scratchDir("graft_acauto")
     try {
       pipeline.Dedup.shingleDeltaBase(spark, arch, "text", "doc_id",
         s"$plainArt/init", k = 5, maxDf = 100)

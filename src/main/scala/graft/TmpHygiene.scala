@@ -20,10 +20,11 @@ object TmpHygiene {
   /** Base directory for TRANSIENT engine scratch (chain-artifact faces,
     * format round-trip copies, stream sink outputs): the fastest
     * writable local volume. Order: `SPARK_GRAFT_SCRATCH` (production —
-    * point at fast local SSD / DFS), else /dev/shm when writable
-    * (tmpfs: these dirs hold kilobytes-to-megabytes of per-gate faces
-    * whose write/rename/fsync latency on a journaled disk FS is pure
-    * harness overhead — the same rationale as the streaming checkpoint
+    * point at a LOCAL fast-SSD path; created on first use if absent;
+    * java.nio, so not a DFS URI), else /dev/shm when writable (tmpfs:
+    * these dirs hold kilobytes-to-megabytes of per-gate faces whose
+    * write/rename/fsync latency on a journaled disk FS is pure harness
+    * overhead — the same rationale as the streaming checkpoint
     * placement, guide §6), else `java.io.tmpdir`. Scratch here is
     * always transient: every consumer deletes via [[rmTree]] scopes or
     * [[deleteAtExit]], so tmpfs residency is bounded by a session's
@@ -37,10 +38,14 @@ object TmpHygiene {
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** Fresh transient dir under [[scratchBase]] (callers own deletion,
-    * via scope cleanup or [[deleteAtExit]]). */
-  def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(scratchBase), prefix).toString
+    * via scope cleanup or [[deleteAtExit]]). Creates the base first:
+    * an operator-supplied SPARK_GRAFT_SCRATCH that does not exist yet
+    * must not turn the first gate query into a NoSuchFileException. */
+  def scratchDir(prefix: String): String = {
+    val base = java.nio.file.Paths.get(scratchBase)
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
 
   def rmTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)

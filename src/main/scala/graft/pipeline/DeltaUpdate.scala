@@ -115,7 +115,9 @@ object DeltaUpdate {
     val rids = sp.read.parquet(s"$artDir/$batchId/updids")
     newRows.write.mode("overwrite").parquet(s"$artDir/$batchId/newrows")
     val rows = sp.read.parquet(s"$artDir/$batchId/newrows")
-    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // at most ONE pinned frame survives the refactor: the batch>0
+    // lastBid checkpoint (faces are persisted parquet now)
+    var pinnedLastBid: Option[DataFrame] = None
     try {
 
       // a fully-empty (replayed upstream) batch moves nothing: write a
@@ -146,7 +148,7 @@ object DeltaUpdate {
                   col("rid") === col("prid"), "left")
                 .groupBy("rid").agg(max(col("pbid")).as("lb"))
                 .localCheckpoint(true)
-              pinned += lb
+              pinnedLastBid = Some(lb)
               lb
             }
           val fromBase = sp.read.parquet(s"$base/sketch")
@@ -174,7 +176,7 @@ object DeltaUpdate {
       delta.write.mode("overwrite")
         .parquet(s"$artDir/$batchId/statsdelta")
     } finally {
-      pinned.foreach(_.unpersist(blocking = false))
+      pinnedLastBid.foreach(_.unpersist(blocking = false))
     }
     ()
   }

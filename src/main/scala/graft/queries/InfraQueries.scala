@@ -39,22 +39,30 @@ object InfraQueries {
     * namespace only) AND dir older than the grace window. */
   private def sweepTmp(s: SparkSession, prefix: String,
       graceMs: Long = 10L * 60 * 1000): Unit = {
-    val tmp = new java.io.File(graft.TmpHygiene.scratchBase)
+    // sweep BOTH bases: new dirs land under TmpHygiene.scratchBase
+    // (round 19), but dead sessions from before the move may still
+    // hold table copies under java.io.tmpdir — the exact accretion
+    // this sweep exists for must not survive the relocation.
+    val bases = Seq(graft.TmpHygiene.scratchBase,
+      System.getProperty("java.io.tmpdir")).distinct
     val pat = ("^" + prefix + "_.*_p(\\d+)$").r
     val self = ProcessHandle.current().pid()
     val cutoff = System.currentTimeMillis() - graceMs
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case pat(pid) if pid.toLong != self && f.lastModified < cutoff =>
-          val h = ProcessHandle.of(pid.toLong)
-          if (!(h.isPresent && h.get().isAlive)) {
-            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-            ()
+    bases.foreach { base =>
+      Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty[java.io.File]).foreach { f =>
+          f.getName match {
+            case pat(pid) if pid.toLong != self && f.lastModified < cutoff =>
+              val h = ProcessHandle.of(pid.toLong)
+              if (!(h.isPresent && h.get().isAlive)) {
+                val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+                p.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .delete(p, true)
+                ()
+              }
+            case _ => ()
           }
-        case _ => ()
-      }
+        }
     }
   }
 

@@ -116,7 +116,21 @@ object Scratch {
         Thread.sleep(300) // let the listener bus drain
         import scala.jdk.CollectionConverters._
         val ds = done.asScala.toSeq.sortBy(_._2)
-        val jobS = ds.map(d => (d._3 - d._2) / 1e3).sum
+        // interval-UNION, not sum: AQE runs jobs concurrently, and a
+        // plain sum over overlapping [start, end) windows exceeds the
+        // wall and drives "gaps" negative (review r19)
+        val jobS = {
+          var cover = 0L
+          var curA = 0L
+          var curB = -1L // sentinel: no open interval yet
+          ds.map(d => (d._2, d._3)).sortBy(_._1).foreach { case (a, b) =>
+            if (curB < 0) { curA = a; curB = b }
+            else if (a > curB) { cover += curB - curA; curA = a; curB = b }
+            else if (b > curB) curB = b
+          }
+          if (curB >= 0) cover += curB - curA
+          cover / 1e3
+        }
         println(f"[scratch] jobprof $name rep$rep: wall $wall%6.2f s, " +
           f"${ds.size} jobs, in-job ${jobS}%6.2f s, " +
           f"gaps ${wall - jobS}%6.2f s, tasks ${tasks.get()}, rows=$n")

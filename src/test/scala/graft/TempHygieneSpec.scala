@@ -18,9 +18,18 @@ package graft
 class TempHygieneSpec extends SparkSpec {
 
   private def graftTmp(): Set[String] = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .map(_.getAbsolutePath).filter(_.contains("/graft_")).toSet
+    // scan BOTH scratch bases: round 19 moved gate scratch to
+    // TmpHygiene.scratchBase (tmpfs when available), and a spec that
+    // kept scanning only java.io.tmpdir would pass vacuously on any
+    // box with writable /dev/shm — the exact leak class this gate
+    // exists for would be ungated.
+    Seq(System.getProperty("java.io.tmpdir"), TmpHygiene.scratchBase)
+      .distinct
+      .flatMap { base =>
+        Option(new java.io.File(base).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .map(_.getAbsolutePath).filter(_.contains("/graft_"))
+      }.toSet
   }
 
   test("a streaming gate row leaves zero /tmp residue") {
