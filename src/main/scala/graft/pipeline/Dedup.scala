@@ -717,13 +717,17 @@ object Dedup {
   def shingleDeltaBase(sp: SparkSession, corpus: DataFrame,
       textCol: String, idCol: String, baseDir: String, k: Int = 5,
       maxDf: Int = 100): Unit = {
-    val sk = DeltaRetract.initBase(sp, baseDir,
+    // sizes and meta ride initBase's concurrent face batch (guide
+    // §2.6): both derive from the persisted sketch / constants only
+    DeltaRetract.initBase(sp, baseDir,
       hashedShingleSketch(corpus, textCol, idCol, k),
-      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
-    sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
-      .write.mode("overwrite").parquet(s"$baseDir/sizes")
-    DeltaRetract.writeMeta(sp, baseDir,
-      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
+      Seq(s"shingle_k$k"), extraFaces = Seq(
+        sk => sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+          .write.mode("overwrite").parquet(s"$baseDir/sizes"),
+        _ => DeltaRetract.writeMeta(sp, baseDir,
+          Map("k" -> k.toLong, "max_df" -> maxDf.toLong))))(
+      shingleServingIndex(_, k, maxDf))
+    ()
   }
 
   /** The shingle family's serving view over an UPDATE delta chain
@@ -759,12 +763,14 @@ object Dedup {
   def shingleUpdateCompact(sp: SparkSession, artDir: String,
       initName: String, upTo: Long, newBaseDir: String, k: Int = 5,
       maxDf: Int = 100): Unit = {
-    val sk = DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
-      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
-    sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
-      .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
-    DeltaRetract.writeMeta(sp, newBaseDir,
-      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
+    DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq(s"shingle_k$k"), extraFaces = Seq(
+        sk => sk.groupBy(col("id")).agg(count(lit(1)).as("n_c"))
+          .write.mode("overwrite").parquet(s"$newBaseDir/sizes"),
+        _ => DeltaRetract.writeMeta(sp, newBaseDir,
+          Map("k" -> k.toLong, "max_df" -> maxDf.toLong))))(
+      shingleServingIndex(_, k, maxDf))
+    ()
   }
 
   /** Shingle-family COMPACTION of a delta retract chain
@@ -775,14 +781,19 @@ object Dedup {
   def shingleDeltaCompact(sp: SparkSession, artDir: String,
       initName: String, upTo: Long, newBaseDir: String, k: Int = 5,
       maxDf: Int = 100): Unit = {
+    // the sizes fold reads only the OLD base's sizes face plus the
+    // tombstones — independent of every new-base face, so it rides
+    // the same concurrent batch
     DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
-      Seq(s"shingle_k$k"))(shingleServingIndex(_, k, maxDf))
-    sp.read.parquet(s"$artDir/$initName/sizes")
-      .join(DeltaRetract.tombstones(sp, artDir, upTo),
-        col("id") === col("rid"), "left_anti")
-      .write.mode("overwrite").parquet(s"$newBaseDir/sizes")
-    DeltaRetract.writeMeta(sp, newBaseDir,
-      Map("k" -> k.toLong, "max_df" -> maxDf.toLong))
+      Seq(s"shingle_k$k"), extraFaces = Seq(
+        _ => sp.read.parquet(s"$artDir/$initName/sizes")
+          .join(DeltaRetract.tombstones(sp, artDir, upTo),
+            col("id") === col("rid"), "left_anti")
+          .write.mode("overwrite").parquet(s"$newBaseDir/sizes"),
+        _ => DeltaRetract.writeMeta(sp, newBaseDir,
+          Map("k" -> k.toLong, "max_df" -> maxDf.toLong))))(
+      shingleServingIndex(_, k, maxDf))
+    ()
   }
 
   /** The capped SERVING view of an uncapped [[hashedShingleSketch]] —

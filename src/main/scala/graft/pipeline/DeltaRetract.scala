@@ -132,14 +132,63 @@ object DeltaRetract {
   }
 
   def initBase(sp: SparkSession, baseDir: String, sketch: DataFrame,
-      keyCols: Seq[String])(serveIndex: DataFrame => DataFrame)
-      : DataFrame = {
+      keyCols: Seq[String], extraFaces: Seq[DataFrame => Unit] = Nil)(
+      serveIndex: DataFrame => DataFrame): DataFrame = {
     sketch.write.mode("overwrite").parquet(s"$baseDir/sketch")
     val sk = sp.read.parquet(s"$baseDir/sketch")
-    sk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$baseDir/stats")
-    serveIndex(sk).write.mode("overwrite").parquet(s"$baseDir/index")
+    // stats, index, and the family's extra faces (shingle `sizes`,
+    // video `counts`, the `meta` params — each handed the persisted
+    // sketch) are INDEPENDENT derivations of it (disjoint output
+    // paths, none reads another) — run them as concurrent jobs
+    // (guide §2.6) so each write's tasks back-fill cores another's
+    // tail leaves idle; chain walls are job-latency-bound, not
+    // byte-bound, at every scale the probes measured
+    inParallel(Seq(
+      () => sk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$baseDir/stats"),
+      () => serveIndex(sk).write.mode("overwrite")
+        .parquet(s"$baseDir/index")) ++
+      extraFaces.map(f => () => f(sk)): _*)
     sk
+  }
+
+  /** Run independent write legs as CONCURRENT Spark jobs (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially). Callers guarantee the legs touch disjoint output
+    * paths and read only inputs persisted before the call. All legs
+    * are awaited before returning — on failure the remaining legs
+    * still complete (no write keeps running past the unwind) and the
+    * first error is rethrown. */
+  private[pipeline] def inParallel(legs: (() => Unit)*): Unit =
+    if (legs.sizeIs <= 1) legs.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = legs.map(l => Future(l()))
+      val errs = fs.flatMap(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+      errs.foreach(throw _)
+    }
+
+  /** Driver-side row count of a just-written parquet face — summed
+    * from the part-file footers, no Spark job. Used for the per-batch
+    * empty-batch guards, which previously paid a scheduled job
+    * (`read.parquet(face).isEmpty`) per chain step to learn a number
+    * the write already recorded in its own footers. */
+  private[pipeline] def faceRowCount(sp: SparkSession,
+      path: String): Long = {
+    val conf = sp.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** One takedown batch of the delta chain: write this batch's three
@@ -182,8 +231,11 @@ object DeltaRetract {
     val rids = sp.read.parquet(s"$artDir/$batchId/tombs")
 
     // a fully-duplicate (replayed upstream) batch decrements nothing:
-    // write schema-only empty faces without touching either base scan
-    val batchDead = rids.isEmpty
+    // write schema-only empty faces without touching either base scan.
+    // The guard reads the just-written face's parquet footers
+    // driver-side — the same number `rids.isEmpty` computed, minus the
+    // scheduled job it cost on every step (round 19, guide §1.2)
+    val batchDead = faceRowCount(sp, s"$artDir/$batchId/tombs") == 0L
     // decrements from the takedown docs' OWN postings — an id-keyed
     // lookup into the base sketch (broadcast delta side; prunes to
     // touched files under an id-bucketed layout), never a recount
@@ -283,12 +335,13 @@ object DeltaRetract {
     * DeltaRetractSpec; the video two-face cycle is gate d62). */
   def compact(sp: SparkSession, artDir: String, initName: String,
       upTo: Long, newBaseDir: String, keyCols: Seq[String],
-      docId: org.apache.spark.sql.Column = col("id"))(
+      docId: org.apache.spark.sql.Column = col("id"),
+      extraFaces: Seq[DataFrame => Unit] = Nil)(
       serveIndex: DataFrame => DataFrame): DataFrame = {
     val sketch = sp.read.parquet(s"$artDir/$initName/sketch")
     val surv = sketch.join(tombstones(sp, artDir, upTo),
       docId === col("rid"), "left_anti")
-    initBase(sp, newBaseDir, surv, keyCols)(serveIndex)
+    initBase(sp, newBaseDir, surv, keyCols, extraFaces)(serveIndex)
   }
 
   /** One batch of an AUTO-COMPACTED retract chain — the retract twin

@@ -109,11 +109,16 @@ object DeltaUpdate {
     // reads the persisted face, which carries the same
     // computed-exactly-once determinism the localCheckpoint+write pair
     // gave at one job per face instead of two (a chain gate runs ~90
-    // jobs of ~1 task each; job count is its wall).
-    Dedup.normalizeRemovedIds(updatedIds)
-      .write.mode("overwrite").parquet(s"$artDir/$batchId/updids")
+    // jobs of ~1 task each; job count is its wall). The two input
+    // faces are independent (disjoint paths, neither reads the other)
+    // and overlap as concurrent jobs (guide §2.6); both are persisted
+    // before anything reads either back.
+    DeltaRetract.inParallel(
+      () => Dedup.normalizeRemovedIds(updatedIds)
+        .write.mode("overwrite").parquet(s"$artDir/$batchId/updids"),
+      () => newRows.write.mode("overwrite")
+        .parquet(s"$artDir/$batchId/newrows"))
     val rids = sp.read.parquet(s"$artDir/$batchId/updids")
-    newRows.write.mode("overwrite").parquet(s"$artDir/$batchId/newrows")
     val rows = sp.read.parquet(s"$artDir/$batchId/newrows")
     // at most ONE pinned frame survives the refactor: the batch>0
     // lastBid checkpoint (faces are persisted parquet now)
@@ -124,8 +129,12 @@ object DeltaUpdate {
       // schema-only delta face without touching either base scan
       val deltaSchema = DeltaRetract.emptyLike(sp,
         rows.groupBy(keyCs: _*).agg(lit(0L).as("delta")))
+      // footer-count guard (round 19): the persisted updids face's
+      // parquet footers already record the row count — reading them
+      // driver-side replaces the `rids.isEmpty` job every step paid
       val delta =
-        if (rids.isEmpty) deltaSchema
+        if (DeltaRetract.faceRowCount(sp,
+            s"$artDir/$batchId/updids") == 0L) deltaSchema
         else {
           // the updated docs' CURRENT postings: base rows for docs
           // never updated before, else their latest prior newrows face
@@ -276,13 +285,15 @@ object DeltaUpdate {
     * both from the returned compacted sketch, one aggregate each). */
   def compact(sp: SparkSession, artDir: String, initName: String,
       upTo: Long, newBaseDir: String, keyCols: Seq[String],
-      docId: Column = col("id"))(
+      docId: Column = col("id"),
+      extraFaces: Seq[DataFrame => Unit] = Nil)(
       serveIndex: DataFrame => DataFrame): DataFrame = {
     val cur = sp.read.parquet(s"$artDir/$initName/sketch")
       .join(updatedDocs(sp, artDir, upTo), docId === col("rid"),
         "left_anti")
       .unionByName(latestRows(sp, artDir, upTo, docId))
-    DeltaRetract.initBase(sp, newBaseDir, cur, keyCols)(serveIndex)
+    DeltaRetract.initBase(sp, newBaseDir, cur, keyCols, extraFaces)(
+      serveIndex)
   }
 
   /** Generation dir of an AUTO-compacted chain ([[autoStep]]). */

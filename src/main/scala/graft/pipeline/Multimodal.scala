@@ -363,9 +363,11 @@ object Multimodal {
   def phashDeltaBase(sp: SparkSession, hashes: DataFrame,
       baseDir: String, maxBucket: Int = 100): Unit = {
     DeltaRetract.initBase(sp, baseDir, phashChunkSketch(hashes),
-      Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
-    DeltaRetract.writeMeta(sp, baseDir,
-      Map("max_bucket" -> maxBucket.toLong))
+      Seq("chunk", "chunk_val"), extraFaces = Seq(
+        _ => DeltaRetract.writeMeta(sp, baseDir,
+          Map("max_bucket" -> maxBucket.toLong))))(
+      phashServingIndex(_, maxBucket))
+    ()
   }
 
   /** UPDATE face of the image/audio hash-sketch artifact — the
@@ -626,12 +628,17 @@ object Multimodal {
       baseDir: String, maxBucket: Int = 100): Unit = {
     val kf = keyframes.localCheckpoint(false)
     try {
+      // counts derive from the checkpointed keyframes (not the
+      // sketch), meta from constants — both independent of the
+      // stats/index legs, so they ride the same concurrent batch
       DeltaRetract.initBase(sp, baseDir, phashChunks(packKids(kf)),
-        Seq("chunk", "chunk_val"))(phashServingIndex(_, maxBucket))
-      kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
-        .write.mode("overwrite").parquet(s"$baseDir/counts")
-      DeltaRetract.writeMeta(sp, baseDir,
-        Map("max_bucket" -> maxBucket.toLong))
+        Seq("chunk", "chunk_val"), extraFaces = Seq(
+          _ => kf.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+            .write.mode("overwrite").parquet(s"$baseDir/counts"),
+          _ => DeltaRetract.writeMeta(sp, baseDir,
+            Map("max_bucket" -> maxBucket.toLong))))(
+        phashServingIndex(_, maxBucket))
+      ()
     } finally { kf.unpersist(blocking = false); () }
   }
 
@@ -696,13 +703,15 @@ object Multimodal {
       initName: String, upTo: Long, newBaseDir: String,
       maxBucket: Int = 100): Unit = {
     val docHalf = expr("id div 65536")
-    val sk = DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
-      Seq("chunk", "chunk_val"), docHalf)(phashServingIndex(_, maxBucket))
-    sk.select(docHalf.as("doc_id"), col("id")).distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
-      .write.mode("overwrite").parquet(s"$newBaseDir/counts")
-    DeltaRetract.writeMeta(sp, newBaseDir,
-      Map("max_bucket" -> maxBucket.toLong))
+    DeltaUpdate.compact(sp, artDir, initName, upTo, newBaseDir,
+      Seq("chunk", "chunk_val"), docHalf, extraFaces = Seq(
+        sk => sk.select(docHalf.as("doc_id"), col("id")).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+          .write.mode("overwrite").parquet(s"$newBaseDir/counts"),
+        _ => DeltaRetract.writeMeta(sp, newBaseDir,
+          Map("max_bucket" -> maxBucket.toLong))))(
+      phashServingIndex(_, maxBucket))
+    ()
   }
 
   /** Video-family COMPACTION of a delta retract chain
@@ -717,15 +726,18 @@ object Multimodal {
   def videoDeltaCompact(sp: SparkSession, artDir: String,
       initName: String, upTo: Long, newBaseDir: String,
       maxBucket: Int = 100): Unit = {
+    // the counts fold reads only the OLD base's counts face plus the
+    // tombstones — independent of every new-base face
     DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
-      Seq("chunk", "chunk_val"), expr("id div 65536"))(
+      Seq("chunk", "chunk_val"), expr("id div 65536"), extraFaces = Seq(
+        _ => sp.read.parquet(s"$artDir/$initName/counts")
+          .join(DeltaRetract.tombstones(sp, artDir, upTo),
+            col("doc_id") === col("rid"), "left_anti")
+          .write.mode("overwrite").parquet(s"$newBaseDir/counts"),
+        _ => DeltaRetract.writeMeta(sp, newBaseDir,
+          Map("max_bucket" -> maxBucket.toLong))))(
       phashServingIndex(_, maxBucket))
-    sp.read.parquet(s"$artDir/$initName/counts")
-      .join(DeltaRetract.tombstones(sp, artDir, upTo),
-        col("doc_id") === col("rid"), "left_anti")
-      .write.mode("overwrite").parquet(s"$newBaseDir/counts")
-    DeltaRetract.writeMeta(sp, newBaseDir,
-      Map("max_bucket" -> maxBucket.toLong))
+    ()
   }
 
   /** RETRACTION face of the video-index artifact — the multimodal

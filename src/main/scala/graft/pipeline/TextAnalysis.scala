@@ -394,9 +394,11 @@ object TextAnalysis {
       w: Int = 4, maxDf: Int = 100): Unit = {
     DeltaRetract.initBase(sp, baseDir,
       winnowSketch(corpus, textCol, idCol, k, w),
-      Seq("fp"))(winnowServingIndex(_, maxDf))
-    DeltaRetract.writeMeta(sp, baseDir, Map("k" -> k.toLong,
-      "w" -> w.toLong, "max_df" -> maxDf.toLong))
+      Seq("fp"), extraFaces = Seq(
+        _ => DeltaRetract.writeMeta(sp, baseDir, Map("k" -> k.toLong,
+          "w" -> w.toLong, "max_df" -> maxDf.toLong))))(
+      winnowServingIndex(_, maxDf))
+    ()
   }
 
   /** The capped SERVING view of an uncapped [[winnowSketch]] — the

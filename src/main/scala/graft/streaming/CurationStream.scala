@@ -258,10 +258,11 @@ object CurationStream {
         graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
           Map("max_bucket" -> maxBucket.toLong))
         graft.pipeline.DeltaRetract.compact(sp, genDir, initName, upTo,
-          newBase, Seq("chunk", "chunk_val"))(
+          newBase, Seq("chunk", "chunk_val"), extraFaces = Seq(
+            _ => graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+              Map("max_bucket" -> maxBucket.toLong))))(
           graft.pipeline.Multimodal.phashServingIndex(_, maxBucket))
-        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
-          Map("max_bucket" -> maxBucket.toLong))
+        ()
       })((_, _, rows) => rows)
 
   /** Streaming RE-CRAWL maintenance of the shingle-sketch artifact —
@@ -327,10 +328,12 @@ object CurationStream {
         graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
           Map("k" -> k.toLong, "w" -> w.toLong, "max_df" -> maxDf.toLong))
         graft.pipeline.DeltaUpdate.compact(sp, genDir, initName, upTo,
-          newBase, Seq("fp"))(
+          newBase, Seq("fp"), extraFaces = Seq(
+            _ => graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+              Map("k" -> k.toLong, "w" -> w.toLong,
+                "max_df" -> maxDf.toLong))))(
           graft.pipeline.TextAnalysis.winnowServingIndex(_, maxDf))
-        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
-          Map("k" -> k.toLong, "w" -> w.toLong, "max_df" -> maxDf.toLong))
+        ()
       }) { (_, batch) =>
       (batch.select(col(idCol)),
         graft.pipeline.TextAnalysis.winnowSketch(batch, textCol, idCol,
@@ -361,10 +364,11 @@ object CurationStream {
         graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
           Map("max_bucket" -> maxBucket.toLong))
         graft.pipeline.DeltaUpdate.compact(sp, genDir, initName, upTo,
-          newBase, Seq("chunk", "chunk_val"))(
+          newBase, Seq("chunk", "chunk_val"), extraFaces = Seq(
+            _ => graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
+              Map("max_bucket" -> maxBucket.toLong))))(
           graft.pipeline.Multimodal.phashServingIndex(_, maxBucket))
-        graft.pipeline.DeltaRetract.writeMeta(sp, newBase,
-          Map("max_bucket" -> maxBucket.toLong))
+        ()
       }) { (sp, batch) =>
       import sp.implicits._
       val hashes = hashFn(
@@ -469,10 +473,14 @@ object CurationStream {
         graft.pipeline.DeltaRetract.assertMeta(sp, s"$genDir/$initName",
           Map("max_df" -> maxDf.toLong))
         graft.pipeline.DeltaRetract.compact(sp, genDir, initName, upTo,
-          newBase, Seq("fp"))(
+          newBase, Seq("fp"), extraFaces = Seq(
+            // propagateMeta reads the SOURCE base's meta face —
+            // untouched by the other legs
+            _ => graft.pipeline.DeltaRetract.propagateMeta(sp,
+              s"$genDir/$initName", newBase,
+              Map("max_df" -> maxDf.toLong))))(
           graft.pipeline.TextAnalysis.winnowServingIndex(_, maxDf))
-        graft.pipeline.DeltaRetract.propagateMeta(sp,
-          s"$genDir/$initName", newBase, Map("max_df" -> maxDf.toLong))
+        ()
       })((_, _, rows) => rows)
 
   /** The O(delta) successor of [[videoRetractSink]]: the chunk face

@@ -366,4 +366,44 @@ class DeltaRetractSpec extends SparkSpec {
       assert(got === want, s"batch $i diverged from the recount")
     }
   }
+
+  // round-19 step internals: the empty-batch guard reads the persisted
+  // face's parquet FOOTERS driver-side instead of scheduling an
+  // isEmpty job — the two must agree exactly, including on the empty
+  // and multi-file shapes the chain writes
+  test("faceRowCount: footer row count ≡ df count for written faces " +
+      "(empty, single-file, multi-partition)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_facecount")
+    Seq.empty[Long].toDF("rid")
+      .write.mode("overwrite").parquet(s"$dir/empty")
+    assert(DeltaRetract.faceRowCount(spark, s"$dir/empty") === 0L)
+    Seq(1L, 2L, 3L).toDF("rid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    assert(DeltaRetract.faceRowCount(spark, s"$dir/one") === 3L)
+    spark.range(0, 100, 1, 7).select(col("id").as("rid"))
+      .write.mode("overwrite").parquet(s"$dir/many")
+    assert(DeltaRetract.faceRowCount(spark, s"$dir/many") === 100L)
+  }
+
+  // round-19 step internals: concurrent write legs (guide §2.6) must
+  // complete every leg before returning — success and failure paths
+  test("inParallel: all legs run; a failing leg rethrows after the " +
+      "others complete") {
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    DeltaRetract.inParallel(
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () })
+    assert(ran.get === 3)
+    val survivor = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[RuntimeException] {
+      DeltaRetract.inParallel(
+        () => throw new RuntimeException("leg boom"),
+        () => { Thread.sleep(150); survivor.set(true) })
+    }
+    assert(e.getMessage === "leg boom")
+    assert(survivor.get,
+      "the surviving leg must complete before the error is rethrown")
+  }
 }
