@@ -685,28 +685,33 @@ object Similarity {
     * coupling — a 1000-executor cluster reads the same artifact. */
   def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.listed.sparkSession
-    index.listed.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/listed")
+    import spark.implicits._
     val idType = index.listed.schema("nn_id").dataType
     val centRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     index.centIds.zipWithIndex.foreach { case (cid, i) =>
       centRows.add(org.apache.spark.sql.Row(i, cid, index.cents(i).toSeq))
     }
-    spark.createDataFrame(centRows, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ord",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("cent_id", idType,
-          nullable = false),
-        org.apache.spark.sql.types.StructField("vec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false),
-          nullable = false))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    import spark.implicits._
-    index.cb.zipWithIndex.flatMap { case (codes, j) =>
-      codes.zipWithIndex.map { case (sv, c) => (j, c, sv.toSeq) }
-    }.toSeq.toDF("j", "c", "subvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // three independent faces (disjoint subdirs; the two small ones
+    // are driver-local rows) — concurrent jobs per guide §2.6
+    graft.pipeline.DeltaRetract.inParallel(
+      () => index.listed.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/listed"),
+      () => spark.createDataFrame(centRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ord",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("cent_id", idType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField("vec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType,
+                containsNull = false),
+              nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+      () => index.cb.zipWithIndex.flatMap { case (codes, j) =>
+          codes.zipWithIndex.map { case (sv, c) => (j, c, sv.toSeq) }
+        }.toSeq.toDF("j", "c", "subvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook"))
   }
 
   /** Restore a [[saveIvfPqIndex]] artifact. The returned index serves
@@ -1470,29 +1475,40 @@ object Similarity {
     *
     * All parquet, no driver-format side-channel. */
   def saveNndIndex(index: NndIndex, path: String): Unit = {
-    index.refined.write.mode("overwrite").parquet(s"$path/refined")
-    index.seed.write.mode("overwrite").parquet(s"$path/seed")
-    index.quant.reps.write.mode("overwrite").parquet(s"$path/reps")
     val spark = index.refined.sparkSession
     import spark.implicits._
-    Seq(index.degree).toDF("degree")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idType = index.quant.reps.schema("rep_id").dataType
     val centRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     index.quant.centIds.zipWithIndex.foreach { case (cid, i) =>
       centRows.add(org.apache.spark.sql.Row(i, cid,
         index.quant.cents(i).toSeq))
     }
-    spark.createDataFrame(centRows, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ord",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("cent_id", idType,
-          nullable = false),
-        org.apache.spark.sql.types.StructField("vec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false),
-          nullable = false))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // the five faces are independent (disjoint subdirs; refined/seed
+    // consume only the index's already-materialized or deterministic
+    // lineage, exactly as they did written sequentially) — concurrent
+    // jobs per guide §2.6; the streaming maintain gate saves once per
+    // micro-batch, so the save's sequential latency was per-batch floor
+    graft.pipeline.DeltaRetract.inParallel(
+      () => index.refined.write.mode("overwrite")
+        .parquet(s"$path/refined"),
+      () => index.seed.write.mode("overwrite").parquet(s"$path/seed"),
+      () => index.quant.reps.write.mode("overwrite")
+        .parquet(s"$path/reps"),
+      () => Seq(index.degree).toDF("degree")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"),
+      () => spark.createDataFrame(centRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ord",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("cent_id", idType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField("vec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType,
+                containsNull = false),
+              nullable = false))))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids"))
   }
 
   /** Restore a [[saveNndIndex]] artifact; serving and appending from
