@@ -159,7 +159,7 @@ object DeltaRetract {
     * are awaited before returning — on failure the remaining legs
     * still complete (no write keeps running past the unwind) and the
     * first error is rethrown. */
-  private[pipeline] def inParallel(legs: (() => Unit)*): Unit =
+  private[graft] def inParallel(legs: (() => Unit)*): Unit =
     if (legs.sizeIs <= 1) legs.foreach(_.apply())
     else {
       import scala.concurrent.{Await, Future}

@@ -175,9 +175,13 @@ object CurationStream {
         // anti-join — materialize once, release after the writes
         val surv = retractSketch(prevSketch, batch).localCheckpoint(false)
         try {
-          surv.write.mode("overwrite").parquet(s"$outDir/sketch")
-          serveIndex(surv)
-            .write.mode("overwrite").parquet(s"$outDir/index")
+          // both faces consume the one checkpointed frame and write
+          // disjoint paths — concurrent jobs (guide §2.6)
+          graft.pipeline.DeltaRetract.inParallel(
+            () => surv.write.mode("overwrite")
+              .parquet(s"$outDir/sketch"),
+            () => serveIndex(surv)
+              .write.mode("overwrite").parquet(s"$outDir/index"))
         } finally { surv.unpersist(blocking = false); () }
     }
 
@@ -589,10 +593,16 @@ object CurationStream {
         // counts feed one and stay lazy
         val chunks = surv.chunks.localCheckpoint(false)
         try {
-          chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
-          surv.counts.write.mode("overwrite").parquet(s"$outDir/counts")
-          Multimodal.phashServingIndex(chunks, maxBucket)
-            .write.mode("overwrite").parquet(s"$outDir/index")
+          // three independent faces: two consume the checkpointed
+          // chunks, counts stays lazy off the predecessor's counts —
+          // disjoint output paths, concurrent jobs (guide §2.6)
+          graft.pipeline.DeltaRetract.inParallel(
+            () => chunks.write.mode("overwrite")
+              .parquet(s"$outDir/chunks"),
+            () => surv.counts.write.mode("overwrite")
+              .parquet(s"$outDir/counts"),
+            () => Multimodal.phashServingIndex(chunks, maxBucket)
+              .write.mode("overwrite").parquet(s"$outDir/index"))
         } finally { chunks.unpersist(blocking = false); () }
     }
 

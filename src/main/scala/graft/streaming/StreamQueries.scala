@@ -1221,13 +1221,19 @@ object StreamQueries {
         val labelsPrev = s.read.parquet(s"$out/art/$prev/labels")
         val pairsPrev = s.read.parquet(s"$out/art/$prev/pairs")
         val rem = batch.select(col("doc_id").as("rid"))
-        Dedup.componentsRetract(labelsPrev, pairsPrev, batch,
-            "doc_a", "doc_b")
-          .write.mode("overwrite").parquet(s"$out/art/$batchId/labels")
-        pairsPrev
-          .join(rem, col("doc_a") === col("rid"), "left_anti")
-          .join(rem, col("doc_b") === col("rid"), "left_anti")
-          .write.mode("overwrite").parquet(s"$out/art/$batchId/pairs")
+        // both faces read only the PREDECESSOR's persisted faces plus
+        // the batch, and write disjoint paths — concurrent jobs
+        // (guide §2.6)
+        graft.pipeline.DeltaRetract.inParallel(
+          () => Dedup.componentsRetract(labelsPrev, pairsPrev, batch,
+              "doc_a", "doc_b")
+            .write.mode("overwrite")
+            .parquet(s"$out/art/$batchId/labels"),
+          () => pairsPrev
+            .join(rem, col("doc_a") === col("rid"), "left_anti")
+            .join(rem, col("doc_b") === col("rid"), "left_anti")
+            .write.mode("overwrite")
+            .parquet(s"$out/art/$batchId/pairs"))
       }
       .option("checkpointLocation", s"$out/_cp").start()
     try {
