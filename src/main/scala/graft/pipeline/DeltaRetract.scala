@@ -155,21 +155,67 @@ object DeltaRetract {
   /** Run independent write legs as CONCURRENT Spark jobs (guide §2.6:
     * actions are only sequential because driver code calls them
     * sequentially). Callers guarantee the legs touch disjoint output
-    * paths and read only inputs persisted before the call. All legs
-    * are awaited before returning — on failure the remaining legs
-    * still complete (no write keeps running past the unwind) and the
-    * first error is rethrown. */
+    * paths and read only inputs persisted before the call.
+    *
+    * Threading contract (ADVICE r19): legs run on FRESH threads created
+    * by the calling thread, never a shared pool — SparkContext local
+    * properties (job group, scheduler pool, streaming-query group) are
+    * an InheritableThreadLocal, so a thread created here inherits the
+    * caller's properties and leg jobs stay cancellable with their
+    * parent query, where a reused pool thread carries whatever
+    * properties the thread that lazily created it had.
+    *
+    * Await contract: all legs are awaited before returning, but the
+    * wait is BOUNDED ([[legTimeoutS]], env-tunable) — a leg wedged in a
+    * hung job surfaces as a named TimeoutException instead of blocking
+    * a streaming micro-batch forever; the timed-out leg's write may
+    * still be running past the unwind, which is safe because the
+    * thrown error fails the batch and a replay overwrites every face.
+    * On failure the FIRST leg's error (leg order, deterministic) is
+    * rethrown with the others attached as suppressed. */
   private[graft] def inParallel(legs: (() => Unit)*): Unit =
+    inParallelTimed(legTimeoutS, legs: _*)
+
+  /** [[inParallel]] with the await bound injectable (spec hook — the
+    * production path always passes [[legTimeoutS]]). */
+  private[graft] def inParallelTimed(timeoutS: Long,
+      legs: (() => Unit)*): Unit =
     if (legs.sizeIs <= 1) legs.foreach(_.apply())
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fs = legs.map(l => Future(l()))
-      val errs = fs.flatMap(f =>
-        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
-      errs.foreach(throw _)
+      val errs = new Array[Option[Throwable]](legs.size)
+      val ts = legs.zipWithIndex.map { case (l, i) =>
+        errs(i) = None
+        val t = new Thread(() => {
+          try l() catch { case e: Throwable => errs(i) = Some(e) }
+        }, s"graft-face-leg-$i")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      val deadlineNs = System.nanoTime() + timeoutS * 1000000000L
+      ts.foreach { t =>
+        t.join(math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L))
+      }
+      val hung = ts.filter(_.isAlive).map(_.getName)
+      val all = errs.flatten.toSeq ++ (if (hung.isEmpty) Nil
+        else Seq(new java.util.concurrent.TimeoutException(
+          s"face-write legs still running after ${timeoutS}s: " +
+            hung.mkString(", ") + " — failing the batch; replay " +
+            "overwrites every face")))
+      all.headOption.foreach { first =>
+        all.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
     }
+
+  /** Bounded await for [[inParallel]] legs — generous (a leg is one
+    * delta-sized face write; minutes mean a wedged job, not a slow
+    * one), sized to sit inside any external harness budget, and
+    * env-tunable for cluster runs where a face write can legitimately
+    * take longer. */
+  private[graft] val legTimeoutS: Long =
+    sys.env.get("SPARK_GRAFT_LEG_TIMEOUT_S").map(_.toLong)
+      .getOrElse(600L).max(1L)
 
   /** Driver-side row count of a just-written parquet face — summed
     * from the part-file footers, no Spark job. Used for the per-batch
@@ -181,14 +227,25 @@ object DeltaRetract {
     val conf = sp.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).iterator
+    val files = fs.listStatus(p).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+      .toSeq
+    // a successfully written face always carries ≥ 1 schema-bearing
+    // part file (spec-pinned, DeltaRetractSpec) — zero matches means a
+    // partitioned/renamed layout this reader does not understand, and
+    // silently summing to 0 would flip the empty-batch guard into a
+    // fail-OPEN takedown (ADVICE r19); fail loudly instead
+    require(files.nonEmpty,
+      s"no .parquet data files directly under $path — the face was " +
+        "written with an unexpected layout (partitioned dirs or a " +
+        "committer that names files differently); the footer-count " +
+        "guard cannot read it and must not default to 0")
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** One takedown batch of the delta chain: write this batch's three
@@ -235,14 +292,17 @@ object DeltaRetract {
     // The guard reads the just-written face's parquet footers
     // driver-side — the same number `rids.isEmpty` computed, minus the
     // scheduled job it cost on every step (round 19, guide §1.2)
-    val batchDead = faceRowCount(sp, s"$artDir/$batchId/tombs") == 0L
+    val ridsN = faceRowCount(sp, s"$artDir/$batchId/tombs")
+    val batchDead = ridsN == 0L
     // decrements from the takedown docs' OWN postings — an id-keyed
-    // lookup into the base sketch (broadcast delta side; prunes to
-    // touched files under an id-bucketed layout), never a recount
+    // lookup into the base sketch (broadcast delta side while it is
+    // provably small; prunes to touched files under an id-bucketed
+    // layout), never a recount
     (if (batchDead)
       emptyLike(sp, baseSketch.groupBy(keyCs: _*)
         .agg(count(lit(1)).as("dec")))
-    else baseSketch.join(broadcast(rids), docId === col("rid"))
+    else baseSketch.join(broadcastIfSmall(rids, ridsN),
+        docId === col("rid"))
       .groupBy(keyCs: _*).agg(count(lit(1)).as("dec")))
       .write.mode("overwrite").parquet(s"$artDir/$batchId/statsdelta")
     val dec = sp.read.parquet(s"$artDir/$batchId/statsdelta")
@@ -257,20 +317,24 @@ object DeltaRetract {
     // cap-crossing keys: above the cap BEFORE this batch (build count
     // minus prior decrements), at-or-below it after — checked only for
     // keys this batch actually decremented
+    // the candidate cardinality is OBSERVED during the checkpoint job
+    // (round 20, ObservedProbe) — the short-circuit decision previously
+    // paid a second isEmpty job per step on every non-dead batch
     val candidates =
       if (batchDead) None
-      else Some(dec
-        .join(sp.read.parquet(s"$base/stats"), keyCols)
-        .join(priorDec, keyCols, "left")
-        .na.fill(0L, Seq("pdec"))
-        .filter(col("cnt") - col("pdec") > maxCnt &&
-          col("cnt") - col("pdec") - col("dec") <= maxCnt)
-        .select(keyCs: _*)
-        .localCheckpoint(true))
+      else Some(graft.ObservedProbe.checkpointWithCount(
+        dec
+          .join(sp.read.parquet(s"$base/stats"), keyCols)
+          .join(priorDec, keyCols, "left")
+          .na.fill(0L, Seq("pdec"))
+          .filter(col("cnt") - col("pdec") > maxCnt &&
+            col("cnt") - col("pdec") - col("dec") <= maxCnt)
+          .select(keyCs: _*),
+        count(lit(1)))(_.count()))
     val resurrect = candidates match {
-      case Some(cand) if !cand.isEmpty =>
+      case Some((cand, candN)) if candN > 0L =>
         val allTombs = priorTombs.unionAll(rids)
-        decorate(baseSketch.join(broadcast(cand), keyCols))
+        decorate(baseSketch.join(broadcastIfSmall(cand, candN), keyCols))
           .join(allTombs, docId === col("rid"), "left_anti")
           .select(idxCols.map(col): _*)
       case _ =>
@@ -279,9 +343,30 @@ object DeltaRetract {
     }
     resurrect.write.mode("overwrite")
       .parquet(s"$artDir/$batchId/resurrect")
-    candidates.foreach(_.unpersist(blocking = false))
+    candidates.foreach(_._1.unpersist(blocking = false))
     ()
   }
+
+  /** Broadcast-size guard for the chain delta joins (VERDICT r19 item
+    * 6): every base-face lookup broadcasts the DELTA side, which is
+    * correct while takedown/update batches are delta-sized — but an
+    * adversarially large batch (a bulk takedown of half the corpus)
+    * must not be forced through a driver-collected broadcast toward
+    * the hard 8 GB / 512M-row caps. `rows` is the already-known footer
+    * count of the persisted face (free — no job), so the guard costs
+    * nothing: at or under the threshold the plan keeps its broadcast
+    * hint; above it the hint is dropped and the planner (AQE at
+    * runtime) picks the strategy for a genuinely large side. The
+    * threshold is rows, not bytes, because the delta faces are
+    * narrow (an 8-byte id, or a ≤16-byte key tuple): 4M rows is tens
+    * of MB framed — two orders of magnitude inside the caps. */
+  private[pipeline] val maxBroadcastRows: Long =
+    sys.env.get("SPARK_GRAFT_MAX_BCAST_ROWS").map(_.toLong)
+      .getOrElse(4000000L)
+
+  private[pipeline] def broadcastIfSmall(df: DataFrame,
+      rows: Long): DataFrame =
+    if (rows <= maxBroadcastRows) broadcast(df) else df
 
   /** A zero-row DataFrame with `of`'s schema that plans NO scan —
     * `df.limit(0)` still carries the source in its plan and a write of

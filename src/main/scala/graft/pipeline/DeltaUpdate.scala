@@ -131,10 +131,13 @@ object DeltaUpdate {
         rows.groupBy(keyCs: _*).agg(lit(0L).as("delta")))
       // footer-count guard (round 19): the persisted updids face's
       // parquet footers already record the row count — reading them
-      // driver-side replaces the `rids.isEmpty` job every step paid
+      // driver-side replaces the `rids.isEmpty` job every step paid.
+      // The count also feeds the broadcast-size guard below (lastBid
+      // has at most one row per updated id).
+      val ridsN = DeltaRetract.faceRowCount(sp,
+        s"$artDir/$batchId/updids")
       val delta =
-        if (DeltaRetract.faceRowCount(sp,
-            s"$artDir/$batchId/updids") == 0L) deltaSchema
+        if (ridsN == 0L) deltaSchema
         else {
           // the updated docs' CURRENT postings: base rows for docs
           // never updated before, else their latest prior newrows face
@@ -161,12 +164,14 @@ object DeltaUpdate {
               lb
             }
           val fromBase = sp.read.parquet(s"$base/sketch")
-            .join(broadcast(lastBid.filter(col("lb").isNull)
-              .select("rid")), docId === col("rid"))
+            .join(DeltaRetract.broadcastIfSmall(
+              lastBid.filter(col("lb").isNull).select("rid"), ridsN),
+              docId === col("rid"))
           val fromPrior =
             if (batchId == 0L) DeltaRetract.emptyLike(sp, rows)
             else priorNewWithBid(sp, artDir, batchId)
-              .join(broadcast(lastBid.filter(col("lb").isNotNull)),
+              .join(DeltaRetract.broadcastIfSmall(
+                lastBid.filter(col("lb").isNotNull), ridsN),
                 docId === col("rid") && col("nbid") === col("lb"))
           val dec = fromBase.select(keyCs: _*)
             .unionByName(fromPrior.select(keyCs: _*))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{ObservedProbe, QueryDef, Tables}
 
 /** Graph analytics over fixture-derived graphs: integer-exact PageRank.
   * Complements the distributed connected components in
@@ -138,13 +138,14 @@ object Graph {
     *
     * Each step localCheckpoints its (node-cardinality) rank table —
     * lineage truncation so round N's plan doesn't replay rounds 1..N−1
-    * (on a cluster: `checkpoint` to reliable storage) — then pays ONE
-    * narrow action for the convergence probe: a `limit(1)` count over
-    * changed rows, which short-circuits at the first difference. That
-    * per-round action is the price of convergence-driven iteration;
-    * production runs amortize it by probing every few rounds (pass the
-    * budget via `maxIters` and re-enter). The node universe is `nodes`
-    * ∪ edge endpoints, the [[labelPropagate]] closure contract. */
+    * (on a cluster: `checkpoint` to reliable storage) — and the
+    * convergence probe (changed-row count) rides THAT job via
+    * `Dataset.observe` ([[graft.ObservedProbe]], round 20): the
+    * checkpoint scan sees every row anyway, so the probe costs no
+    * scheduled job of its own. Production runs amortize further by
+    * probing every few rounds (pass the budget via `maxIters` and
+    * re-enter). The node universe is `nodes` ∪ edge endpoints, the
+    * [[labelPropagate]] closure contract. */
   def pageRankFixpoint(edges: DataFrame, nodes: DataFrame,
       maxIters: Int): DataFrame = {
     require(maxIters >= 1 && maxIters <= 128,
@@ -191,8 +192,15 @@ object Graph {
     var converged = false
     while (!converged && iters < maxIters) {
       val prev = r
-      val next = prRound(e, deg, r, "pr", "nxt").localCheckpoint(true)
-      converged = next.filter(col("nxt") =!= col("pr")).limit(1).isEmpty
+      // convergence probe FUSED into the round's one materialization job
+      // (round 20, ObservedProbe): the changed-row count is observed
+      // during the checkpoint scan instead of a second scheduled job per
+      // round — same decision (count == 0 ⇔ the old limit(1).isEmpty)
+      val (next, changed) = ObservedProbe.checkpointWithCount(
+        prRound(e, deg, r, "pr", "nxt"),
+        count(when(col("nxt") =!= col("pr"), lit(1))))(cp =>
+        if (cp.filter(col("nxt") =!= col("pr")).limit(1).isEmpty) 0L else 1L)
+      converged = changed == 0L
       iters += 1
       r = next.select(col("id"), col("nxt").as("pr"))
       prev.unpersist(blocking = false)
@@ -243,13 +251,16 @@ object Graph {
         .join(deg, "src")
         .select(col("dst"), expr("(pr * 7) div (8 * dg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
-      val next = r.join(contrib, r("id") === contrib("dst"), "left")
-        .withColumn("nxt",
-          when(col("is_seed"), lit(125000L)).otherwise(lit(0L)) +
-            coalesce(col("m"), lit(0L)))
-        .drop("dst", "m")
-        .localCheckpoint(true)
-      converged = next.filter(col("nxt") =!= col("pr")).limit(1).isEmpty
+      // probe fused into the checkpoint job — see prLoopResult
+      val (next, changed) = ObservedProbe.checkpointWithCount(
+        r.join(contrib, r("id") === contrib("dst"), "left")
+          .withColumn("nxt",
+            when(col("is_seed"), lit(125000L)).otherwise(lit(0L)) +
+              coalesce(col("m"), lit(0L)))
+          .drop("dst", "m"),
+        count(when(col("nxt") =!= col("pr"), lit(1))))(cp =>
+        if (cp.filter(col("nxt") =!= col("pr")).limit(1).isEmpty) 0L else 1L)
+      converged = changed == 0L
       iters += 1
       r = next.select(col("id"), col("is_seed"), col("nxt").as("pr"))
       prev.unpersist(blocking = false)
@@ -308,8 +319,12 @@ object Graph {
     var converged = false
     while (!converged && rounds < maxRounds) {
       val prev = lab
-      val next = lpaRound(e, lab, "lbl", "nxt").localCheckpoint(true)
-      converged = next.filter(col("nxt") =!= col("lbl")).limit(1).isEmpty
+      // probe fused into the checkpoint job — see prLoopResult
+      val (next, changed) = ObservedProbe.checkpointWithCount(
+        lpaRound(e, lab, "lbl", "nxt"),
+        count(when(col("nxt") =!= col("lbl"), lit(1))))(cp =>
+        if (cp.filter(col("nxt") =!= col("lbl")).limit(1).isEmpty) 0L else 1L)
+      converged = changed == 0L
       rounds += 1
       lab = next.select(col("id"), col("nxt").as("lbl"))
       prev.unpersist(blocking = false)
@@ -543,8 +558,9 @@ object Graph {
     * convergence probe is an EDGE-COUNT comparison — each round's edge
     * set is nested in its predecessor's, so equal cardinality implies
     * equal sets, and an unchanged edge set means unchanged degrees,
-    * hence a fixpoint: one `count()` scan of the just-checkpointed
-    * list, no exchange, cheaper than even the row-diff probe the
+    * hence a fixpoint: a cardinality observed DURING the round's
+    * checkpoint job ([[graft.ObservedProbe]]), no exchange and no
+    * separate probe job, cheaper than even the row-diff probe the
     * non-monotone faces need. Returns the core's nodes with their
     * in-core degree plus (rounds_run, converged); `converged = false`
     * means the budget ran out and the result is a SUPERSET of the true
@@ -560,21 +576,25 @@ object Graph {
     require(k >= 1, s"k-core wants k >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 128,
       s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var nEdges = e.count()
+    // edge-count probes FUSED into the checkpoint jobs (round 20,
+    // ObservedProbe): the cardinality compare is observed during each
+    // round's one materialization scan instead of a count() job after it
+    val (e0, n0) = ObservedProbe.checkpointWithCount(
+      edges.select(col("src"), col("dst")), count(lit(1)))(_.count())
+    var e = e0
+    var nEdges = n0
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val prev = e
       val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
       val survivors = deg.filter(col("dg") >= k).select("src")
-      val next = e
-        .join(survivors, Seq("src"), "left_semi")
-        .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"),
-          "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val nNext = next.count()
+      val (next, nNext) = ObservedProbe.checkpointWithCount(
+        e.join(survivors, Seq("src"), "left_semi")
+          .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"),
+            "left_semi")
+          .select(col("src"), col("dst")),
+        count(lit(1)))(_.count())
       rounds += 1
       // monotone peel: nested edge sets, so unchanged edge COUNT ⇔
       // unchanged edge set ⇔ unchanged degrees ⇔ fixpoint
@@ -623,10 +643,13 @@ object Graph {
     require(k >= 3, s"k-truss wants k >= 3, got $k")
     require(maxRounds >= 1 && maxRounds <= 128,
       s"fixpoint peeling wants 1..128 max rounds, got $maxRounds")
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint(true)
-    var nEdges = e.count()
+    // count probes fused into the checkpoint jobs — see kCore
+    val (e0, n0) = ObservedProbe.checkpointWithCount(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") < col("dst")).distinct(),
+      count(lit(1)))(_.count())
+    var e = e0
+    var nEdges = n0
     var rounds = 0
     var converged = false
     // `pinned` tracks the one checkpointed DataFrame backing the loop
@@ -635,9 +658,10 @@ object Graph {
     var support = e.select(col("src"), col("dst"), lit(0L).as("support"))
     while (!converged && rounds < maxRounds) {
       val prev = pinned
-      support = edgeSupport(e).filter(col("support") >= k - 2)
-        .localCheckpoint(true)
-      val nNext = support.count()
+      val (sup, nNext) = ObservedProbe.checkpointWithCount(
+        edgeSupport(e).filter(col("support") >= k - 2),
+        count(lit(1)))(_.count())
+      support = sup
       rounds += 1
       // monotone peel: nested edge sets, so unchanged edge COUNT ⇔
       // unchanged edge set ⇔ unchanged supports ⇔ fixpoint
@@ -708,10 +732,13 @@ object Graph {
     require(maxRounds >= 1 && maxRounds <= 128,
       s"fixpoint expansion wants 1..128 max rounds, got $maxRounds")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var visited = seeds.select(col("id")).distinct()
-      .withColumn("level", lit(0)).localCheckpoint(true)
+    // count probes fused into the checkpoint jobs — see kCore
+    val (v0, n0) = ObservedProbe.checkpointWithCount(
+      seeds.select(col("id")).distinct().withColumn("level", lit(0)),
+      count(lit(1)))(_.count())
+    var visited = v0
     var frontier = visited.select(col("id"))
-    var nVisited = visited.count()
+    var nVisited = n0
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -721,8 +748,9 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("level", lit(rounds + 1))
-      visited = visited.unionAll(next).localCheckpoint(true)
-      val nNext = visited.count()
+      val (vNext, nNext) = ObservedProbe.checkpointWithCount(
+        visited.unionAll(next), count(lit(1)))(_.count())
+      visited = vNext
       rounds += 1
       // monotone growth: unchanged visited COUNT ⇔ empty frontier ⇔
       // fixpoint (an empty frontier can never repopulate)
@@ -1408,25 +1436,30 @@ object GraphQueries {
     * whole-run view; q64 the resumed-leg view of the SAME trajectory —
     * the resume equivalence is exactly that one chain serves both. */
   private def lpaChainCtes(k: Int): String = {
+    // every l_{i-1} is referenced ~3× by round i (w_i, l_i, c_i) —
+    // without MATERIALIZED, DuckDB inlines the references and the
+    // 6-level chain re-evaluates ~3^6-fold (the q66 lesson, measured
+    // here too in round 20: q62/q64 oracle walls 26.7/21.9 s → ~0.1 s
+    // with the hint, results bit-identical)
     val rounds = (1 to k).map { i =>
-      s"""w$i AS (
+      s"""w$i AS MATERIALIZED (
          |  SELECT dst, nl AS wl FROM (
          |    SELECT e.dst, l${i - 1}.lbl AS nl, COUNT(*) AS v,
          |      ROW_NUMBER() OVER (PARTITION BY e.dst
          |        ORDER BY COUNT(*) DESC, l${i - 1}.lbl) AS rn
          |    FROM e JOIN l${i - 1} ON l${i - 1}.id = e.src
          |    GROUP BY e.dst, l${i - 1}.lbl) WHERE rn = 1),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT l${i - 1}.id, COALESCE(w$i.wl, l${i - 1}.lbl) AS lbl
          |  FROM l${i - 1} LEFT JOIN w$i ON w$i.dst = l${i - 1}.id),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT COUNT(*) AS c FROM l${i - 1} a JOIN l$i b USING (id)
          |  WHERE a.lbl <> b.lbl)"""
     }.mkString(",\n")
-    s"""ev AS (
+    s"""ev AS MATERIALIZED (
        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
        |  FROM events WHERE user_id % 2 = 0),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
        |  FROM ev a JOIN ev b USING (h, event_type)
        |  WHERE a.user_id <> b.user_id),
@@ -1469,22 +1502,24 @@ object GraphQueries {
     * 1..k with changed-row counts; shared by q63 (whole run) and q65
     * (resumed-leg view of the same trajectory). */
   private def prChainCtes(k: Int): String = {
+    // r_{i-1} is referenced 3× by round i — MATERIALIZED for the same
+    // inlining-blowup reason as lpaChainCtes (3^k re-evaluation)
     val rounds = (1 to k).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id, 125000 + COALESCE(s.m, 0) AS pr
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id,
          |      CAST(SUM((r${i - 1}.pr * 7) // (8 * deg.dg)) AS BIGINT) AS m
          |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
          |    GROUP BY e.dst) s USING (id)),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT COUNT(*) AS c FROM r${i - 1} a JOIN r$i b USING (id)
          |  WHERE a.pr <> b.pr)"""
     }.mkString(",\n")
-    s"""ev AS (
+    s"""ev AS MATERIALIZED (
        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
        |  FROM events WHERE user_id % 2 = 0),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
        |  FROM ev a JOIN ev b USING (h, event_type)
        |  WHERE a.user_id <> b.user_id),
@@ -1644,24 +1679,25 @@ object GraphQueries {
   private val q67Oracle: String = {
     val k = q67Iters
     val base = "CASE WHEN n.id % 16 = 0 THEN 125000 ELSE 0 END"
+    // MATERIALIZED per round — the prChainCtes inlining-blowup rationale
     val rounds = (1 to k).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id, $base + COALESCE(s.m, 0) AS pr
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id,
          |      CAST(SUM((r${i - 1}.pr * 7) // (8 * deg.dg)) AS BIGINT) AS m
          |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
          |    GROUP BY e.dst) s USING (id)),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT COUNT(*) AS c FROM r${i - 1} a JOIN r$i b USING (id)
          |  WHERE a.pr <> b.pr)"""
     }.mkString(",\n")
     val arms = (1 to k)
       .map(i => s"WHEN (SELECT c FROM c$i) = 0 THEN $i").mkString(" ")
-    s"""WITH ev AS (
+    s"""WITH ev AS MATERIALIZED (
        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
        |  FROM events WHERE user_id % 2 = 0),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
        |  FROM ev a JOIN ev b USING (h, event_type)
        |  WHERE a.user_id <> b.user_id),

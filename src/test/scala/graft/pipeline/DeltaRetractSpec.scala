@@ -406,4 +406,90 @@ class DeltaRetractSpec extends SparkSpec {
     assert(survivor.get,
       "the surviving leg must complete before the error is rethrown")
   }
+
+  // round-20 hardening (ADVICE r19): the await is bounded — a wedged
+  // leg surfaces as a named TimeoutException instead of blocking the
+  // enclosing micro-batch forever
+  test("inParallel: a wedged leg times out as a named error; finished " +
+      "legs' results stand") {
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      DeltaRetract.inParallelTimed(1L,
+        () => finished.set(true),
+        () => release.await()) // wedged until released below
+    }
+    assert(e.getMessage.contains("still running after 1s"))
+    assert(finished.get, "the healthy leg completed inside the bound")
+    release.countDown() // unwedge the daemon leg before the suite moves on
+  }
+
+  // round-20 hardening (ADVICE r19): multi-leg failures keep their
+  // evidence — the first leg's error (leg order) carries the rest as
+  // suppressed
+  test("inParallel: multi-leg failure rethrows the first leg's error " +
+      "with the others suppressed") {
+    val e = intercept[RuntimeException] {
+      DeltaRetract.inParallel(
+        () => { Thread.sleep(50); throw new RuntimeException("first") },
+        () => throw new IllegalStateException("second"))
+    }
+    assert(e.getMessage === "first",
+      "leg ORDER, not completion order, picks the rethrown error")
+    assert(e.getSuppressed.map(_.getMessage).toSeq === Seq("second"))
+  }
+
+  // round-20 hardening (ADVICE r19): legs run on FRESH threads, so the
+  // caller's Spark local properties (job group & co, an
+  // InheritableThreadLocal) are visible to leg jobs — the shared-pool
+  // execution this replaces could run legs under a stale or missing
+  // group, making query cancellation miss in-flight face writes
+  test("inParallel: legs inherit the calling thread's Spark local " +
+      "properties") {
+    val key = "graft.test.inparallel.prop"
+    spark.sparkContext.setLocalProperty(key, "from-caller")
+    try {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      DeltaRetract.inParallel(
+        () => seen.add(String.valueOf(
+          spark.sparkContext.getLocalProperty(key))),
+        () => seen.add(String.valueOf(
+          spark.sparkContext.getLocalProperty(key))))
+      assert(seen.toArray.toSeq === Seq("from-caller", "from-caller"))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+  }
+
+  // round-20 hardening (ADVICE r19): zero matching data files must fail
+  // loudly — summing an empty listing to 0 would flip the empty-batch
+  // guard into a fail-open takedown on a face written with an
+  // unexpected layout
+  test("faceRowCount: refuses a face dir with no top-level .parquet " +
+      "files instead of reading it as empty") {
+    val dir = tmpDir("graft_facecount_refuse")
+    new java.io.File(s"$dir/noface").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      DeltaRetract.faceRowCount(spark, s"$dir/noface")
+    }
+    assert(e.getMessage.contains("no .parquet data files"))
+  }
+
+  // round-20: the broadcast-size guard keeps the delta-side hint while
+  // the persisted face is provably small and drops it above the
+  // threshold (adversarially large takedown batches must not be forced
+  // through a driver-collected broadcast)
+  test("broadcastIfSmall: hints at or under the row threshold, plans " +
+      "unhinted above it") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("rid")
+    def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.logical.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint
+          => h
+        case j: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          => j
+      }.nonEmpty
+    assert(hinted(DeltaRetract.broadcastIfSmall(df, 2L)))
+    assert(!hinted(
+      DeltaRetract.broadcastIfSmall(df, DeltaRetract.maxBroadcastRows + 1)))
+  }
 }
