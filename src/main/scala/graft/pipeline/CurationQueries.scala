@@ -1218,7 +1218,7 @@ object CurationQueries {
     Dedup.shingleDeltaBase(s, d.filter(!isNew), "text", "doc_id",
       s"$out/a/init", k = 5, maxDf = 100)
     val deco = (baseDir: String) => (rows: DataFrame) =>
-      rows.join(s.read.parquet(s"$baseDir/sizes"), "id")
+      rows.join(graft.pipeline.DeltaRetract.readFace(s, Seq(s"$baseDir/sizes")), "id")
     DeltaRetract.step(s, s"$out/a", "init", 0L,
       takedown.filter(col("doc_id") % 2 === 1), Seq("shingle_k5"),
       100, deco(s"$out/a/init"))

@@ -743,7 +743,7 @@ object Dedup {
   def shingleUpdateServing(sp: SparkSession, artDir: String,
       initName: String, upTo: Long, k: Int = 5,
       maxDf: Int = 100): DataFrame = {
-    val curSizes = sp.read.parquet(s"$artDir/$initName/sizes")
+    val curSizes = graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/sizes"))
       .join(DeltaUpdate.updatedDocs(sp, artDir, upTo),
         col("id") === col("rid"), "left_anti")
       .unionByName(DeltaUpdate.latestRows(sp, artDir, upTo)
@@ -786,7 +786,7 @@ object Dedup {
     // the same concurrent batch
     DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
       Seq(s"shingle_k$k"), extraFaces = Seq(
-        _ => sp.read.parquet(s"$artDir/$initName/sizes")
+        _ => graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/sizes"))
           .join(DeltaRetract.tombstones(sp, artDir, upTo),
             col("id") === col("rid"), "left_anti")
           .write.mode("overwrite").parquet(s"$newBaseDir/sizes"),

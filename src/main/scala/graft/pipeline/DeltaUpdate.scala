@@ -118,8 +118,10 @@ object DeltaUpdate {
         .write.mode("overwrite").parquet(s"$artDir/$batchId/updids"),
       () => newRows.write.mode("overwrite")
         .parquet(s"$artDir/$batchId/newrows"))
-    val rids = sp.read.parquet(s"$artDir/$batchId/updids")
-    val rows = sp.read.parquet(s"$artDir/$batchId/newrows")
+    // face reads pass the footer schema (DeltaRetract.readFace) — no
+    // per-call footer-inference job
+    val rids = DeltaRetract.readFace(sp, Seq(s"$artDir/$batchId/updids"))
+    val rows = DeltaRetract.readFace(sp, Seq(s"$artDir/$batchId/newrows"))
     // at most ONE pinned frame survives the refactor: the batch>0
     // lastBid checkpoint (faces are persisted parquet now)
     var pinnedLastBid: Option[DataFrame] = None
@@ -163,7 +165,7 @@ object DeltaUpdate {
               pinnedLastBid = Some(lb)
               lb
             }
-          val fromBase = sp.read.parquet(s"$base/sketch")
+          val fromBase = DeltaRetract.readFace(sp, Seq(s"$base/sketch"))
             .join(DeltaRetract.broadcastIfSmall(
               lastBid.filter(col("lb").isNull).select("rid"), ridsN),
               docId === col("rid"))
@@ -201,22 +203,37 @@ object DeltaUpdate {
     * maps surviving SKETCH-shaped rows (re-admitted base rows plus the
     * updated docs' latest rows) to serving-index-shaped rows — the
     * shingle family joins its CURRENT per-doc sizes on; families whose
-    * sketch rows are serving-shaped pass identity. Pure-lazy like
-    * [[DeltaRetract.servingView]] (no pinned blocks to leak into a
-    * long-running session); the delta-sized frames recompute per
-    * consumer, which is exactly the cost class they were designed to
-    * be. Row-identical to the family recount (the spec-pinned
-    * equivalence). */
+    * sketch rows are serving-shaped pass identity. Row-identical to
+    * the family recount (the spec-pinned equivalence).
+    *
+    * The two delta-sized frames the legs SHARE — the updated-doc set
+    * (consumed by legs A and B) and the touched-key current counts
+    * (overNow feeds legs A and C, readmit feeds leg B and its
+    * skip-guard) — are materialized ONCE as eager localCheckpoints
+    * (round 20, guide §1.2): the previous pure-lazy shape re-ran each
+    * frame's whole sub-plan per consumer, and the assembled probe paid
+    * ~3× the delta aggregates plus a dedicated isEmpty job tree —
+    * ~44 of s31's 106 jobs were this one probe. The readmit
+    * cardinality now rides the counts checkpoint via
+    * [[graft.ObservedProbe]], so the leg-B skip decision costs no job
+    * at all. Pinned footprint: two delta-sized frames per probe,
+    * released by the caller's session sweep (the Verify/Bench
+    * contract) — a long-running serving process issuing unbounded
+    * probes should unpersist between probes the same way. */
   def servingView(sp: SparkSession, artDir: String, initName: String,
       upTo: Long, keyCols: Seq[String], maxCnt: Int,
       docId: Column = col("id"))(
       decorate: DataFrame => DataFrame): DataFrame = {
     val base = s"$artDir/$initName"
-    val idx = sp.read.parquet(s"$base/index")
+    val idx = DeltaRetract.readFace(sp, Seq(s"$base/index"))
     val idxCols = idx.columns.toSeq
     val keyCs = keyCols.map(col)
-    val updDocs = updatedDocs(sp, artDir, upTo)
-    val cur = currentCounts(sp, artDir, initName, upTo, keyCols)
+    val updDocs = updatedDocs(sp, artDir, upTo).localCheckpoint(true)
+    val (cur, readmitN) = graft.ObservedProbe.checkpointWithCount(
+      currentCounts(sp, artDir, initName, upTo, keyCols),
+      count(when(col("cnt") > maxCnt && col("curCnt") <= maxCnt,
+        lit(1))))(cp =>
+      cp.filter(col("cnt") > maxCnt && col("curCnt") <= maxCnt).count())
     val overNow = cur.filter(col("curCnt") > maxCnt).select(keyCs: _*)
     val readmit = cur
       .filter(col("cnt") > maxCnt && col("curCnt") <= maxCnt)
@@ -231,12 +248,12 @@ object DeltaUpdate {
       .select(idxCols.map(col): _*)
     // the one base-sketch scan, skipped when no key re-admits (the
     // common case — re-admission needs an update that DROPS enough
-    // carriers of a build-capped key); the isEmpty probe itself runs
-    // only delta-sized aggregates plus a map-side stats scan
+    // carriers of a build-capped key); the skip decision is the
+    // observed readmit cardinality above — no probe job
     val b =
-      if (readmit.isEmpty)
-        DeltaRetract.emptyLike(sp, sp.read.parquet(s"$base/sketch"))
-      else sp.read.parquet(s"$base/sketch")
+      if (readmitN == 0L)
+        DeltaRetract.emptyFace(sp, s"$base/sketch")
+      else DeltaRetract.readFace(sp, Seq(s"$base/sketch"))
         .join(broadcast(readmit), keyCols)
         .join(updDocs, docId === col("rid"), "left_anti")
     val c = latestRows(sp, artDir, upTo, docId)
@@ -254,11 +271,12 @@ object DeltaUpdate {
   private def currentCounts(sp: SparkSession, artDir: String,
       initName: String, upTo: Long, keyCols: Seq[String]): DataFrame = {
     val keyCs = keyCols.map(col)
-    val dd = sp.read.parquet(
-        DeltaRetract.facePaths(sp, artDir, "statsdelta", 0L to upTo): _*)
+    val dd = DeltaRetract.readFace(sp,
+        DeltaRetract.facePaths(sp, artDir, "statsdelta", 0L to upTo))
       .groupBy(keyCs: _*).agg(sum("delta").as("dd"))
     val known = broadcast(dd)
-      .join(sp.read.parquet(s"$artDir/$initName/stats"), keyCols)
+      .join(DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/stats")),
+        keyCols)
     // keys with no build count (introduced by a new version): cnt 0 —
     // the anti-join's right side is the already-small `known`
     val fresh = dd.join(known.select(keyCs: _*), keyCols, "left_anti")
@@ -293,7 +311,7 @@ object DeltaUpdate {
       docId: Column = col("id"),
       extraFaces: Seq[DataFrame => Unit] = Nil)(
       serveIndex: DataFrame => DataFrame): DataFrame = {
-    val cur = sp.read.parquet(s"$artDir/$initName/sketch")
+    val cur = DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/sketch"))
       .join(updatedDocs(sp, artDir, upTo), docId === col("rid"),
         "left_anti")
       .unionByName(latestRows(sp, artDir, upTo, docId))
@@ -354,8 +372,8 @@ object DeltaUpdate {
     * — the set whose BASE rows are superseded. */
   def updatedDocs(sp: SparkSession, artDir: String,
       upTo: Long): DataFrame =
-    sp.read.parquet(
-        DeltaRetract.facePaths(sp, artDir, "updids", 0L to upTo): _*)
+    DeltaRetract.readFace(sp,
+        DeltaRetract.facePaths(sp, artDir, "updids", 0L to upTo))
       .distinct()
 
   /** The updated docs' CURRENT sketch rows: each doc's newrows face
@@ -377,19 +395,29 @@ object DeltaUpdate {
   // with its batch id (a parquet multi-path read loses provenance, and
   // "latest version per doc" needs it). Callers guarantee before >= 1;
   // step's batch-0 path never reads prior faces.
+  // One footer-schema read serves the whole loop (the faces of one
+  // kind share a schema by construction): the per-batch
+  // `sp.read.parquet` calls here each paid a footer-inference job, ×2
+  // face kinds × every serving-view consumer — the single largest
+  // scheduled-job source the round-20 census found in the chains.
   private def priorUpdatedWithBid(sp: SparkSession, artDir: String,
-      before: Long): DataFrame =
-    (0L until before).map { i =>
-      sp.read.parquet(DeltaRetract.facePaths(sp, artDir, "updids",
-          Seq(i)): _*)
-        .select(col("rid").as("prid"), lit(i).as("pbid"))
+      before: Long): DataFrame = {
+    val paths = DeltaRetract.facePaths(sp, artDir, "updids",
+      0L until before)
+    val schema = DeltaRetract.faceSchema(sp, paths.head)
+    paths.zipWithIndex.map { case (p, i) =>
+      sp.read.schema(schema).parquet(p)
+        .select(col("rid").as("prid"), lit(i.toLong).as("pbid"))
     }.reduce(_ unionByName _)
+  }
 
   private def priorNewWithBid(sp: SparkSession, artDir: String,
-      before: Long): DataFrame =
-    (0L until before).map { i =>
-      sp.read.parquet(DeltaRetract.facePaths(sp, artDir, "newrows",
-          Seq(i)): _*)
-        .withColumn("nbid", lit(i))
+      before: Long): DataFrame = {
+    val paths = DeltaRetract.facePaths(sp, artDir, "newrows",
+      0L until before)
+    val schema = DeltaRetract.faceSchema(sp, paths.head)
+    paths.zipWithIndex.map { case (p, i) =>
+      sp.read.schema(schema).parquet(p).withColumn("nbid", lit(i.toLong))
     }.reduce(_ unionByName _)
+  }
 }

@@ -652,7 +652,7 @@ object Multimodal {
     VideoIndex(
       DeltaRetract.servingView(sp, artDir, initName, upTo,
         docId = expr("id div 65536")),
-      sp.read.parquet(s"$artDir/$initName/counts")
+      graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/counts"))
         .join(tombs, col("doc_id") === col("rid"), "left_anti"))
   }
 
@@ -679,7 +679,7 @@ object Multimodal {
       initName: String, upTo: Long, maxBucket: Int = 100): VideoIndex = {
     val docHalf = expr("id div 65536")
     val updDocs = DeltaUpdate.updatedDocs(sp, artDir, upTo)
-    val curCounts = sp.read.parquet(s"$artDir/$initName/counts")
+    val curCounts = graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/counts"))
       .join(updDocs, col("doc_id") === col("rid"), "left_anti")
       .unionByName(DeltaUpdate.latestRows(sp, artDir, upTo, docHalf)
         .select(docHalf.as("doc_id"), col("id")).distinct()
@@ -730,7 +730,7 @@ object Multimodal {
     // tombstones — independent of every new-base face
     DeltaRetract.compact(sp, artDir, initName, upTo, newBaseDir,
       Seq("chunk", "chunk_val"), expr("id div 65536"), extraFaces = Seq(
-        _ => sp.read.parquet(s"$artDir/$initName/counts")
+        _ => graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$artDir/$initName/counts"))
           .join(DeltaRetract.tombstones(sp, artDir, upTo),
             col("doc_id") === col("rid"), "left_anti")
           .write.mode("overwrite").parquet(s"$newBaseDir/counts"),

@@ -720,11 +720,11 @@ object Similarity {
     * shape, loaded in a fresh session. */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndex = {
-    val centRows = spark.read.parquet(s"$path/centroids")
+    val centRows = graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/centroids"))
       .orderBy("ord").collect()
     val centIds: Array[Any] = centRows.map(_.get(1))
     val cents = centRows.map(_.getSeq[Double](2).toArray)
-    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+    val cbRows = graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/codebook")).collect()
     val m = cbRows.map(_.getInt(0)).max + 1
     val ksub = cbRows.map(_.getInt(1)).max + 1
     val cb = Array.ofDim[Array[Double]](m, ksub)
@@ -1516,14 +1516,14 @@ object Similarity {
     * (spec-asserted in a fresh session). */
   def loadNndIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): NndIndex = {
-    val centRows = spark.read.parquet(s"$path/centroids")
+    val centRows = graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/centroids"))
       .orderBy("ord").collect()
     val quant = NndQuantizer(centRows.map(_.get(1)),
       centRows.map(_.getSeq[Double](2).toArray),
-      spark.read.parquet(s"$path/reps"))
-    NndIndex(quant, spark.read.parquet(s"$path/seed"),
-      spark.read.parquet(s"$path/refined"),
-      spark.read.parquet(s"$path/meta").head.getInt(0))
+      graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/reps")))
+    NndIndex(quant, graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/seed")),
+      graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/refined")),
+      graft.pipeline.DeltaRetract.readFace(spark, Seq(s"$path/meta")).head.getInt(0))
   }
 
   /** [[nnDescentAppend]] at the artifact level: returns the index for

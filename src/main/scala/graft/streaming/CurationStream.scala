@@ -170,7 +170,7 @@ object CurationStream {
       serveIndex: DataFrame => DataFrame): DataStreamWriter[Row] =
     retractChainCore(takedowns, artDir, initName, checkpoint) {
       (sp, batch, prevDir, outDir) =>
-        val prevSketch = sp.read.parquet(s"$prevDir/sketch")
+        val prevSketch = graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$prevDir/sketch"))
         // two consumers (persisted sketch + derived index) of one
         // anti-join — materialize once, release after the writes
         val surv = retractSketch(prevSketch, batch).localCheckpoint(false)
@@ -243,7 +243,7 @@ object CurationStream {
         graft.pipeline.Dedup.shingleDeltaCompact(sp, genDir, initName,
           upTo, newBase, k, maxDf)
       }) { (sp, base, rows) =>
-      rows.join(sp.read.parquet(s"$base/$initName/sizes"), "id")
+      rows.join(graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$base/$initName/sizes")), "id")
     }
 
   /** The O(delta) successor of [[hashRetractSink]] — the image/audio
@@ -586,8 +586,8 @@ object CurationStream {
       (sp, batch, prevDir, outDir) =>
         import graft.pipeline.Multimodal
         val prev = Multimodal.VideoIndex(
-          sp.read.parquet(s"$prevDir/chunks"),
-          sp.read.parquet(s"$prevDir/counts"))
+          graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$prevDir/chunks")),
+          graft.pipeline.DeltaRetract.readFace(sp, Seq(s"$prevDir/counts")))
         val surv = Multimodal.videoSketchRetract(prev, batch)
         // chunks feed two writes (sketch + derived capped index);
         // counts feed one and stay lazy

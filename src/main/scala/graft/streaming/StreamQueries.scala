@@ -903,7 +903,7 @@ object StreamQueries {
       feedInTerciles(input, q, rows.toSeq, (r: (Long, Seq[Double])) => r._1)
     } finally q.stop()
     val last = lastBatchId(s"$out/idx")
-    val result = s.read.parquet(s"$out/idx/$last/refined")
+    val result = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/idx/$last/refined"))
       .filter(col("node") < 25)
       .orderBy("node", "rank")
       .localCheckpoint(true)
@@ -1218,8 +1218,8 @@ object StreamQueries {
     val q = input.toDF().toDF("doc_id").writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev = if (batchId == 0L) "init" else (batchId - 1).toString
-        val labelsPrev = s.read.parquet(s"$out/art/$prev/labels")
-        val pairsPrev = s.read.parquet(s"$out/art/$prev/pairs")
+        val labelsPrev = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$prev/labels"))
+        val pairsPrev = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$prev/pairs"))
         val rem = batch.select(col("doc_id").as("rid"))
         // both faces read only the PREDECESSOR's persisted faces plus
         // the batch, and write disjoint paths — concurrent jobs
@@ -1240,7 +1240,7 @@ object StreamQueries {
       feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
-    val result = s.read.parquet(s"$out/art/$last/labels")
+    val result = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/labels"))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
       .localCheckpoint(true)
@@ -1289,7 +1289,7 @@ object StreamQueries {
       feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
-    val idx = s.read.parquet(s"$out/art/$last/index")
+    val idx = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/index"))
     Multimodal.phashProbePairs(
         Multimodal.dHash(media.filter(isNew)), idx, maxHamming = 3)
       .orderBy("new_id", "corpus_id")
@@ -1334,7 +1334,7 @@ object StreamQueries {
       feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
-    val idx = s.read.parquet(s"$out/art/$last/index")
+    val idx = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/index"))
     Dedup.incrementalPairsFromIndex(idx, d.filter(isNew),
         "text", "doc_id", k = 5, threshold = 0.6)
       .orderBy("new_id", "corpus_id")
@@ -1377,7 +1377,7 @@ object StreamQueries {
       feedInChunks(input, q, takedowns.toSeq, identity[Long], 2)
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
-    val idx = s.read.parquet(s"$out/art/$last/index")
+    val idx = graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/index"))
     TextAnalysis.winnowProbeMatches(d.filter(isNew), idx, "text",
         "doc_id", k = 5, w = 4, minShared = 2)
       .orderBy("new_id", "corpus_id")
@@ -1817,8 +1817,8 @@ object StreamQueries {
     } finally q.stop()
     val last = lastBatchId(s"$out/art")
     val idx = Multimodal.VideoIndex(
-      s.read.parquet(s"$out/art/$last/index"),
-      s.read.parquet(s"$out/art/$last/counts"))
+      graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/index")),
+      graft.pipeline.DeltaRetract.readFace(s, Seq(s"$out/art/$last/counts")))
     Multimodal.videoProbePairs(
         Multimodal.keyframeHashes(media.filter(isNew),
           frameBytes = 72, cutPm = 8L).toDF(),

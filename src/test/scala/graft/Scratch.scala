@@ -134,8 +134,11 @@ object Scratch {
         println(f"[scratch] jobprof $name rep$rep: wall $wall%6.2f s, " +
           f"${ds.size} jobs, in-job ${jobS}%6.2f s, " +
           f"gaps ${wall - jobS}%6.2f s, tasks ${tasks.get()}, rows=$n")
-        ds.sortBy(d => -(d._3 - d._2)).take(12).foreach { case (id, a, b, desc) =>
-          println(f"[scratch]   job $id%4d ${(b - a) / 1e3}%6.2f s  ${desc.take(90)}")
+        val toShow =
+          if (args.contains("all")) ds.sortBy(_._1)
+          else ds.sortBy(d => -(d._3 - d._2)).take(12)
+        toShow.foreach { case (id, a, b, desc) =>
+          println(f"[scratch]   job $id%4d ${(b - a) / 1e3}%6.2f s  ${desc.replace('\n', ' ').take(110)}")
         }
         s32.catalog.clearCache()
         s32.sparkContext.getPersistentRDDs.values
